@@ -1,0 +1,151 @@
+"""DOM term structures.
+
+Shape mirrors the Prolog DOM produced by the reference binding
+(/root/reference/sgml2pl.c:1192-1446, documented by xml_is_dom/1 in
+/root/reference/sgml.pl:699-741):
+
+    element(Name, [Name=Value ...], Content)
+    CDATA text (atoms) | sdata(Text) | ndata(Text) | pi(Text) | entity(N)
+
+Attribute values may be str, int, or list[str|int] (list-typed
+attributes split on blanks, sgml2pl.c:1098-1121).
+"""
+
+from dataclasses import dataclass, field
+from typing import Any, List, Tuple, Union
+import json
+
+
+@dataclass
+class Element:
+    name: str
+    attrs: List[Tuple[str, Any]] = field(default_factory=list)
+    content: List[Any] = field(default_factory=list)
+
+    def __repr__(self):
+        return "element(%s, %r, %r)" % (self.name, self.attrs, self.content)
+
+
+@dataclass
+class SData:
+    text: str
+
+
+@dataclass
+class NData:
+    text: str
+
+
+@dataclass
+class PI:
+    text: str
+
+
+@dataclass
+class Entity:
+    name: Union[str, int]
+
+
+Node = Union[Element, SData, NData, PI, Entity, str]
+
+
+def to_canonical(node) -> Any:
+    """Canonical JSON-able structure for order-insensitive-attr compare
+    (attribute sort rule: /root/reference/test_sgml.pl:210-213)."""
+    if isinstance(node, Element):
+        return {
+            "e": node.name,
+            "a": sorted(
+                [[k, to_canonical_value(v)] for k, v in node.attrs],
+                key=lambda kv: (kv[0], json.dumps(kv[1], sort_keys=True)),
+            ),
+            "c": [to_canonical(c) for c in node.content],
+        }
+    if isinstance(node, SData):
+        return {"sdata": node.text}
+    if isinstance(node, NData):
+        return {"ndata": node.text}
+    if isinstance(node, PI):
+        return {"pi": node.text}
+    if isinstance(node, Entity):
+        return {"entity": node.name}
+    return node
+
+
+def to_canonical_value(v):
+    if isinstance(v, list):
+        return [to_canonical_value(x) for x in v]
+    return v
+
+
+def dom_to_json(content: List[Node]) -> str:
+    return json.dumps([to_canonical(n) for n in content],
+                      ensure_ascii=False, sort_keys=True)
+
+
+def extract_text(content: List[Node]) -> str:
+    """Concatenate all CDATA text in document order (xpath.pl:584-620
+    text-of-subtree analog over the whole document)."""
+    out = []
+
+    def walk(n):
+        if isinstance(n, str):
+            out.append(n)
+        elif isinstance(n, Element):
+            for c in n.content:
+                walk(c)
+        elif isinstance(n, (SData, NData)):
+            out.append(n.text)
+
+    for n in content:
+        walk(n)
+    return "".join(out)
+
+
+def flatten_nodes(content: List[Node]):
+    """Flatten DOM into node rows for the Spark node table
+    (design in SURVEY.md §1.3): (node_id, parent_id, ord, kind, name,
+    attrs, text)."""
+    rows = []
+
+    def walk(n, parent_id, ord_):
+        nid = len(rows)
+        if isinstance(n, Element):
+            rows.append({
+                "node_id": nid, "parent_id": parent_id, "ord": ord_,
+                "kind": "element", "name": n.name,
+                "attrs": {k: _attr_str(v) for k, v in n.attrs},
+                "text": None,
+            })
+            for i, c in enumerate(n.content):
+                walk(c, nid, i)
+        elif isinstance(n, str):
+            rows.append({"node_id": nid, "parent_id": parent_id, "ord": ord_,
+                         "kind": "text", "name": None, "attrs": None,
+                         "text": n})
+        elif isinstance(n, SData):
+            rows.append({"node_id": nid, "parent_id": parent_id, "ord": ord_,
+                         "kind": "sdata", "name": None, "attrs": None,
+                         "text": n.text})
+        elif isinstance(n, NData):
+            rows.append({"node_id": nid, "parent_id": parent_id, "ord": ord_,
+                         "kind": "ndata", "name": None, "attrs": None,
+                         "text": n.text})
+        elif isinstance(n, PI):
+            rows.append({"node_id": nid, "parent_id": parent_id, "ord": ord_,
+                         "kind": "pi", "name": None, "attrs": None,
+                         "text": n.text})
+        elif isinstance(n, Entity):
+            rows.append({"node_id": nid, "parent_id": parent_id, "ord": ord_,
+                         "kind": "entity", "name": str(n.name), "attrs": None,
+                         "text": None})
+
+    for i, n in enumerate(content):
+        walk(n, -1, i)
+    return rows
+
+
+def _attr_str(v):
+    if isinstance(v, list):
+        return " ".join(str(x) for x in v)
+    return str(v)

@@ -1,0 +1,194 @@
+"""DTD data structures.
+
+Mirrors the reference's dtd struct family (/root/reference/dtd.h:300-469):
+symbol-interned elements, typed attributes, entities, notations,
+shortref maps.  Declaration *parsing* lives in parser.py (the reference
+parses declarations inside the parser FSM, parser.c:3941-3988).
+"""
+
+from typing import Dict, List, Optional
+
+from . import model as M
+
+# dialects
+DL_SGML, DL_HTML, DL_HTML5, DL_XML, DL_XMLNS, DL_XHTML, DL_XHTML5 = range(7)
+# groupings per dtd.h:180-183
+XML_DIALECTS = (DL_XML, DL_XMLNS, DL_XHTML, DL_XHTML5)
+SGML_DIALECTS = (DL_SGML, DL_HTML, DL_HTML5)
+HTML_DIALECTS = (DL_HTML, DL_HTML5, DL_XHTML, DL_XHTML5)
+HTML5_DIALECTS = (DL_HTML5, DL_XHTML5)
+
+DIALECT_NAMES = {
+    "sgml": DL_SGML, "html": DL_HTML, "html4": DL_HTML, "html5": DL_HTML5,
+    "xml": DL_XML, "xmlns": DL_XMLNS, "xhtml": DL_XHTML, "xhtml5": DL_XHTML5,
+}
+
+# space modes (dtd.h:194-201)
+SP_SGML, SP_PRESERVE, SP_DEFAULT, SP_REMOVE, SP_STRICT, SP_INHERIT = range(6)
+SPACE_MODE_NAMES = {
+    "sgml": SP_SGML, "preserve": SP_PRESERVE, "default": SP_DEFAULT,
+    "remove": SP_REMOVE, "strict": SP_STRICT,
+}
+
+# attribute types (dtd.h:123-140)
+(AT_CDATA, AT_ENTITY, AT_ENTITIES, AT_ID, AT_IDREF, AT_IDREFS, AT_NAME,
+ AT_NAMES, AT_NAMEOF, AT_NMTOKEN, AT_NMTOKENS, AT_NOTATION, AT_NUMBER,
+ AT_NUMBERS, AT_NUTOKEN, AT_NUTOKENS) = range(16)
+
+LIST_TYPES = (AT_ENTITIES, AT_IDREFS, AT_NAMES, AT_NMTOKENS, AT_NUMBERS,
+              AT_NUTOKENS)
+
+# attribute defaults (dtd.h:142-149)
+(AT_REQUIRED, AT_CURRENT, AT_CONREF, AT_IMPLIED, AT_FIXED, AT_DEFAULT) = range(6)
+
+# entity types / content (dtd.h:153-175)
+ET_SYSTEM, ET_PUBLIC, ET_LITERAL = range(3)
+(EC_SGML, EC_CDATA, EC_SDATA, EC_NDATA, EC_PI, EC_STARTTAG, EC_ENDTAG) = range(7)
+
+
+class ElementDef:
+    """dtd_edef (dtd.h:398-413)."""
+    __slots__ = ("omit_open", "omit_close", "type", "content",
+                 "included", "excluded", "initial_state", "final_state")
+
+    def __init__(self):
+        self.omit_open = False
+        self.omit_close = False
+        self.type = M.C_PCDATA
+        self.content: Optional[M.Model] = None
+        self.included: List["Element"] = []
+        self.excluded: List["Element"] = []
+        self.initial_state = None
+        self.final_state = None
+
+
+class Attr:
+    """dtd_attr (dtd.h:371-388)."""
+    __slots__ = ("name", "type", "def_", "islist", "nameof", "default")
+
+    def __init__(self, name):
+        self.name = name
+        self.type = AT_CDATA
+        self.def_ = AT_IMPLIED
+        self.islist = False
+        self.nameof: List[str] = []     # for AT_NAMEOF / AT_NOTATION
+        self.default = None             # str | int | None
+
+
+class Element:
+    """dtd_element (dtd.h:416-432)."""
+    __slots__ = ("name", "structure", "undefined", "attributes",
+                 "space_mode", "map")
+
+    def __init__(self, name):
+        self.name = name
+        self.structure: Optional[ElementDef] = None
+        self.undefined = False
+        self.attributes: List[Attr] = []   # ordered, first wins
+        self.space_mode = SP_INHERIT
+        self.map = None                    # ShortRef
+
+    def find_attribute(self, name) -> Optional[Attr]:
+        for a in self.attributes:
+            if a.name == name:
+                return a
+        return None
+
+    def __repr__(self):
+        return "<element %s>" % self.name
+
+
+class EntityDef:
+    """dtd_entity (dtd.h:344-356)."""
+    __slots__ = ("name", "type", "content", "value", "extid", "exturl",
+                 "baseurl", "catalog_location")
+
+    def __init__(self, name):
+        self.name = name
+        self.type = ET_LITERAL
+        self.content = EC_SGML
+        self.value: Optional[str] = None
+        self.extid = None
+        self.exturl = None
+        self.baseurl = None
+        self.catalog_location = None
+
+
+class Notation:
+    __slots__ = ("name", "system", "public")
+
+    def __init__(self, name, system=None, public=None):
+        self.name = name
+        self.system = system
+        self.public = public
+
+
+CHR_BLANK = ""   # shortref 'B' pattern char (dtd.h CHR_BLANK)
+CHR_DBLANK = ""  # shortref 'BB' pattern char
+
+
+class ShortRef:
+    """dtd_shortref (dtd.h:335-341): maps + last-char bitmap."""
+    __slots__ = ("name", "maps", "ends", "defined")
+
+    def __init__(self, name):
+        self.name = name
+        self.maps: List[tuple] = []       # (from_pattern, to_entity_name)
+        self.ends = set()                 # chars that can end any map
+        self.defined = False
+
+    def compile(self, dtd):
+        """compile_map (parser.c:1734-1756)."""
+        self.ends = set()
+        for frm, _to in self.maps:
+            last = frm[-1]
+            if last in (CHR_BLANK, CHR_DBLANK):
+                for i in range(256):
+                    c = chr(i)
+                    from .chars import is_blank_char
+                    if is_blank_char(c):
+                        self.ends.add(c)
+                self.ends.add(last)
+            else:
+                self.ends.add(last)
+
+
+class DTD:
+    """dtd (dtd.h:444-469)."""
+
+    def __init__(self, doctype=None):
+        self.doctype = doctype
+        self.implicit = True
+        self.dialect = DL_SGML
+        self.case_sensitive = False
+        self.att_case_sensitive = False
+        self.att_case_preserving = False
+        self.ent_case_sensitive = True
+        self.space_mode = SP_SGML
+        self.shorttag = True
+        self.system_entities = False
+        self.number_mode_integer = False     # NU_TOKEN default
+        self.keep_prefix = False
+        self.encoding = "iso-8859-1"
+
+        self.elements: Dict[str, Element] = {}
+        self.entities: Dict[str, EntityDef] = {}
+        self.pentities: Dict[str, EntityDef] = {}
+        self.default_entity: Optional[EntityDef] = None
+        self.notations: Dict[str, Notation] = {}
+        self.shortrefs: Dict[str, ShortRef] = {}
+
+    def find_element(self, name) -> Element:
+        """find_element (parser.c:687-705): auto-intern."""
+        e = self.elements.get(name)
+        if e is None:
+            e = Element(name)
+            self.elements[name] = e
+        return e
+
+    def def_element(self, name) -> Element:
+        e = self.find_element(name)
+        if e.structure is None:
+            e.structure = ElementDef()
+            e.undefined = True
+        return e

@@ -1,0 +1,1960 @@
+"""SGML/XML/HTML parser engine.
+
+A from-scratch Python implementation of the parsing semantics of
+SWI-Prolog packages-sgml's C core: the 29-state tokenizer FSM
+(/root/reference/parser.c:4847-5349), element-stack validation with
+omitted-tag inference (parser.c:2691-3063), entity machinery
+(parser.c:419-678, 4475-4589), CDATA space-mode handling
+(parser.c:4203-4470, 4758-4846), shortref maps (parser.c:1890-1971),
+and marked sections (parser.c:4131-4197).
+
+This is *not* a code port: it is a re-implementation of observable
+behaviour (DOM shape, extracted text bytes, error list) validated
+against the reference's own Test/ golden corpus.
+
+Input is fed as raw octets (latin-1-decoded str); UTF-8 assembly is a
+sub-state of the FSM exactly as in the reference (parser.c:4862-4877),
+so malformed UTF-8 recovers identically.
+"""
+
+from . import dtd as D
+from . import model as M
+from .chars import is_blank_char, is_name_char, is_nmstart_char
+from .decls import DeclMixin
+from .dom import Element, SData, NData, PI
+from .entities import XML_ENTITY_DECLS, isee_character_entity
+from .errors import Gripes, ParseError, ERROR, STYLE
+from .states import (
+    S_PCDATA, S_CDATA, S_RCDATA, S_MSCDATA, S_EMSCDATA1, S_EMSCDATA2,
+    S_ECDATA1, S_ECDATA2, S_EMSC1, S_EMSC2, S_PI, S_PI2, S_DECL0, S_DECL,
+    S_MDECL0, S_STRING, S_CMTO, S_CMT, S_CMTE0, S_CMTE1, S_DECLCMT0,
+    S_DECLCMT, S_DECLCMTE0, S_GROUP, S_PENT, S_ENT0, S_ENT, S_ENTCR,
+    S_UTF8,
+)
+
+DM_DATA = "DATA"
+DM_DTD = "DTD"
+
+MS_INCLUDE, MS_IGNORE, MS_CDATA, MS_RCDATA = range(4)
+EV_EXPLICIT, EV_OMITTED, EV_SHORTTAG, EV_SHORTREF = range(4)
+
+CR = '\r'
+LF = '\n'
+
+
+class StopParse(Exception):
+    """Raised internally when max_errors is exceeded
+    (sgml2pl.c:2137-2146)."""
+
+
+class ParserOptions:
+    def __init__(self, dialect="sgml", encoding=None, space=None,
+                 defaults=True, number="token", max_errors=50,
+                 qualify_attributes=False, shorttag=None,
+                 case_sensitive_attributes=None,
+                 case_preserving_attributes=None,
+                 system_entities=False, quiet=False, file=None,
+                 resolver=None):
+        self.dialect = dialect
+        self.encoding = encoding
+        self.space = space
+        self.defaults = defaults
+        self.number = number
+        self.max_errors = max_errors
+        self.shorttag = shorttag
+        self.case_sensitive_attributes = case_sensitive_attributes
+        self.case_preserving_attributes = case_preserving_attributes
+        self.system_entities = system_entities
+        self.quiet = quiet
+        self.file = file
+        self.resolver = resolver
+
+
+class Environment:
+    """sgml_environment (parser.h:165-180)."""
+    __slots__ = ("element", "state", "space_mode", "map", "wants_net",
+                 "saved_waiting_for_net")
+
+    def __init__(self, element):
+        self.element = element
+        self.state = None
+        self.space_mode = D.SP_SGML
+        self.map = None
+        self.wants_net = False
+        self.saved_waiting_for_net = False
+
+
+class SGMLParser(DeclMixin):
+
+    def __init__(self, options: ParserOptions = None):
+        opts = options or ParserOptions()
+        self.options = opts
+        self.dtd = D.DTD()
+        self.resolver = opts.resolver
+        self.base_file = opts.file
+        self.set_dialect(opts.dialect)
+        if opts.encoding is not None:
+            self.xml_set_encoding(opts.encoding)
+        if opts.space is not None:
+            self.dtd.space_mode = D.SPACE_MODE_NAMES[opts.space]
+        if opts.number == "integer":
+            self.dtd.number_mode_integer = True
+        if opts.shorttag is not None:
+            self.dtd.shorttag = opts.shorttag
+        if opts.case_sensitive_attributes is not None:
+            self.dtd.att_case_sensitive = opts.case_sensitive_attributes
+        if opts.case_preserving_attributes is not None:
+            self.dtd.att_case_preserving = opts.case_preserving_attributes
+            self.dtd.att_case_sensitive = opts.case_preserving_attributes
+        if opts.system_entities:
+            self.dtd.system_entities = True
+        self.max_errors = opts.max_errors
+        self.quiet = opts.quiet
+
+        # tokenizer state
+        self.state = S_PCDATA
+        self.cdata_state = S_PCDATA
+        self.buffer = []            # markup buffer (icharbuf)
+        self.cdata = []             # output CDATA buffer (ocharbuf)
+        self.blank_cdata = True
+        self.cdata_must_be_empty = False
+        self.mark_state = MS_INCLUDE
+        self.marked = []            # marked-section stack of MS_* types
+        self.map = None             # active shortref map
+        self.environments = []      # Environment stack (top = [-1])
+        self.first = False
+        self.waiting_for_net = False
+        self.etag = None            # end-tag for CDATA/RCDATA content
+        self.saved = None
+        self.lit_saved_state = S_DECL
+        self.grouplevel = 0
+        self.event_class = EV_EXPLICIT
+        self.dmode = DM_DATA
+        self._val0 = False
+        self.enforce_outer_element = None
+
+        # location
+        self.line = 1
+        self.linepos = 0
+        self.charpos = 0
+        self.startloc = (1, 0, 0)
+        self.startcdata = (1, 0, 0)
+        self._locstack = []
+        self._entity_startloc = []  # file-level startloc while in entities
+
+        # UTF-8 sub-state
+        self.utf8_decode = self.dtd.encoding == "utf-8"
+        self.utf8_char = 0
+        self.utf8_left = 0
+        self.utf8_saved_state = S_PCDATA
+
+        # output
+        self.errors = []            # ParseError list
+        self.error_count = 0
+        self.dom = []               # top-level content list
+        self._stack = []            # open Element nodes (DOM builder)
+
+    # ------------------------------------------------------------------
+    # dialect / encoding (parser.c:1256-1298, 3807-3849)
+    # ------------------------------------------------------------------
+
+    def set_dialect(self, name):
+        dialect = D.DIALECT_NAMES[name]
+        dtd = self.dtd
+        dtd.dialect = dialect
+        if dialect in (D.DL_SGML, D.DL_HTML, D.DL_HTML5):
+            if dialect == D.DL_HTML5:
+                dtd.encoding = "utf-8"
+            dtd.case_sensitive = False
+            dtd.att_case_sensitive = False
+            dtd.space_mode = D.SP_SGML
+            dtd.shorttag = dialect == D.DL_SGML
+        else:
+            dtd.case_sensitive = True
+            dtd.att_case_sensitive = True
+            dtd.encoding = "utf-8"
+            dtd.space_mode = D.SP_PRESERVE
+            dtd.shorttag = False
+            for decl in XML_ENTITY_DECLS:
+                self.process_entity_declaration(decl)
+        self.utf8_decode = dtd.encoding == "utf-8"
+
+    def xml_set_encoding(self, enc):
+        enc = enc.lower()
+        if enc in ("iso-8859-1", "us-ascii", "iso_latin_1", "ascii"):
+            self.dtd.encoding = "iso-8859-1"
+        elif enc in ("utf-8", "utf8"):
+            self.dtd.encoding = "utf-8"
+        else:
+            self.gripe(*Gripes.existence("character encoding", enc))
+            return
+        self.utf8_decode = self.dtd.encoding == "utf-8"
+
+    # ------------------------------------------------------------------
+    # errors
+    # ------------------------------------------------------------------
+
+    def gripe(self, severity, message):
+        if severity == ERROR:
+            self.error_count += 1
+        if severity != STYLE and not self.quiet:
+            if self._entity_startloc:
+                line = self._entity_startloc[0][0]
+            else:
+                line = self.startloc[0]
+            self.errors.append(ParseError(severity, line, message))
+        if self.max_errors >= 0 and self.error_count > self.max_errors:
+            raise StopParse()
+        return False
+
+    # ------------------------------------------------------------------
+    # event sinks -> DOM (sgml2pl.c:1192-1446)
+    # ------------------------------------------------------------------
+
+    def ev_begin(self, name, attrs):
+        node = Element(name, attrs, [])
+        if self._stack:
+            self._stack[-1].content.append(node)
+        else:
+            self.dom.append(node)
+        self._stack.append(node)
+
+    def ev_end(self, name):
+        if self._stack:
+            self._stack.pop()
+
+    def ev_data(self, kind, text):
+        if kind == "cdata":
+            node = text
+        elif kind == "sdata":
+            node = SData(text)
+        else:
+            node = NData(text)
+        if self._stack:
+            self._stack[-1].content.append(node)
+        else:
+            self.dom.append(node)
+
+    def ev_pi(self, text):
+        node = PI(text)
+        if self._stack:
+            self._stack[-1].content.append(node)
+        else:
+            self.dom.append(node)
+
+    # ------------------------------------------------------------------
+    # location helpers
+    # ------------------------------------------------------------------
+
+    def _set_startloc(self, line, lpos):
+        self.startloc = (line, lpos, self.charpos - 1)
+
+    def push_location(self):
+        self._locstack.append(
+            (self.line, self.linepos, self.charpos, self.startloc))
+
+    def pop_location(self):
+        if self._locstack:
+            (self.line, self.linepos, self.charpos,
+             self.startloc) = self._locstack.pop()
+
+    def push_location_for_subset(self, decl, i):
+        self.push_location()
+        line, lpos, cpos = self.startloc
+        for c in '<' + decl[:i]:
+            cpos += 1
+            if c == LF:
+                line += 1
+                lpos = 0
+            elif c == CR:
+                lpos = 0
+            else:
+                lpos += 1
+        self.line, self.linepos, self.charpos = line, lpos, cpos
+
+    # ------------------------------------------------------------------
+    # entry points
+    # ------------------------------------------------------------------
+
+    def parse(self, data):
+        """Parse a complete document from bytes (or str of octets).
+        Returns (dom_content_list, errors)."""
+        if isinstance(data, (bytes, bytearray)):
+            text = bytes(data).decode("latin-1")
+        else:
+            text = data
+        # EOF newline handling (sgml2pl.c:2185-2201): a file ending in
+        # LF feeds CR instead; a file ending in a normal char feeds an
+        # extra CR.  The trailing CR is dropped again at end_document
+        # (parser.c:4658-4660) unless a shortref consumes it.
+        if text.endswith(LF):
+            text = text[:-1] + CR
+        elif text and not text.endswith(CR):
+            text = text + CR
+        try:
+            self.process_chars_toplevel(text)
+            self.end_document()
+        except StopParse:
+            pass
+        return self.dom, self.errors
+
+    def process_chars_toplevel(self, text):
+        putchar = self.putchar
+        n = len(text)
+        i = 0
+        while i < n:
+            # Fast path: bulk PCDATA spans when no shortref map is
+            # active (span-scan replaces the reference's char loop;
+            # semantics preserved -- see _bulk_cdata).
+            if (self.state == S_PCDATA and self.map is None and
+                    self.dmode == DM_DATA and not self.waiting_for_net and
+                    self.mark_state == MS_INCLUDE and not self.marked):
+                j = self._find_special(text, i)
+                if j > i:
+                    i += self._bulk_cdata(text, i, j)
+                    continue
+                if i >= n:
+                    break
+            putchar(text[i])
+            i += 1
+
+    _SPECIALS = frozenset('<&]\r')
+
+    def _find_special(self, text, i):
+        """Scan forward from i for the next char the S_PCDATA state
+        reacts to (or that needs per-char handling): < & ] CR, or any
+        non-ASCII byte when UTF-8 decoding."""
+        n = len(text)
+        j = i
+        specials = self._SPECIALS
+        utf8 = self.utf8_decode
+        while j < n:
+            c = text[j]
+            if c in specials or (utf8 and c >= '\x80'):
+                break
+            j += 1
+        return j
+
+    def _bulk_cdata(self, text, i, j):
+        """Append text[i:j] to cdata with add_cdata semantics
+        (parser.c:4758-4797) in bulk.  The span contains no CR, no
+        specials, no multibyte leads; newline normalisation therefore
+        reduces to identity (no CR present) and shortref matching is
+        off (map is None)."""
+        span = text[i:j]
+        if self.blank_cdata:
+            k = 0
+            n = len(span)
+            while k < n and is_blank_char(span[k]):
+                k += 1
+            if k:
+                self._append_span(span[:k])
+            if k < n:
+                # open_element may imply open tags, which flush the
+                # pending (blank) cdata first -- order matters.  It may
+                # also install a shortref map, in which case the rest
+                # of the span must go through the per-char path.
+                self.cdata_must_be_empty = not self.open_element(
+                    M.CDATA_ELEMENT, False)
+                self.blank_cdata = False
+                if self.map is not None:
+                    self._advance_location(span[:k])
+                    return k
+                self._append_span(span[k:])
+        else:
+            self._append_span(span)
+        self._advance_location(span)
+        return len(span)
+
+    def _append_span(self, span):
+        cdata = self.cdata
+        if not cdata:
+            self.startcdata = (self.line, self.linepos + 1, self.charpos)
+        # add_cdata fold: a span-leading LF after a buffered CR folds
+        # the CR away (parser.c:4769-4796)
+        if (span[0] == LF and cdata and cdata[-1] == CR and
+                self.environments and
+                self.environments[-1].space_mode != D.SP_STRICT):
+            cdata.pop()
+        cdata.extend(span)
+
+    def _advance_location(self, span):
+        nl = span.count(LF)
+        self.charpos += len(span)
+        if nl:
+            self.line += nl
+            self.linepos = len(span) - span.rfind(LF) - 1
+        else:
+            self.linepos += len(span)
+
+    # ------------------------------------------------------------------
+    # the FSM (parser.c:4847-5349)
+    # ------------------------------------------------------------------
+
+    def putchar(self, chr_):
+        dtd = self.dtd
+        line = self.line
+        lpos = self.linepos
+        self.charpos += 1
+
+        if self.state == S_UTF8:
+            cp = ord(chr_)
+            if (cp & 0xC0) != 0x80:     # TBD: recover (parser.c:4864)
+                self.gripe(*Gripes.syntax_error("Bad UTF-8 sequence", ""))
+            self.utf8_char = (self.utf8_char << 6) | (cp & 0x3F)
+            self.utf8_left -= 1
+            if self.utf8_left == 0:
+                chr_ = chr(self.utf8_char)
+                self.state = self.utf8_saved_state
+            else:
+                return
+        elif self.utf8_decode and 0xC0 <= ord(chr_) <= 0xFD:
+            cp = ord(chr_)
+            bytes_ = 1
+            mask = 0x20
+            while cp & mask:
+                bytes_ += 1
+                mask >>= 1
+            self.utf8_saved_state = self.state
+            self.state = S_UTF8
+            self.utf8_char = cp & (mask * 2 - 1)
+            self.utf8_left = bytes_
+            self.line = line
+            self.linepos = lpos + 1
+            return
+
+        if chr_ == LF:
+            self.line = line + 1
+            self.linepos = 0
+        elif chr_ == CR:
+            self.linepos = 0
+        else:
+            self.linepos = lpos + 1
+
+        while True:  # `goto reprocess` loop
+            state = self.state
+            if state == S_PCDATA:
+                if chr_ == '<':
+                    self._set_startloc(line, lpos)
+                    self.state = S_DECL0
+                    self.buffer = []
+                    return
+                if self.dmode == DM_DTD:
+                    if chr_ == '%':
+                        self._set_startloc(line, lpos)
+                        self.state = S_PENT
+                        self.buffer = []
+                        return
+                else:
+                    if chr_ == '&':
+                        self._set_startloc(line, lpos)
+                        self.state = S_ENT0
+                        return
+                if self.marked and chr_ == ']':
+                    self.buffer = []
+                    self.state = S_EMSC1
+                    self.saved = chr_
+                    return
+                if self.waiting_for_net and chr_ == '/':
+                    self.waiting_for_net = False
+                    self._set_startloc(line, lpos)
+                    self.process_net()
+                    return
+                if not self.cdata:
+                    self.startcdata = (self.line, self.linepos, self.charpos)
+                self.add_cdata(chr_)
+                return
+
+            if state == S_ECDATA2:      # seen </ in CDATA/RCDATA
+                if (chr_ == '>' and len(self.buffer) == len(self.etag) and
+                        ''.join(self.buffer).lower() == self.etag.lower()):
+                    del self.cdata[len(self.cdata) - len(self.etag) - 2:]
+                    if self.mark_state == MS_INCLUDE:
+                        self.process_cdata(last=True)
+                        self.process_end_element(''.join(self.buffer))
+                        self.empty_cdata()
+                    self.buffer = []
+                    self.cdata_state = self.state = S_PCDATA
+                else:
+                    self.add_verbatim_cdata(chr_)
+                    if (len(self.etag) < len(self.buffer) + 1 or
+                            not is_name_char(chr_)):
+                        self.buffer = []
+                        self.state = self.cdata_state
+                    else:
+                        self.buffer.append(chr_)
+                return
+
+            if state == S_ECDATA1:      # seen < in CDATA
+                self.add_verbatim_cdata(chr_)
+                if chr_ == '/':
+                    self.buffer = []
+                    self.state = S_ECDATA2
+                elif chr_ != '<':
+                    self.state = self.cdata_state
+                return
+
+            if state == S_RCDATA:
+                if chr_ == '&':
+                    self._set_startloc(line, lpos)
+                    self.state = S_ENT0
+                    return
+                state = S_CDATA         # fallthrough
+
+            if state == S_CDATA:
+                self.add_verbatim_cdata(chr_)
+                if chr_ == '<':
+                    self._set_startloc(line, lpos)
+                    self.state = S_ECDATA1
+                if self.waiting_for_net and chr_ == '/':
+                    self._set_startloc(line, lpos)
+                    self.cdata.pop()
+                    if self.mark_state == MS_INCLUDE:
+                        self.process_cdata(last=True)
+                        self.process_net()
+                        self.empty_cdata()
+                    self.buffer = []
+                    self.cdata_state = self.state = S_PCDATA
+                return
+
+            if state == S_MSCDATA:
+                self.add_verbatim_cdata(chr_)
+                if chr_ == ']':
+                    self.state = S_EMSCDATA1
+                return
+
+            if state == S_EMSCDATA1:
+                self.add_verbatim_cdata(chr_)
+                self.state = S_EMSCDATA2 if chr_ == ']' else S_MSCDATA
+                return
+
+            if state == S_EMSCDATA2:
+                self.add_verbatim_cdata(chr_)
+                if chr_ == '>':         # ]]>
+                    del self.cdata[-3:]
+                    self.pop_marked_section()
+                    self.state = S_PCDATA
+                elif chr_ != ']':       # ]]] stays
+                    self.state = S_MSCDATA
+                return
+
+            if state == S_EMSC1:
+                if chr_ == ']':
+                    self.state = S_EMSC2
+                else:
+                    self.buffer.append(chr_)
+                    self.recover_parser()
+                return
+
+            if state == S_EMSC2:
+                if chr_ == '>':
+                    self.pop_marked_section()
+                    self.state = S_PCDATA
+                else:
+                    self.buffer.append(chr_)
+                    self.recover_parser()
+                return
+
+            if state == S_PENT:         # %parameter entity;
+                if chr_ == ';':
+                    self.state = S_PCDATA
+                    if self.mark_state == MS_INCLUDE:
+                        self.process_include(''.join(self.buffer))
+                    self.buffer = []
+                    return
+                if is_name_char(chr_):
+                    self.buffer.append(chr_)
+                    return
+                self.gripe(*Gripes.syntax_error(
+                    "Illegal parameter entity", ''.join(self.buffer)))
+                return
+
+            if state == S_ENT0:         # seen &
+                if chr_ == '#' or is_name_char(chr_):
+                    self.buffer = [chr_]
+                    self.state = S_ENT
+                    return
+                if self.dtd.dialect in D.XML_DIALECTS:
+                    self.gripe(*Gripes.syntax_error(
+                        "Illegal entity", '&' + chr_))
+                self.add_cdata('&')
+                self.state = self.cdata_state
+                continue                # reprocess
+
+            if state == S_ENT:
+                if is_name_char(chr_):
+                    self.buffer.append(chr_)
+                    return
+                name = ''.join(self.buffer)
+                self.state = self.cdata_state
+                if self.mark_state == MS_INCLUDE:
+                    self.process_entity(name)
+                self.buffer = []
+                if chr_ == CR:
+                    self.state = S_ENTCR
+                    return
+                if chr_ == ';' or chr_ == LF:
+                    return
+                continue                # reprocess
+
+            if state == S_ENTCR:        # seen &entCR: eat the LF
+                self.state = self.cdata_state
+                if chr_ != LF:
+                    continue
+                return
+
+            if state == S_DECL0:        # seen <
+                if chr_ == '/':
+                    self.buffer.append(chr_)
+                    self.state = S_DECL
+                elif is_name_char(chr_):
+                    self.buffer.append(chr_)
+                    self.state = S_DECL
+                elif chr_ == '!':
+                    self.state = S_MDECL0
+                elif chr_ == '?':
+                    self.state = S_PI
+                    self.buffer = []
+                else:                   # recover
+                    self.add_cdata('<')
+                    self.add_cdata(chr_)
+                    self.state = S_PCDATA
+                return
+
+            if state == S_MDECL0:       # seen <!
+                if chr_ == '-':
+                    self.state = S_CMTO
+                    return
+                self.buffer.append('!')
+                self.buffer.append(chr_)
+                self.state = S_DECL
+                return
+
+            if state == S_DECL:
+                r = self._s_decl(chr_)
+                if r == "reprocess":
+                    continue
+                return
+
+            if state == S_DECLCMT0:     # <...-
+                if chr_ == '-':
+                    self.buffer.pop()
+                    self.state = S_DECLCMT
+                else:
+                    self.buffer.append(chr_)
+                    self.state = S_DECL
+                return
+
+            if state == S_DECLCMT:
+                if chr_ == '-':
+                    self.state = S_DECLCMTE0
+                return
+
+            if state == S_DECLCMTE0:
+                self.state = S_DECL if chr_ == '-' else S_DECLCMT
+                return
+
+            if state == S_PI:
+                self.buffer.append(chr_)
+                if chr_ == '?':
+                    self.state = S_PI2
+                if chr_ == '>':         # no ? is ok too
+                    self._finish_pi()
+                return
+
+            if state == S_PI2:
+                if chr_ == '>':
+                    self._finish_pi()
+                    return
+                self.buffer.append(chr_)
+                self.state = S_PI
+                return
+
+            if state == S_STRING:
+                self.buffer.append(chr_)
+                if chr_ == self.saved:
+                    self.state = self.lit_saved_state
+                return
+
+            if state == S_CMTO:         # seen <!-
+                if chr_ == '-':
+                    self.state = S_CMT
+                else:
+                    self.add_cdata('<')
+                    self.add_cdata('!')
+                    self.add_cdata('-')
+                    self.add_cdata(chr_)
+                    self.state = S_PCDATA
+                return
+
+            if state == S_CMT:
+                if chr_ == '-':
+                    self.state = S_CMTE0
+                return
+
+            if state == S_CMTE0:
+                self.state = S_CMTE1 if chr_ == '-' else S_CMT
+                return
+
+            if state == S_CMTE1:        # seen <!--...--
+                if chr_ == '>':
+                    self.state = S_PCDATA
+                else:
+                    if self.dtd.dialect in D.XML_DIALECTS:
+                        self.gripe(*Gripes.syntax_error("Illegal comment", ""))
+                    if chr_ != '-':
+                        self.state = S_CMT
+                return
+
+            if state == S_GROUP:        # [...] in declaration
+                self.buffer.append(chr_)
+                if chr_ == '[':
+                    self.grouplevel += 1
+                elif chr_ == ']':
+                    self.grouplevel -= 1
+                    if self.grouplevel == 0:
+                        self.state = S_DECL
+                elif chr_ in ('"', "'"):
+                    self.state = S_STRING
+                    self.saved = chr_
+                    self.lit_saved_state = S_GROUP
+                return
+
+            raise AssertionError("bad state %r" % state)
+
+    def _s_decl(self, chr_):
+        """S_DECL + S_VAL0 handling (parser.c:5142-5232).  S_VAL0 is
+        folded in via self._val0 flag."""
+        dtd = self.dtd
+        if getattr(self, "_val0", False):
+            self._val0 = False
+            if chr_ in ('"', "'"):
+                self.buffer.append(chr_)
+                self.state = S_STRING
+                self.saved = chr_
+                self.lit_saved_state = S_DECL
+                return None
+            if is_blank_char(chr_):
+                self.buffer.append(chr_)
+                self._val0 = True
+                return None
+            if dtd.dialect in D.XML_DIALECTS:
+                self.gripe(*Gripes.syntax_warning(
+                    "Unquoted attribute in XML is not allowed",
+                    ''.join(self.buffer)))
+            # fall through into normal S_DECL handling of chr_
+
+        if chr_ == '>':
+            self.prepare_cdata()
+            self.state = S_PCDATA
+            if self.mark_state == MS_INCLUDE:
+                self.process_declaration(''.join(self.buffer))
+            self.buffer = []
+            return None
+        if dtd.shorttag and chr_ == '/' and self.buffer:
+            self.prepare_cdata()
+            self.state = S_PCDATA
+            if self.mark_state == MS_INCLUDE:
+                old = self.event_class
+                self.event_class = EV_SHORTTAG
+                try:
+                    self.process_declaration(''.join(self.buffer))
+                finally:
+                    self.event_class = old
+            self.buffer = []
+            self.waiting_for_net = True
+            return None
+
+        self.buffer.append(chr_)
+
+        if chr_ == '=' and self.buffer[0] != '!':
+            self._val0 = True
+        elif chr_ == '"':
+            if self.buffer[0] != '!':
+                self.gripe(*Gripes.syntax_warning(
+                    "Quote inside value", ''.join(self.buffer)))
+            else:
+                self.state = S_STRING
+                self.saved = chr_
+                self.lit_saved_state = S_DECL
+        elif chr_ == "'":
+            if self.buffer[0] != '!':
+                self.gripe(*Gripes.syntax_warning(
+                    "Quote inside value", ''.join(self.buffer)))
+            else:
+                self.state = S_STRING
+                self.saved = chr_
+                self.lit_saved_state = S_DECL
+        elif chr_ == '-' and self.buffer[0] == '!':
+            self.state = S_DECLCMT0
+        elif chr_ == '[':
+            self.process_marked_section()
+        return None
+
+    def _finish_pi(self):
+        self.process_cdata(last=False)
+        self.state = S_PCDATA
+        self.buffer.pop()               # the > (or ?) terminator
+        if self.mark_state == MS_INCLUDE:
+            self.process_pi(''.join(self.buffer))
+        self.buffer = []
+
+    # ------------------------------------------------------------------
+    # CDATA accumulation (parser.c:4758-4846)
+    # ------------------------------------------------------------------
+
+    def add_cdata(self, chr_):
+        if self.mark_state != MS_INCLUDE:
+            return
+        buf = self.cdata
+        if self.blank_cdata and not is_blank_char(chr_):
+            self.cdata_must_be_empty = not self.open_element(
+                M.CDATA_ELEMENT, False)
+            self.blank_cdata = False
+            buf = self.cdata
+        strictish = (self.environments and
+                     self.environments[-1].space_mode != D.SP_STRICT)
+        if chr_ == LF and strictish:
+            if not buf or buf[-1] != CR:    # insert missing CR
+                self.add_cdata(CR)
+                buf = self.cdata
+        buf.append(chr_)
+        if (self.map is not None and self.map.ends and
+                chr_ in self.map.ends and self.match_shortref()):
+            return
+        if chr_ == LF and strictish:
+            if len(buf) > 1 and buf[-1] == LF and buf[-2] == CR:
+                buf[-2] = LF
+                buf.pop()
+
+    def add_verbatim_cdata(self, chr_):
+        if self.mark_state == MS_IGNORE:
+            return
+        buf = self.cdata
+        if self.blank_cdata and not is_blank_char(chr_):
+            self.cdata_must_be_empty = not self.open_element(
+                M.CDATA_ELEMENT, False)
+            self.blank_cdata = False
+            buf = self.cdata
+        if chr_ == LF and buf and buf[-1] == CR:
+            buf.pop()
+        buf.append(chr_)
+
+    def empty_cdata(self):
+        if self.dmode == DM_DATA:
+            self.cdata = []
+            self.blank_cdata = True
+            self.cdata_must_be_empty = False
+
+    def recover_parser(self):
+        """Illegal markup -> reprocess as CDATA (parser.c:4824-4833)."""
+        self.add_cdata(self.saved)
+        for c in self.buffer:
+            self.add_cdata(c)
+        self.state = S_PCDATA
+
+    # ------------------------------------------------------------------
+    # CDATA emission with space modes (parser.c:4249-4470)
+    # ------------------------------------------------------------------
+
+    def emit_cdata(self, last):
+        if not self.cdata:
+            return True
+        s = ''.join(self.cdata)
+        if self.environments:
+            sm = self.environments[-1].space_mode
+            if sm in (D.SP_SGML, D.SP_DEFAULT):
+                if self.first:
+                    if s and s[0] == CR:
+                        s = s[1:]
+                    if s and s[0] == LF:
+                        s = s[1:]
+                if last and s:
+                    if s[-1] == LF:
+                        s = s[:-1]
+                    if s and s[-1] == CR:
+                        s = s[:-1]
+                if sm == D.SP_DEFAULT:
+                    s = collapse_blanks(s)
+            elif sm == D.SP_REMOVE:
+                s = collapse_blanks(s, trim=True)
+            # SP_PRESERVE / SP_STRICT: verbatim
+        if not s:
+            self.empty_cdata()
+            return True
+        if not self.blank_cdata:
+            if self.cdata_must_be_empty:
+                self.gripe(*Gripes.not_allowed_pcdata(s))
+            self.ev_data("cdata", s)
+        elif self.environments:
+            env = self.environments[-1]
+            new = M.make_dtd_transition(env.state, M.CDATA_ELEMENT)
+            if new is not None:
+                env.state = new
+                self.ev_data("cdata", s)
+            elif env.element.undefined and env.space_mode in (
+                    D.SP_PRESERVE, D.SP_STRICT):
+                self.ev_data("cdata", s)
+        self.empty_cdata()
+        return True
+
+    def prepare_cdata(self):
+        """(parser.c:4428-4465)."""
+        if not self.cdata:
+            return
+        if self.mark_state == MS_INCLUDE:
+            if self.environments:
+                e = self.environments[-1].element
+                if (e.structure is not None and
+                        e.structure.type == M.C_EMPTY and not e.undefined):
+                    self.close_element(e, False)
+            if self.blank_cdata:
+                blank = all(is_blank_char(c) for c in self.cdata)
+                self.blank_cdata = blank
+                if not blank:
+                    if self.dmode == DM_DTD:
+                        self.gripe(*Gripes.syntax_error(
+                            "CDATA in DTD", ''.join(self.cdata)))
+                    else:
+                        self.open_element(M.CDATA_ELEMENT, True)
+
+    def process_cdata(self, last):
+        self.prepare_cdata()
+        return self.emit_cdata(last)
+
+    # ------------------------------------------------------------------
+    # shortref matching (parser.c:1890-1971)
+    # ------------------------------------------------------------------
+
+    def match_shortref(self):
+        for frm, to in self.map.maps:
+            ln = self._match_map(frm)
+            if ln:
+                del self.cdata[len(self.cdata) - ln:]
+                if self.cdata_must_be_empty:
+                    self.blank_cdata = all(
+                        c.isspace() for c in self.cdata)
+                old = self.event_class
+                self.event_class = EV_SHORTREF
+                try:
+                    self.process_entity(to)
+                finally:
+                    self.event_class = old
+                return True
+        return False
+
+    def _match_map(self, frm):
+        """Suffix match of pattern chars against cdata
+        (parser.c:1890-1923).  Returns matched length or 0."""
+        data = self.cdata
+        e = len(data) - 1
+        m = len(frm) - 1
+        while m >= 0:
+            if e < 0:
+                return 0
+            pc = frm[m]
+            if e >= 0 and pc == data[e]:
+                m -= 1
+                e -= 1
+                continue
+            if pc == D.CHR_DBLANK:
+                if e > 0 and data[e] in (' ', '\t'):
+                    e -= 1
+                else:
+                    return 0
+                while e > 0 and data[e] in (' ', '\t'):
+                    e -= 1
+                m -= 1
+                continue
+            if pc == D.CHR_BLANK:
+                while e > 0 and data[e] in (' ', '\t'):
+                    e -= 1
+                m -= 1
+                continue
+            return 0
+        return len(data) - 1 - e
+
+    # ------------------------------------------------------------------
+    # marked sections (parser.c:4131-4197)
+    # ------------------------------------------------------------------
+
+    def process_marked_section(self):
+        buf = ''.join(self.buffer)
+        i = 0
+        ok = False
+        if buf.startswith('!['):
+            expanded = self.expand_pentities(buf[2:])
+            if expanded is not None:
+                r = self.itake_name(expanded, 0)
+                if r is not None:
+                    kwd, j = r
+                    if j < len(expanded) and expanded[j] == '[':
+                        kwd_u = kwd.upper()
+                        if kwd_u == "IGNORE":
+                            mtype = MS_IGNORE
+                        elif kwd_u in ("INCLUDE", "TEMP"):
+                            mtype = MS_INCLUDE
+                        elif kwd_u == "CDATA":
+                            mtype = MS_CDATA
+                        elif kwd_u == "RCDATA":
+                            mtype = MS_RCDATA
+                        else:
+                            mtype = MS_INCLUDE
+                        self.marked.append(mtype)
+                        self.buffer = []
+                        self.state = S_MSCDATA if mtype == MS_CDATA \
+                            else S_PCDATA
+                        if self.mark_state != MS_IGNORE:
+                            self.mark_state = mtype
+                        ok = True
+        if not ok:
+            if buf.startswith('!') and not buf.startswith('!['):
+                self.state = S_GROUP
+                self.grouplevel = 1
+
+    def pop_marked_section(self):
+        if self.marked:
+            self.marked.pop()
+            self.mark_state = self.marked[-1] if self.marked else MS_INCLUDE
+
+    # ------------------------------------------------------------------
+    # declaration dispatch (parser.c:3941-3988)
+    # ------------------------------------------------------------------
+
+    def process_declaration(self, decl):
+        if self.dmode != DM_DTD:
+            if decl.startswith('/'):
+                return self.process_end_element(decl[1:])
+            if decl and is_name_char(decl[0]):
+                return self.process_begin_element(decl)
+        if decl.startswith('!'):
+            s = decl[1:]
+            for kw, fn in (
+                    ("entity", self.process_entity_declaration),
+                    ("element", self.process_element_declaration),
+                    ("attlist", self.process_attlist_declaration),
+                    ("notation", self.process_notation_declaration),
+                    ("shortref", self.process_shortref_declaration),
+                    ("usemap", self.process_usemap_declaration)):
+                r = self.isee_identifier(s, 0, kw)
+                if r is not None:
+                    return fn(s[r:])
+            r = self.isee_identifier(s, 0, "sgml")
+            if r is not None:
+                return self.gripe(*Gripes.syntax_warning(
+                    "Ignored <!SGML ...> declaration", ""))
+            r = self.isee_identifier(s, 0, "doctype")
+            if r is not None:
+                if self.dmode != DM_DTD:
+                    return self.process_doctype(decl, r + 1)
+                return None
+            j = self.iskip_layout(s, 0)
+            if j < len(s):
+                return self.gripe(*Gripes.syntax_error(
+                    "Invalid declaration", s[j:]))
+            return None
+        return self.gripe(*Gripes.syntax_error("Invalid declaration", decl))
+
+    # ------------------------------------------------------------------
+    # begin / end element (parser.c:3499-3641)
+    # ------------------------------------------------------------------
+
+    def process_begin_element(self, decl):
+        dtd = self.dtd
+        r = self.itake_name(decl, 0)
+        if r is None:
+            return self.gripe(*Gripes.syntax_error(
+                "Bad open-element tag", decl))
+        name, i = r
+        e = dtd.find_element(name)
+        if e.structure is None:
+            e.structure = D.ElementDef()
+            e.structure.type = M.C_EMPTY
+            e.undefined = True
+        self.open_element(e, True)
+
+        atts = []
+        r2 = self.process_attributes(e, decl, i, atts)
+        if r2 is not None:
+            i = r2
+        empty = conref = False
+        if dtd.dialect in D.XML_DIALECTS:
+            if i < len(decl) and decl[i] == '/':
+                empty = True
+                i += 1
+            self.update_space_mode(e, atts)
+        else:
+            if i < len(decl) and decl[i] == '/':
+                if dtd.dialect not in D.HTML_DIALECTS:
+                    self.gripe(*Gripes.syntax_warning(
+                        "Empty tag (<../>) in SGML mode", decl[i:]))
+                empty = True
+                i += 1
+            for a, _v in atts:
+                if a.def_ == D.AT_CONREF:
+                    empty = conref = True
+        if i < len(decl):
+            self.gripe(*Gripes.syntax_error("Bad attribute list", decl[i:]))
+        if self.options.defaults:
+            self.add_default_attributes(e, atts)
+        if empty or (dtd.dialect == D.DL_SGML and e.structure is not None and
+                     e.structure.type == M.C_EMPTY and not e.undefined):
+            empty_element = e
+        else:
+            empty_element = None
+        self.ev_begin(e.name, self.convert_attributes(atts))
+        if empty_element is not None:
+            self.close_element(e, conref)
+            if conref:
+                self.cdata_state = self.state = S_PCDATA
+        return True
+
+    def process_end_element(self, decl):
+        self.emit_cdata(last=True)
+        r = self.itake_name(decl, 0)
+        if r is not None and r[1] >= len(decl):
+            return self.close_element(self.dtd.find_element(r[0]), False)
+        if self.dtd.shorttag and decl == '':
+            return self.close_current_element()
+        return self.gripe(*Gripes.syntax_error(
+            "Bad close-element tag", decl))
+
+    def update_space_mode(self, e, atts):
+        """(parser.c:4218-4240)."""
+        for a, v in atts:
+            if (a.name == "xml:space" and a.type == D.AT_CDATA and
+                    isinstance(v, str)):
+                m = D.SPACE_MODE_NAMES.get(v)
+                if m is not None:
+                    self.environments[-1].space_mode = m
+                else:
+                    self.gripe(*Gripes.existence("xml:space-mode", v))
+                return
+        if e.space_mode != D.SP_INHERIT:
+            self.environments[-1].space_mode = e.space_mode
+
+    # ------------------------------------------------------------------
+    # element stack (parser.c:2741-3063)
+    # ------------------------------------------------------------------
+
+    def push_element(self, e, callback):
+        """(parser.c:2741-2798)."""
+        if e is M.CDATA_ELEMENT:
+            return None
+        self.emit_cdata(last=False)
+        env = Environment(e)
+        env.state = M.make_state_engine(e)
+        env.space_mode = (self.environments[-1].space_mode
+                          if self.environments else self.dtd.space_mode)
+        if self.dtd.shorttag:
+            env.saved_waiting_for_net = self.waiting_for_net
+            if self.event_class == EV_SHORTTAG:
+                self.waiting_for_net = True
+                env.wants_net = True
+            else:
+                env.wants_net = False
+                if e.structure is not None and not e.structure.omit_close:
+                    self.waiting_for_net = False
+        if e.map is not None:
+            self.map = env.map = e.map
+        elif self.environments:
+            self.map = env.map = self.environments[-1].map
+        self.environments.append(env)
+        self.first = True
+        if callback:
+            atts = []
+            if self.options.defaults:
+                self.add_default_attributes(e, atts)
+            self.ev_begin(e.name, self.convert_attributes(atts))
+        if e.structure is not None:
+            if e.structure.type in (M.C_CDATA, M.C_RCDATA):
+                self.state = (S_CDATA if e.structure.type == M.C_CDATA
+                              else S_RCDATA)
+                self.cdata_state = self.state
+                self.etag = e.name
+                self.startcdata = (self.line, self.linepos, self.charpos)
+            else:
+                self.cdata_state = S_PCDATA
+        return env
+
+    def pop_to(self, to_index, e0):
+        """Close environments above to_index (parser.c:2818-2848).
+        to_index is the index of the environment to keep."""
+        while len(self.environments) - 1 > to_index:
+            env = self.environments[-1]
+            e = env.element
+            self.validate_completeness(env)
+            if e.structure is not None and not e.structure.omit_close:
+                self.gripe(*Gripes.omitted_close(e.name))
+            if e0 is not M.CDATA_ELEMENT:
+                self.emit_cdata(last=True)
+            self.first = False
+            if self.dtd.shorttag:
+                self.waiting_for_net = env.saved_waiting_for_net
+            self.ev_end(e.name)
+            self.environments.pop()
+        self.map = self.environments[to_index].map
+
+    def complete(self, env):
+        e = env.element
+        if (e.structure is not None and not e.undefined and
+                e.structure.type != M.C_ANY):
+            edef = e.structure
+            if edef.final_state is not None and env.state is not None:
+                return M.same_state(edef.final_state, env.state)
+            if edef.final_state is not None and env.state is None:
+                return False
+        return True
+
+    def validate_completeness(self, env):
+        if not self.complete(env):
+            self.gripe(*Gripes.validate(
+                "Incomplete element: <%s>" % env.element.name))
+
+    def allow_for(self, in_e, e):
+        """Tag-soup adaptation of undefined elements
+        (parser.c:2851-2890)."""
+        edef = in_e.structure
+        if edef.type == M.C_EMPTY:
+            edef.type = M.C_PCDATA
+            edef.content = M.Model(M.MT_OR, M.MC_REP)
+        g = edef.content.group
+        if e is M.CDATA_ELEMENT:
+            for m in g:
+                if m.type == M.MT_PCDATA:
+                    return
+            m = M.Model(M.MT_PCDATA, M.MC_ONE)
+            g.append(m)
+        else:
+            for m in g:
+                if m.type == M.MT_ELEMENT and m.element is e:
+                    return
+            m = M.Model(M.MT_ELEMENT, M.MC_ONE)
+            m.element = e
+            g.append(m)
+
+    def open_element(self, e, warn):
+        """(parser.c:2895-3014)."""
+        if not self.environments and self.enforce_outer_element:
+            f = self.dtd.find_element(self.enforce_outer_element)
+            if f is not None and f is not e:
+                if f.structure is None or not f.structure.omit_open:
+                    self.gripe(*Gripes.omitted_open(f.name))
+                old = self.event_class
+                self.event_class = EV_OMITTED
+                try:
+                    self.open_element(f, True)
+                    atts = []
+                    if self.options.defaults:
+                        self.add_default_attributes(f, atts)
+                    self.ev_begin(f.name, self.convert_attributes(atts))
+                finally:
+                    self.event_class = old
+
+        if self.environments:
+            env = self.environments[-1]
+            if env.element.undefined:
+                self.allow_for(env.element, e)
+                self.push_element(e, False)
+                return True
+            if (env.element.structure is not None and
+                    env.element.structure.type == M.C_ANY):
+                if e is not M.CDATA_ELEMENT and e.undefined:
+                    self.gripe(*Gripes.existence("Element", e.name))
+                self.push_element(e, False)
+                return True
+            inex = self._in_or_excluded(e)
+            if inex == "included":
+                self.push_element(e, False)
+                return True
+            if inex == "excluded" and warn:
+                self.gripe(*Gripes.not_allowed(e.name))
+            # walk up for omit-close parents (parser.c:2962-2996)
+            idx = len(self.environments) - 1
+            while idx >= 0:
+                env = self.environments[idx]
+                new = M.make_dtd_transition(env.state, e)
+                if new is not None:
+                    env.state = new
+                    self.pop_to(idx, e)
+                    self.push_element(e, False)
+                    return True
+                path = M.find_omitted_path(env.state, e)
+                if path is not None and len(path) > 0:
+                    self.pop_to(idx, e)
+                    old = self.event_class
+                    self.event_class = EV_OMITTED
+                    try:
+                        for oe in path:
+                            env.state = M.make_dtd_transition(env.state, oe)
+                            env = self.push_element(oe, True)
+                    finally:
+                        self.event_class = old
+                    env.state = M.make_dtd_transition(env.state, e)
+                    self.push_element(e, False)
+                    return True
+                if (env.element.structure is None or
+                        not env.element.structure.omit_close):
+                    break
+                idx -= 1
+            if warn:
+                if e is M.CDATA_ELEMENT:
+                    self.gripe(*Gripes.validate("#PCDATA not allowed here"))
+                elif e.undefined:
+                    self.gripe(*Gripes.existence("Element", e.name))
+                else:
+                    self.gripe(*Gripes.not_allowed(e.name))
+        if warn:
+            self.push_element(e, False)
+            return True
+        return False
+
+    def _in_or_excluded(self, e):
+        """(parser.c:2691-2709)."""
+        for env in reversed(self.environments):
+            edef = env.element.structure
+            if edef is not None:
+                for el in edef.excluded:
+                    if el is e:
+                        return "excluded"
+                for el in edef.included:
+                    if el is e:
+                        return "included"
+        return "normal"
+
+    def close_element(self, e, conref):
+        """(parser.c:3017-3050)."""
+        envs = self.environments
+        open_idx = None
+        for idx in range(len(envs) - 1, -1, -1):
+            if envs[idx].element is e:
+                open_idx = idx
+                break
+        if open_idx is None:
+            return self.gripe(*Gripes.not_open(e.name))
+        while len(envs) > open_idx:
+            env = envs[-1]
+            ce = env.element
+            if not (conref and env is envs[-1] and
+                    len(envs) - 1 == len(self.environments) - 1 and
+                    ce is e and conref):
+                pass
+            if not (conref and len(envs) - 1 == open_idx and ce is e):
+                self.validate_completeness(env)
+            self.first = False
+            self.ev_end(ce.name)
+            envs.pop()
+            if ce is e:
+                self.map = envs[-1].map if envs else None
+                return True
+            if ce.structure is not None and not ce.structure.omit_close:
+                self.gripe(*Gripes.omitted_close(ce.name))
+        return True
+
+    def close_current_element(self):
+        if self.environments:
+            e = self.environments[-1].element
+            self.emit_cdata(last=True)
+            return self.close_element(e, False)
+        return self.gripe(*Gripes.syntax_error("No element to close", ""))
+
+    def process_net(self):
+        """NET (/) closing for shorttag (parser.c:3610-3641)."""
+        self.prepare_cdata()
+        for idx in range(len(self.environments) - 1, -1, -1):
+            env = self.environments[idx]
+            if env.wants_net:
+                self.pop_to(idx, None)
+                self.validate_completeness(env)
+                self.emit_cdata(last=True)
+                self.first = False
+                self.ev_end(env.element.name)
+                self.environments.pop()
+                self.map = (self.environments[-1].map
+                            if self.environments else None)
+                return True
+        return False
+
+    # ------------------------------------------------------------------
+    # attributes (parser.c:3111-3495)
+    # ------------------------------------------------------------------
+
+    def process_attributes(self, e, decl, i, atts):
+        """(parser.c:3290-3375).  atts: list of (Attr, raw_value)."""
+        dtd = self.dtd
+        i = self.iskip_layout(decl, i)
+        while i < len(decl):
+            r = self.itake_nmtoken(decl, i)
+            if r is None:
+                return i
+            nm, i2 = r
+            if i2 < len(decl) and decl[i2] == '=':      # name=value
+                if not (nm and (nm[0].isalpha() or nm[0] in ':_' or
+                                ord(nm[0]) > 191)):
+                    self.gripe(*Gripes.syntax_warning(
+                        "Illegal start of attribute-name", decl[i2:]))
+                i = i2 + 1
+                a = e.find_attribute(nm)
+                if a is None:
+                    a = D.Attr(nm)
+                    a.type = D.AT_CDATA
+                    a.def_ = D.AT_IMPLIED
+                    self._add_attribute(e, a)
+                    if not e.undefined and not (
+                            dtd.dialect in D.XML_DIALECTS and
+                            (nm == "xmlns" or nm.startswith("xmlns:"))
+                    ) and not (
+                            dtd.dialect in D.HTML5_DIALECTS and
+                            nm.startswith("data-")):
+                        self.gripe(*Gripes.no_attribute(e.name, nm))
+                r2 = self.get_attribute_value(decl, i, a)
+                if r2 is None:
+                    return i
+                value, i = r2
+                atts.append((a, value))
+            elif e.structure is not None:
+                # value shorthand <tag value> (parser.c:3334-3361)
+                found = False
+                for a in e.attributes:
+                    if a.type in (D.AT_NAMEOF, D.AT_NOTATION) and \
+                            nm in a.nameof:
+                        if dtd.dialect in D.XML_DIALECTS:
+                            self.gripe(*Gripes.syntax_warning(
+                                "Value short-hand in XML mode", decl[i:]))
+                        atts.append((a, nm))
+                        found = True
+                        break
+                if not found:
+                    self.gripe(*Gripes.no_attribute_value(e.name, nm))
+                    # reference clobbers decl with the NULL result of
+                    # the '=' probe here (parser.c:3360-3362), so the
+                    # caller re-gripes with the whole attribute string
+                    return None
+                i = i2
+            else:
+                self.gripe(*Gripes.syntax_error("Bad attribute", decl[i:]))
+                return None
+        return i
+
+    def get_attribute_value(self, decl, i, a):
+        """(parser.c:3111-3287).  Returns (value, next_i) or None.
+        value is the final Python value (str/int/list)."""
+        dtd = self.dtd
+        DIG_FIRST, NAM_FIRST, NAM_LATER, ANY_OTHER = 8, 4, 2, 1
+        token = 0
+
+        r = self.itake_string_span(decl, i)
+        if r is not None:
+            a0, b0, end = r
+            expanded = self.expand_entities_attr(decl, a0, b0)
+            if a.type == D.AT_CDATA:
+                return expanded, end
+            # canonicalise blanks + classify + case-fold
+            words = []
+            for w in _split_blanks(expanded):
+                if not w:
+                    continue
+                c0 = w[0]
+                token |= (DIG_FIRST if c0.isdigit()
+                          else NAM_FIRST if is_name_char(c0) else ANY_OTHER)
+                for c in w[1:]:
+                    token |= (0 if c.isdigit()
+                              else NAM_LATER if is_name_char(c)
+                              else ANY_OTHER)
+                words.append(w if dtd.att_case_sensitive else w.lower())
+            buf = ' '.join(words)
+        else:
+            r = self.itake_unquoted(decl, i)
+            if r is None:
+                return None
+            buf, end = r
+            if buf:
+                c0 = buf[0]
+                token |= (DIG_FIRST if c0.isdigit()
+                          else NAM_FIRST if is_name_char(c0) else ANY_OTHER)
+                for c in buf[1:]:
+                    token |= (0 if c.isdigit()
+                              else NAM_LATER if is_name_char(c) else ANY_OTHER)
+            if token == 0 or (token & ANY_OTHER):
+                self.gripe(*Gripes.syntax_warning(
+                    "Attribute value requires quotes", buf))
+            if not dtd.att_case_sensitive and a.type != D.AT_CDATA:
+                buf = buf.lower()
+
+        t = a.type
+        if t == D.AT_NUMBER:
+            if token != DIG_FIRST:
+                self.gripe(*Gripes.syntax_warning("NUMBER expected",
+                                                  decl[i:]))
+                return 0, end           # textW NULL -> integer 0
+            if dtd.number_mode_integer:
+                try:
+                    return int(buf), end
+                except ValueError:
+                    return 0, end
+            return buf, end
+        if t == D.AT_CDATA:
+            return buf, end
+        if t in (D.AT_ID, D.AT_IDREF, D.AT_NAME, D.AT_NOTATION):
+            if token == 0 or (token & (DIG_FIRST | ANY_OTHER)):
+                self.gripe(*Gripes.syntax_warning("NAME expected", decl[i:]))
+        elif t in (D.AT_NAMEOF, D.AT_NMTOKEN):
+            if token == 0 or (token & ANY_OTHER):
+                self.gripe(*Gripes.syntax_warning("NMTOKEN expected",
+                                                  decl[i:]))
+            if t == D.AT_NAMEOF:
+                for nv in a.nameof:
+                    if dtd.att_case_preserving:
+                        if nv.lower() == buf.lower():
+                            break
+                    else:
+                        if nv == buf:
+                            break
+                else:
+                    self.gripe(*Gripes.syntax_warning("unexpected value",
+                                                      decl[i:]))
+        elif t == D.AT_NUTOKEN:
+            if token & (NAM_FIRST | ANY_OTHER):
+                self.gripe(*Gripes.syntax_warning("NUTOKEN expected",
+                                                  decl[i:]))
+        elif t == D.AT_ENTITY:
+            if token == 0 or (token & (DIG_FIRST | ANY_OTHER)):
+                self.gripe(*Gripes.syntax_warning("entity NAME expected",
+                                                  decl[i:]))
+        elif t in (D.AT_NAMES, D.AT_IDREFS):
+            if token == 0 or (token & (DIG_FIRST | ANY_OTHER)):
+                self.gripe(*Gripes.syntax_warning("NAMES expected", decl[i:]))
+        elif t == D.AT_ENTITIES:
+            if token == 0 or (token & (DIG_FIRST | ANY_OTHER)):
+                self.gripe(*Gripes.syntax_warning("entity NAMES expected",
+                                                  decl[i:]))
+        elif t == D.AT_NMTOKENS:
+            if token == 0 or (token & ANY_OTHER):
+                self.gripe(*Gripes.syntax_warning("NMTOKENS expected",
+                                                  decl[i:]))
+        elif t == D.AT_NUMBERS:
+            if token != DIG_FIRST:
+                self.gripe(*Gripes.syntax_warning("NUMBERS expected",
+                                                  decl[i:]))
+        elif t == D.AT_NUTOKENS:
+            if token & (NAM_FIRST | ANY_OTHER):
+                self.gripe(*Gripes.syntax_warning("NUTOKENS expected",
+                                                  decl[i:]))
+        return buf, end
+
+    def add_default_attributes(self, e, atts):
+        """(parser.c:3385-3445)."""
+        if e is M.CDATA_ELEMENT:
+            return
+        for a in e.attributes:
+            if a.def_ not in (D.AT_FIXED, D.AT_DEFAULT):
+                continue
+            if any(pa is a for pa, _v in atts):
+                continue
+            atts.append((a, a.default))
+
+    def convert_attributes(self, atts):
+        """Attribute values -> Prolog-equivalent Python values
+        (sgml2pl.c:1020-1125 put_attribute_value)."""
+        out = []
+        for a, v in atts:
+            if a.type == D.AT_CDATA:
+                out.append((a.name, v if v is not None else ""))
+            elif a.type == D.AT_NUMBER:
+                if v is None:
+                    out.append((a.name, 0))
+                else:
+                    out.append((a.name, v))
+            elif a.islist:
+                if v is None:
+                    out.append((a.name, []))
+                elif isinstance(v, str):
+                    parts = _split_blanks_ws(v)
+                    if a.type == D.AT_NUMBERS and self.dtd.number_mode_integer:
+                        conv = []
+                        for p in parts:
+                            try:
+                                conv.append(int(p))
+                            except ValueError:
+                                conv.append(p)
+                        parts = conv
+                    out.append((a.name, parts))
+                else:
+                    out.append((a.name, v))
+            else:
+                out.append((a.name, v if v is not None else ""))
+        return out
+
+    # ------------------------------------------------------------------
+    # entities (parser.c:419-678, 4475-4589)
+    # ------------------------------------------------------------------
+
+    def entity_value(self, e):
+        """(parser.c:449-466): literal value or resolved file content."""
+        if e.value is None and self.resolver is not None and \
+                e.type in (D.ET_SYSTEM, D.ET_PUBLIC):
+            content = self.resolver(e)
+            if content is not None:
+                if isinstance(content, bytes):
+                    content = content.decode("latin-1")
+                if e.content in (D.EC_SGML, D.EC_CDATA):
+                    content = _normalise_rsre(content)
+                e.value = content
+        return e.value
+
+    def expand_entities_attr(self, s, start=0, stop=None):
+        """Entity expansion inside quoted attribute values
+        (parser.c:600-678): blanks map to space, CRLF folds.
+        `s[start:stop]` is the value; gripes print the remainder of
+        the *whole* declaration buffer like the reference (which gets
+        a non-NUL-terminated (start,len) window into the tag)."""
+        out = []
+        i = start
+        n = len(s) if stop is None else stop
+        dtd = self.dtd
+        while i < n:
+            c = s[i]
+            if c == '&':
+                r = isee_character_entity(s, i)
+                if r is not None and r[1] <= n:
+                    chr_, j = r
+                    if chr_ == 0:
+                        self.gripe(*Gripes.syntax_error(
+                            "Illegal character entity", s[i:]))
+                    out.append(chr(chr_))
+                    i = j
+                    continue
+                if i + 1 < n and is_nmstart_char(s[i + 1]):
+                    r2 = self.itake_name(s, i + 1)
+                    if r2 is not None:
+                        name, j = r2
+                        if j < n and (s[j] == ';' or s[j] == LF):
+                            j += 1
+                        e = self.dtd.entities.get(name) or \
+                            self.dtd.default_entity
+                        if e is None:
+                            self.gripe(*Gripes.existence("entity", name))
+                            i, c = self._attr_recover(s, i, out)
+                            continue
+                        ev = self.entity_value(e)
+                        if ev is None:
+                            self.gripe(*Gripes.no_value(e.name))
+                            i, c = self._attr_recover(s, i, out)
+                            continue
+                        if e.content == D.EC_SGML:
+                            out.append(self.expand_entities_attr(ev))
+                        else:
+                            out.append(ev)
+                        i = j
+                        continue
+                if dtd.dialect in D.XML_DIALECTS:
+                    self.gripe(*Gripes.syntax_error("Illegal entity", s[i:]))
+            if c == CR and i + 1 < n and s[i + 1] == LF:
+                i += 1
+                c = LF
+            if is_blank_char(c):
+                out.append(' ')
+            else:
+                out.append(c)
+            i += 1
+        return ''.join(out)
+
+    @staticmethod
+    def _attr_recover(s, i, out):
+        """Recovery tail after a failed entity ref in an attribute
+        value (parser.c:664-676 `recover:` label)."""
+        out.append(s[i])
+        return i + 1, None
+
+    def itake_string_span(self, s, i):
+        """itake_string returning (start, stop, next_i) span indices."""
+        i = self.iskip_layout(s, i)
+        n = len(s)
+        if i >= n or s[i] not in ('"', "'"):
+            return None
+        q = s[i]
+        j = s.find(q, i + 1)
+        if j < 0:
+            return None
+        return i + 1, j, self.iskip_layout(s, j + 1)
+
+    def process_entity(self, name):
+        """(parser.c:4475-4589)."""
+        from .entities import char_entity_value
+        if name.startswith('#'):
+            v = char_entity_value(name)
+            if v <= 0:
+                return self.gripe(*Gripes.syntax_error(
+                    "Bad character entity", name))
+            self.cdata.append(chr(v))
+            return True
+        dtd = self.dtd
+        e = dtd.entities.get(name)
+        if e is None:
+            if dtd.default_entity is not None:
+                e = dtd.default_entity
+            else:
+                return self.gripe(*Gripes.existence("entity", name))
+        if e.value is None and e.content == D.EC_SGML and \
+                e.type in (D.ET_SYSTEM, D.ET_PUBLIC):
+            if not dtd.system_entities:
+                return self.gripe(*Gripes.et_system(e.exturl))
+            content = self.resolver(e) if self.resolver else None
+            if content is None:
+                return self.gripe(*Gripes.existence("entity", name))
+            if isinstance(content, bytes):
+                content = content.decode("latin-1")
+            return self.process_entity_chars(e, _normalise_rsre(content))
+        text = self.entity_value(e)
+        if text is None:
+            return self.gripe(*Gripes.no_value(e.name))
+        if e.content in (D.EC_SGML, D.EC_CDATA):
+            r = isee_character_entity(text, 0)
+            if r is not None and r[1] >= len(text):
+                chr_, _j = r
+                if chr_ == 0:
+                    return self.gripe(*Gripes.syntax_error(
+                        "Illegal character entity", text))
+                if self.blank_cdata and not is_blank_char(chr(chr_)):
+                    self.cdata_must_be_empty = not self.open_element(
+                        M.CDATA_ELEMENT, False)
+                    self.blank_cdata = False
+                self.cdata.append(chr(chr_))
+                return True
+            if e.content == D.EC_SGML:
+                return self.process_entity_chars(e, text)
+            if text:
+                if self.blank_cdata:
+                    self.cdata_must_be_empty = not self.open_element(
+                        M.CDATA_ELEMENT, False)
+                    self.blank_cdata = False
+                self.cdata.extend(text)
+            return True
+        if e.content in (D.EC_SDATA, D.EC_NDATA):
+            self.process_cdata(last=False)
+            self.ev_data("sdata" if e.content == D.EC_SDATA else "ndata",
+                         text)
+            return True
+        if e.content == D.EC_PI:
+            self.process_cdata(last=False)
+            self.ev_pi(text)
+            return True
+        return True
+
+    def process_entity_chars(self, e, text):
+        """Re-tokenize an EC_SGML entity value (parser.c:4537-4548)."""
+        self.push_location()
+        self._entity_startloc.append(self.startloc)
+        old_decode = self.utf8_decode
+        self.utf8_decode = False
+        old_buffer = self.buffer
+        self.buffer = []
+        self.line = 1
+        self.linepos = 0
+        self.charpos = 0
+        try:
+            for c in text:
+                self.putchar(c)
+        finally:
+            self.utf8_decode = old_decode
+            self.buffer = old_buffer
+            self._entity_startloc.pop()
+            self.pop_location()
+        return True
+
+    def process_include(self, entity_name):
+        """%name; in DTD (parser.c:4093-4119)."""
+        pe = self.dtd.pentities.get(entity_name)
+        if pe is not None:
+            text = self.entity_value(pe)
+            if text is None:
+                return self.gripe(*Gripes.no_value(pe.name))
+            return self.process_entity_chars(pe, text)
+        return self.gripe(*Gripes.existence("parameter entity", entity_name))
+
+    # ------------------------------------------------------------------
+    # processing instructions (parser.c:3859-3931)
+    # ------------------------------------------------------------------
+
+    def process_pi(self, decl):
+        dtd = self.dtd
+        r = self.isee_identifier(decl, 0, "xml")
+        if r is not None:
+            if dtd.dialect == D.DL_SGML:
+                self.set_dialect("xml")
+            elif dtd.dialect == D.DL_HTML:
+                self.set_dialect("xhtml")
+            elif dtd.dialect == D.DL_HTML5:
+                self.set_dialect("xhtml5")
+            i = r
+            while i < len(decl):
+                r2 = self.itake_name(decl, i)
+                if r2 is not None and r2[1] < len(decl) and \
+                        decl[r2[1]] == '=':
+                    nm, j = r2
+                    j += 1
+                    r3 = self.itake_string(decl, j)
+                    if r3 is None:
+                        # nmtoken chars fallback
+                        k = self.iskip_layout(decl, j)
+                        if k < len(decl) and is_name_char(decl[k]):
+                            k2 = k
+                            while k2 < len(decl) and is_name_char(decl[k2]):
+                                k2 += 1
+                            r3 = (decl[k:k2], self.iskip_layout(decl, k2))
+                    if r3 is not None:
+                        val, i = r3
+                        if nm.lower() == "encoding":
+                            self.xml_set_encoding(val)
+                        continue
+                self.gripe(*Gripes.syntax_error("Illegal XML parameter",
+                                                decl[i:]))
+                break
+            return True
+        self.ev_pi(decl)
+        return False
+
+    # ------------------------------------------------------------------
+    # end of document (parser.c:4597-4679)
+    # ------------------------------------------------------------------
+
+    def end_document(self):
+        state = self.state
+        if state in (S_RCDATA, S_CDATA, S_PCDATA):
+            pass
+        elif state in (S_CMT, S_CMTE0, S_CMTE1, S_DECLCMT0, S_DECLCMT,
+                       S_DECLCMTE0):
+            self.gripe(*Gripes.syntax_error(
+                "Unexpected end-of-file in comment", ""))
+        elif state in (S_MSCDATA, S_EMSCDATA1, S_EMSCDATA2):
+            self.gripe(*Gripes.syntax_error(
+                "Unexpected end-of-file in CDATA marked section", ""))
+        elif state in (S_PI, S_PI2):
+            self.gripe(*Gripes.syntax_error(
+                "Unexpected end-of-file in processing instruction", ""))
+        elif state == S_UTF8:
+            self.gripe(*Gripes.syntax_error(
+                "Unexpected end-of-file in UTF-8 sequence", ""))
+        else:
+            self.gripe(*Gripes.syntax_error("Unexpected end-of-file", ""))
+
+        if self.dmode == DM_DATA:
+            if self.cdata and self.cdata[-1] == CR:
+                self.cdata.pop()
+            self.process_cdata(last=True)
+            if self.environments:
+                self.pop_to(0, M.CDATA_ELEMENT)
+                env = self.environments[0]
+                e = env.element
+                if e.structure is not None and not e.structure.omit_close:
+                    self.gripe(*Gripes.omitted_close(e.name))
+                self.close_element(e, False)
+
+    # ------------------------------------------------------------------
+    # DTD loading helper (driver-side; load_dtd analog sgml.pl:274-316)
+    # ------------------------------------------------------------------
+
+    def load_dtd_text(self, text):
+        """Parse DTD declarations from text (DM_DTD mode)."""
+        if isinstance(text, bytes):
+            text = text.decode("latin-1")
+        old_dmode = self.dmode
+        old_state = self.state
+        old_decode = self.utf8_decode
+        old_buffer = self.buffer
+        self.dmode = DM_DTD
+        self.state = S_PCDATA
+        self.buffer = []
+        try:
+            for c in text:
+                self.putchar(c)
+        finally:
+            self.dmode = old_dmode
+            self.state = old_state
+            self.utf8_decode = old_decode
+            self.buffer = old_buffer
+
+
+# ----------------------------------------------------------------------
+# module helpers
+# ----------------------------------------------------------------------
+
+import re as _re
+
+_ASCII_BLANK_RUN = _re.compile(r'[ \t\r\n]+')
+
+
+def collapse_blanks(s, trim=False):
+    """SP_DEFAULT / SP_REMOVE blank squeezing (parser.c:4312-4374)."""
+    if s.isascii():
+        out = _ASCII_BLANK_RUN.sub(' ', s)
+    else:
+        parts = []
+        run = False
+        for c in s:
+            if is_blank_char(c):
+                run = True
+                continue
+            if run and parts:
+                parts.append(' ')
+            elif run and not parts and not trim:
+                parts.append(' ')
+            run = False
+            parts.append(c)
+        if run and not trim:
+            parts.append(' ')
+        out = ''.join(parts)
+    if trim:
+        out = out.strip(' \t\r\n') if s.isascii() else out.strip()
+    return out
+
+
+def _split_blanks(s):
+    """Split on CH_BLANK runs (space/tab/CR/LF + wide spaces)."""
+    if s.isascii():
+        return _ASCII_BLANK_RUN.split(s)
+    parts = []
+    cur = []
+    for c in s:
+        if is_blank_char(c):
+            parts.append(''.join(cur))
+            cur = []
+        else:
+            cur.append(c)
+    parts.append(''.join(cur))
+    return parts
+
+
+def _split_blanks_ws(s):
+    """istrblank split (sgml2pl.c:1044-1052): iswspace separators,
+    empty leading tokens skipped except a lone empty value."""
+    parts = []
+    cur = []
+    for c in s:
+        if c.isspace():
+            parts.append(''.join(cur))
+            cur = []
+        else:
+            cur.append(c)
+    parts.append(''.join(cur))
+    # sgml2pl skips empty tokens from consecutive blanks but keeps
+    # a final empty token; replicate: drop empties except keep one
+    # if all are empty
+    nonempty = [p for p in parts if p != '']
+    if nonempty:
+        if parts and parts[-1] == '' and len(parts) > 1 and not nonempty:
+            nonempty.append('')
+        return nonempty
+    return ['']
+
+
+def _normalise_rsre(s):
+    """load_sgml_file_to_charp normalisation (util.c:715-800):
+    ensure \\n are preceded by \\r (RS/RE model) for entity files."""
+    return s.replace('\r\n', '\n').replace('\n', '\r\n')
+
+
+def parse_document(data, dialect="sgml", **kw):
+    """Convenience one-shot parse: returns (dom, errors)."""
+    p = SGMLParser(ParserOptions(dialect=dialect, **kw))
+    return p.parse(data)

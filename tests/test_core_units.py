@@ -1,0 +1,95 @@
+"""Unit tests for parser-core pieces (SURVEY.md §5 layer 1)."""
+
+from packages_sgml_spark.core.chars import (
+    is_blank_char, is_name_char, is_nmstart_char)
+from packages_sgml_spark.core.entities import (
+    char_entity_value, isee_character_entity)
+from packages_sgml_spark.core.parser import (
+    SGMLParser, ParserOptions, parse_document, collapse_blanks)
+from packages_sgml_spark.core.dom import Element, extract_text, flatten_nodes
+
+
+def test_charclass():
+    assert is_name_char('a') and is_name_char('2') and is_name_char('-')
+    assert is_name_char('.') and is_name_char(':') and is_name_char('_')
+    assert not is_name_char(' ') and not is_name_char('/')
+    assert is_nmstart_char('x') and is_nmstart_char(':')
+    assert not is_nmstart_char('1') and not is_nmstart_char('-')
+    assert is_blank_char('\t') and is_blank_char('\n') and is_blank_char('\r')
+    assert is_name_char('ü')          # latin accent
+    assert is_name_char('р')          # cyrillic wide char
+
+
+def test_char_entity_value():
+    assert char_entity_value('#65') == 65
+    assert char_entity_value('#x41') == 0x41
+    assert char_entity_value('#RS') == 0x0A
+    assert char_entity_value('#RE') == 0x0D
+    assert char_entity_value('#TAB') == 9
+    assert char_entity_value('#SPACE') == 32
+    assert char_entity_value('#4x') == -1
+    assert char_entity_value('x') == -1
+
+
+def test_isee_character_entity():
+    assert isee_character_entity('&#65;') == (65, 5)
+    assert isee_character_entity('&#65 rest') == (65, 4)
+    assert isee_character_entity('&amp;') is None
+
+
+def test_collapse_blanks():
+    assert collapse_blanks('a  b\t\nc') == 'a b c'
+    assert collapse_blanks('  a  b  ', trim=True) == 'a b'
+
+
+def test_parse_xml_basic():
+    dom, errs = parse_document(b'<a x="1"><b>t</b></a>', dialect='xml')
+    assert errs == []
+    assert dom == [Element('a', [('x', '1')],
+                           [Element('b', [], ['t'])])]
+
+
+def test_parse_xml_empty_tag():
+    dom, errs = parse_document(b'<a><b/>tail</a>', dialect='xml')
+    assert dom == [Element('a', [], [Element('b', [], []), 'tail'])]
+
+
+def test_parse_entities():
+    dom, _ = parse_document(b'<a>&lt;&amp;&#65;</a>', dialect='xml')
+    assert dom == [Element('a', [], ['<&A'])]
+
+
+def test_utf8_content():
+    dom, _ = parse_document('<a>éр</a>'.encode('utf-8'),
+                            dialect='xml')
+    assert dom == [Element('a', [], ['éр'])]
+
+
+def test_sgml_implied_tags():
+    doc = (b'<!DOCTYPE t [\n<!ELEMENT t O O (p+)>\n'
+           b'<!ELEMENT p O O (#PCDATA)>\n]>\nhello')
+    dom, errs = parse_document(doc, dialect='sgml')
+    assert dom == [Element('t', [], [Element('p', [], ['hello'])])]
+
+
+def test_tag_soup_recovery():
+    # unknown elements, stray close tags -> no crash, best-effort DOM
+    dom, errs = parse_document(
+        b'<html><p>one<p>two</notopen></html>', dialect='sgml')
+    assert dom[0].name == 'html'
+
+
+def test_extract_and_flatten():
+    dom, _ = parse_document(b'<a>x<b>y</b>z</a>', dialect='xml')
+    assert extract_text(dom) == 'xyz'
+    rows = flatten_nodes(dom)
+    kinds = [r['kind'] for r in rows]
+    assert kinds == ['element', 'text', 'element', 'text', 'text']
+    assert rows[0]['name'] == 'a'
+    assert rows[2]['parent_id'] == 0
+
+
+def test_max_errors_stop():
+    p = SGMLParser(ParserOptions(dialect='xml', max_errors=0))
+    dom, errs = p.parse(b'<a>&undefined;&undefined2;</a>')
+    assert len(errs) >= 1

@@ -1,0 +1,24 @@
+"""Golden-corpus parity: parse every file in the reference Test/
+corpus and require exact DOM + error-list equality with Test/ok/*.ok
+(the reference's own test gate, test_sgml.pl:77-107)."""
+
+import os
+
+import pytest
+
+from packages_sgml_spark.core import golden
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(golden.TEST_DIR),
+    reason="reference Test corpus not available")
+
+
+@pytest.mark.parametrize("base", golden.all_bases())
+def test_golden(base):
+    ok, detail = golden.run_one(base)
+    assert ok, detail
+
+
+def test_corpus_size():
+    # all 46 inputs with goldens must be exercised
+    assert len(golden.all_bases()) >= 46
