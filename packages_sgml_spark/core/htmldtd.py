@@ -1,0 +1,125 @@
+"""Shared HTML DTDs for the html/html5 dialects.
+
+The reference resolves dtd(html5) through its catalog to DTD/HTML5.dtd
+and *caches the DTD across documents* (sgml.pl:244-271 dtd/2 with
+dtd_cache), so entity tables and element definitions are shared — we
+do the same with a per-process cache (the Spark-executor analog of a
+broadcast DTD, SURVEY.md §1.3).
+
+The element declarations below are authored from the public HTML5
+element list (void elements, optional end tags, raw-text elements);
+entity tables come from Python's stdlib `html.entities` (the W3C
+entity sets).  Nothing here is copied from the reference DTD files.
+"""
+
+import html.entities
+
+from . import dtd as D
+
+# Void elements -> EMPTY; optional-end-tag elements -> 'O' close;
+# script/style -> CDATA declared content; title/textarea -> #PCDATA.
+_INLINE = ("#PCDATA|a|abbr|b|bdi|bdo|br|button|cite|code|data|dfn|em|i|img|"
+           "input|kbd|label|mark|meter|noscript|output|progress|q|ruby|s|"
+           "samp|select|small|span|strong|sub|sup|textarea|time|u|var|wbr")
+
+# Flow content for cells/list items: everything EXCEPT li/dt/dd/td/th/
+# tr/option themselves, so a following sibling forces the implied
+# close (open_element walk, parser.c:2962-2996).
+_FLOW = (_INLINE + "|div|p|ul|ol|dl|table|h1|h2|h3|h4|h5|h6|pre|"
+         "blockquote|form|section|article|aside|nav|header|footer|main|"
+         "figure|figcaption|details|summary|fieldset|address|hr|script|"
+         "style|template|object|video|audio|canvas|iframe|ins|del|map|"
+         "picture|dialog|menu|search|img|br")
+
+HTML5_DTD_TEXT = """
+<!ELEMENT html O O (head|body|{flow})*>
+<!ELEMENT head O O (title|meta|link|base|style|script|noscript|template)*>
+<!ELEMENT body O O ({flow})*>
+<!ELEMENT (div|section|article|aside|nav|header|footer|main|figure|
+  figcaption|blockquote|details|summary|dialog|fieldset|form|template|
+  address|menu|hgroup|search) - - ({flow})*>
+<!ELEMENT (h1|h2|h3|h4|h5|h6|pre|legend) - - ({inline})*>
+<!ELEMENT p O O ({inline})*>
+<!ELEMENT (a|abbr|b|bdi|bdo|button|cite|code|data|dfn|em|i|ins|del|kbd|
+  label|mark|meter|noscript|object|output|progress|q|ruby|s|samp|small|
+  span|strong|sub|sup|time|u|var|video|audio|canvas|map|picture|iframe)
+  - - ({flow})*>
+<!ELEMENT (ul|ol|dir) - - (li)*>
+<!ELEMENT li O O ({flow})*>
+<!ELEMENT dl - - (dt|dd)*>
+<!ELEMENT (dt|dd) O O ({flow})*>
+<!ELEMENT table - - (caption?,colgroup*,thead?,(tbody|tr)*,tfoot?)>
+<!ELEMENT caption O O ({flow})*>
+<!ELEMENT colgroup O O (col)*>
+<!ELEMENT (thead|tbody|tfoot) O O (tr)*>
+<!ELEMENT tr O O (td|th)*>
+<!ELEMENT (td|th) O O ({flow})*>
+<!ELEMENT select - - (option|optgroup)*>
+<!ELEMENT optgroup O O (option)*>
+<!ELEMENT option O O (#PCDATA)>
+<!ELEMENT (area|base|br|col|embed|hr|img|input|link|meta|source|track|
+  wbr|param|basefont|frame|isindex) - O EMPTY>
+<!ELEMENT (script|style) - - CDATA>
+<!ELEMENT title - - (#PCDATA)>
+<!ELEMENT textarea - - (#PCDATA)>
+<!ATTLIST a href CDATA #IMPLIED target CDATA #IMPLIED rel CDATA #IMPLIED
+  name CDATA #IMPLIED class CDATA #IMPLIED id CDATA #IMPLIED
+  title CDATA #IMPLIED style CDATA #IMPLIED>
+<!ATTLIST img src CDATA #IMPLIED alt CDATA #IMPLIED width CDATA #IMPLIED
+  height CDATA #IMPLIED class CDATA #IMPLIED id CDATA #IMPLIED
+  loading CDATA #IMPLIED style CDATA #IMPLIED>
+<!ATTLIST meta name CDATA #IMPLIED content CDATA #IMPLIED
+  charset CDATA #IMPLIED property CDATA #IMPLIED http-equiv CDATA #IMPLIED>
+<!ATTLIST link rel CDATA #IMPLIED href CDATA #IMPLIED type CDATA #IMPLIED
+  media CDATA #IMPLIED sizes CDATA #IMPLIED crossorigin CDATA #IMPLIED>
+<!ATTLIST script src CDATA #IMPLIED type CDATA #IMPLIED async CDATA #IMPLIED
+  defer CDATA #IMPLIED crossorigin CDATA #IMPLIED>
+<!ATTLIST input type CDATA #IMPLIED name CDATA #IMPLIED value CDATA #IMPLIED
+  placeholder CDATA #IMPLIED class CDATA #IMPLIED id CDATA #IMPLIED>
+<!ATTLIST form action CDATA #IMPLIED method CDATA #IMPLIED
+  class CDATA #IMPLIED id CDATA #IMPLIED>
+""".replace("{inline}", _INLINE).replace("{flow}", _FLOW)
+
+_CACHE = {}
+
+
+def get_html_dtd(dialect_name):
+    """Cached, shared, mutable DTD for an HTML dialect (mirrors the
+    reference's dtd_cache sharing semantics)."""
+    key = "html5" if dialect_name in ("html5", "xhtml5") else "html"
+    dtd = _CACHE.get(key)
+    if dtd is None:
+        dtd = build_html_dtd(key)
+        _CACHE[key] = dtd
+    return dtd
+
+
+def build_html_dtd(key):
+    # late import to avoid a cycle (parser imports htmldtd)
+    from .parser import SGMLParser, ParserOptions
+
+    p = SGMLParser(ParserOptions(dialect="sgml", quiet=True))
+    dtd = p.dtd
+    p.load_dtd_text(HTML5_DTD_TEXT)
+    # entity tables: HTML4 set for 'html', full HTML5 set for 'html5'
+    if key == "html5":
+        for name, expansion in html.entities.html5.items():
+            if not name.endswith(";"):
+                continue
+            nm = name[:-1]
+            if nm not in dtd.entities:
+                e = D.EntityDef(nm)
+                e.type = D.ET_LITERAL
+                e.content = D.EC_CDATA
+                e.value = expansion
+                dtd.entities[nm] = e
+    else:
+        for nm, cp in html.entities.name2codepoint.items():
+            if nm not in dtd.entities:
+                e = D.EntityDef(nm)
+                e.type = D.ET_LITERAL
+                e.content = D.EC_CDATA
+                e.value = chr(cp)
+                dtd.entities[nm] = e
+    dtd.doctype = "html"     # suppress external-DTD lookups
+    return dtd

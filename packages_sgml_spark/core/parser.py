@@ -86,10 +86,26 @@ class Environment:
 
 class SGMLParser(DeclMixin):
 
-    def __init__(self, options: ParserOptions = None):
+    def __init__(self, options: ParserOptions = None, dtd=None):
         opts = options or ParserOptions()
         self.options = opts
-        self.dtd = D.DTD()
+        # error state first: set_dialect may gripe (e.g. redefined
+        # entities on a shared DTD)
+        self.errors = []
+        self.error_count = 0
+        self.quiet = opts.quiet
+        self.max_errors = opts.max_errors
+        self.startloc = (1, 0, 0)
+        self._entity_startloc = []
+        if dtd is not None:
+            self.dtd = dtd
+        elif opts.dialect in ("html", "html4", "html5", "xhtml", "xhtml5"):
+            # shared cached DTD, like the reference's dtd_cache
+            # (sgml.pl:244-271)
+            from .htmldtd import get_html_dtd
+            self.dtd = get_html_dtd(opts.dialect)
+        else:
+            self.dtd = D.DTD()
         self.resolver = opts.resolver
         self.base_file = opts.file
         self.set_dialect(opts.dialect)

@@ -1,0 +1,162 @@
+"""The extraction operator: html binary column -> extracted text, DOM
+node table, parse errors.
+
+Spark mapping (SURVEY.md §1.3): one Arrow-batched `mapInPandas` UDF
+runs the core parser per row — no per-row Python UDF dispatch; the
+batch loop is inside one Python call per Arrow batch.  Catalyst sees a
+narrow map over (url, html [, dialect]), so column pruning and
+predicate pushdown on the other columns still reach the parquet scan.
+
+At 100 TB: the input is repartitioned by xxhash64(url) so work is
+uniform regardless of crawl ordering; hot hosts don't matter here
+because the unit of work is a document (embarrassingly parallel), and
+the only shuffle in the extract path is that explicit repartition
+(skippable with repartition=0 when the source layout is already fine).
+"""
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    ArrayType, IntegerType, LongType, MapType, StringType, StructField,
+    StructType)
+
+from ..core.dom import dom_to_json, extract_text, flatten_nodes
+from ..core.parser import ParserOptions, SGMLParser
+
+NODE_TYPE = StructType([
+    StructField("node_id", IntegerType()),
+    StructField("parent_id", IntegerType()),
+    StructField("ord", IntegerType()),
+    StructField("kind", StringType()),
+    StructField("name", StringType()),
+    StructField("attrs", MapType(StringType(), StringType())),
+    StructField("text", StringType()),
+])
+
+ERROR_TYPE = StructType([
+    StructField("severity", StringType()),
+    StructField("line", IntegerType()),
+    StructField("message", StringType()),
+])
+
+EXTRACT_SCHEMA = StructType([
+    StructField("url", StringType()),
+    StructField("text_extracted", StringType()),
+    StructField("dom_json", StringType()),
+    StructField("nodes", ArrayType(NODE_TYPE)),
+    StructField("parse_errors", ArrayType(ERROR_TYPE)),
+    StructField("n_nodes", IntegerType()),
+    StructField("n_errors", IntegerType()),
+    StructField("html_bytes", LongType()),
+    StructField("status", StringType()),
+])
+
+MAX_HTML_BYTES = 8 * 1024 * 1024   # per-row guard (max_memory analog,
+                                   # sgml2pl.c:603-615)
+
+
+def _parse_one(html, dialect, want_dom_json, want_nodes):
+    opts = ParserOptions(dialect=dialect, encoding="utf-8",
+                         max_errors=-1 if dialect.startswith(("html", "xhtml"))
+                         else 50)
+    if dialect.startswith(("html", "xhtml")):
+        opts.quiet = False
+    p = SGMLParser(opts)
+    dom, errors = p.parse(html)
+    text = extract_text(dom)
+    dj = dom_to_json(dom) if want_dom_json else None
+    nodes = flatten_nodes(dom) if want_nodes else None
+    errs = [{"severity": e.severity, "line": e.line, "message": e.message}
+            for e in errors]
+    return text, dj, nodes, errs
+
+
+def extract_batch_iter(batches: Iterator[pd.DataFrame], dialect_default,
+                       want_dom_json, want_nodes):
+    for pdf in batches:
+        out = {k: [] for k in ("url", "text_extracted", "dom_json", "nodes",
+                               "parse_errors", "n_nodes", "n_errors",
+                               "html_bytes", "status")}
+        urls = pdf["url"]
+        htmls = pdf["html"]
+        dialects = pdf["dialect"] if "dialect" in pdf.columns else None
+        for i in range(len(pdf)):
+            url = urls.iloc[i]
+            html = htmls.iloc[i]
+            dialect = (dialects.iloc[i] if dialects is not None
+                       else dialect_default) or dialect_default
+            out["url"].append(url)
+            nbytes = len(html) if html is not None else 0
+            out["html_bytes"].append(nbytes)
+            if html is None or nbytes == 0:
+                out["text_extracted"].append(None)
+                out["dom_json"].append(None)
+                out["nodes"].append(None)
+                out["parse_errors"].append([])
+                out["n_nodes"].append(0)
+                out["n_errors"].append(0)
+                out["status"].append("empty")
+                continue
+            if nbytes > MAX_HTML_BYTES:
+                out["text_extracted"].append(None)
+                out["dom_json"].append(None)
+                out["nodes"].append(None)
+                out["parse_errors"].append(
+                    [{"severity": "error", "line": 0,
+                      "message": "Insufficient input buffer resources"}])
+                out["n_nodes"].append(0)
+                out["n_errors"].append(1)
+                out["status"].append("too_large")
+                continue
+            try:
+                text, dj, nodes, errs = _parse_one(
+                    bytes(html), dialect, want_dom_json, want_nodes)
+                out["text_extracted"].append(text)
+                out["dom_json"].append(dj)
+                out["nodes"].append(nodes)
+                out["parse_errors"].append(errs)
+                out["n_nodes"].append(len(nodes) if nodes else 0)
+                out["n_errors"].append(len(errs))
+                out["status"].append("ok")
+            except Exception as ex:    # noqa: BLE001 - per-row isolation
+                out["text_extracted"].append(None)
+                out["dom_json"].append(None)
+                out["nodes"].append(None)
+                out["parse_errors"].append(
+                    [{"severity": "error", "line": 0,
+                      "message": "parser exception: %s" % ex}])
+                out["n_nodes"].append(0)
+                out["n_errors"].append(1)
+                out["status"].append("exception")
+        yield pd.DataFrame(out)
+
+
+def extract(pages: DataFrame, dialect="html5", dom_json=False, nodes=True,
+            repartition=0) -> DataFrame:
+    """pages(url, html [, dialect]) -> EXTRACT_SCHEMA DataFrame.
+
+    `repartition` > 0 shuffles by xxhash64(url) first (uniform work
+    distribution at crawl scale); 0 keeps source partitioning (no
+    shuffle — the right default when reading well-laid-out parquet).
+    """
+    cols = ["url", "html"]
+    if "dialect" in pages.columns:
+        cols.append("dialect")
+    src = pages.select(*cols)
+    if repartition:
+        src = src.repartition(repartition, F.xxhash64("url"))
+
+    def fn(batches):
+        return extract_batch_iter(batches, dialect, dom_json, nodes)
+
+    return src.mapInPandas(fn, schema=EXTRACT_SCHEMA)
+
+
+def extracted_with_meta(pages: DataFrame, extracted: DataFrame) -> DataFrame:
+    """Join extraction output back to page metadata (broadcast-free:
+    both sides share the url key; Catalyst picks SMJ / shuffle hash)."""
+    meta = pages.select("url", "warc_ts", "lang")
+    return extracted.join(meta, "url", "left")

@@ -1,0 +1,110 @@
+"""Deterministic synthetic Common-Crawl-style pages table
+(FIXTURES.md §1/§5) with the authoritative input shape from
+BASELINE.json input_hint:
+
+    (url string, warc_ts timestamp, html binary, text string,
+     lang string)
+
+Generation is pure Spark SQL (JVM-side, no Python row loop): a
+sequence range -> deterministic pseudo-random fields via xxhash64.
+Host distribution is Zipf-ish over ~1000 hosts (hot-host skew for the
+salting/shuffle tests); html is templated tag soup with a controlled
+rate of unclosed <p>/<li>, entities, comments and one <script> block.
+
+Golden rows (exact bytes of the reference Test/ corpus) can be
+appended for end-to-end byte-identity checks inside Spark jobs.
+"""
+
+import os
+
+from pyspark.sql import DataFrame, functions as F
+
+TEST_DIR = "/root/reference/Test"
+
+
+def synthetic_pages(spark, n_docs=1000, n_hosts=1000, seed=42) -> DataFrame:
+    """Deterministic pages DF.  Zipf-ish hosts: host rank r taken as
+    floor(u^3 * n_hosts) of a uniform hash -> mass concentrates on
+    low ranks (hot hosts)."""
+    df = spark.range(n_docs).withColumnRenamed("id", "i")
+    h = F.abs(F.xxhash64(F.col("i") + F.lit(seed)))
+    u = (h % 1000000) / 1000000.0
+    host_rank = F.floor(F.pow(u, F.lit(3.0)) * n_hosts).cast("int")
+    host = F.concat(F.lit("host"), host_rank, F.lit(".example.org"))
+    url = F.concat(F.lit("https://"), host, F.lit("/page/"),
+                   F.col("i").cast("string"))
+    warc_ts = F.to_timestamp(
+        F.lit("2026-01-01 00:00:00")) + F.make_interval(secs=F.col("i"))
+    lang = F.element_at(
+        F.array(*[F.lit(x) for x in
+                  ("en", "de", "fr", "es", "ru", "zh", "pt", "nl")]),
+        (F.col("i") % 8 + 1).cast("int"))
+
+    n_paras = (h % 7 + 1).cast("int")
+    # deterministic filler sentence, repeated n_paras times
+    para = F.concat(
+        F.lit("<p>Paragraph about topic "), (h % 97).cast("string"),
+        F.lit(" with some &amp; entities, a <b>bold</b> claim, "
+              "and a link to <a href=\"https://"), host,
+        F.lit("/ref\">a reference</a>."),
+        # controlled tag-soup rate: ~1/3 of paragraphs leave <p> open
+        F.when(h % 3 == 0, F.lit("")).otherwise(F.lit("</p>")))
+    items = F.concat(
+        F.lit("<ul><li>item one<li>item two<li>item "),
+        (h % 13).cast("string"), F.lit("</ul>"))
+    body = F.concat(
+        F.repeat(para, n_paras), items,
+        F.lit("<script>var x = 1 < 2 && 3 > 2;</script>"),
+        F.lit("<!-- trailing comment -->"))
+    html_str = F.concat(
+        F.lit("<!DOCTYPE html><html><head><title>Page "),
+        F.col("i").cast("string"),
+        F.lit("</title><meta charset=\"utf-8\"></head><body><h1>Page "),
+        F.col("i").cast("string"), F.lit("</h1>"), body,
+        F.lit("</body></html>"))
+    text = F.concat(F.lit("Page "), F.col("i").cast("string"))
+
+    return df.select(
+        url.alias("url"),
+        warc_ts.alias("warc_ts"),
+        F.encode(html_str, "utf-8").alias("html"),
+        text.alias("text"),
+        lang.alias("lang"),
+    )
+
+
+def golden_pages(spark) -> DataFrame:
+    """Exact bytes of the reference Test corpus as pages rows
+    (url = test://sgml/<file>), with a `dialect` column selected by
+    extension like the reference harness (test_sgml.pl:173-175)."""
+    rows = []
+    if os.path.isdir(TEST_DIR):
+        for fn in sorted(os.listdir(TEST_DIR)):
+            if not fn.endswith((".sgml", ".xml")):
+                continue
+            with open(os.path.join(TEST_DIR, fn), "rb") as f:
+                data = f.read()
+            dialect = "sgml" if fn.endswith(".sgml") else "xml"
+            rows.append(("test://sgml/" + fn, data, dialect))
+    return spark.createDataFrame(rows, "url string, html binary, "
+                                       "dialect string")
+
+
+def docs_as_pages(docs: DataFrame) -> DataFrame:
+    """Wrap the driver testdata `documents` table as a pages table with
+    deterministically synthesized HTML whose extracted text is exactly
+    'Doc <id> ' || text  (SQL-reconstructable for the DuckDB oracle).
+
+    '&' and '<' in the source text are entity-escaped so the parse is
+    lossless."""
+    esc = F.replace(F.replace(F.col("text"), F.lit("&"), F.lit("&amp;")),
+                    F.lit("<"), F.lit("&lt;"))
+    html_str = F.concat(
+        F.lit("<html><head><title>Doc "), F.col("doc_id").cast("string"),
+        F.lit(" </title></head><body><p>"), esc,
+        F.lit("</p></body></html>"))
+    url = F.concat(F.lit("doc://"), F.col("doc_id").cast("string"))
+    return docs.select(
+        url.alias("url"),
+        F.encode(html_str, "utf-8").alias("html"),
+        F.col("doc_id"), F.col("lang"))

@@ -1,0 +1,43 @@
+"""SparkSession construction tuned for the extraction workload.
+
+Scale rationale (100 TB target, local[32] test substrate):
+- AQE on: runtime coalescing + skew-join splitting replace manual
+  partition-count tuning at each SF.
+- Arrow enabled with a bounded batch size: html rows are ~20 KB-1 MB;
+  10k-row default batches would make multi-hundred-MB Arrow buffers in
+  the Python worker, so cap records per batch.
+- shuffle.partitions defaults to 2x cores locally; on a real cluster
+  set spark.sql.shuffle.partitions ~= 2-3x total executor cores via
+  spark-submit conf (AQE coalesces down as needed).
+"""
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app="packages-sgml-spark", cpus=None, shuffle_partitions=None,
+              extra_conf=None):
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        shuffle_partitions = max(2 * int(cpus), 8)
+    b = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.python.worker.faulthandler.enabled", "true")
+        .config("spark.ui.enabled", "false")
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            b = b.config(k, v)
+    return b.getOrCreate()
