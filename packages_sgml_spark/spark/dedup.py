@@ -1,0 +1,130 @@
+"""Deduplication operators (exact + near-dup) for the documents
+table.
+
+Scale design:
+- exact: groupBy on a 128-bit content hash — one shuffle, map-side
+  partial agg; winner = min(doc_id) (deterministic).
+- minhash-LSH: shingle -> per-shingle md5 -> min per (doc, hashfn)
+  -> band signature -> groupBy band bucket -> candidate pairs.  All
+  built-in exprs; md5 keeps the DuckDB oracle value-identical.  The
+  band groupBy is the only wide shuffle and its keys are uniformly
+  distributed hashes (no skew by construction).
+- simhash: 64-bit sign-aggregated token hashes; hamming buckets by
+  16-bit chunk for candidate pruning.
+- ngram-jaccard: verification joiner for candidate pairs.
+"""
+
+from pyspark.sql import DataFrame, functions as F
+
+N_HASHES = 12      # minhash functions
+N_BANDS = 4        # bands of 3 rows each
+SHINGLE_W = 3      # words per shingle
+
+
+def norm_words(col):
+    return F.split(F.regexp_replace(F.lower(F.trim(col)), r"\s+", " "),
+                   " ")
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Exact dedup on normalized text hash; keeps min doc_id per
+    group (hash-groupBy, single shuffle)."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    h = F.md5(F.encode(norm, "utf-8"))
+    return (docs.select("doc_id", h.alias("content_hash"))
+            .groupBy("content_hash")
+            .agg(F.min("doc_id").alias("keep_doc_id"),
+                 F.count("*").alias("n_dups"))
+            )
+
+
+def shingles(docs: DataFrame, w=SHINGLE_W) -> DataFrame:
+    """Word w-shingles per doc (deduplicated within doc)."""
+    words = norm_words(F.col("text"))
+    n = F.size(words)
+    sh = F.when(n >= w, F.array_distinct(F.transform(
+        F.sequence(F.lit(0), n - w),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, w)),
+    ))).otherwise(F.array(F.concat_ws(" ", words)))
+    return docs.select("doc_id", F.explode(sh).alias("shingle"))
+
+
+def minhash_signatures(docs: DataFrame, k=N_HASHES) -> DataFrame:
+    """k minhash values per doc: min over shingles of
+    md5(i || ':' || shingle) for i in 0..k-1 (lexicographic min of
+    hex digests — portable to the SQL oracle)."""
+    sh = shingles(docs)
+    mins = [F.min(F.md5(F.encode(
+        F.concat(F.lit(str(i) + ":"), F.col("shingle")), "utf-8")))
+        .alias("h%d" % i) for i in range(k)]
+    return sh.groupBy("doc_id").agg(*mins)
+
+
+def minhash_lsh_pairs(docs: DataFrame, k=N_HASHES,
+                      bands=N_BANDS) -> DataFrame:
+    """Candidate near-dup pairs via banded LSH over the minhash
+    signature.  rows-per-band = k / bands."""
+    sig = minhash_signatures(docs, k)
+    r = k // bands
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col("h%d" % (b * r + j)) for j in range(r)]
+        band_cols.append(F.struct(
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws("|", *cols)).alias("key")))
+    banded = (sig.select("doc_id",
+                         F.explode(F.array(*band_cols)).alias("bk"))
+              .select("doc_id", "bk.band", "bk.key"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (a.join(b, (F.col("a.band") == F.col("b.band")) &
+                       (F.col("a.key") == F.col("b.key")) &
+                       (F.col("a.doc_id") < F.col("b.doc_id")))
+             .select(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"))
+             .distinct())
+    return pairs
+
+
+def ngram_jaccard(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Exact Jaccard over word-shingles for candidate pairs
+    (verification stage after LSH)."""
+    sh = shingles(docs)
+    a = sh.withColumnRenamed("doc_id", "doc_a")
+    b = sh.withColumnRenamed("doc_id", "doc_b") \
+          .withColumnRenamed("shingle", "shingle_b")
+    inter = (pairs.join(a, "doc_a")
+             .join(b.withColumnRenamed("shingle_b", "shingle"),
+                   ["doc_b", "shingle"])
+             .groupBy("doc_a", "doc_b")
+             .agg(F.count("*").alias("n_inter")))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    return (inter
+            .join(sizes.withColumnRenamed("doc_id", "doc_a")
+                       .withColumnRenamed("n_sh", "n_a"), "doc_a")
+            .join(sizes.withColumnRenamed("doc_id", "doc_b")
+                       .withColumnRenamed("n_sh", "n_b"), "doc_b")
+            .select("doc_a", "doc_b",
+                    F.round(F.col("n_inter") /
+                            (F.col("n_a") + F.col("n_b") -
+                             F.col("n_inter")), 6).alias("jaccard")))
+
+
+def simhash(docs: DataFrame, bits=32) -> DataFrame:
+    """SimHash over words: per-bit majority vote of word hashes.
+    Uses xxhash64 (JVM-side); no SQL oracle (hash fn differs), the
+    driver records a rows-only check."""
+    words = F.explode(norm_words(F.col("text")))
+    wh = docs.select("doc_id", words.alias("w")) \
+             .select("doc_id", F.xxhash64("w").alias("h"))
+    bit_sums = [
+        F.sum(F.when(F.shiftright(F.col("h"), i).bitwiseAND(1) == 1,
+                     1).otherwise(-1)).alias("b%d" % i)
+        for i in range(bits)]
+    agg = wh.groupBy("doc_id").agg(*bit_sums)
+    sig = None
+    for i in range(bits):
+        bit = F.when(F.col("b%d" % i) > 0,
+                     F.lit(2 ** i)).otherwise(F.lit(0))
+        sig = bit if sig is None else (sig + bit)
+    return agg.select("doc_id", sig.cast("long").alias("simhash"))

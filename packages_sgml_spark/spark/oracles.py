@@ -1,0 +1,234 @@
+"""DuckDB oracle SQL for the query registry (driver correctness
+gate).  Tables are pre-registered views: region nation customer
+supplier part orders lineitem events documents embeddings.
+
+Column names/aliases match queries.py exactly; aggregate arithmetic
+uses the same DECIMAL casts so value-hashes agree bit-for-bit.
+Queries with engine-specific hashing (xxhash64) or join-order-free
+candidate sets have no oracle (driver records rows-only)."""
+
+_LANGS = ["de", "en", "es", "fr", "nl", "pt"]
+_MARKERS = {
+    "en": (" the ", " and ", " of "),
+    "de": (" der ", " und ", " die "),
+    "fr": (" le ", " et ", " la "),
+    "es": (" el ", " y ", " los "),
+    "pt": (" o ", " e ", " dos "),
+    "nl": (" de ", " en ", " het "),
+}
+
+
+def _occ(pat):
+    p = pat.replace("'", "''")
+    return ("CAST(floor((length(padded) - length(replace(padded, '%s', "
+            "''))) / %d) AS INT)" % (p, len(pat)))
+
+
+def _lang_sql():
+    score_cols = []
+    for lang in _LANGS:
+        parts = " + ".join(_occ(p) for p in _MARKERS[lang])
+        score_cols.append("(%s) AS s_%s" % (parts, lang))
+    ranks = ", ".join("s_%s * 100 - %d AS r_%s" % (l, i, l)
+                      for i, l in enumerate(_LANGS))
+    conds = []
+    for l in _LANGS:
+        others = " AND ".join("r_%s >= r_%s" % (l, o)
+                              for o in _LANGS if o != l)
+        conds.append("WHEN %s THEN '%s'" % (others, l))
+    case = "CASE " + " ".join(conds) + " END"
+    greatest = "greatest(%s)" % ", ".join("s_%s" % l for l in _LANGS)
+    return """
+WITH s AS (
+  SELECT doc_id, {scores}
+  FROM (SELECT doc_id, ' ' || lower(text) || ' ' AS padded
+        FROM documents)),
+r AS (SELECT doc_id, {ranks}, {greatest} AS lang_score FROM s)
+SELECT doc_id, {case} AS lang_pred, lang_score FROM r
+""".format(scores=", ".join(score_cols), ranks=ranks,
+           greatest=greatest, case=case)
+
+
+_STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is",
+              "on", "for", "with", "as", "at", "by")
+
+
+def _quality_sql():
+    occ = " + ".join(_occ(" %s " % w) for w in _STOPWORDS)
+    return """
+WITH b AS (
+  SELECT doc_id, text, length(text) AS n_chars,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+           AS n_words,
+         length(text) -
+           length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+         ' ' || lower(text) || ' ' AS padded
+  FROM documents),
+s AS (SELECT doc_id, n_chars, n_words, n_punct, ({occ}) AS stop_hits
+      FROM b)
+SELECT doc_id, n_chars, n_words, n_punct,
+       round(n_punct / greatest(n_chars, 1), 6) AS punct_ratio,
+       round(stop_hits / greatest(n_words, 1), 6) AS stopword_ratio,
+       round(n_chars / greatest(n_words, 1), 6) AS chars_per_word
+FROM s
+""".format(occ=occ)
+
+
+_SHINGLE_CTE = """
+words AS (
+  SELECT doc_id,
+         regexp_split_to_array(
+           regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')
+           AS ws
+  FROM documents),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) >= 3 THEN
+           list_distinct([array_to_string(ws[i:i+2], ' ')
+                          FOR i IN range(1, len(ws) - 1)])
+         ELSE [array_to_string(ws, ' ')] END AS shingles
+  FROM words),
+u AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh)
+"""
+
+ORACLES = {
+    "extract_text": """
+SELECT doc_id,
+       'Doc ' || CAST(doc_id AS VARCHAR) || ' ' || text AS text_extracted
+FROM documents""",
+
+    "extract_title": """
+SELECT doc_id, 'Doc ' || CAST(doc_id AS VARCHAR) || ' ' AS title_text
+FROM documents""",
+
+    "count_links": """
+SELECT doc_id, CAST(doc_id % 5 + 1 AS BIGINT) AS n_links FROM documents""",
+
+    "element_histogram": """
+SELECT name, CAST(total AS BIGINT) AS total FROM (
+  SELECT 'html' AS name, COUNT(*) AS total FROM documents UNION ALL
+  SELECT 'head', COUNT(*) FROM documents UNION ALL
+  SELECT 'title', COUNT(*) FROM documents UNION ALL
+  SELECT 'body', COUNT(*) FROM documents UNION ALL
+  SELECT 'p', COUNT(*) FROM documents UNION ALL
+  SELECT 'a', SUM(doc_id % 5 + 1) FROM documents)""",
+
+    "pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2))
+    AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+    AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+           (CAST(1 AS DECIMAL(18,2)) -
+            CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4))
+    AS sum_disc_price,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus""",
+
+    "top_customers": """
+WITH rev AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+              AS DECIMAL(38,2)) AS revenue,
+         COUNT(*) AS n_orders
+  FROM orders GROUP BY o_custkey)
+SELECT c_custkey, c_name, c_mktsegment, revenue, n_orders
+FROM rev JOIN customer ON rev.o_custkey = customer.c_custkey
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20""",
+
+    "segment_order_priority": """
+SELECT c_mktsegment, o_orderpriority, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+            AS DECIMAL(38,2)) AS total
+FROM orders JOIN customer ON orders.o_custkey = customer.c_custkey
+GROUP BY c_mktsegment, o_orderpriority""",
+
+    "events_hourly": """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6))
+         AS sum_value
+FROM events GROUP BY 1, 2""",
+
+    "top_event_per_user": """
+WITH r AS (
+  SELECT user_id, event_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id ASC) AS rn
+  FROM events)
+SELECT user_id, event_id, event_type, round(value, 6) AS value
+FROM r WHERE rn = 1""",
+
+    "source_stats": """
+SELECT source, lang, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+FROM documents GROUP BY source, lang""",
+
+    "resume_filter": """
+SELECT doc_id, n_chars FROM documents WHERE doc_id % 10 <> 0""",
+
+    "dedup_newest": """
+WITH r AS (
+  SELECT user_id, event_id, ts,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events)
+SELECT user_id, event_id, ts AS last_ts FROM r WHERE rn = 1""",
+
+    "lang_id": _lang_sql(),
+
+    "quality": _quality_sql(),
+
+    "token_count": """
+SELECT doc_id,
+  CASE WHEN length(trim(text)) = 0 THEN 0
+       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+    AS ws_tokens,
+  CAST(length(regexp_replace(text, '[A-Za-z]+|[0-9]+', '#', 'g')) -
+       length(regexp_replace(
+         regexp_replace(text, '[A-Za-z]+|[0-9]+', '#', 'g'),
+         '[^\\s]', '', 'g')) AS INT) AS subword_tokens
+FROM documents""",
+
+    "fingerprint": """
+SELECT doc_id,
+       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+FROM documents""",
+
+    "dedup_exact": """
+SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+         AS content_hash,
+       MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_dups
+FROM documents
+GROUP BY 1""",
+
+    "minhash_signatures": "WITH " + _SHINGLE_CTE + """
+SELECT doc_id,
+       min(md5('0:' || shingle)) AS h0,
+       min(md5('1:' || shingle)) AS h1,
+       min(md5('2:' || shingle)) AS h2,
+       min(md5('3:' || shingle)) AS h3
+FROM u GROUP BY doc_id""",
+
+    "knn_cosine": """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+           FROM embeddings),
+q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < 8),
+scored AS (
+  SELECT q.q_id, e.vec_id AS n_id,
+         round(list_dot_product(q.q_emb, e.emb) /
+               (sqrt(list_dot_product(q.q_emb, q.q_emb)) *
+                sqrt(list_dot_product(e.emb, e.emb))), 6) AS cos
+  FROM e, q WHERE e.vec_id <> q.q_id),
+r AS (SELECT q_id, n_id, cos,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY cos DESC, n_id ASC) AS rank
+      FROM scored)
+SELECT q_id, CAST(rank AS INT) AS rank, n_id, cos
+FROM r WHERE rank <= 5""",
+}

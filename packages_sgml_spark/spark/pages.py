@@ -90,7 +90,7 @@ def golden_pages(spark) -> DataFrame:
                                        "dialect string")
 
 
-def docs_as_pages(docs: DataFrame) -> DataFrame:
+def docs_as_pages(docs: DataFrame, links=False) -> DataFrame:
     """Wrap the driver testdata `documents` table as a pages table with
     deterministically synthesized HTML whose extracted text is exactly
     'Doc <id> ' || text  (SQL-reconstructable for the DuckDB oracle).
@@ -99,10 +99,15 @@ def docs_as_pages(docs: DataFrame) -> DataFrame:
     lossless."""
     esc = F.replace(F.replace(F.col("text"), F.lit("&"), F.lit("&amp;")),
                     F.lit("<"), F.lit("&lt;"))
+    link_block = (
+        F.expr("repeat('<a href=\"https://example.org/r\">ref</a>', "
+               "cast(doc_id % 5 + 1 as int))")
+        if links else F.lit(""))
     html_str = F.concat(
         F.lit("<html><head><title>Doc "), F.col("doc_id").cast("string"),
         F.lit(" </title></head><body><p>"), esc,
-        F.lit("</p></body></html>"))
+        F.lit("</p>"), link_block,
+        F.lit("</body></html>"))
     url = F.concat(F.lit("doc://"), F.col("doc_id").cast("string"))
     return docs.select(
         url.alias("url"),

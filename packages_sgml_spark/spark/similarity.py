@@ -1,0 +1,88 @@
+"""Similarity search over the embeddings table
+(vec_id, embedding: array<float>, label).
+
+- brute-force cosine top-k: exact baseline.  The query set is small
+  (explicit ids) so it is broadcast; the big side streams through a
+  single narrow pass (no shuffle until the per-query top-k, which is
+  a tiny aggregation).  At 100 TB-scale embedding stores, this is the
+  pattern: broadcast queries x scan corpus -> partial top-k per
+  partition (AQE) -> final top-k.
+- LSH-bucketed variant: random-hyperplane signs -> bucket join,
+  cosine only within buckets (the scale path; recall < 1).
+"""
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def knn_bruteforce(emb: DataFrame, query_ids, k=5) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vec_id (excluding
+    self).  Deterministic tie-break on neighbor id."""
+    q = (emb.filter(F.col("vec_id").isin(list(query_ids)))
+         .select(F.col("vec_id").alias("q_id"),
+                 F.col("embedding").alias("q_emb")))
+    c = (emb.select(F.col("vec_id").alias("n_id"),
+                    F.col("embedding").alias("n_emb")))
+    scored = (c.crossJoin(F.broadcast(q))
+              .filter(F.col("n_id") != F.col("q_id"))
+              .select("q_id", "n_id",
+                      F.round(cosine("q_emb", "n_emb"), 6).alias("cos")))
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(),
+                                          F.col("n_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "rank", "n_id", "cos"))
+
+
+def _hyperplane(dim, h, seed=1234):
+    """Deterministic pseudo-random hyperplane: component i of plane h
+    is sin(seed * (h*dim + i)) — computable in plain SQL for parity
+    with non-Spark implementations, good enough for bucketing."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.sin((F.lit(h * dim) + i) * F.lit(float(seed))))
+
+
+def lsh_signature(emb: DataFrame, dim, n_planes=8) -> DataFrame:
+    """Sign-bit signature under deterministic hyperplanes."""
+    sig = None
+    for h in range(n_planes):
+        bit = F.when(_dot(F.col("embedding"),
+                          _hyperplane(dim, h)) >= 0,
+                     F.lit(2 ** h)).otherwise(F.lit(0))
+        sig = bit if sig is None else (sig + bit)
+    return emb.select("vec_id", "embedding", sig.alias("bucket"))
+
+
+def knn_lsh(emb: DataFrame, query_ids, dim, k=5, n_planes=6) -> DataFrame:
+    """Approximate top-k: cosine computed only within LSH buckets.
+    Recall depends on n_planes; the bucket join shuffles on uniform
+    hash keys (no skew)."""
+    sig = lsh_signature(emb, dim, n_planes)
+    q = (sig.filter(F.col("vec_id").isin(list(query_ids)))
+         .select(F.col("vec_id").alias("q_id"),
+                 F.col("embedding").alias("q_emb"),
+                 F.col("bucket").alias("q_bucket")))
+    scored = (sig.join(F.broadcast(q),
+                       (F.col("bucket") == F.col("q_bucket")) &
+                       (F.col("vec_id") != F.col("q_id")))
+              .select("q_id", F.col("vec_id").alias("n_id"),
+                      F.round(cosine("q_emb", "embedding"), 6)
+                      .alias("cos")))
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(),
+                                          F.col("n_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "rank", "n_id", "cos"))

@@ -1,0 +1,109 @@
+"""Text-analysis operators for training-data pipelines over the
+`documents` table: language-ID, quality scoring, token counting,
+fingerprinting.
+
+All are pure Spark SQL expressions (JVM-side, whole-stage codegen;
+no Python in the hot path) and each has an exact ANSI-SQL oracle in
+__spark_entry__.oracle_sql()."""
+
+from pyspark.sql import DataFrame, functions as F
+
+# language-ID stopword evidence: tiny per-language marker sets.
+# Deliberately expressible in plain SQL (the DuckDB oracle runs the
+# identical formula); a smarter n-gram model would be UDF territory.
+LANG_MARKERS = {
+    "en": (" the ", " and ", " of "),
+    "de": (" der ", " und ", " die "),
+    "fr": (" le ", " et ", " la "),
+    "es": (" el ", " y ", " los "),
+    "pt": (" o ", " e ", " dos "),
+    "nl": (" de ", " en ", " het "),
+}
+
+STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is",
+             "on", "for", "with", "as", "at", "by")
+
+
+def _count_occurrences(col, pat):
+    """occurrences of literal `pat` in col, SQL-expressible:
+    (len(x) - len(replace(x, pat, ''))) / len(pat)."""
+    return ((F.length(col) - F.length(F.replace(col, F.lit(pat),
+                                                F.lit("")))) /
+            len(pat)).cast("int")
+
+
+def lang_id_stopwords(docs: DataFrame) -> DataFrame:
+    """Best-scoring language by marker-token occurrence counts.
+    Ties break by language code order (deterministic)."""
+    padded = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
+    scores = []
+    for lang, pats in sorted(LANG_MARKERS.items()):
+        score = None
+        for p in pats:
+            c = _count_occurrences(padded, p)
+            score = c if score is None else (score + c)
+        scores.append(F.struct(score.alias("score"),
+                               F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*[
+        F.struct((s["score"] * 100 -
+                  F.lit(i)).alias("rank"), s["lang"].alias("lang"))
+        for i, s in enumerate(scores)]))
+    return docs.select(
+        "doc_id",
+        best["lang"].alias("lang_pred"),
+        F.greatest(*[s["score"] for s in scores]).alias("lang_score"))
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Heuristic quality features: length, punctuation density,
+    stopword ratio, mean word length."""
+    text = F.col("text")
+    n_chars = F.length(text)
+    words = F.split(F.trim(text), r"\s+")
+    n_words = F.when(F.length(F.trim(text)) == 0, F.lit(0)) \
+               .otherwise(F.size(words))
+    n_punct = F.length(text) - F.length(
+        F.regexp_replace(text, r"[.,!?;:]", ""))
+    lower = F.lower(text)
+    stop_hits = None
+    for w in STOPWORDS:
+        c = _count_occurrences(
+            F.concat(F.lit(" "), lower, F.lit(" ")), " %s " % w)
+        stop_hits = c if stop_hits is None else (stop_hits + c)
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_words.alias("n_words"),
+        n_punct.alias("n_punct"),
+        F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6)
+         .alias("punct_ratio"),
+        F.round(stop_hits / F.greatest(n_words, F.lit(1)), 6)
+         .alias("stopword_ratio"),
+        F.round(n_chars / F.greatest(n_words, F.lit(1)), 6)
+         .alias("chars_per_word"),
+    )
+
+
+def token_count(docs: DataFrame) -> DataFrame:
+    """Whitespace tokens + a BPE-ish subword proxy: tokens of
+    letter-runs/digit-runs/single-other obtained by counting regex
+    boundaries (SQL-expressible)."""
+    text = F.col("text")
+    trimmed = F.trim(text)
+    ws_tokens = F.when(F.length(trimmed) == 0, F.lit(0)) \
+                 .otherwise(F.size(F.split(trimmed, r"\s+")))
+    # subword proxy: count of [A-Za-z]+|[0-9]+|[^A-Za-z0-9\s] matches
+    stripped = F.regexp_replace(text, r"[A-Za-z]+|[0-9]+", "#")
+    subword = (F.length(stripped) -
+               F.length(F.regexp_replace(stripped, r"[^\s]", "")))
+    return docs.select(
+        "doc_id", ws_tokens.alias("ws_tokens"),
+        subword.cast("int").alias("subword_tokens"))
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Document fingerprint: md5 of the blank-normalized lowercase
+    text (rolling-hash analog, deterministic + oracle-friendly)."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return docs.select(
+        "doc_id", F.md5(F.encode(norm, "utf-8")).alias("fp"))
