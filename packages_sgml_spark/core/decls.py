@@ -15,7 +15,14 @@ from .chars import (is_blank_char, is_name_char, is_nmstart_char,
 from .entities import char_entity_value, isee_character_entity
 from .errors import Gripes
 
+import re as _re
+
 MAXNMLEN = 256
+
+# ASCII fast-path tokenizers (slow path preserves full semantics)
+_RE_NAME_FOLD = _re.compile(
+    r'[ \t\r\n]*([A-Za-z_:][A-Za-z0-9._:\-]*)')
+_RE_LAYOUT = _re.compile(r'[ \t\r\n]+')
 
 
 class DeclMixin:
@@ -26,6 +33,14 @@ class DeclMixin:
     def iskip_layout(self, s, i):
         """Skip blanks and --comments-- (parser.c:848-878)."""
         n = len(s)
+        # fast path: ASCII blanks then a non-comment, non-wide char
+        m = _RE_LAYOUT.match(s, i)
+        if m is not None:
+            j = m.end()
+            if j >= n or (s[j] != '-' and s[j] <= '\x7f'):
+                return j
+        elif i < n and s[i] != '-' and ' ' < s[i] <= '\x7f':
+            return i
         while i < n:
             c = s[i]
             if is_blank_char(c):
@@ -55,6 +70,17 @@ class DeclMixin:
     def itake_name(self, s, i):
         """(parser.c:894-925): skip layout, NMSTART then NAME chars,
         case-fold unless case_sensitive.  Returns (name, next_i) or None."""
+        # ASCII fast path: no comments in layout, ASCII name, ASCII
+        # or name-terminating follower
+        m = _RE_NAME_FOLD.match(s, i)
+        if m is not None:
+            j = m.end()
+            n = len(s)
+            if j >= n or s[j] <= '\x7f' or not is_name_char(s[j]):
+                name = m.group(1)
+                if not self.dtd.case_sensitive:
+                    name = name.lower()
+                return name, self.iskip_layout(s, j)
         i = self.iskip_layout(s, i)
         n = len(s)
         if i >= n or not is_nmstart_char(s[i]):
@@ -429,6 +455,7 @@ class DeclMixin:
             names2, i = r
             for nm in names2:
                 target.append(self.dtd.find_element(nm))
+            self.dtd.has_inex = True
         if i < len(s):
             self.gripe(*Gripes.syntax_error(
                 "Unexpected end of declaration", s[i:]))

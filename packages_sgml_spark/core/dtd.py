@@ -169,6 +169,8 @@ class DTD:
         self.system_entities = False
         self.number_mode_integer = False     # NU_TOKEN default
         self.keep_prefix = False
+        self.has_inex = False    # any +(..)/-(..)
+
         self.encoding = "iso-8859-1"
 
         self.elements: Dict[str, Element] = {}

@@ -48,11 +48,13 @@ class Model:
 
 
 class State:
-    __slots__ = ("transitions", "expander")
+    __slots__ = ("transitions", "expander", "memo", "same_memo")
 
     def __init__(self):
         self.transitions = None   # None = unexpanded; list of (elem, State)
         self.expander = None      # (target_state, [Model, ...]) for AND groups
+        self.memo = None          # {element_id: State|None} transition cache
+        self.same_memo = None     # {final_id: bool} same_state cache
 
 
 def link(frm: State, to: State, elem) -> None:
@@ -148,9 +150,18 @@ def _visit(state, visited) -> bool:
 
 
 def make_dtd_transition(here: Optional[State], e) -> Optional[State]:
-    """ε-closure transition step (model.c:132-164)."""
+    """ε-closure transition step (model.c:132-164).  Results are
+    memoized per state — transition sets are immutable once lazily
+    expanded, so the cache is exact."""
     if here is None:
         return None
+    memo = here.memo
+    key = id(e)
+    if memo is not None:
+        try:
+            return memo[key]
+        except KeyError:
+            pass
     visited = []
 
     def walk(state):
@@ -165,11 +176,24 @@ def make_dtd_transition(here: Optional[State], e) -> Optional[State]:
                     return new
         return None
 
-    return walk(here)
+    result = walk(here)
+    if memo is None:
+        here.memo = {key: result}
+    else:
+        memo[key] = result
+    return result
 
 
 def same_state(final: State, here: State) -> bool:
-    """model.c:185-200: final reachable via ε only."""
+    """model.c:185-200: final reachable via ε only.  Memoized like
+    make_dtd_transition."""
+    memo = here.same_memo
+    key = id(final)
+    if memo is not None:
+        try:
+            return memo[key]
+        except KeyError:
+            pass
     visited = []
 
     def walk(state):
@@ -181,7 +205,12 @@ def same_state(final: State, here: State) -> bool:
                     return True
         return False
 
-    return walk(here)
+    result = walk(here)
+    if memo is None:
+        here.same_memo = {key: result}
+    else:
+        memo[key] = result
+    return result
 
 
 def find_omitted_path(state: Optional[State], e) -> Optional[list]:

@@ -41,6 +41,42 @@ EV_EXPLICIT, EV_OMITTED, EV_SHORTTAG, EV_SHORTREF = range(4)
 CR = '\r'
 LF = '\n'
 
+import re as _re_mod
+
+# bulk-scan regexes: chars each linear state reacts to
+_RE_PCDATA = _re_mod.compile(r'[<&\]\r]')
+_RE_PCDATA_U = _re_mod.compile(r'[<&\]\r\x80-\xff]')
+_RE_DECL_BANG = _re_mod.compile(r'[>="\'\-\[]')
+_RE_DECL_BANG_U = _re_mod.compile(r'[>="\'\-\[\x80-\xff]')
+_RE_DECL_TAG = _re_mod.compile(r'[>="\'\[]')
+_RE_DECL_TAG_U = _re_mod.compile(r'[>="\'\[\x80-\xff]')
+_RE_DECL_TAG_ST = _re_mod.compile(r'[>="\'\[/]')
+_RE_DECL_TAG_ST_U = _re_mod.compile(r'[>="\'\[/\x80-\xff]')
+_RE_CDATA = _re_mod.compile(r'[<\r]')
+_RE_CDATA_U = _re_mod.compile(r'[<\r\x80-\xff]')
+_RE_RCDATA = _re_mod.compile(r'[<&\r]')
+_RE_RCDATA_U = _re_mod.compile(r'[<&\r\x80-\xff]')
+_RE_MSC = _re_mod.compile(r'[\]\r]')
+_RE_MSC_U = _re_mod.compile(r'[\]\r\x80-\xff]')
+_RE_PI = _re_mod.compile(r'[?>]')
+_RE_PI_U = _re_mod.compile(r'[?>\x80-\xff]')
+_BLANK2SPACE = str.maketrans('\t\r\n', '   ')
+_BLANKS4 = ' \t\r\n'
+_RE_STR_DQ = _re_mod.compile(r'"')
+_RE_STR_DQ_U = _re_mod.compile(r'["\x80-\xff]')
+_RE_STR_SQ = _re_mod.compile(r"'")
+_RE_STR_SQ_U = _re_mod.compile(r"['\x80-\xff]")
+
+# Whole-tag fast path (non-shorttag dialects): a complete begin/end
+# tag with quotes balanced — exactly the chars S_DECL would buffer,
+# terminated by the first unquoted '>'.  '<' inside a tag falls back
+# to the FSM.
+_RE_FULLTAG = _re_mod.compile(
+    r"<(?:/[A-Za-z][^>\"'<]*"
+    r"|[A-Za-z](?:[^>\"'<]|\"[^\"<]*\"|'[^'<]*')*)>")
+# whole entity reference incl. terminating ';'
+_RE_FULLENT = _re_mod.compile(r"&(#?[A-Za-z0-9._:\-]+);")
+
 
 class StopParse(Exception):
     """Raised internally when max_errors is exceeded
@@ -73,7 +109,7 @@ class ParserOptions:
 class Environment:
     """sgml_environment (parser.h:165-180)."""
     __slots__ = ("element", "state", "space_mode", "map", "wants_net",
-                 "saved_waiting_for_net")
+                 "saved_waiting_for_net", "cdata_memo")
 
     def __init__(self, element):
         self.element = element
@@ -82,6 +118,7 @@ class Environment:
         self.map = None
         self.wants_net = False
         self.saved_waiting_for_net = False
+        self.cdata_memo = None      # (in_state, out_state) CDATA fast path
 
 
 class SGMLParser(DeclMixin):
@@ -315,41 +352,162 @@ class SGMLParser(DeclMixin):
         return self.dom, self.errors
 
     def process_chars_toplevel(self, text):
+        """Feed loop with bulk span scanning.
+
+        The reference is strictly char-at-a-time (putchar_dtd_parser);
+        we keep per-char semantics but recognise the *linear* states —
+        PCDATA runs, tag bodies, comments, strings, CDATA content —
+        and consume whole spans up to the next state-relevant char
+        with one regex search + one list extend.  Each bulk branch is
+        a provably-equivalent collapse of N putchar steps."""
         putchar = self.putchar
         n = len(text)
         i = 0
         while i < n:
-            # Fast path: bulk PCDATA spans when no shortref map is
-            # active (span-scan replaces the reference's char loop;
-            # semantics preserved -- see _bulk_cdata).
-            if (self.state == S_PCDATA and self.map is None and
-                    self.dmode == DM_DATA and not self.waiting_for_net and
-                    self.mark_state == MS_INCLUDE and not self.marked):
-                j = self._find_special(text, i)
+            state = self.state
+            if state == S_PCDATA:
+                if (self.map is None and self.dmode == DM_DATA and
+                        not self.waiting_for_net and
+                        self.mark_state == MS_INCLUDE and not self.marked):
+                    if text[i] == '<' and not self.dtd.shorttag and \
+                            self.dtd.dialect not in D.XML_DIALECTS:
+                        # whole-tag collapse of S_DECL0/S_DECL
+                        m = _RE_FULLTAG.match(text, i)
+                        if m is not None:
+                            tag = m.group(0)
+                            if not (self.utf8_decode and
+                                    not tag.isascii()):
+                                self.startloc = (self.line,
+                                                 self.linepos + 1,
+                                                 self.charpos)
+                                self._advance_location(tag)
+                                self.prepare_cdata()
+                                self.process_declaration(tag[1:-1])
+                                i = m.end()
+                                continue
+                    if text[i] == '&' and self.dmode == DM_DATA:
+                        # whole-entity collapse of S_ENT0/S_ENT + ';'
+                        m = _RE_FULLENT.match(text, i)
+                        if m is not None:
+                            self.startloc = (self.line, self.linepos + 1,
+                                             self.charpos)
+                            self._advance_location(m.group(0))
+                            self.process_entity(m.group(1))
+                            i = m.end()
+                            continue
+                    rex = (_RE_PCDATA_U if self.utf8_decode
+                           else _RE_PCDATA)
+                    m = rex.search(text, i)
+                    j = m.start() if m else n
+                    if j > i:
+                        i += self._bulk_cdata(text, i, j)
+                        continue
+            elif state == S_DECL and not self._val0:
+                buf = self.buffer
+                u = self.utf8_decode
+                if buf and buf[0] == '!':
+                    rex = _RE_DECL_BANG_U if u else _RE_DECL_BANG
+                elif self.dtd.shorttag:
+                    rex = _RE_DECL_TAG_ST_U if u else _RE_DECL_TAG_ST
+                else:
+                    rex = _RE_DECL_TAG_U if u else _RE_DECL_TAG
+                m = rex.search(text, i)
+                j = m.start() if m else n
                 if j > i:
-                    i += self._bulk_cdata(text, i, j)
+                    span = text[i:j]
+                    buf.extend(span)
+                    self._advance_location(span)
+                    i = j
                     continue
-                if i >= n:
-                    break
+            elif state in (S_CDATA, S_RCDATA):
+                if not self.waiting_for_net:
+                    rex = _RE_RCDATA if state == S_RCDATA else _RE_CDATA
+                    if self.utf8_decode:
+                        rex = (_RE_RCDATA_U if state == S_RCDATA
+                               else _RE_CDATA_U)
+                    m = rex.search(text, i)
+                    j = m.start() if m else n
+                    if j > i:
+                        span = text[i:j]
+                        if self.mark_state != MS_IGNORE:
+                            self._bulk_verbatim(span)
+                        self._advance_location(span)
+                        i = j
+                        continue
+            elif state == S_CMT:
+                j = text.find('-', i)
+                if j < 0:
+                    j = n
+                if j > i:
+                    self._advance_location(text[i:j])
+                    i = j
+                    continue
+            elif state == S_MSCDATA:
+                rex = _RE_MSC_U if self.utf8_decode else _RE_MSC
+                m = rex.search(text, i)
+                j = m.start() if m else n
+                if j > i:
+                    span = text[i:j]
+                    if self.mark_state != MS_IGNORE:
+                        self._bulk_verbatim(span)
+                    self._advance_location(span)
+                    i = j
+                    continue
+            elif state == S_STRING:
+                if self.utf8_decode:
+                    rex = (_RE_STR_DQ_U if self.saved == '"'
+                           else _RE_STR_SQ_U)
+                else:
+                    rex = _RE_STR_DQ if self.saved == '"' else _RE_STR_SQ
+                m = rex.search(text, i)
+                j = m.start() if m else n
+                if j > i:
+                    span = text[i:j]
+                    self.buffer.extend(span)
+                    self._advance_location(span)
+                    i = j
+                    continue
+            elif state == S_PI:
+                m = (_RE_PI_U if self.utf8_decode else _RE_PI).search(text, i)
+                j = m.start() if m else n
+                if j > i:
+                    span = text[i:j]
+                    self.buffer.extend(span)
+                    self._advance_location(span)
+                    i = j
+                    continue
+            elif state == S_DECLCMT:
+                j = text.find('-', i)
+                if j < 0:
+                    j = n
+                if j > i:
+                    self._advance_location(text[i:j])
+                    i = j
+                    continue
             putchar(text[i])
             i += 1
 
-    _SPECIALS = frozenset('<&]\r')
-
-    def _find_special(self, text, i):
-        """Scan forward from i for the next char the S_PCDATA state
-        reacts to (or that needs per-char handling): < & ] CR, or any
-        non-ASCII byte when UTF-8 decoding."""
-        n = len(text)
-        j = i
-        specials = self._SPECIALS
-        utf8 = self.utf8_decode
-        while j < n:
-            c = text[j]
-            if c in specials or (utf8 and c >= '\x80'):
-                break
-            j += 1
-        return j
+    def _bulk_verbatim(self, span):
+        """N x add_verbatim_cdata for a span with no CR and no
+        specials (parser.c:4801-4818 collapsed)."""
+        if self.blank_cdata:
+            k = 0
+            ns = len(span)
+            while k < ns and is_blank_char(span[k]):
+                k += 1
+            if k < ns:
+                self.cdata.extend(span[:k])
+                self.cdata_must_be_empty = not self.open_element(
+                    M.CDATA_ELEMENT, False)
+                self.blank_cdata = False
+                span = span[k:]
+            else:
+                self.cdata.extend(span)
+                return
+        cdata = self.cdata
+        if span[0] == LF and cdata and cdata[-1] == CR:
+            cdata.pop()
+        cdata.extend(span)
 
     def _bulk_cdata(self, text, i, j):
         """Append text[i:j] to cdata with add_cdata semantics
@@ -359,10 +517,12 @@ class SGMLParser(DeclMixin):
         off (map is None)."""
         span = text[i:j]
         if self.blank_cdata:
-            k = 0
             n = len(span)
-            while k < n and is_blank_char(span[k]):
+            k = n - len(span.lstrip(_BLANKS4))
+            while k < n and ord(span[k]) > 255 and span[k].isspace():
                 k += 1
+                while k < n and is_blank_char(span[k]):
+                    k += 1
             if k:
                 self._append_span(span[:k])
             if k < n:
@@ -1251,6 +1411,13 @@ class SGMLParser(DeclMixin):
 
     def open_element(self, e, warn):
         """(parser.c:2895-3014)."""
+        if e is M.CDATA_ELEMENT and self.environments:
+            # memoized repeat transition (#PCDATA self-loops dominate)
+            env = self.environments[-1]
+            memo = env.cdata_memo
+            if memo is not None and memo[0] is env.state:
+                env.state = memo[1]
+                return True
         if not self.environments and self.enforce_outer_element:
             f = self.dtd.find_element(self.enforce_outer_element)
             if f is not None and f is not e:
@@ -1291,6 +1458,9 @@ class SGMLParser(DeclMixin):
                 env = self.environments[idx]
                 new = M.make_dtd_transition(env.state, e)
                 if new is not None:
+                    if (e is M.CDATA_ELEMENT and
+                            idx == len(self.environments) - 1):
+                        env.cdata_memo = (env.state, new)
                     env.state = new
                     self.pop_to(idx, e)
                     self.push_element(e, False)
@@ -1327,6 +1497,8 @@ class SGMLParser(DeclMixin):
 
     def _in_or_excluded(self, e):
         """(parser.c:2691-2709)."""
+        if not self.dtd.has_inex:
+            return "normal"
         for env in reversed(self.environments):
             edef = env.element.structure
             if edef is not None:
@@ -1624,6 +1796,10 @@ class SGMLParser(DeclMixin):
         `s[start:stop]` is the value; gripes print the remainder of
         the *whole* declaration buffer like the reference (which gets
         a non-NUL-terminated (start,len) window into the tag)."""
+        sub = s[start:] if stop is None else s[start:stop]
+        if '&' not in sub and sub.isascii():
+            # entity-free fast path: blanks->space with CRLF fold
+            return sub.replace('\r\n', '\n').translate(_BLANK2SPACE)
         out = []
         i = start
         n = len(s) if stop is None else stop
