@@ -92,6 +92,7 @@ class ParserOptions:
                  system_entities=False, quiet=False, file=None,
                  resolver=None):
         self.dialect = dialect
+        self.qualify_attributes = qualify_attributes
         self.encoding = encoding
         self.space = space
         self.defaults = defaults
@@ -109,7 +110,7 @@ class ParserOptions:
 class Environment:
     """sgml_environment (parser.h:165-180)."""
     __slots__ = ("element", "state", "space_mode", "map", "wants_net",
-                 "saved_waiting_for_net", "cdata_memo")
+                 "saved_waiting_for_net", "cdata_memo", "xmlns", "thisns")
 
     def __init__(self, element):
         self.element = element
@@ -119,6 +120,8 @@ class Environment:
         self.wants_net = False
         self.saved_waiting_for_net = False
         self.cdata_memo = None      # (in_state, out_state) CDATA fast path
+        self.xmlns = None           # list of (prefix|None, url) bindings
+        self.thisns = None          # (prefix|None, url) default for attrs
 
 
 class SGMLParser(DeclMixin):
@@ -1258,6 +1261,8 @@ class SGMLParser(DeclMixin):
             if i < len(decl) and decl[i] == '/':
                 empty = True
                 i += 1
+            if dtd.dialect == D.DL_XMLNS:
+                self.update_xmlns(e, atts)
             self.update_space_mode(e, atts)
         else:
             if i < len(decl) and decl[i] == '/':
@@ -1278,7 +1283,7 @@ class SGMLParser(DeclMixin):
             empty_element = e
         else:
             empty_element = None
-        self.ev_begin(e.name, self.convert_attributes(atts))
+        self._emit_begin(e, atts)
         if empty_element is not None:
             self.close_element(e, conref)
             if conref:
@@ -1294,6 +1299,18 @@ class SGMLParser(DeclMixin):
             return self.close_current_element()
         return self.gripe(*Gripes.syntax_error(
             "Bad close-element tag", decl))
+
+    def _emit_begin(self, e, atts):
+        """Begin-element event with XMLNS name resolution
+        (sgml2pl.c:986-1041 put_element_name/put_attribute_name)."""
+        if self.dtd.dialect == D.DL_XMLNS:
+            name = self._xmlns_resolve_element(e.name)
+            conv = [(self._xmlns_resolve_attr(
+                        k, self.options.qualify_attributes), v)
+                    for k, v in self.convert_attributes(atts)]
+            self.ev_begin(name, conv)
+        else:
+            self.ev_begin(e.name, self.convert_attributes(atts))
 
     def update_space_mode(self, e, atts):
         """(parser.c:4218-4240)."""
@@ -1341,7 +1358,7 @@ class SGMLParser(DeclMixin):
             atts = []
             if self.options.defaults:
                 self.add_default_attributes(e, atts)
-            self.ev_begin(e.name, self.convert_attributes(atts))
+            self._emit_begin(e, atts)
         if e.structure is not None:
             if e.structure.type in (M.C_CDATA, M.C_RCDATA):
                 self.state = (S_CDATA if e.structure.type == M.C_CDATA
@@ -1430,7 +1447,7 @@ class SGMLParser(DeclMixin):
                     atts = []
                     if self.options.defaults:
                         self.add_default_attributes(f, atts)
-                    self.ev_begin(f.name, self.convert_attributes(atts))
+                    self._emit_begin(f, atts)
                 finally:
                     self.event_class = old
 
@@ -2150,3 +2167,95 @@ def parse_document(data, dialect="sgml", **kw):
     """Convenience one-shot parse: returns (dom, errors)."""
     p = SGMLParser(ParserOptions(dialect=dialect, **kw))
     return p.parse(data)
+
+
+# ----------------------------------------------------------------------
+# XMLNS support (xmlns.c:40-268, sgml2pl.c:986-1041) — mixed into
+# SGMLParser below
+# ----------------------------------------------------------------------
+
+def _isxmlns(name):
+    """'xmlns' -> '' ; 'xmlns:px' -> 'px' ; else None
+    (xmlns.c:101-111)."""
+    if name == "xmlns":
+        return ""
+    if name.startswith("xmlns:"):
+        return name[6:]
+    return None
+
+
+def _xmlns_update(self, e, atts):
+    """Push xmlns bindings from this element's attributes
+    (xmlns.c:117-138); bindings live on the just-opened env."""
+    env = self.environments[-1] if self.environments else None
+    if env is None:
+        return
+    for a, v in atts:
+        px = _isxmlns(a.name)
+        if px is not None and a.type == D.AT_CDATA and v is not None:
+            if env.xmlns is None:
+                env.xmlns = []
+            env.xmlns.append((px or None, str(v)))
+
+
+def _xmlns_find(self, prefix):
+    """(xmlns.c:79-98): innermost binding for prefix (None =
+    default ns)."""
+    for env in reversed(self.environments):
+        if env.xmlns:
+            for px, url in reversed(env.xmlns):
+                if px == prefix:
+                    return url
+    return None
+
+
+def _xmlns_resolve_element(self, name):
+    """Element name -> DOM name (sgml2pl.c:1014-1041 +
+    xmlns.c:210-266).  Sets env.thisns for attribute defaults."""
+    env = self.environments[-1] if self.environments else None
+    if ':' in name:
+        prefix, local = name.split(':', 1)
+        url = self._xmlns_find(prefix)
+        if url is not None:
+            if env is not None:
+                env.thisns = (prefix, url)
+            return "%s:%s" % (url, local) if url else local
+        # undefined: url = prefix itself, defined implicitly
+        if env is not None:
+            if env.xmlns is None:
+                env.xmlns = []
+            env.xmlns.append((prefix, prefix))
+            env.thisns = (prefix, prefix)
+        self.gripe(*Gripes.existence("namespace", prefix))
+        return "%s:%s" % (prefix, local)
+    url = self._xmlns_find(None)
+    if env is not None:
+        env.thisns = (None, url) if url else None
+    if url:
+        return "%s:%s" % (url, name)
+    return name
+
+
+def _xmlns_resolve_attr(self, name, qualify=False):
+    """(xmlns.c:151-202): prefixed attrs resolve; unprefixed only
+    under qualify_attributes."""
+    if ':' in name:
+        prefix, local = name.split(':', 1)
+        if prefix.startswith("xml"):
+            return "%s:%s" % (prefix, local)
+        url = self._xmlns_find(prefix)
+        if url is not None:
+            return "%s:%s" % (url, local) if url else local
+        self.gripe(*Gripes.existence("namespace", prefix))
+        return "%s:%s" % (prefix, local)
+    if qualify and self.environments:
+        env = self.environments[-1]
+        if env.thisns and env.thisns[1]:
+            return "%s:%s" % (env.thisns[1], name)
+    return name
+
+
+SGMLParser.update_xmlns = _xmlns_update
+SGMLParser._xmlns_find = _xmlns_find
+SGMLParser._xmlns_resolve_element = _xmlns_resolve_element
+SGMLParser._xmlns_resolve_attr = _xmlns_resolve_attr

@@ -1,0 +1,105 @@
+"""Multimodal column handling: image/audio/video as opaque binary
+columns with typed metadata.
+
+The decode step is STUBBED (no image/audio libs in this container):
+`decode_image` raises NotImplementedError unless `fake=True`, which
+produces a deterministic fake decode so the Spark-side plumbing
+(schema, batching, partitioning, UDF signature) is real and tested.
+On a real cluster, swap `_decode_impl` for PIL/ffmpeg.
+"""
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    ArrayType, BinaryType, FloatType, IntegerType, StringType,
+    StructField, StructType)
+
+MEDIA_SCHEMA = StructType([
+    StructField("media_id", StringType()),
+    StructField("kind", StringType()),        # image|audio|video
+    StructField("payload", BinaryType()),
+    StructField("mime", StringType()),
+])
+
+IMAGE_FEATURES_SCHEMA = StructType([
+    StructField("media_id", StringType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("n_bytes", IntegerType()),
+    StructField("features", ArrayType(FloatType())),  # pooled embedding
+    StructField("status", StringType()),
+])
+
+
+def _decode_impl(payload: bytes, fake: bool):
+    """Decode image bytes -> (width, height, feature_vector).
+
+    STUB: real decode needs PIL/opencv (absent here).  The fake path
+    derives a deterministic pseudo-decode from the payload bytes so
+    shapes/batching are exercised end-to-end."""
+    if not fake:
+        raise NotImplementedError(
+            "image decode requires PIL/opencv; run with fake=True in "
+            "this container")
+    h = np.frombuffer(payload[:64].ljust(64, b"\0"), dtype=np.uint8)
+    width = int(64 + (int(h[0]) * 7) % 1920)
+    height = int(64 + (int(h[1]) * 7) % 1080)
+    feats = (h.astype(np.float32) / 255.0)[:16]
+    return width, height, feats
+
+
+def image_features(media: DataFrame, fake=True,
+                   batch_rows=64) -> DataFrame:
+    """mapInPandas feature extraction over binary image payloads.
+
+    Scale notes: Arrow batch is bounded small (images are MBs);
+    partitioning is inherited (decode is embarrassingly parallel);
+    failures isolate per row into status."""
+
+    def fn(batches: Iterator[pd.DataFrame]):
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "width", "height",
+                                   "n_bytes", "features", "status")}
+            for _, row in pdf.iterrows():
+                out["media_id"].append(row["media_id"])
+                payload = row["payload"]
+                n = len(payload) if payload is not None else 0
+                out["n_bytes"].append(n)
+                if payload is None or row["kind"] != "image":
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["features"].append(None)
+                    out["status"].append("skipped")
+                    continue
+                try:
+                    w, h, f = _decode_impl(bytes(payload), fake)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["features"].append([float(x) for x in f])
+                    out["status"].append("ok")
+                except NotImplementedError:
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["features"].append(None)
+                    out["status"].append("decoder_unavailable")
+            yield pd.DataFrame(out)
+
+    src = media.select("media_id", "kind", "payload")
+    return src.mapInPandas(fn, schema=IMAGE_FEATURES_SCHEMA)
+
+
+def synthetic_media(spark, n=100) -> DataFrame:
+    """Deterministic fake media table for tests."""
+    df = spark.range(n)
+    return df.select(
+        F.concat(F.lit("m"), F.col("id").cast("string")).alias("media_id"),
+        F.when(F.col("id") % 3 == 0, "audio").otherwise("image")
+         .alias("kind"),
+        F.encode(F.repeat(F.concat(F.lit("px"),
+                                   F.col("id").cast("string")), 32),
+                 "utf-8").alias("payload"),
+        F.lit("image/fake").alias("mime"))

@@ -22,10 +22,12 @@ from pyspark.sql import DataFrame, functions as F
 TEST_DIR = "/root/reference/Test"
 
 
-def synthetic_pages(spark, n_docs=1000, n_hosts=1000, seed=42) -> DataFrame:
+def synthetic_pages(spark, n_docs=1000, n_hosts=1000, seed=42,
+                    scale=1) -> DataFrame:
     """Deterministic pages DF.  Zipf-ish hosts: host rank r taken as
     floor(u^3 * n_hosts) of a uniform hash -> mass concentrates on
-    low ranks (hot hosts)."""
+    low ranks (hot hosts).  `scale` multiplies paragraph count
+    (document size; scale=12 gives crawl-like ~5-25 KB pages)."""
     df = spark.range(n_docs).withColumnRenamed("id", "i")
     h = F.abs(F.xxhash64(F.col("i") + F.lit(seed)))
     u = (h % 1000000) / 1000000.0
@@ -40,7 +42,7 @@ def synthetic_pages(spark, n_docs=1000, n_hosts=1000, seed=42) -> DataFrame:
                   ("en", "de", "fr", "es", "ru", "zh", "pt", "nl")]),
         (F.col("i") % 8 + 1).cast("int"))
 
-    n_paras = (h % 7 + 1).cast("int")
+    n_paras = ((h % 7 + 1) * scale).cast("int")
     # deterministic filler sentence, repeated n_paras times
     para = F.concat(
         F.lit("<p>Paragraph about topic "), (h % 97).cast("string"),

@@ -1,0 +1,134 @@
+"""Spark-layer integration tests: extraction, node queries, dedup,
+checkpoint/resume, streaming, multimodal plumbing.
+
+Marked slow-ish (one shared local session); scale-correctness of the
+full registry is covered by tools/check_correctness.py."""
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF), reason="testdata absent")
+
+
+def test_extract_golden_rows(spark):
+    """Reference Test/ corpus rows through the Spark extraction path:
+    status ok and per-url text matches a direct core parse."""
+    from packages_sgml_spark.spark.pages import golden_pages
+    from packages_sgml_spark.spark.extract import extract
+    from packages_sgml_spark.core.golden import parse_test_file
+    from packages_sgml_spark.core.dom import extract_text
+
+    pages = golden_pages(spark)
+    ex = extract(pages, dialect="sgml", nodes=False)
+    got = {r.url: r.text_extracted for r in ex.collect()}
+    assert len(got) >= 46
+    for fn in ("amp.sgml", "omit1.sgml", "utf8.xml", "layout.xml"):
+        dom, _ = parse_test_file("/root/reference/Test/" + fn)
+        assert got["test://sgml/" + fn] == extract_text(dom), fn
+
+
+def test_nodes_sibling_index(spark):
+    from packages_sgml_spark.spark.pages import docs_as_pages
+    from packages_sgml_spark.spark.extract import extract
+    from packages_sgml_spark.spark.nodes import (
+        explode_nodes, sibling_index, elements_named)
+
+    docs = spark.read.parquet(SF + "/documents.parquet").limit(20)
+    ex = extract(docs_as_pages(docs, links=True), dialect="html5")
+    nodes = explode_nodes(ex)
+    si = sibling_index(nodes)
+    links = si.filter(F.col("name") == "a")
+    row = links.groupBy("url").agg(
+        F.max("sib_index").alias("mx"),
+        F.max("sib_count").alias("ct")).collect()
+    for r in row:
+        assert r.mx == r.ct     # position() <= last() everywhere
+    assert elements_named(nodes, "title").count() == 20
+
+
+def test_checkpoint_resume(spark, tmp_path):
+    from packages_sgml_spark.spark.pages import docs_as_pages
+    from packages_sgml_spark.spark.checkpoint import (
+        run_extract_with_checkpoint)
+
+    docs = spark.read.parquet(SF + "/documents.parquet").limit(40)
+    pages = docs_as_pages(docs)
+    out = str(tmp_path / "sink")
+    n1, m1 = run_extract_with_checkpoint(pages, out, "run1")
+    assert n1 == 40
+    # second run: everything done -> 0 new rows, idempotent sink
+    n2, m2 = run_extract_with_checkpoint(pages, out, "run2")
+    assert n2 == 0
+    total = spark.read.parquet(out + "/text").count()
+    assert total == 40
+    mm = m2.filter(F.col("run_id") == "run1") \
+           .agg(F.sum("docs").alias("d")).collect()[0]
+    assert mm.d == 40
+
+
+def test_streaming_extract(spark, tmp_path):
+    from packages_sgml_spark.spark.pages import docs_as_pages
+    from packages_sgml_spark.spark.streaming import run_stream_to_memory
+
+    docs = spark.read.parquet(SF + "/documents.parquet").limit(25)
+    pages = docs_as_pages(docs)
+    in_dir = str(tmp_path / "in")
+    pages.write.parquet(in_dir)
+    schema = spark.read.parquet(in_dir).schema
+    res = run_stream_to_memory(spark, in_dir, schema, "q_stream_t")
+    assert res.count() == 25
+    assert res.filter(F.col("status") == "ok").count() == 25
+
+
+def test_streaming_windowed(spark):
+    from packages_sgml_spark.spark.streaming import windowed_event_counts
+    ev = spark.read.parquet(SF + "/events.parquet")
+    # batch semantics of the same expression (watermark is a no-op in
+    # batch mode): window starts align to the hour
+    out = windowed_event_counts(ev).collect()
+    assert all(r.window_start.minute == 0 for r in out)
+    assert sum(r.n_events for r in out) == ev.count()
+
+
+def test_multimodal_plumbing(spark):
+    from packages_sgml_spark.spark.multimodal import (
+        synthetic_media, image_features)
+    media = synthetic_media(spark, 30)
+    feats = image_features(media, fake=True)
+    rows = feats.collect()
+    assert len(rows) == 30
+    ok = [r for r in rows if r.status == "ok"]
+    skipped = [r for r in rows if r.status == "skipped"]
+    assert len(ok) == 20 and len(skipped) == 10   # audio rows skipped
+    assert all(len(r.features) == 16 for r in ok)
+    assert all(64 <= r.width < 1984 for r in ok)
+    # stub contract: real decode path raises cleanly
+    from packages_sgml_spark.spark.multimodal import _decode_impl
+    with pytest.raises(NotImplementedError):
+        _decode_impl(b"xx", fake=False)
+
+
+def test_minhash_finds_near_dups(spark):
+    """Planted near-duplicates are recovered by LSH + verified by
+    jaccard."""
+    from packages_sgml_spark.spark import dedup
+    base = ("the quick brown fox jumps over the lazy dog and runs "
+            "far away into the deep dark forest tonight")
+    rows = [(1, base), (2, base + " extra"), (3, "completely different "
+             "text about spark dataframes and shuffle partitions here")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dedup.minhash_lsh_pairs(docs)
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    assert (1, 2) in got
+    assert (1, 3) not in got and (2, 3) not in got
+    jac = dedup.ngram_jaccard(docs, pairs).collect()
+    for r in jac:
+        if (r.doc_a, r.doc_b) == (1, 2):
+            assert r.jaccard > 0.7
