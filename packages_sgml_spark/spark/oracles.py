@@ -232,3 +232,68 @@ r AS (SELECT q_id, n_id, cos,
 SELECT q_id, CAST(rank AS INT) AS rank, n_id, cos
 FROM r WHERE rank <= 5""",
 }
+
+
+def _lang_name_values():
+    from ..core.iso639 import ISO_639_1
+    return ", ".join("('%s', '%s')" % (k, v)
+                     for k, v in sorted(ISO_639_1.items()))
+
+
+ORACLES.update({
+    "local_supplier_volume": """
+SELECT r_name, n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                (CAST(1 AS DECIMAL(18,2)) -
+                 CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4))
+         AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+GROUP BY r_name, n_name""",
+
+    "sessionize": """
+WITH o AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL OR
+                   ts - lag(ts) OVER w >= INTERVAL 10 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o)
+SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6))
+         AS sum_value
+FROM s GROUP BY user_id, sid""",
+
+    "props_extract": """
+SELECT CAST(props->>'$.k' AS INT) AS k, COUNT(*) AS n
+FROM events
+WHERE CAST(props->>'$.k' AS INT) IS NOT NULL
+GROUP BY 1""",
+
+    "lang_name": """
+WITH lut(lang, lang_name) AS (VALUES %s)
+SELECT d.lang, lut.lang_name, COUNT(*) AS n_docs
+FROM documents d LEFT JOIN lut ON d.lang = lut.lang
+GROUP BY d.lang, lut.lang_name""" % _lang_name_values(),
+
+    "xsd_numbers": """
+WITH l AS (SELECT doc_id,
+  CASE WHEN doc_id % 5 = 0 THEN 'NaN'
+       WHEN doc_id % 5 = 1 THEN '-INF'
+       WHEN doc_id % 5 = 2 THEN '.' || CAST(doc_id % 100 AS VARCHAR)
+       WHEN doc_id % 5 = 3 THEN CAST(doc_id % 7 AS VARCHAR) || '.5e1'
+       ELSE CAST(doc_id % 1000 AS VARCHAR) END AS lex
+  FROM documents)
+SELECT doc_id, lex, round(CAST(lex AS DOUBLE), 6) AS value
+FROM l WHERE lex <> 'NaN'""",
+})

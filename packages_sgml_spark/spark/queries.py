@@ -281,3 +281,107 @@ QUERIES = {
     "knn_cosine": q_knn_cosine,
     "knn_lsh": q_knn_lsh,
 }
+
+
+# ---------------------------------------------------------------------
+# round-1 additions: multi-join, session windows, JSON props, iso639
+# ---------------------------------------------------------------------
+
+def q_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5-style 5-way join: revenue by nation/region where the
+    supplier's nation matches the customer's.  Broadcasts the small
+    dims; lineitem drives."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    j = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+         .join(F.broadcast(nation),
+               F.col("c_nationkey") == nation.n_nationkey)
+         .join(F.broadcast(region),
+               nation.n_regionkey == region.r_regionkey))
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)") *
+           (F.lit(1).cast("decimal(18,2)") -
+            F.col("l_discount").cast("decimal(18,2)")))
+    return (j.groupBy("r_name", "n_name")
+            .agg(F.sum(rev).cast("decimal(38,4)").alias("revenue"),
+                 F.count("*").alias("n_items")))
+
+
+def q_sessionize(spark, sf_dir):
+    """Session windows (gap 10 min) per user via F.session_window;
+    oracle replicates with lag+cumsum."""
+    ev = _t(spark, sf_dir, "events")
+    s = (ev.groupBy(F.session_window("ts", "10 minutes").alias("w"),
+                    "user_id")
+         .agg(F.count("*").alias("n_events"),
+              F.sum(F.col("value").cast("decimal(18,6)"))
+              .cast("decimal(38,6)").alias("sum_value")))
+    return s.select("user_id", F.col("w.start").alias("session_start"),
+                    "n_events", "sum_value")
+
+
+def q_props_extract(spark, sf_dir):
+    """JSON property extraction from the events.props column
+    (get_json_object -> pushdown-friendly scalar)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (ev.select("event_id", k.alias("k"))
+            .filter(F.col("k").isNotNull())
+            .groupBy("k").agg(F.count("*").alias("n")))
+
+
+def q_lang_name(spark, sf_dir):
+    """Broadcast dict join against the ISO-639 table
+    (iso_639/2 analog, SURVEY §2.9)."""
+    from ..core.iso639 import ISO_639_1
+    docs = _t(spark, sf_dir, "documents")
+    lut = spark.createDataFrame(sorted(ISO_639_1.items()),
+                                "lang string, lang_name string")
+    agg = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    return (agg.join(F.broadcast(lut), "lang", "left")
+            .select("lang", "lang_name", "n_docs"))
+
+
+def q_xsd_numbers(spark, sf_dir):
+    """XSD number lexical parsing (xsd.c:70-240 analog) over
+    synthesized lexical forms — vectorized via pandas UDF."""
+    ensure_workers(spark)
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def xsd_num(col: pd.Series) -> pd.Series:
+        from packages_sgml_spark.core.xsd import xsd_number
+        return col.map(lambda s: (lambda v: float(v)
+                                  if v is not None else None)(
+                                      xsd_number(s)))
+
+    docs = _t(spark, sf_dir, "documents")
+    lex = F.when(F.col("doc_id") % 5 == 0, F.lit("NaN")) \
+        .when(F.col("doc_id") % 5 == 1, F.lit("-INF")) \
+        .when(F.col("doc_id") % 5 == 2,
+              F.concat(F.lit("."), (F.col("doc_id") % 100)
+                       .cast("string"))) \
+        .when(F.col("doc_id") % 5 == 3,
+              F.concat((F.col("doc_id") % 7).cast("string"),
+                       F.lit(".5e1"))) \
+        .otherwise((F.col("doc_id") % 1000).cast("string"))
+    out = docs.select("doc_id", lex.alias("lex"))
+    return (out.withColumn("value", xsd_num("lex"))
+            .withColumn("value", F.round("value", 6))
+            .filter(F.col("lex") != "NaN"))   # NaN != NaN breaks hashing
+
+
+QUERIES.update({
+    "local_supplier_volume": q_local_supplier_volume,
+    "sessionize": q_sessionize,
+    "props_extract": q_props_extract,
+    "lang_name": q_lang_name,
+    "xsd_numbers": q_xsd_numbers,
+})
