@@ -149,3 +149,30 @@ def _attr_str(v):
     if isinstance(v, list):
         return " ".join(str(x) for x in v)
     return str(v)
+
+
+class QName:
+    """Namespace-qualified name under keep_prefix(true):
+    the reference's ns(Prefix,URI):Local term (sgml2pl.c:1024-1036).
+    prefix '' encodes 'no prefix' (default ns or xml*/xmlns names
+    whose URI slot holds the literal 'xml'/'xmlns')."""
+    __slots__ = ("prefix", "uri", "local")
+
+    def __init__(self, prefix, uri, local):
+        self.prefix = prefix or ""
+        self.uri = uri
+        self.local = local
+
+    def __repr__(self):
+        return "ns(%s,%s):%s" % (self.prefix, self.uri, self.local)
+
+    def __eq__(self, other):
+        return (isinstance(other, QName) and self.prefix == other.prefix
+                and self.uri == other.uri and self.local == other.local)
+
+    def __hash__(self):
+        return hash((self.prefix, self.uri, self.local))
+
+    def sort_key(self):
+        """Prolog standard order of ns(P,U):L (prefix, uri, local)."""
+        return (self.prefix, self.uri, self.local)

@@ -90,7 +90,7 @@ class ParserOptions:
                  case_sensitive_attributes=None,
                  case_preserving_attributes=None,
                  system_entities=False, quiet=False, file=None,
-                 resolver=None):
+                 keep_prefix=False, resolver=None):
         self.dialect = dialect
         self.qualify_attributes = qualify_attributes
         self.encoding = encoding
@@ -102,6 +102,7 @@ class ParserOptions:
         self.case_sensitive_attributes = case_sensitive_attributes
         self.case_preserving_attributes = case_preserving_attributes
         self.system_entities = system_entities
+        self.keep_prefix = keep_prefix
         self.quiet = quiet
         self.file = file
         self.resolver = resolver
@@ -164,6 +165,8 @@ class SGMLParser(DeclMixin):
             self.dtd.att_case_sensitive = opts.case_preserving_attributes
         if opts.system_entities:
             self.dtd.system_entities = True
+        if opts.keep_prefix:
+            self.dtd.keep_prefix = True
         self.max_errors = opts.max_errors
         self.quiet = opts.quiet
 
@@ -2211,14 +2214,19 @@ def _xmlns_find(self, prefix):
 
 def _xmlns_resolve_element(self, name):
     """Element name -> DOM name (sgml2pl.c:1014-1041 +
-    xmlns.c:210-266).  Sets env.thisns for attribute defaults."""
+    xmlns.c:210-266).  Sets env.thisns for attribute defaults.
+    With keep_prefix(true) returns a QName (ns(P,U):L analog)."""
+    from .dom import QName
     env = self.environments[-1] if self.environments else None
+    kp = self.dtd.keep_prefix
     if ':' in name:
         prefix, local = name.split(':', 1)
         url = self._xmlns_find(prefix)
         if url is not None:
             if env is not None:
                 env.thisns = (prefix, url)
+            if kp:
+                return QName(prefix, url, local)
             return "%s:%s" % (url, local) if url else local
         # undefined: url = prefix itself, defined implicitly
         if env is not None:
@@ -2227,30 +2235,44 @@ def _xmlns_resolve_element(self, name):
             env.xmlns.append((prefix, prefix))
             env.thisns = (prefix, prefix)
         self.gripe(*Gripes.existence("namespace", prefix))
+        if kp:
+            return QName(prefix, prefix, local)
         return "%s:%s" % (prefix, local)
     url = self._xmlns_find(None)
     if env is not None:
         env.thisns = (None, url) if url else None
     if url:
-        return "%s:%s" % (url, name)
+        return QName("", url, name) if kp else "%s:%s" % (url, name)
     return name
 
 
 def _xmlns_resolve_attr(self, name, qualify=False):
     """(xmlns.c:151-202): prefixed attrs resolve; unprefixed only
-    under qualify_attributes."""
+    under qualify_attributes.  keep_prefix -> QName."""
+    from .dom import QName
+    kp = self.dtd.keep_prefix
     if ':' in name:
         prefix, local = name.split(':', 1)
         if prefix.startswith("xml"):
+            # xml*/xmlns reserved: URI slot = literal prefix text,
+            # prefix slot empty (xmlns.c:166-171)
+            if kp:
+                return QName("", prefix, local)
             return "%s:%s" % (prefix, local)
         url = self._xmlns_find(prefix)
         if url is not None:
+            if kp:
+                return QName(prefix, url, local)
             return "%s:%s" % (url, local) if url else local
         self.gripe(*Gripes.existence("namespace", prefix))
+        if kp:
+            return QName("", prefix, local)
         return "%s:%s" % (prefix, local)
     if qualify and self.environments:
         env = self.environments[-1]
         if env.thisns and env.thisns[1]:
+            if kp:
+                return QName(env.thisns[0] or "", env.thisns[1], name)
             return "%s:%s" % (env.thisns[1], name)
     return name
 
