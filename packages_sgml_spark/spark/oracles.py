@@ -297,3 +297,8 @@ WITH l AS (SELECT doc_id,
 SELECT doc_id, lex, round(CAST(lex AS DOUBLE), 6) AS value
 FROM l WHERE lex <> 'NaN'""",
 })
+
+ORACLES["salted_source_stats"] = """
+SELECT source, COUNT(doc_id) AS n_docs, SUM(n_chars) AS sum_chars,
+       MAX(n_chars) AS max_chars
+FROM documents GROUP BY source"""

@@ -385,3 +385,19 @@ QUERIES.update({
     "lang_name": q_lang_name,
     "xsd_numbers": q_xsd_numbers,
 })
+
+
+def q_salted_source_stats(spark, sf_dir):
+    """Skew-salted two-stage aggregation (spark/skew.py): results
+    identical to a plain GROUP BY — which is exactly the oracle."""
+    from .skew import salted_agg
+    docs = _t(spark, sf_dir, "documents")
+    return salted_agg(
+        docs, ["source"],
+        {"n_docs": ("count", "doc_id"),
+         "sum_chars": ("sum", "n_chars"),
+         "max_chars": ("max", "n_chars")},
+        shards=8, entropy_col="doc_id")
+
+
+QUERIES["salted_source_stats"] = q_salted_source_stats
