@@ -13,6 +13,15 @@ from typing import Optional, Tuple
 
 from .chars import is_name_char
 
+
+def safe_chr(v: int) -> str:
+    """chr() with out-of-range codepoints clamped to U+FFFD (the
+    reference stores them in wide chars unchecked; Python str
+    cannot)."""
+    if 0 <= v <= 0x10FFFF:
+        return chr(v)
+    return "\ufffd"
+
 XML_ENTITY_DECLS = (
     'lt CDATA "&#60;"',
     'gt CDATA "&#62;"',

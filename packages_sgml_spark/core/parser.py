@@ -22,7 +22,7 @@ from . import model as M
 from .chars import is_blank_char, is_name_char, is_nmstart_char
 from .decls import DeclMixin
 from .dom import Element, SData, NData, PI
-from .entities import XML_ENTITY_DECLS, isee_character_entity
+from .entities import (XML_ENTITY_DECLS, isee_character_entity, safe_chr)
 from .errors import Gripes, ParseError, ERROR, STYLE
 from .states import (
     S_PCDATA, S_CDATA, S_RCDATA, S_MSCDATA, S_EMSCDATA1, S_EMSCDATA2,
@@ -90,7 +90,8 @@ class ParserOptions:
                  case_sensitive_attributes=None,
                  case_preserving_attributes=None,
                  system_entities=False, quiet=False, file=None,
-                 keep_prefix=False, resolver=None):
+                 keep_prefix=False, positions=False,
+                 resolver=None):
         self.dialect = dialect
         self.qualify_attributes = qualify_attributes
         self.encoding = encoding
@@ -103,6 +104,7 @@ class ParserOptions:
         self.case_preserving_attributes = case_preserving_attributes
         self.system_entities = system_entities
         self.keep_prefix = keep_prefix
+        self.positions = positions
         self.quiet = quiet
         self.file = file
         self.resolver = resolver
@@ -586,7 +588,7 @@ class SGMLParser(DeclMixin):
             self.utf8_char = (self.utf8_char << 6) | (cp & 0x3F)
             self.utf8_left -= 1
             if self.utf8_left == 0:
-                chr_ = chr(self.utf8_char)
+                chr_ = safe_chr(self.utf8_char)
                 self.state = self.utf8_saved_state
             else:
                 return
@@ -1305,15 +1307,21 @@ class SGMLParser(DeclMixin):
 
     def _emit_begin(self, e, atts):
         """Begin-element event with XMLNS name resolution
-        (sgml2pl.c:986-1041 put_element_name/put_attribute_name)."""
+        (sgml2pl.c:986-1041 put_element_name/put_attribute_name) and
+        optional position attr (put_tag_position, sgml2pl.c:1134-1149:
+        position=file:Start-End over the start-tag char span)."""
         if self.dtd.dialect == D.DL_XMLNS:
             name = self._xmlns_resolve_element(e.name)
             conv = [(self._xmlns_resolve_attr(
                         k, self.options.qualify_attributes), v)
                     for k, v in self.convert_attributes(atts)]
-            self.ev_begin(name, conv)
         else:
-            self.ev_begin(e.name, self.convert_attributes(atts))
+            name = e.name
+            conv = self.convert_attributes(atts)
+        if self.options.positions and self.base_file:
+            conv = conv + [("position", "%s:%d-%d" % (
+                self.base_file, self.startloc[2], self.charpos))]
+        self.ev_begin(name, conv)
 
     def update_space_mode(self, e, atts):
         """(parser.c:4218-4240)."""
@@ -1833,7 +1841,7 @@ class SGMLParser(DeclMixin):
                     if chr_ == 0:
                         self.gripe(*Gripes.syntax_error(
                             "Illegal character entity", s[i:]))
-                    out.append(chr(chr_))
+                    out.append(safe_chr(chr_))
                     i = j
                     continue
                 if i + 1 < n and is_nmstart_char(s[i + 1]):
@@ -1898,7 +1906,7 @@ class SGMLParser(DeclMixin):
             if v <= 0:
                 return self.gripe(*Gripes.syntax_error(
                     "Bad character entity", name))
-            self.cdata.append(chr(v))
+            self.cdata.append(safe_chr(v))
             return True
         dtd = self.dtd
         e = dtd.entities.get(name)
@@ -1927,11 +1935,12 @@ class SGMLParser(DeclMixin):
                 if chr_ == 0:
                     return self.gripe(*Gripes.syntax_error(
                         "Illegal character entity", text))
-                if self.blank_cdata and not is_blank_char(chr(chr_)):
+                c = safe_chr(chr_)
+                if self.blank_cdata and not is_blank_char(c):
                     self.cdata_must_be_empty = not self.open_element(
                         M.CDATA_ELEMENT, False)
                     self.blank_cdata = False
-                self.cdata.append(chr(chr_))
+                self.cdata.append(c)
                 return True
             if e.content == D.EC_SGML:
                 return self.process_entity_chars(e, text)

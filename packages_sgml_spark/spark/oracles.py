@@ -302,3 +302,62 @@ ORACLES["salted_source_stats"] = """
 SELECT source, COUNT(doc_id) AS n_docs, SUM(n_chars) AS sum_chars,
        MAX(n_chars) AS max_chars
 FROM documents GROUP BY source"""
+
+
+ORACLES["minhash_lsh_pairs"] = "WITH " + _SHINGLE_CTE + """,
+sig AS (SELECT doc_id, min(md5('0:' || shingle)) AS h0,
+       min(md5('1:' || shingle)) AS h1,
+       min(md5('2:' || shingle)) AS h2,
+       min(md5('3:' || shingle)) AS h3,
+       min(md5('4:' || shingle)) AS h4,
+       min(md5('5:' || shingle)) AS h5,
+       min(md5('6:' || shingle)) AS h6,
+       min(md5('7:' || shingle)) AS h7,
+       min(md5('8:' || shingle)) AS h8,
+       min(md5('9:' || shingle)) AS h9,
+       min(md5('10:' || shingle)) AS h10,
+       min(md5('11:' || shingle)) AS h11 FROM u GROUP BY doc_id),
+banded AS (
+  SELECT doc_id, 0 AS band, md5(h0 || '|' || h1 || '|' || h2) AS key FROM sig UNION ALL
+  SELECT doc_id, 1 AS band, md5(h3 || '|' || h4 || '|' || h5) AS key FROM sig UNION ALL
+  SELECT doc_id, 2 AS band, md5(h6 || '|' || h7 || '|' || h8) AS key FROM sig UNION ALL
+  SELECT doc_id, 3 AS band, md5(h9 || '|' || h10 || '|' || h11) AS key FROM sig)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id"""
+
+ORACLES["ngram_jaccard"] = "WITH " + _SHINGLE_CTE + """,
+sig AS (SELECT doc_id, min(md5('0:' || shingle)) AS h0,
+       min(md5('1:' || shingle)) AS h1,
+       min(md5('2:' || shingle)) AS h2,
+       min(md5('3:' || shingle)) AS h3,
+       min(md5('4:' || shingle)) AS h4,
+       min(md5('5:' || shingle)) AS h5,
+       min(md5('6:' || shingle)) AS h6,
+       min(md5('7:' || shingle)) AS h7,
+       min(md5('8:' || shingle)) AS h8,
+       min(md5('9:' || shingle)) AS h9,
+       min(md5('10:' || shingle)) AS h10,
+       min(md5('11:' || shingle)) AS h11 FROM u GROUP BY doc_id),
+banded AS (
+  SELECT doc_id, 0 AS band, md5(h0 || '|' || h1 || '|' || h2) AS key FROM sig UNION ALL
+  SELECT doc_id, 1 AS band, md5(h3 || '|' || h4 || '|' || h5) AS key FROM sig UNION ALL
+  SELECT doc_id, 2 AS band, md5(h6 || '|' || h7 || '|' || h8) AS key FROM sig UNION ALL
+  SELECT doc_id, 3 AS band, md5(h9 || '|' || h10 || '|' || h11) AS key FROM sig),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+inter AS (
+  SELECT p.doc_a, p.doc_b, COUNT(*) AS n_inter
+  FROM pairs p
+  JOIN u ua ON ua.doc_id = p.doc_a
+  JOIN u ub ON ub.doc_id = p.doc_b AND ub.shingle = ua.shingle
+  GROUP BY p.doc_a, p.doc_b),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM u GROUP BY doc_id)
+SELECT i.doc_a, i.doc_b,
+       round(CAST(i.n_inter AS DOUBLE) /
+             (sa.n_sh + sb.n_sh - i.n_inter), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b"""

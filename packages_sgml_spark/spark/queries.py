@@ -401,3 +401,14 @@ def q_salted_source_stats(spark, sf_dir):
 
 
 QUERIES["salted_source_stats"] = q_salted_source_stats
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """LSH candidates verified with exact shingle Jaccard (the
+    standard two-stage near-dup pipeline)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs)
+    return dedup.ngram_jaccard(docs, pairs)
+
+
+QUERIES["ngram_jaccard"] = q_ngram_jaccard

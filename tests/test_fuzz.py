@@ -1,0 +1,57 @@
+"""Robustness properties (hypothesis): at crawl scale the parser sees
+every byte sequence that exists; it must never raise and always
+terminate with a DOM + error list."""
+
+from hypothesis import given, settings, strategies as st
+
+from packages_sgml_spark.core.dom import extract_text
+from packages_sgml_spark.core.parser import parse_document
+from packages_sgml_spark.core.serialize import write_dom
+
+DIALECTS = ("sgml", "xml", "html5", "xmlns")
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=400),
+       st.sampled_from(DIALECTS))
+def test_never_raises_on_bytes(data, dialect):
+    dom, errors = parse_document(data, dialect=dialect)
+    extract_text(dom)
+    write_dom(dom, dialect=dialect)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet="<>&;/=\"' abc\n\r\t[]!-#?%", max_size=300),
+       st.sampled_from(DIALECTS))
+def test_never_raises_on_markup_soup(text, dialect):
+    dom, errors = parse_document(text.encode("utf-8"), dialect=dialect)
+    extract_text(dom)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(max_size=200))
+def test_text_roundtrip_through_element(text):
+    """Any text wrapped in an element survives parse -> extract
+    byte-identically (entity-escaping '&'/'<' like the pipeline
+    does), modulo the reference's newline normalisation."""
+    payload = text.replace("&", "&amp;").replace("<", "&lt;")
+    doc = ("<d>" + payload + "</d>").encode("utf-8")
+    dom, _ = parse_document(doc, dialect="xml")
+    got = extract_text(dom)
+    want = (text.replace("\r\n", "\n")
+            .replace("\x00", "\x00"))  # parser keeps NUL in PCDATA
+    # XML preserve mode: content is byte-identical except CRLF->LF
+    # (add_cdata, parser.c:4769-4796) and a file-final LF/CR dance
+    # (sgml2pl.c:2185-2201) that can drop one trailing newline char
+    if got != want:
+        assert got == want.rstrip("\r\n") or \
+            want.endswith("\r") and got == want[:-1] + "\n", \
+            (got, want)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(1, 60))
+def test_deep_nesting_terminates(depth):
+    doc = (b"<x>" * depth) + b"t" + (b"</x>" * depth)
+    dom, _ = parse_document(doc, dialect="xml")
+    assert extract_text(dom) == "t"
