@@ -170,6 +170,8 @@ class DTD:
         self.number_mode_integer = False     # NU_TOKEN default
         self.keep_prefix = False
         self.has_inex = False    # any +(..)/-(..)
+        self._tag_memo = {}      # decl-string -> parsed tag (parser.py)
+        self._setup_done = False  # set_dialect ran at least once
 
         self.encoding = "iso-8859-1"
 

@@ -222,7 +222,15 @@ class SGMLParser(DeclMixin):
     def set_dialect(self, name):
         dialect = D.DIALECT_NAMES[name]
         dtd = self.dtd
+        if dtd.dialect == dialect and dtd._setup_done:
+            # no-op like the reference (parser.c:1257 guard); keeps
+            # the shared DTD's tag memo warm across documents
+            self.utf8_decode = dtd.encoding == "utf-8"
+            return
         dtd.dialect = dialect
+        dtd._setup_done = True
+        # flags changed: cached parsed tags may embed dialect behaviour
+        dtd._tag_memo = {} if dialect != D.DL_XMLNS else None
         if dialect in (D.DL_SGML, D.DL_HTML, D.DL_HTML5):
             if dialect == D.DL_HTML5:
                 dtd.encoding = "utf-8"
@@ -1207,10 +1215,15 @@ class SGMLParser(DeclMixin):
 
     def process_declaration(self, decl):
         if self.dmode != DM_DTD:
+            memo = self.dtd._tag_memo
+            if memo is not None:
+                entry = memo.get(decl)
+                if entry is not None:
+                    return self._replay_tag(entry)
             if decl.startswith('/'):
-                return self.process_end_element(decl[1:])
+                return self.process_end_element(decl[1:], memo_key=decl)
             if decl and is_name_char(decl[0]):
-                return self.process_begin_element(decl)
+                return self.process_begin_element(decl, memo_key=decl)
         if decl.startswith('!'):
             s = decl[1:]
             for kw, fn in (
@@ -1243,8 +1256,28 @@ class SGMLParser(DeclMixin):
     # begin / end element (parser.c:3499-3641)
     # ------------------------------------------------------------------
 
-    def process_begin_element(self, decl):
+    def _replay_tag(self, entry):
+        """Replay a memoized gripe-free tag parse (same event
+        sequence as the full path; attr values are doc-independent
+        so sharing the parsed list is exact)."""
+        if entry[0] == 'b':
+            _k, e, atts, empty_el, conref = entry
+            self.open_element(e, True)
+            if self.dtd.dialect in D.XML_DIALECTS:
+                self.update_space_mode(e, atts)
+            self._emit_begin(e, atts)
+            if empty_el:
+                self.close_element(e, conref)
+                if conref:
+                    self.cdata_state = self.state = S_PCDATA
+            return True
+        e = entry[1]
+        self.emit_cdata(last=True)
+        return self.close_element(e, False)
+
+    def process_begin_element(self, decl, memo_key=None):
         dtd = self.dtd
+        err0 = (self.error_count, len(self.errors))
         r = self.itake_name(decl, 0)
         if r is None:
             return self.gripe(*Gripes.syntax_error(
@@ -1288,6 +1321,12 @@ class SGMLParser(DeclMixin):
             empty_element = e
         else:
             empty_element = None
+        memo = dtd._tag_memo
+        if (memo_key is not None and memo is not None and
+                err0 == (self.error_count, len(self.errors)) and
+                len(memo) < 8192):
+            memo[memo_key] = ('b', e, atts, empty_element is not None,
+                              conref)
         self._emit_begin(e, atts)
         if empty_element is not None:
             self.close_element(e, conref)
@@ -1295,11 +1334,16 @@ class SGMLParser(DeclMixin):
                 self.cdata_state = self.state = S_PCDATA
         return True
 
-    def process_end_element(self, decl):
+    def process_end_element(self, decl, memo_key=None):
         self.emit_cdata(last=True)
         r = self.itake_name(decl, 0)
         if r is not None and r[1] >= len(decl):
-            return self.close_element(self.dtd.find_element(r[0]), False)
+            e = self.dtd.find_element(r[0])
+            memo = self.dtd._tag_memo
+            if memo_key is not None and memo is not None and \
+                    len(memo) < 8192:
+                memo[memo_key] = ('e', e)
+            return self.close_element(e, False)
         if self.dtd.shorttag and decl == '':
             return self.close_current_element()
         return self.gripe(*Gripes.syntax_error(
@@ -2290,3 +2334,30 @@ SGMLParser.update_xmlns = _xmlns_update
 SGMLParser._xmlns_find = _xmlns_find
 SGMLParser._xmlns_resolve_element = _xmlns_resolve_element
 SGMLParser._xmlns_resolve_attr = _xmlns_resolve_attr
+
+
+class TextOnlyParser(SGMLParser):
+    """Extraction fast path: accumulates character data only, skipping
+    DOM construction and attribute conversion (used by the Spark
+    extract operator when neither nodes nor dom_json are requested).
+    Event order and space-mode semantics are identical — only the
+    event sinks differ."""
+
+    def __init__(self, options=None, dtd=None):
+        super().__init__(options, dtd)
+        self.text_parts = []
+
+    def _emit_begin(self, e, atts):
+        pass
+
+    def ev_end(self, name):
+        pass
+
+    def ev_data(self, kind, text):
+        self.text_parts.append(text)
+
+    def ev_pi(self, text):
+        pass
+
+    def text(self):
+        return "".join(self.text_parts)

@@ -24,7 +24,7 @@ from pyspark.sql.types import (
     StructType)
 
 from ..core.dom import dom_to_json, extract_text, flatten_nodes
-from ..core.parser import ParserOptions, SGMLParser
+from ..core.parser import ParserOptions, SGMLParser, TextOnlyParser
 
 NODE_TYPE = StructType([
     StructField("node_id", IntegerType()),
@@ -64,6 +64,13 @@ def _parse_one(html, dialect, want_dom_json, want_nodes):
                          else 50)
     if dialect.startswith(("html", "xhtml")):
         opts.quiet = False
+    if not want_dom_json and not want_nodes:
+        # text-only fast path: no DOM construction
+        p = TextOnlyParser(opts)
+        _dom, errors = p.parse(html)
+        errs = [{"severity": e.severity, "line": e.line,
+                 "message": e.message} for e in errors]
+        return p.text(), None, None, errs
     p = SGMLParser(opts)
     dom, errors = p.parse(html)
     text = extract_text(dom)
