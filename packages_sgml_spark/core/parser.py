@@ -91,7 +91,7 @@ class ParserOptions:
                  case_preserving_attributes=None,
                  system_entities=False, quiet=False, file=None,
                  keep_prefix=False, positions=False,
-                 resolver=None):
+                 catalog=None, resolver=None):
         self.dialect = dialect
         self.qualify_attributes = qualify_attributes
         self.encoding = encoding
@@ -105,6 +105,7 @@ class ParserOptions:
         self.system_entities = system_entities
         self.keep_prefix = keep_prefix
         self.positions = positions
+        self.catalog = catalog
         self.quiet = quiet
         self.file = file
         self.resolver = resolver
@@ -1490,6 +1491,15 @@ class SGMLParser(DeclMixin):
             if memo is not None and memo[0] is env.state:
                 env.state = memo[1]
                 return True
+        if (not self.environments and self.dtd.doctype is None and
+                e is not M.CDATA_ELEMENT and self.options.catalog):
+            # catalog auto-load on first element (parser.c:2920-2939):
+            # no DOCTYPE seen, first tag names a known doctype
+            dtd_text = self.options.catalog.get(e.name)
+            if dtd_text is not None:
+                self.gripe(*Gripes.no_doctype(e.name, e.name + ".dtd"))
+                self.load_dtd_text(dtd_text)
+                self.dtd.doctype = e.name
         if not self.environments and self.enforce_outer_element:
             f = self.dtd.find_element(self.enforce_outer_element)
             if f is not None and f is not e:

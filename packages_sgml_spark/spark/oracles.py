@@ -361,3 +361,16 @@ SELECT i.doc_a, i.doc_b,
 FROM inter i
 JOIN sizes sa ON sa.doc_id = i.doc_a
 JOIN sizes sb ON sb.doc_id = i.doc_b"""
+
+ORACLES["embedding_dups"] = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+           FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_dot_product(a.emb, b.emb) /
+             (sqrt(list_dot_product(a.emb, a.emb)) *
+              sqrt(list_dot_product(b.emb, b.emb))), 6) AS cos
+FROM e a, e b
+WHERE a.vec_id < b.vec_id
+  AND round(list_dot_product(a.emb, b.emb) /
+            (sqrt(list_dot_product(a.emb, a.emb)) *
+             sqrt(list_dot_product(b.emb, b.emb))), 6) >= 0.2"""

@@ -412,3 +412,16 @@ def q_ngram_jaccard(spark, sf_dir):
 
 
 QUERIES["ngram_jaccard"] = q_ngram_jaccard
+
+
+def q_embedding_dups(spark, sf_dir):
+    """Exact embedding-cosine near-dup pairs (threshold 0.2 — the
+    synthetic vectors are near-orthogonal, so a low threshold keeps
+    the result non-trivial)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    emb = emb.withColumn("embedding",
+                         F.col("embedding").cast("array<double>"))
+    return similarity.embedding_near_dups(emb, threshold=0.2)
+
+
+QUERIES["embedding_dups"] = q_embedding_dups

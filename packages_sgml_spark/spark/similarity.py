@@ -86,3 +86,34 @@ def knn_lsh(emb: DataFrame, query_ids, dim, k=5, n_planes=6) -> DataFrame:
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("q_id", "rank", "n_id", "cos"))
+
+
+def embedding_near_dups(emb: DataFrame, threshold=0.95,
+                        use_lsh=False, dim=64, n_planes=6) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (vec_a < vec_b,
+    cos >= threshold).
+
+    use_lsh=False: exact all-pairs (the verification/oracle path —
+    quadratic, fine for gate-scale).  use_lsh=True: candidate pairs
+    only within LSH buckets (the 100 TB path; recall < 1, cost drops
+    from n^2 to sum of bucket^2)."""
+    a = emb.select(F.col("vec_id").alias("vec_a"),
+                   F.col("embedding").alias("emb_a"))
+    b = emb.select(F.col("vec_id").alias("vec_b"),
+                   F.col("embedding").alias("emb_b"))
+    if use_lsh:
+        sig = lsh_signature(emb, dim, n_planes)
+        a = sig.select(F.col("vec_id").alias("vec_a"),
+                       F.col("embedding").alias("emb_a"),
+                       F.col("bucket").alias("bucket_a"))
+        b = sig.select(F.col("vec_id").alias("vec_b"),
+                       F.col("embedding").alias("emb_b"),
+                       F.col("bucket").alias("bucket_b"))
+        joined = a.join(b, (F.col("bucket_a") == F.col("bucket_b")) &
+                        (F.col("vec_a") < F.col("vec_b")))
+    else:
+        joined = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    scored = joined.select(
+        "vec_a", "vec_b",
+        F.round(cosine("emb_a", "emb_b"), 6).alias("cos"))
+    return scored.filter(F.col("cos") >= threshold)
