@@ -91,7 +91,8 @@ class ParserOptions:
                  case_preserving_attributes=None,
                  system_entities=False, quiet=False, file=None,
                  keep_prefix=False, positions=False,
-                 catalog=None, resolver=None):
+                 catalog=None, content_length=None,
+                 resolver=None):
         self.dialect = dialect
         self.qualify_attributes = qualify_attributes
         self.encoding = encoding
@@ -106,6 +107,7 @@ class ParserOptions:
         self.keep_prefix = keep_prefix
         self.positions = positions
         self.catalog = catalog
+        self.content_length = content_length
         self.quiet = quiet
         self.file = file
         self.resolver = resolver
@@ -353,6 +355,9 @@ class SGMLParser(DeclMixin):
             text = bytes(data).decode("latin-1")
         else:
             text = data
+        if self.options.content_length is not None:
+            # content_length(N) option (sgml2pl.c:2174-2183)
+            text = text[: self.options.content_length]
         # EOF newline handling (sgml2pl.c:2185-2201): a file ending in
         # LF feeds CR instead; a file ending in a normal char feeds an
         # extra CR.  The trailing CR is dropped again at end_document

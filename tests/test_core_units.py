@@ -93,3 +93,42 @@ def test_max_errors_stop():
     p = SGMLParser(ParserOptions(dialect='xml', max_errors=0))
     dom, errs = p.parse(b'<a>&undefined;&undefined2;</a>')
     assert len(errs) >= 1
+
+
+def test_names_module():
+    from packages_sgml_spark.core.names import xml_name, iri_xml_namespace
+    assert xml_name("foo") and xml_name("f-o.o") and xml_name("_x")
+    assert not xml_name("1x") and not xml_name("") and not xml_name("a b")
+    assert iri_xml_namespace("http://ex.org/ns#local") == \
+        ("http://ex.org/ns#", "local")
+    assert iri_xml_namespace("http://ex.org/ns/name") == \
+        ("http://ex.org/ns/", "name")
+
+
+def test_content_length():
+    dom, _ = parse_document(b'<a>hello</a><b>junk', dialect='xml',
+                            content_length=12)
+    assert dom == [Element('a', [], ['hello'])]
+
+
+def test_catalog_autoload():
+    cat = {'doc': '<!ELEMENT doc - - (item+)> <!ELEMENT item - O (#PCDATA)>'}
+    dom, errs = parse_document(b'<doc><item>a<item>b</doc>',
+                               dialect='sgml', catalog=cat)
+    assert dom[0].name == 'doc' and len(dom[0].content) == 2
+
+
+def test_esis_dump():
+    from packages_sgml_spark.core.esis import esis_dump
+    out = esis_dump(b'<a x="1">t<b/>u</a>', dialect='xml')
+    lines = out.splitlines()
+    assert lines[0] == 'Ax CDATA 1'
+    assert lines[1] == '(a'
+    assert '-t' in lines and ')a' in lines and lines[-1] == 'C'
+
+
+def test_iso639():
+    from packages_sgml_spark.core.iso639 import language_name
+    assert language_name('en') == 'english'
+    assert language_name('DEU') == 'german'
+    assert language_name('xx') is None
