@@ -92,7 +92,7 @@ class ParserOptions:
                  system_entities=False, quiet=False, file=None,
                  keep_prefix=False, positions=False,
                  catalog=None, content_length=None,
-                 resolver=None):
+                 stop_at=None, resolver=None):
         self.dialect = dialect
         self.qualify_attributes = qualify_attributes
         self.encoding = encoding
@@ -108,6 +108,7 @@ class ParserOptions:
         self.positions = positions
         self.catalog = catalog
         self.content_length = content_length
+        self.stop_at = stop_at
         self.quiet = quiet
         self.file = file
         self.resolver = resolver
@@ -217,6 +218,8 @@ class SGMLParser(DeclMixin):
         self.error_count = 0
         self.dom = []               # top-level content list
         self._stack = []            # open Element nodes (DOM builder)
+        self.stopped = False        # stop-at condition hit
+                                    # (sgml2pl SA_* stop conditions)
 
     # ------------------------------------------------------------------
     # dialect / encoding (parser.c:1256-1298, 3807-3849)
@@ -294,6 +297,10 @@ class SGMLParser(DeclMixin):
     def ev_end(self, name):
         if self._stack:
             self._stack.pop()
+        if not self._stack and self.options.stop_at == "element":
+            # parse(element): stop after the first complete element
+            # (sgml2pl.c SA_ELEMENT, :1304-1310)
+            self.stopped = True
 
     def ev_data(self, kind, text):
         if kind == "cdata":
@@ -368,7 +375,10 @@ class SGMLParser(DeclMixin):
             text = text + CR
         try:
             self.process_chars_toplevel(text)
-            self.end_document()
+            if not self.stopped:
+                # a stopped parse skips EOF processing
+                # (sgml2pl.c:2216-2221 goto out)
+                self.end_document()
         except StopParse:
             pass
         return self.dom, self.errors
@@ -386,6 +396,8 @@ class SGMLParser(DeclMixin):
         n = len(text)
         i = 0
         while i < n:
+            if self.stopped:
+                return
             state = self.state
             if state == S_PCDATA:
                 if (self.map is None and self.dmode == DM_DATA and

@@ -132,3 +132,31 @@ def test_iso639():
     assert language_name('en') == 'english'
     assert language_name('DEU') == 'german'
     assert language_name('xx') is None
+
+
+def test_stop_at_element():
+    dom, _ = parse_document(b'<a>one</a><b>two</b>', dialect='xml',
+                            stop_at='element')
+    assert dom == [Element('a', [], ['one'])]
+
+
+def test_textonly_matches_dom_parser_on_corpus():
+    import os
+    from packages_sgml_spark.core.parser import (
+        TextOnlyParser, SGMLParser, ParserOptions)
+    from packages_sgml_spark.core.dom import extract_text
+    td = '/root/reference/Test'
+    if not os.path.isdir(td):
+        return
+    for fn in sorted(os.listdir(td)):
+        if not fn.endswith(('.sgml', '.xml')):
+            continue
+        dialect = 'sgml' if fn.endswith('.sgml') else 'xml'
+        data = open(os.path.join(td, fn), 'rb').read()
+        p1 = SGMLParser(ParserOptions(dialect=dialect, encoding='utf-8',
+                                      quiet=True))
+        dom, _ = p1.parse(data)
+        p2 = TextOnlyParser(ParserOptions(dialect=dialect,
+                                          encoding='utf-8', quiet=True))
+        p2.parse(data)
+        assert p2.text() == extract_text(dom), fn
