@@ -105,40 +105,45 @@ def extract_text(content: List[Node]) -> str:
 def flatten_nodes(content: List[Node]):
     """Flatten DOM into node rows for the Spark node table
     (design in SURVEY.md §1.3): (node_id, parent_id, ord, kind, name,
-    attrs, text)."""
+    attrs, text, subtree_end).  node_id is pre-order, so the subtree
+    of an element is exactly node_id..subtree_end-1 — the descendant
+    axis becomes a range predicate (no recursive joins)."""
     rows = []
 
     def walk(n, parent_id, ord_):
         nid = len(rows)
         if isinstance(n, Element):
-            rows.append({
+            row = {
                 "node_id": nid, "parent_id": parent_id, "ord": ord_,
-                "kind": "element", "name": n.name,
-                "attrs": {k: _attr_str(v) for k, v in n.attrs},
-                "text": None,
-            })
+                "kind": "element", "name": _name_str(n.name),
+                "attrs": {_name_str(k): _attr_str(v)
+                          for k, v in n.attrs},
+                "text": None, "subtree_end": None,
+            }
+            rows.append(row)
             for i, c in enumerate(n.content):
                 walk(c, nid, i)
+            row["subtree_end"] = len(rows)
         elif isinstance(n, str):
             rows.append({"node_id": nid, "parent_id": parent_id, "ord": ord_,
                          "kind": "text", "name": None, "attrs": None,
-                         "text": n})
+                         "subtree_end": None, "text": n})
         elif isinstance(n, SData):
             rows.append({"node_id": nid, "parent_id": parent_id, "ord": ord_,
                          "kind": "sdata", "name": None, "attrs": None,
-                         "text": n.text})
+                         "subtree_end": None, "text": n.text})
         elif isinstance(n, NData):
             rows.append({"node_id": nid, "parent_id": parent_id, "ord": ord_,
                          "kind": "ndata", "name": None, "attrs": None,
-                         "text": n.text})
+                         "subtree_end": None, "text": n.text})
         elif isinstance(n, PI):
             rows.append({"node_id": nid, "parent_id": parent_id, "ord": ord_,
                          "kind": "pi", "name": None, "attrs": None,
-                         "text": n.text})
+                         "subtree_end": None, "text": n.text})
         elif isinstance(n, Entity):
             rows.append({"node_id": nid, "parent_id": parent_id, "ord": ord_,
                          "kind": "entity", "name": str(n.name), "attrs": None,
-                         "text": None})
+                         "subtree_end": None, "text": None})
 
     for i, n in enumerate(content):
         walk(n, -1, i)
@@ -149,6 +154,10 @@ def _attr_str(v):
     if isinstance(v, list):
         return " ".join(str(x) for x in v)
     return str(v)
+
+
+def _name_str(n):
+    return n if isinstance(n, str) else str(n)
 
 
 class QName:

@@ -34,6 +34,7 @@ NODE_TYPE = StructType([
     StructField("name", StringType()),
     StructField("attrs", MapType(StringType(), StringType())),
     StructField("text", StringType()),
+    StructField("subtree_end", IntegerType()),
 ])
 
 ERROR_TYPE = StructType([
@@ -87,13 +88,14 @@ def extract_batch_iter(batches: Iterator[pd.DataFrame], dialect_default,
         out = {k: [] for k in ("url", "text_extracted", "dom_json", "nodes",
                                "parse_errors", "n_nodes", "n_errors",
                                "html_bytes", "status")}
-        urls = pdf["url"]
-        htmls = pdf["html"]
-        dialects = pdf["dialect"] if "dialect" in pdf.columns else None
-        for i in range(len(pdf)):
-            url = urls.iloc[i]
-            html = htmls.iloc[i]
-            dialect = (dialects.iloc[i] if dialects is not None
+        urls = pdf["url"].tolist()
+        htmls = pdf["html"].tolist()
+        dialects = (pdf["dialect"].tolist()
+                    if "dialect" in pdf.columns else None)
+        for i in range(len(urls)):
+            url = urls[i]
+            html = htmls[i]
+            dialect = (dialects[i] if dialects is not None
                        else dialect_default) or dialect_default
             out["url"].append(url)
             nbytes = len(html) if html is not None else 0

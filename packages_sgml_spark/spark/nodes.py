@@ -17,7 +17,7 @@ def explode_nodes(extracted: DataFrame) -> DataFrame:
     return (extracted
             .select("url", F.explode("nodes").alias("n"))
             .select("url", "n.node_id", "n.parent_id", "n.ord", "n.kind",
-                    "n.name", "n.attrs", "n.text"))
+                    "n.name", "n.attrs", "n.text", "n.subtree_end"))
 
 
 def elements_named(nodes: DataFrame, name) -> DataFrame:
@@ -50,54 +50,22 @@ def child_text(nodes: DataFrame) -> DataFrame:
     return agg
 
 
-def subtree_text(nodes: DataFrame) -> DataFrame:
-    """Full descendant text per element (xpath.pl:584-620 `text`):
-    computed by joining every text node to all its ancestors via an
-    iterative parent-chain expansion.
+def named_subtree_text(nodes: DataFrame, name) -> DataFrame:
+    """Text of all descendants of each //name element
+    (xpath.pl:584-620 `text`).
 
-    Scale note: depth-bounded loop of broadcast-free self-joins; each
-    iteration is a shuffle on node_id.  For the common "text of one
-    named element" ask, prefer `named_subtree_text` which prunes to
-    matching roots first (far smaller join)."""
-    # ancestors via iterative join is expensive; for the node table we
-    # instead recompute per-document in the extraction UDF when deep
-    # subtree text is required.  Here: document-order concat per root
-    # child (sufficient for single-rooted docs).
-    raise NotImplementedError(
-        "use named_subtree_text(nodes, name) or extract(text=True)")
-
-
-def named_subtree_text(nodes: DataFrame, name, max_depth=12) -> DataFrame:
-    """Text of all descendants of each //name element.
-
-    Implementation: BFS from the matching element ids, max_depth
-    levels of child-join (each a key-partitioned equi-join on
-    (url, parent_id) — no broadcast needed; AQE handles skew), then
-    order text nodes by their node_id (pre-order == document order)."""
+    node_id is pre-order and subtree_end marks one-past-the-last
+    descendant, so "descendant" is a range predicate: a single
+    url-partitioned join (no recursion, no iteration).  AQE sizes
+    the shuffle; per-url fan-out is bounded by document size."""
     roots = (elements_named(nodes, name)
              .select("url", F.col("node_id").alias("root_id"),
-                     F.col("node_id").alias("frontier_id")))
-    members = roots.select("url", "root_id",
-                           F.col("frontier_id").alias("node_id"))
-    frontier = roots
-    children = nodes.select("url", F.col("parent_id").alias("join_pid"),
-                            F.col("node_id").alias("child_id"))
-    for _ in range(max_depth):
-        nxt = (frontier.join(
-            children,
-            (frontier.url == children.url) &
-            (frontier.frontier_id == children.join_pid))
-            .select(frontier.url, "root_id",
-                    F.col("child_id").alias("frontier_id")))
-        if not nxt.take(1):
-            break
-        members = members.union(
-            nxt.select("url", "root_id",
-                       F.col("frontier_id").alias("node_id")))
-        frontier = nxt
-    texts = nodes.filter(F.col("kind").isin("text", "sdata", "ndata")) \
-                 .select("url", "node_id", "text")
-    joined = members.join(texts, ["url", "node_id"])
+                     F.col("subtree_end").alias("root_end")))
+    texts = (nodes.filter(F.col("kind").isin("text", "sdata", "ndata"))
+             .select("url", "node_id", "text"))
+    joined = roots.join(texts, "url") \
+        .filter((F.col("node_id") > F.col("root_id")) &
+                (F.col("node_id") < F.col("root_end")))
     return (joined.groupBy("url", "root_id")
             .agg(F.concat_ws(
                 "", F.transform(

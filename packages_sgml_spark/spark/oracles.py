@@ -374,3 +374,6 @@ WHERE a.vec_id < b.vec_id
   AND round(list_dot_product(a.emb, b.emb) /
             (sqrt(list_dot_product(a.emb, a.emb)) *
              sqrt(list_dot_product(b.emb, b.emb))), 6) >= 0.2"""
+
+ORACLES["subtree_text"] = """
+SELECT doc_id, text AS text_subtree FROM documents WHERE text <> ''"""

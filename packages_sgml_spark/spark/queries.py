@@ -425,3 +425,20 @@ def q_embedding_dups(spark, sf_dir):
 
 
 QUERIES["embedding_dups"] = q_embedding_dups
+
+
+def q_subtree_text(spark, sf_dir):
+    """//body descendant text via the pre-order range join
+    (nodes.named_subtree_text)."""
+    ensure_workers(spark)
+    from .nodes import named_subtree_text
+    docs = _t(spark, sf_dir, "documents")
+    ex = extract(docs_as_pages(docs), dialect="html5", nodes=True)
+    nodes = explode_nodes(ex)
+    st = named_subtree_text(nodes, "body")
+    return st.select(
+        F.substring("url", 7, 32).cast("bigint").alias("doc_id"),
+        F.col("text_subtree"))
+
+
+QUERIES["subtree_text"] = q_subtree_text

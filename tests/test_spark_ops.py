@@ -132,3 +132,22 @@ def test_minhash_finds_near_dups(spark):
     for r in jac:
         if (r.doc_a, r.doc_b) == (1, 2):
             assert r.jaccard > 0.7
+
+
+def test_named_subtree_text(spark):
+    from packages_sgml_spark.spark.pages import docs_as_pages
+    from packages_sgml_spark.spark.extract import extract
+    from packages_sgml_spark.spark.nodes import (
+        explode_nodes, named_subtree_text)
+    docs = spark.read.parquet(SF + "/documents.parquet").limit(15)
+    ex = extract(docs_as_pages(docs), dialect="html5")
+    nodes = explode_nodes(ex)
+    st = named_subtree_text(nodes, "body")
+    rows = {r.url: r.text_subtree for r in st.collect()}
+    full = {r.url: r.text_extracted
+            for r in ex.select("url", "text_extracted").collect()}
+    assert len(rows) == 15
+    for url, t in rows.items():
+        # body subtree text == full text minus the title prefix
+        assert full[url].endswith(t)
+        assert full[url].startswith("Doc ")
