@@ -151,3 +151,20 @@ def test_named_subtree_text(spark):
         # body subtree text == full text minus the title prefix
         assert full[url].endswith(t)
         assert full[url].startswith("Doc ")
+
+
+def test_parallelism_determinism(spark):
+    """FIXTURES.md §5: the engine must produce identical results at
+    different parallelism (partitioning) levels — extraction output
+    is row-deterministic regardless of partition layout."""
+    from packages_sgml_spark.spark.pages import synthetic_pages
+    from packages_sgml_spark.spark.extract import extract
+
+    pages = synthetic_pages(spark, 300)
+    a = extract(pages.repartition(2), dialect="html5", nodes=False) \
+        .select("url", "text_extracted", "n_errors")
+    b = extract(pages.repartition(16), dialect="html5", nodes=False) \
+        .select("url", "text_extracted", "n_errors")
+    ra = sorted((r.url, r.text_extracted, r.n_errors) for r in a.collect())
+    rb = sorted((r.url, r.text_extracted, r.n_errors) for r in b.collect())
+    assert ra == rb
