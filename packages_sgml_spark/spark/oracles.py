@@ -377,3 +377,17 @@ WHERE a.vec_id < b.vec_id
 
 ORACLES["subtree_text"] = """
 SELECT doc_id, text AS text_subtree FROM documents WHERE text <> ''"""
+
+ORACLES["rolling_hash"] = """
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(
+             list_filter(
+               regexp_split_to_array(
+                 regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                 ''),
+               c -> c <> ''),
+             c -> CAST(ascii(c) AS BIGINT))),
+         (acc, x) -> (acc * 31 + x) % 1000000007) AS rhash
+FROM documents"""

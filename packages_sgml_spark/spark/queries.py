@@ -442,3 +442,10 @@ def q_subtree_text(spark, sf_dir):
 
 
 QUERIES["subtree_text"] = q_subtree_text
+
+
+def q_rolling_hash(spark, sf_dir):
+    return textops.rolling_hash(_t(spark, sf_dir, "documents"))
+
+
+QUERIES["rolling_hash"] = q_rolling_hash

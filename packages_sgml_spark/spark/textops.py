@@ -107,3 +107,15 @@ def fingerprint(docs: DataFrame) -> DataFrame:
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
     return docs.select(
         "doc_id", F.md5(F.encode(norm, "utf-8")).alias("fp"))
+
+
+def rolling_hash(docs: DataFrame, base=31, mod=1000000007) -> DataFrame:
+    """Polynomial rolling hash (Rabin-Karp style) over the chars of
+    the blank-normalized text — pure SQL fold (F.aggregate), exactly
+    reproducible in the DuckDB oracle via list_reduce."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    chars = F.filter(F.split(norm, ""), lambda c: c != "")
+    codes = F.transform(chars, lambda c: F.ascii(c).cast("long"))
+    h = F.aggregate(codes, F.lit(0).cast("long"),
+                    lambda acc, x: (acc * base + x) % mod)
+    return docs.select("doc_id", h.alias("rhash"))
