@@ -16,7 +16,7 @@ from typing import Any, List, Tuple, Union
 import json
 
 
-@dataclass
+@dataclass(slots=True)
 class Element:
     name: str
     attrs: List[Tuple[str, Any]] = field(default_factory=list)
@@ -26,22 +26,22 @@ class Element:
         return "element(%s, %r, %r)" % (self.name, self.attrs, self.content)
 
 
-@dataclass
+@dataclass(slots=True)
 class SData:
     text: str
 
 
-@dataclass
+@dataclass(slots=True)
 class NData:
     text: str
 
 
-@dataclass
+@dataclass(slots=True)
 class PI:
     text: str
 
 
-@dataclass
+@dataclass(slots=True)
 class Entity:
     name: Union[str, int]
 

@@ -1290,7 +1290,8 @@ class SGMLParser(DeclMixin):
                     self.cdata_state = self.state = S_PCDATA
             return True
         e = entry[1]
-        self.emit_cdata(last=True)
+        if self.cdata:
+            self.emit_cdata(last=True)
         return self.close_element(e, False)
 
     def process_begin_element(self, decl, memo_key=None):
@@ -1407,7 +1408,8 @@ class SGMLParser(DeclMixin):
         """(parser.c:2741-2798)."""
         if e is M.CDATA_ELEMENT:
             return None
-        self.emit_cdata(last=False)
+        if self.cdata:
+            self.emit_cdata(last=False)
         env = Environment(e)
         env.state = M.make_state_engine(e)
         env.space_mode = (self.environments[-1].space_mode
