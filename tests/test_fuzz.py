@@ -55,3 +55,54 @@ def test_deep_nesting_terminates(depth):
     doc = (b"<x>" * depth) + b"t" + (b"</x>" * depth)
     dom, _ = parse_document(doc, dialect="xml")
     assert extract_text(dom) == "t"
+
+
+@st.composite
+def html_soup(draw, depth=0):
+    """Random nested HTML-ish markup exercising tags, attrs,
+    entities, comments, and unclosed elements."""
+    parts = []
+    for _ in range(draw(st.integers(0, 4))):
+        kind = draw(st.integers(0, 5))
+        if kind == 0:
+            parts.append(draw(st.text(
+                alphabet="abc xyz.,!&;", max_size=20)))
+        elif kind == 1 and depth < 4:
+            tag = draw(st.sampled_from(
+                ["p", "b", "div", "li", "span", "td", "x-c"]))
+            attrs = draw(st.sampled_from(
+                ["", " class=\"k\"", " id=v", " data-x='1'"]))
+            inner = draw(html_soup(depth=depth + 1))
+            close = draw(st.booleans())
+            parts.append("<%s%s>%s%s" % (
+                tag, attrs, inner, "</%s>" % tag if close else ""))
+        elif kind == 2:
+            parts.append(draw(st.sampled_from(
+                ["&amp;", "&lt;", "&eacute;", "&#65;", "&bogus;", "&#x3C;"])))
+        elif kind == 3:
+            parts.append("<!-- c -->")
+        elif kind == 4:
+            parts.append(draw(st.sampled_from(
+                ["<br>", "<img src=x>", "<hr/>"])))
+        else:
+            parts.append(draw(st.sampled_from(
+                ["<script>1<2</script>", "<ul><li>a<li>b</ul>"])))
+    return "".join(parts)
+
+
+@settings(max_examples=150, deadline=None)
+@given(html_soup())
+def test_textonly_equals_dom_parser(soup):
+    """The TextOnlyParser fast path and the DOM parser must extract
+    identical text for arbitrary tag soup (guards the memo/bulk
+    fast paths)."""
+    from packages_sgml_spark.core.parser import (
+        SGMLParser, TextOnlyParser, ParserOptions)
+    data = ("<html><body>" + soup + "</body></html>").encode("utf-8")
+    p1 = SGMLParser(ParserOptions(dialect="html5", max_errors=-1,
+                                  quiet=True))
+    dom, _ = p1.parse(data)
+    p2 = TextOnlyParser(ParserOptions(dialect="html5", max_errors=-1,
+                                      quiet=True))
+    p2.parse(data)
+    assert extract_text(dom) == p2.text()
