@@ -169,3 +169,62 @@ def extracted_with_meta(pages: DataFrame, extracted: DataFrame) -> DataFrame:
     both sides share the url key; Catalyst picks SMJ / shuffle hash)."""
     meta = pages.select("url", "warc_ts", "lang")
     return extracted.join(meta, "url", "left")
+
+
+MAIN_SCHEMA = StructType([
+    StructField("url", StringType()),
+    StructField("text_main", StringType()),
+    StructField("n_blocks_kept", IntegerType()),
+    StructField("n_errors", IntegerType()),
+    StructField("status", StringType()),
+])
+
+
+def extract_main(pages: DataFrame, dialect="html5", min_words=3,
+                 max_link_density=0.4, repartition=0) -> DataFrame:
+    """Main-content extraction (boilerplate strip via DOM heuristics,
+    core/boilerplate.py): pages(url, html) -> (url, text_main, ...).
+    Same single-narrow-map shape as extract()."""
+    from ..core.boilerplate import main_content, collect_blocks
+
+    src = pages.select("url", "html")
+    if repartition:
+        src = src.repartition(repartition, F.xxhash64("url"))
+
+    def fn(batches):
+        from ..core.parser import SGMLParser, ParserOptions
+        from ..core.boilerplate import main_content
+        for pdf in batches:
+            out = {k: [] for k in ("url", "text_main", "n_blocks_kept",
+                                   "n_errors", "status")}
+            urls = pdf["url"].tolist()
+            htmls = pdf["html"].tolist()
+            for i in range(len(urls)):
+                out["url"].append(urls[i])
+                html = htmls[i]
+                if html is None or len(html) == 0:
+                    out["text_main"].append(None)
+                    out["n_blocks_kept"].append(0)
+                    out["n_errors"].append(0)
+                    out["status"].append("empty")
+                    continue
+                try:
+                    p = SGMLParser(ParserOptions(
+                        dialect=dialect, encoding="utf-8",
+                        max_errors=-1))
+                    dom, errors = p.parse(bytes(html))
+                    text = main_content(dom, min_words,
+                                        max_link_density)
+                    out["text_main"].append(text)
+                    out["n_blocks_kept"].append(
+                        len(text.split("\n")) if text else 0)
+                    out["n_errors"].append(len(errors))
+                    out["status"].append("ok")
+                except Exception as ex:   # noqa: BLE001
+                    out["text_main"].append(None)
+                    out["n_blocks_kept"].append(0)
+                    out["n_errors"].append(1)
+                    out["status"].append("exception: %s" % ex)
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(fn, schema=MAIN_SCHEMA)

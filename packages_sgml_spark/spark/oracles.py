@@ -391,3 +391,10 @@ SELECT doc_id,
              c -> CAST(ascii(c) AS BIGINT))),
          (acc, x) -> (acc * 31 + x) % 1000000007) AS rhash
 FROM documents"""
+
+ORACLES["main_content"] = """
+SELECT doc_id,
+       CASE WHEN length(trim(text)) > 0 AND
+                 len(regexp_split_to_array(trim(text), '\\s+')) >= 3
+            THEN trim(text) ELSE '' END AS text_main
+FROM documents"""

@@ -449,3 +449,19 @@ def q_rolling_hash(spark, sf_dir):
 
 
 QUERIES["rolling_hash"] = q_rolling_hash
+
+
+def q_main_content(spark, sf_dir):
+    """Boilerplate-strip / main-content extraction (north rule):
+    link blocks and chrome dropped, content paragraphs kept."""
+    ensure_workers(spark)
+    from .extract import extract_main
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs_as_pages(docs, links=True)
+    ex = extract_main(pages, dialect="html5")
+    return ex.select(
+        F.substring("url", 7, 32).cast("bigint").alias("doc_id"),
+        F.col("text_main"))
+
+
+QUERIES["main_content"] = q_main_content

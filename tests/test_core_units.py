@@ -160,3 +160,24 @@ def test_textonly_matches_dom_parser_on_corpus():
                                           encoding='utf-8', quiet=True))
         p2.parse(data)
         assert p2.text() == extract_text(dom), fn
+
+
+def test_boilerplate_strip():
+    from packages_sgml_spark.core.boilerplate import main_content
+    html = (b'<!DOCTYPE html><html><head><title>T</title>'
+            b'<style>.x{}</style></head><body>'
+            b'<nav><a href=/>Home</a> | <a href=/a>About</a></nav>'
+            b'<h1>The Headline</h1>'
+            b'<p>This is the first real paragraph with many words.</p>'
+            b'<div class=side><a href=1>l</a> <a href=2>l</a></div>'
+            b'<script>track();</script>'
+            b'<footer>Copyright <a href=/l>Legal</a></footer>'
+            b'</body></html>')
+    dom, _ = parse_document(html, dialect='html5')
+    text = main_content(dom)
+    assert "first real paragraph" in text
+    assert "The Headline" in text          # heading rescue
+    assert "Home" not in text              # nav pruned
+    assert "track" not in text             # script pruned
+    assert "Copyright" not in text         # footer pruned
+    assert "l l" not in text               # link-dense block dropped
