@@ -398,3 +398,11 @@ SELECT doc_id,
                  len(regexp_split_to_array(trim(text), '\\s+')) >= 3
             THEN trim(text) ELSE '' END AS text_main
 FROM documents"""
+
+ORACLES["pdf_text"] = """
+SELECT doc_id,
+       CASE WHEN substr(text, 1, 400) = '' THEN NULL
+            ELSE substr(text, 1, 400) END AS pdf_text,
+       'Doc ' || CAST(doc_id AS VARCHAR) AS pdf_title,
+       1 AS n_pages
+FROM documents"""

@@ -465,3 +465,21 @@ def q_main_content(spark, sf_dir):
 
 
 QUERIES["main_content"] = q_main_content
+
+
+def q_pdf_text(spark, sf_dir):
+    """PDF text extraction: documents -> deterministic PDFs ->
+    pure-stdlib PDF parse -> text (round-trips the source text)."""
+    ensure_workers(spark)
+    from .pdfops import extract_pdf_text, synthetic_pdfs
+    docs = _t(spark, sf_dir, "documents")
+    pdfs = synthetic_pdfs(spark, docs)
+    ex = extract_pdf_text(pdfs)
+    return ex.select(
+        F.substring("url", 7, 32).cast("bigint").alias("doc_id"),
+        F.col("text").alias("pdf_text"),
+        F.col("title").alias("pdf_title"),
+        F.col("n_pages"))
+
+
+QUERIES["pdf_text"] = q_pdf_text
