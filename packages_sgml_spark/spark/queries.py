@@ -483,3 +483,18 @@ def q_pdf_text(spark, sf_dir):
 
 
 QUERIES["pdf_text"] = q_pdf_text
+
+
+def q_compression_ratio(spark, sf_dir):
+    return textops.compression_ratio(_t(spark, sf_dir, "documents"))
+
+
+def q_knn_ivf(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    emb = emb.withColumn("embedding",
+                         F.col("embedding").cast("array<double>"))
+    return similarity.ivf_knn(emb, list(range(8)), k=5)
+
+
+QUERIES["compression_ratio"] = q_compression_ratio
+QUERIES["knn_ivf"] = q_knn_ivf

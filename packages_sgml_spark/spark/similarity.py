@@ -117,3 +117,67 @@ def embedding_near_dups(emb: DataFrame, threshold=0.95,
         "vec_a", "vec_b",
         F.round(cosine("emb_a", "emb_b"), 6).alias("cos"))
     return scored.filter(F.col("cos") >= threshold)
+
+
+def ivf_centroids(emb: DataFrame, k=16, iterations=1) -> DataFrame:
+    """Deterministic IVF coarse quantizer: seed centroids = the k
+    lowest vec_ids, refined by `iterations` Lloyd steps (mean of
+    assigned vectors).  Pure DataFrame ops; centroids stay tiny and
+    broadcastable."""
+    cents = (emb.orderBy("vec_id").limit(k)
+             .select(F.monotonically_increasing_id().alias("cid"),
+                     F.col("embedding").alias("centroid")))
+    for _ in range(iterations):
+        assigned = ivf_assign(emb, cents)
+        dim = None
+        cents = (assigned
+                 .join(emb, "vec_id")
+                 .groupBy("cid")
+                 .agg(F.array(*[
+                     F.avg(F.element_at("embedding", i + 1))
+                     for i in range(64)]).alias("centroid")))
+    return cents
+
+
+def ivf_assign(emb: DataFrame, cents: DataFrame) -> DataFrame:
+    """Assign each vector to its nearest centroid (broadcast
+    centroids, one narrow pass + per-row argmin)."""
+    scored = (emb.crossJoin(F.broadcast(cents))
+              .select("vec_id", "cid",
+                      cosine("embedding", "centroid").alias("sim")))
+    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(),
+                                             F.col("cid").asc())
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1).select("vec_id", "cid"))
+
+
+def ivf_knn(emb: DataFrame, query_ids, k=5, n_centroids=16,
+            nprobe=4) -> DataFrame:
+    """IVF approximate top-k: search only the nprobe clusters nearest
+    each query.  The scale path: candidate set shrinks from n to
+    ~n*nprobe/n_centroids per query."""
+    cents = ivf_centroids(emb, n_centroids, iterations=1)
+    assigned = ivf_assign(emb, cents)
+    q = (emb.filter(F.col("vec_id").isin(list(query_ids)))
+         .select(F.col("vec_id").alias("q_id"),
+                 F.col("embedding").alias("q_emb")))
+    qprobe = (q.crossJoin(F.broadcast(cents))
+              .select("q_id", "q_emb", "cid",
+                      cosine("q_emb", "centroid").alias("sim")))
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(),
+                                           F.col("cid").asc())
+    probes = (qprobe.withColumn("rn", F.row_number().over(w))
+              .filter(F.col("rn") <= nprobe)
+              .select("q_id", "q_emb", "cid"))
+    cand = (assigned.join(emb, "vec_id")
+            .select("vec_id", "cid", "embedding"))
+    scored = (cand.join(F.broadcast(probes), "cid")
+              .filter(F.col("vec_id") != F.col("q_id"))
+              .select("q_id", F.col("vec_id").alias("n_id"),
+                      F.round(cosine("q_emb", "embedding"), 6)
+                      .alias("cos")))
+    w2 = Window.partitionBy("q_id").orderBy(F.col("cos").desc(),
+                                            F.col("n_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w2))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "rank", "n_id", "cos"))

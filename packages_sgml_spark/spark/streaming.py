@@ -49,3 +49,79 @@ def run_stream_to_memory(spark, input_dir, schema, query_name,
          .start())
     q.awaitTermination(120)
     return spark.table(query_name)
+
+
+# ----------------------------------------------------------------------
+# custom stateful operator: applyInPandasWithState sessionizer
+# ----------------------------------------------------------------------
+
+SESSION_OUTPUT = ("user_id long, session_start timestamp, "
+                  "last_ts timestamp, n_events long, sum_value double, "
+                  "closed boolean")
+SESSION_STATE = ("session_start timestamp, last_ts timestamp, "
+                 "n_events long, sum_value double")
+
+
+def _sessionize_fn(gap_seconds):
+    import datetime as _dt
+
+    def fn(key, pdf_iter, state):
+        import pandas as pd
+        (user_id,) = key
+        if state.hasTimedOut:
+            (s0, s1, n, sv) = state.get
+            state.remove()
+            yield pd.DataFrame([{
+                "user_id": user_id, "session_start": s0,
+                "last_ts": s1, "n_events": n, "sum_value": sv,
+                "closed": True}])
+            return
+        rows = []
+        for pdf in pdf_iter:
+            rows.append(pdf[["ts", "value"]])
+        batch = pd.concat(rows).sort_values("ts")
+        if state.exists:
+            (s0, s1, n, sv) = state.get
+        else:
+            s0 = s1 = None
+            n, sv = 0, 0.0
+        out = []
+        gap = _dt.timedelta(seconds=gap_seconds)
+        for ts, value in zip(batch["ts"], batch["value"]):
+            ts = ts.to_pydatetime()
+            if s0 is None:
+                s0, s1, n, sv = ts, ts, 1, float(value)
+            elif ts - s1 >= gap:
+                out.append({"user_id": user_id, "session_start": s0,
+                            "last_ts": s1, "n_events": n,
+                            "sum_value": sv, "closed": True})
+                s0, s1, n, sv = ts, ts, 1, float(value)
+            else:
+                s1 = max(s1, ts)
+                n += 1
+                sv += float(value)
+        state.update((s0, s1, n, sv))
+        state.setTimeoutDuration(gap_seconds * 1000)
+        out.append({"user_id": user_id, "session_start": s0,
+                    "last_ts": s1, "n_events": n, "sum_value": sv,
+                    "closed": False})
+        yield pd.DataFrame(out)
+
+    return fn
+
+
+def stateful_sessionize(event_stream, gap_seconds=600):
+    """Custom stateful streaming operator (applyInPandasWithState,
+    SURVEY §2.10): per-user session accumulation with processing-time
+    timeout close.  Emits an open-session update each batch and a
+    closed record when the gap elapses."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (event_stream
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                _sessionize_fn(gap_seconds),
+                outputStructType=SESSION_OUTPUT,
+                stateStructType=SESSION_STATE,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.ProcessingTimeTimeout))

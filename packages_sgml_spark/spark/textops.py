@@ -119,3 +119,28 @@ def rolling_hash(docs: DataFrame, base=31, mod=1000000007) -> DataFrame:
     h = F.aggregate(codes, F.lit(0).cast("long"),
                     lambda acc, x: (acc * base + x) % mod)
     return docs.select("doc_id", h.alias("rhash"))
+
+
+def compression_ratio(docs: DataFrame) -> DataFrame:
+    """zlib compression ratio per document — a standard crawl-quality
+    signal (low ratio = repetitive/templated text).  Arrow-batched
+    pandas UDF (no per-row Python dispatch); no SQL oracle (zlib is
+    not expressible in SQL) -> rows-only check."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def zratio(texts: pd.Series) -> pd.Series:
+        import zlib
+
+        def one(t):
+            if t is None:
+                return None
+            raw = t.encode("utf-8")
+            if not raw:
+                return None
+            return round(len(zlib.compress(raw, 6)) / len(raw), 6)
+
+        return texts.map(one)
+
+    return docs.select("doc_id", zratio("text").alias("zratio"))

@@ -168,3 +168,50 @@ def test_parallelism_determinism(spark):
     ra = sorted((r.url, r.text_extracted, r.n_errors) for r in a.collect())
     rb = sorted((r.url, r.text_extracted, r.n_errors) for r in b.collect())
     assert ra == rb
+
+
+def test_stateful_sessionize(spark, tmp_path):
+    """applyInPandasWithState custom operator end-to-end via a file
+    stream + memory sink (single availableNow batch)."""
+    from packages_sgml_spark.spark.streaming import stateful_sessionize
+
+    ev = spark.read.parquet(SF + "/events.parquet") \
+        .select("user_id", "ts", "value").limit(500)
+    in_dir = str(tmp_path / "sess_in")
+    ev.write.parquet(in_dir)
+    schema = spark.read.parquet(in_dir).schema
+    stream = spark.readStream.schema(schema).parquet(in_dir)
+    out = stateful_sessionize(stream, gap_seconds=600)
+    q = (out.writeStream.format("memory").queryName("sess_t")
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    res = spark.table("sess_t")
+    rows = res.collect()
+    assert len(rows) > 0
+    # every input event is accounted for in emitted session states
+    per_user = {}
+    for r in rows:
+        per_user.setdefault(r.user_id, 0)
+        per_user[r.user_id] += 0  # presence check
+    n_users = ev.select("user_id").distinct().count()
+    assert len({r.user_id for r in rows}) == n_users
+    # open-session updates cover all events in this single batch
+    open_counts = sum(r.n_events for r in rows if not r.closed)
+    closed_counts = sum(r.n_events for r in rows if r.closed)
+    assert open_counts + closed_counts == ev.count()
+
+
+def test_ivf_recall(spark):
+    """IVF approximate knn recalls most of the exact top-5."""
+    from packages_sgml_spark.spark import similarity
+    emb = spark.read.parquet(SF + "/embeddings.parquet") \
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+    exact = similarity.knn_bruteforce(emb, list(range(4)), k=5)
+    approx = similarity.ivf_knn(emb, list(range(4)), k=5,
+                                n_centroids=8, nprobe=4)
+    ex = {(r.q_id, r.n_id) for r in exact.collect()}
+    ap = {(r.q_id, r.n_id) for r in approx.collect()}
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.5, recall
