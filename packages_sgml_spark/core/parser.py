@@ -355,6 +355,48 @@ class SGMLParser(DeclMixin):
     # entry points
     # ------------------------------------------------------------------
 
+    def feed(self, data):
+        """Incremental push-parse (reference push API analog,
+        parser.c:4682-4718 begin/putchar/end lifecycle): feed any
+        byte chunking; the FSM carries state across chunk
+        boundaries.  Call close() at end of input."""
+        if isinstance(data, (bytes, bytearray)):
+            text = bytes(data).decode("latin-1")
+        else:
+            text = data
+        self._fed_tail = getattr(self, "_fed_tail", "")
+        # hold back a trailing CR/LF so close() can apply the EOF
+        # newline rule exactly once
+        text = self._fed_tail + text
+        if text.endswith((CR, LF)):
+            self._fed_tail = text[-1]
+            text = text[:-1]
+        else:
+            self._fed_tail = ""
+        try:
+            self.process_chars_toplevel(text)
+        except StopParse:
+            self.stopped = True
+        return self
+
+    def close(self):
+        """Finish an incremental parse: EOF newline rule +
+        end-of-document processing.  Returns (dom, errors)."""
+        tail = getattr(self, "_fed_tail", "")
+        try:
+            if tail == LF:
+                self.process_chars_toplevel(CR)
+            elif tail == CR:
+                self.process_chars_toplevel(CR)
+            elif not self.stopped:
+                self.process_chars_toplevel(CR)
+            self._fed_tail = ""
+            if not self.stopped:
+                self.end_document()
+        except StopParse:
+            pass
+        return self.dom, self.errors
+
     def parse(self, data):
         """Parse a complete document from bytes (or str of octets).
         Returns (dom_content_list, errors)."""

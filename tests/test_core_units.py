@@ -181,3 +181,23 @@ def test_boilerplate_strip():
     assert "track" not in text             # script pruned
     assert "Copyright" not in text         # footer pruned
     assert "l l" not in text               # link-dense block dropped
+
+
+def test_incremental_feed_matches_oneshot():
+    from packages_sgml_spark.core.parser import SGMLParser, ParserOptions
+    data = (b'<!DOCTYPE t [\n<!ELEMENT t O O (p+)>\n'
+            b'<!ELEMENT p O O (#PCDATA)>\n]>\nhello\n\nworld\n')
+    whole, errs1 = SGMLParser(ParserOptions(dialect='sgml')).parse(data)
+    for cut in (1, 3, 7, 15, 29, len(data) - 1):
+        p = SGMLParser(ParserOptions(dialect='sgml'))
+        p.feed(data[:cut]).feed(data[cut:])
+        dom, errs2 = p.close()
+        assert dom == whole, cut
+        assert [(e.line, e.message) for e in errs2] == \
+            [(e.line, e.message) for e in errs1], cut
+    # byte-at-a-time
+    p = SGMLParser(ParserOptions(dialect='sgml'))
+    for i in range(len(data)):
+        p.feed(data[i:i+1])
+    dom, _ = p.close()
+    assert dom == whole
