@@ -102,48 +102,83 @@ def extract_text(content: List[Node]) -> str:
     return "".join(out)
 
 
-def flatten_nodes(content: List[Node]):
+def flatten_nodes(content: List[Node], elem_spans=None,
+                  data_spans=None):
     """Flatten DOM into node rows for the Spark node table
     (design in SURVEY.md §1.3): (node_id, parent_id, ord, kind, name,
     attrs, text, subtree_end).  node_id is pre-order, so the subtree
     of an element is exactly node_id..subtree_end-1 — the descendant
-    axis becomes a range predicate (no recursive joins)."""
+    axis becomes a range predicate (no recursive joins).
+
+    elem_spans/data_spans: parser-recorded (start,end) byte offsets in
+    event order; zipped back by pre-order position (event order ==
+    document order for both elements and data nodes)."""
     rows = []
+    counters = {"e": 0, "d": 0}
+
+    def _espan():
+        i = counters["e"]
+        counters["e"] += 1
+        if elem_spans is not None and i < len(elem_spans):
+            return elem_spans[i]
+        return (None, None)
+
+    def _dspan():
+        i = counters["d"]
+        counters["d"] += 1
+        if data_spans is not None and i < len(data_spans):
+            return data_spans[i]
+        return (None, None)
 
     def walk(n, parent_id, ord_):
         nid = len(rows)
         if isinstance(n, Element):
+            sp = _espan()
             row = {
                 "node_id": nid, "parent_id": parent_id, "ord": ord_,
                 "kind": "element", "name": _name_str(n.name),
                 "attrs": {_name_str(k): _attr_str(v)
                           for k, v in n.attrs},
                 "text": None, "subtree_end": None,
+                "start_pos": sp[0], "end_pos": sp[1],
             }
             rows.append(row)
             for i, c in enumerate(n.content):
                 walk(c, nid, i)
             row["subtree_end"] = len(rows)
         elif isinstance(n, str):
+            sp = _dspan()
             rows.append({"node_id": nid, "parent_id": parent_id, "ord": ord_,
                          "kind": "text", "name": None, "attrs": None,
-                         "subtree_end": None, "text": n})
+                         "subtree_end": None,
+                         "start_pos": sp[0], "end_pos": sp[1],
+                         "text": n})
         elif isinstance(n, SData):
+            sp = _dspan()
             rows.append({"node_id": nid, "parent_id": parent_id, "ord": ord_,
                          "kind": "sdata", "name": None, "attrs": None,
-                         "subtree_end": None, "text": n.text})
+                         "subtree_end": None,
+                         "start_pos": sp[0], "end_pos": sp[1],
+                         "text": n.text})
         elif isinstance(n, NData):
+            sp = _dspan()
             rows.append({"node_id": nid, "parent_id": parent_id, "ord": ord_,
                          "kind": "ndata", "name": None, "attrs": None,
-                         "subtree_end": None, "text": n.text})
+                         "subtree_end": None,
+                         "start_pos": sp[0], "end_pos": sp[1],
+                         "text": n.text})
         elif isinstance(n, PI):
             rows.append({"node_id": nid, "parent_id": parent_id, "ord": ord_,
                          "kind": "pi", "name": None, "attrs": None,
-                         "subtree_end": None, "text": n.text})
+                         "subtree_end": None,
+                         "start_pos": None, "end_pos": None,
+                         "text": n.text})
         elif isinstance(n, Entity):
             rows.append({"node_id": nid, "parent_id": parent_id, "ord": ord_,
                          "kind": "entity", "name": str(n.name), "attrs": None,
-                         "subtree_end": None, "text": None})
+                         "subtree_end": None,
+                         "start_pos": None, "end_pos": None,
+                         "text": None})
 
     for i, n in enumerate(content):
         walk(n, -1, i)

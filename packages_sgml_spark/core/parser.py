@@ -220,6 +220,9 @@ class SGMLParser(DeclMixin):
         self._stack = []            # open Element nodes (DOM builder)
         self.stopped = False        # stop-at condition hit
                                     # (sgml2pl SA_* stop conditions)
+        self.data_spans = []        # (start,end) charpos per data node
+        self.elem_spans = []        # (start,end) charpos per element
+                                    # start-tag, in begin-event order
 
     # ------------------------------------------------------------------
     # dialect / encoding (parser.c:1256-1298, 3807-3849)
@@ -309,6 +312,10 @@ class SGMLParser(DeclMixin):
             node = SData(text)
         else:
             node = NData(text)
+        start = self.startcdata[2]
+        end = self.startloc[2] if self.startloc[2] > start \
+            else self.charpos
+        self.data_spans.append((start, end))
         if self._stack:
             self._stack[-1].content.append(node)
         else:
@@ -1426,6 +1433,7 @@ class SGMLParser(DeclMixin):
         if self.options.positions and self.base_file:
             conv = conv + [("position", "%s:%d-%d" % (
                 self.base_file, self.startloc[2], self.charpos))]
+        self.elem_spans.append((self.startloc[2], self.charpos))
         self.ev_begin(name, conv)
 
     def update_space_mode(self, e, atts):
@@ -2425,6 +2433,10 @@ class TextOnlyParser(SGMLParser):
         pass
 
     def ev_data(self, kind, text):
+        start = self.startcdata[2]
+        end = self.startloc[2] if self.startloc[2] > start \
+            else self.charpos
+        self.data_spans.append((start, end))
         self.text_parts.append(text)
 
     def ev_pi(self, text):

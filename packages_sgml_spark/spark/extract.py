@@ -35,6 +35,8 @@ NODE_TYPE = StructType([
     StructField("attrs", MapType(StringType(), StringType())),
     StructField("text", StringType()),
     StructField("subtree_end", IntegerType()),
+    StructField("start_pos", IntegerType()),
+    StructField("end_pos", IntegerType()),
 ])
 
 ERROR_TYPE = StructType([
@@ -76,7 +78,8 @@ def _parse_one(html, dialect, want_dom_json, want_nodes):
     dom, errors = p.parse(html)
     text = extract_text(dom)
     dj = dom_to_json(dom) if want_dom_json else None
-    nodes = flatten_nodes(dom) if want_nodes else None
+    nodes = (flatten_nodes(dom, p.elem_spans, p.data_spans)
+             if want_nodes else None)
     errs = [{"severity": e.severity, "line": e.line, "message": e.message}
             for e in errors]
     return text, dj, nodes, errs

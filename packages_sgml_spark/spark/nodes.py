@@ -17,7 +17,8 @@ def explode_nodes(extracted: DataFrame) -> DataFrame:
     return (extracted
             .select("url", F.explode("nodes").alias("n"))
             .select("url", "n.node_id", "n.parent_id", "n.ord", "n.kind",
-                    "n.name", "n.attrs", "n.text", "n.subtree_end"))
+                    "n.name", "n.attrs", "n.text", "n.subtree_end",
+                    "n.start_pos", "n.end_pos"))
 
 
 def elements_named(nodes: DataFrame, name) -> DataFrame:

@@ -406,3 +406,11 @@ SELECT doc_id,
        'Doc ' || CAST(doc_id AS VARCHAR) AS pdf_title,
        1 AS n_pages
 FROM documents"""
+
+ORACLES["text_spans"] = """
+SELECT doc_id,
+  CAST(48 + length(CAST(doc_id AS VARCHAR)) AS INT) AS start_pos,
+  CAST(48 + length(CAST(doc_id AS VARCHAR)) +
+       length(replace(replace(text, '&', '&amp;'), '<', '&lt;'))
+       AS INT) AS end_pos
+FROM documents WHERE text <> ''"""

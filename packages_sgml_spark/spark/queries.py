@@ -498,3 +498,26 @@ def q_knn_ivf(spark, sf_dir):
 
 QUERIES["compression_ratio"] = q_compression_ratio
 QUERIES["knn_ivf"] = q_knn_ivf
+
+
+def q_text_spans(spark, sf_dir):
+    """Byte spans of the <p> text node per document — the node
+    table's start_pos/end_pos map exactly into the source html bytes
+    (north-star 'extracted text/spans')."""
+    ensure_workers(spark)
+    docs = _t(spark, sf_dir, "documents")
+    ex = extract(docs_as_pages(docs), dialect="html5", nodes=True)
+    nodes = explode_nodes(ex)
+    ps = (nodes.filter((F.col("kind") == "element") &
+                       (F.col("name") == "p"))
+          .select("url", F.col("node_id").alias("p_id")))
+    texts = (nodes.filter(F.col("kind") == "text")
+             .select("url", F.col("parent_id").alias("p_id"),
+                     "start_pos", "end_pos"))
+    return (ps.join(texts, ["url", "p_id"])
+            .select(F.substring("url", 7, 32).cast("bigint")
+                    .alias("doc_id"),
+                    F.col("start_pos"), F.col("end_pos")))
+
+
+QUERIES["text_spans"] = q_text_spans
