@@ -414,3 +414,18 @@ SELECT doc_id,
        length(replace(replace(text, '&', '&amp;'), '<', '&lt;'))
        AS INT) AS end_pos
 FROM documents WHERE text <> ''"""
+
+ORACLES["metrics_rollup"] = """
+SELECT COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       COUNT(DISTINCT event_type) AS n_types,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6))
+         AS sum_value
+FROM events"""
+
+ORACLES["part_stats"] = """
+SELECT p_brand, COUNT(*) AS n_parts,
+       CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2)))
+            AS DECIMAL(38,2)) AS sum_price,
+       MAX(p_size) AS max_size
+FROM part GROUP BY p_brand"""

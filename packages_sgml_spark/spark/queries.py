@@ -521,3 +521,28 @@ def q_text_spans(spark, sf_dir):
 
 
 QUERIES["text_spans"] = q_text_spans
+
+
+def q_metrics_rollup(spark, sf_dir):
+    """Fleet-metrics rollup shape (SURVEY §2.12): global counts,
+    exact distinct cardinality, decimal-exact sums."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("decimal(38,6)").alias("sum_value"))
+
+
+def q_part_stats(spark, sf_dir):
+    po = _t(spark, sf_dir, "part")
+    return (po.groupBy("p_brand")
+            .agg(F.count("*").alias("n_parts"),
+                 F.sum(F.col("p_retailprice").cast("decimal(18,2)"))
+                 .cast("decimal(38,2)").alias("sum_price"),
+                 F.max("p_size").alias("max_size")))
+
+
+QUERIES["metrics_rollup"] = q_metrics_rollup
+QUERIES["part_stats"] = q_part_stats
