@@ -219,3 +219,19 @@ def test_ivf_recall(spark):
     ap = {(r.q_id, r.n_id) for r in approx.collect()}
     recall = len(ex & ap) / len(ex)
     assert recall >= 0.5, recall
+
+
+def test_dom_json_path(spark):
+    """extract(dom_json=True) matches a direct core parse's JSON."""
+    from packages_sgml_spark.spark.pages import golden_pages
+    from packages_sgml_spark.spark.extract import extract
+    from packages_sgml_spark.core.golden import parse_test_file, TEST_DIR
+    from packages_sgml_spark.core.dom import dom_to_json
+    import os
+    pages = golden_pages(spark).limit(10)
+    ex = extract(pages, dialect="sgml", dom_json=True, nodes=False)
+    got = {r.url: r.dom_json for r in ex.collect()}
+    for url, dj in got.items():
+        fn = url.rsplit("/", 1)[-1]
+        dom, _ = parse_test_file(os.path.join(TEST_DIR, fn))
+        assert dj == dom_to_json(dom), fn
