@@ -92,7 +92,8 @@ class ParserOptions:
                  system_entities=False, quiet=False, file=None,
                  keep_prefix=False, positions=False,
                  catalog=None, content_length=None,
-                 stop_at=None, resolver=None):
+                 stop_at=None, max_memory=None,
+                 resolver=None):
         self.dialect = dialect
         self.qualify_attributes = qualify_attributes
         self.encoding = encoding
@@ -109,6 +110,7 @@ class ParserOptions:
         self.catalog = catalog
         self.content_length = content_length
         self.stop_at = stop_at
+        self.max_memory = max_memory
         self.quiet = quiet
         self.file = file
         self.resolver = resolver
@@ -414,6 +416,11 @@ class SGMLParser(DeclMixin):
         if self.options.content_length is not None:
             # content_length(N) option (sgml2pl.c:2174-2183)
             text = text[: self.options.content_length]
+        # UTF-8 BOM: the reference's stream layer consumes it before
+        # the parser sees octets; mirror that here
+        if self.utf8_decode and text.startswith("\xef\xbb\xbf"):
+            text = text[3:]
+            self.charpos += 3
         # EOF newline handling (sgml2pl.c:2185-2201): a file ending in
         # LF feeds CR instead; a file ending in a normal char feeds an
         # extra CR.  The trailing CR is dropped again at end_document
@@ -444,9 +451,18 @@ class SGMLParser(DeclMixin):
         putchar = self.putchar
         n = len(text)
         i = 0
+        max_mem = self.options.max_memory
+        check_at = 1 << 16
         while i < n:
             if self.stopped:
                 return
+            if max_mem is not None and len(self.cdata) > check_at:
+                # buffer growth guard (ERC_RESOURCE analog,
+                # sgml2pl.c:603-615, parser.c:4855-4860)
+                if len(self.cdata) > max_mem:
+                    self.gripe(*Gripes.resource("CDATA buffer"))
+                    raise StopParse()
+                check_at = len(self.cdata) + (1 << 16)
             state = self.state
             if state == S_PCDATA:
                 if (self.map is None and self.dmode == DM_DATA and

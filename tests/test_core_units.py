@@ -201,3 +201,14 @@ def test_incremental_feed_matches_oneshot():
         p.feed(data[i:i+1])
     dom, _ = p.close()
     assert dom == whole
+
+
+def test_bom_stripped():
+    dom, errs = parse_document(b'\xef\xbb\xbf<a>x</a>', dialect='xml')
+    assert dom == [Element('a', [], ['x'])] and errs == []
+
+
+def test_max_memory_guard():
+    dom, errs = parse_document(b'<a>' + b'x' * 300000 + b'</a>',
+                               dialect='xml', max_memory=100000)
+    assert any('resources' in e.message for e in errs)
