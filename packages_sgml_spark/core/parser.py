@@ -2102,7 +2102,18 @@ class SGMLParser(DeclMixin):
         return True
 
     def process_entity_chars(self, e, text):
-        """Re-tokenize an EC_SGML entity value (parser.c:4537-4548)."""
+        """Re-tokenize an EC_SGML entity value (parser.c:4537-4548).
+        Depth-limited against recursive entity bombs."""
+        depth = getattr(self, "_ent_depth", 0)
+        if depth >= 32:
+            return self.gripe(*Gripes.resource("entity nesting"))
+        self._ent_depth = depth + 1
+        try:
+            return self._process_entity_chars_inner(e, text)
+        finally:
+            self._ent_depth = depth
+
+    def _process_entity_chars_inner(self, e, text):
         self.push_location()
         self._entity_startloc.append(self.startloc)
         old_decode = self.utf8_decode
