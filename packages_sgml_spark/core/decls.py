@@ -12,7 +12,7 @@ from . import model as M
 from .states import S_PCDATA
 from .chars import (is_blank_char, is_name_char, is_nmstart_char,
                     DIGIT_CHARS)
-from .entities import (char_entity_value, isee_character_entity, safe_chr)
+from .entities import isee_character_entity, safe_chr
 from .errors import Gripes
 
 import re as _re

@@ -188,7 +188,6 @@ def extract_main(pages: DataFrame, dialect="html5", min_words=3,
     """Main-content extraction (boilerplate strip via DOM heuristics,
     core/boilerplate.py): pages(url, html) -> (url, text_main, ...).
     Same single-narrow-map shape as extract()."""
-    from ..core.boilerplate import main_content, collect_blocks
 
     src = pages.select("url", "html")
     if repartition:

@@ -429,3 +429,9 @@ SELECT p_brand, COUNT(*) AS n_parts,
             AS DECIMAL(38,2)) AS sum_price,
        MAX(p_size) AS max_size
 FROM part GROUP BY p_brand"""
+
+ORACLES["sitemap_parse"] = """
+SELECT doc_id, CAST(doc_id % 4 + 1 AS BIGINT) AS n_urls,
+       'https://ex.org/d/' || CAST(doc_id AS VARCHAR) || '/0'
+         AS first_loc
+FROM documents"""

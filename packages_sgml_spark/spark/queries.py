@@ -546,3 +546,38 @@ def q_part_stats(spark, sf_dir):
 
 QUERIES["metrics_rollup"] = q_metrics_rollup
 QUERIES["part_stats"] = q_part_stats
+
+
+def q_sitemap_parse(spark, sf_dir):
+    """XML-dialect feed parsing (sitemap-style): synthesize a sitemap
+    per document, parse with dialect=xml, count <url> entries and
+    take the first <loc> (crawl-frontier extraction pattern)."""
+    ensure_workers(spark)
+    from .nodes import child_text
+    docs = _t(spark, sf_dir, "documents")
+    entry_xml = F.expr(
+        "concat_ws('', transform(sequence(0, cast(doc_id % 4 as int)), "
+        "i -> concat('<url><loc>https://ex.org/d/', doc_id, '/', i, "
+        "'</loc><priority>0.5</priority></url>')))")
+    xml = F.concat(F.lit('<?xml version="1.0"?><urlset>'), entry_xml,
+                   F.lit("</urlset>"))
+    pages = docs.select(
+        F.concat(F.lit("map://"), F.col("doc_id").cast("string"))
+        .alias("url"),
+        F.encode(xml, "utf-8").alias("html"))
+    ex = extract(pages, dialect="xml", nodes=True)
+    nodes = explode_nodes(ex)
+    locs = (nodes.filter((F.col("kind") == "element") &
+                         (F.col("name") == "loc"))
+            .select("url", "node_id"))
+    txt = child_text(nodes)
+    first_locs = (locs.join(txt, ["url", "node_id"])
+                  .groupBy("url")
+                  .agg(F.count("*").alias("n_urls"),
+                       F.min("text_direct").alias("first_loc")))
+    return first_locs.select(
+        F.substring("url", 7, 32).cast("bigint").alias("doc_id"),
+        "n_urls", "first_loc")
+
+
+QUERIES["sitemap_parse"] = q_sitemap_parse
