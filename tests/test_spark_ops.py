@@ -235,3 +235,40 @@ def test_dom_json_path(spark):
         fn = url.rsplit("/", 1)[-1]
         dom, _ = parse_test_file(os.path.join(TEST_DIR, fn))
         assert dj == dom_to_json(dom), fn
+
+
+def test_streaming_checkpoint_resume(spark, tmp_path):
+    """Structured Streaming exactly-once resume: a second availableNow
+    run over the same checkpoint processes only newly-arrived files
+    (north-rule streaming resumability)."""
+    from packages_sgml_spark.spark.pages import docs_as_pages
+    from packages_sgml_spark.spark.extract import extract
+
+    docs = spark.read.parquet(SF + "/documents.parquet")
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    docs_as_pages(docs.filter("doc_id < 30")).write.mode("append") \
+        .parquet(in_dir)
+    schema = spark.read.parquet(in_dir).schema
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(in_dir)
+        sdf = extract(stream, dialect="html5", nodes=False) \
+            .select("url", "text_extracted")
+        q = (sdf.writeStream.format("parquet")
+             .option("path", out_dir)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run_once()
+    n1 = spark.read.parquet(out_dir).count()
+    assert n1 == 30
+    # new arrivals, then resume from the same checkpoint
+    docs_as_pages(docs.filter("doc_id >= 30 and doc_id < 50")) \
+        .write.mode("append").parquet(in_dir)
+    run_once()
+    out = spark.read.parquet(out_dir)
+    assert out.count() == 50
+    assert out.select("url").distinct().count() == 50   # exactly-once
