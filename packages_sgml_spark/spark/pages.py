@@ -115,3 +115,42 @@ def docs_as_pages(docs: DataFrame, links=False) -> DataFrame:
         url.alias("url"),
         F.encode(html_str, "utf-8").alias("html"),
         F.col("doc_id"), F.col("lang"))
+
+
+def golden_table(spark) -> DataFrame:
+    """Expected-output table (FIXTURES.md §3) built by running the
+    core parser directly over the Test corpus: url, text_expected,
+    dom_json_expected, n_errors_expected."""
+    import json
+    from ..core.golden import parse_test_file
+    from ..core.dom import extract_text, dom_to_json
+    from ..core.parser import SGMLParser, ParserOptions
+
+    rows = []
+    if os.path.isdir(TEST_DIR):
+        for fn in sorted(os.listdir(TEST_DIR)):
+            if not fn.endswith((".sgml", ".xml")):
+                continue
+            dialect = "sgml" if fn.endswith(".sgml") else "xml"
+            with open(os.path.join(TEST_DIR, fn), "rb") as f:
+                data = f.read()
+            p = SGMLParser(ParserOptions(
+                dialect=dialect, encoding="utf-8",
+                file=fn, quiet=False))
+            dom, errors = p.parse(data)
+            rows.append(("test://sgml/" + fn, extract_text(dom),
+                         dom_to_json(dom), len(errors)))
+    return spark.createDataFrame(
+        rows, "url string, text_expected string, "
+              "dom_json_expected string, n_errors_expected int")
+
+
+def golden_compare(extracted: DataFrame, golden: DataFrame) -> DataFrame:
+    """Golden-equality join (SURVEY §2.4): broadcast the (small)
+    golden set against extraction output; returns mismatch rows
+    (empty == pass)."""
+    j = extracted.join(F.broadcast(golden), "url", "full_outer")
+    return j.filter(
+        F.col("text_expected").isNull() |
+        F.col("text_extracted").isNull() |
+        (F.col("text_extracted") != F.col("text_expected")))

@@ -272,3 +272,21 @@ def test_streaming_checkpoint_resume(spark, tmp_path):
     out = spark.read.parquet(out_dir)
     assert out.count() == 50
     assert out.select("url").distinct().count() == 50   # exactly-once
+
+
+def test_golden_compare_join(spark):
+    """The golden-equality broadcast join over the full Test corpus:
+    zero mismatches between the Spark extraction path and the
+    core-parser-derived golden table."""
+    from packages_sgml_spark.spark.pages import (
+        golden_pages, golden_table, golden_compare)
+    from packages_sgml_spark.spark.extract import extract
+
+    pages = golden_pages(spark)
+    ex = extract(pages, dialect="sgml", nodes=False)
+    golden = golden_table(spark)
+    mism = golden_compare(ex, golden)
+    rows = mism.collect()
+    assert rows == [], rows[:3]
+    # note: Spark demotes broadcast hints on full_outer joins (SMJ);
+    # with how='inner'/'left' the hint holds
