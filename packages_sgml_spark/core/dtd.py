@@ -196,3 +196,44 @@ class DTD:
             e.structure = ElementDef()
             e.undefined = True
         return e
+
+
+def dtd_dump(dtd) -> str:
+    """Debug dump of a compiled DTD (dtd2pl CLI analog,
+    /root/reference/dtd2pl.c:53-104): one line per element/attribute/
+    entity declaration in a Prolog-term-ish format."""
+    from . import model as M
+    out = []
+
+    def model_str(m):
+        if m is None:
+            return "EMPTY"
+        card = {M.MC_ONE: "", M.MC_OPT: "?", M.MC_REP: "*",
+                M.MC_PLUS: "+"}[m.cardinality]
+        if m.type == M.MT_PCDATA:
+            return "#PCDATA"
+        if m.type == M.MT_ELEMENT:
+            return m.element.name + card
+        sep = {M.MT_SEQ: ",", M.MT_AND: "&", M.MT_OR: "|"}.get(
+            m.type, "|")
+        return "(%s)%s" % (sep.join(model_str(s) for s in m.group), card)
+
+    for name in sorted(dtd.elements):
+        e = dtd.elements[name]
+        d = e.structure
+        if d is None:
+            continue
+        kind = {M.C_EMPTY: "EMPTY", M.C_CDATA: "CDATA",
+                M.C_RCDATA: "RCDATA", M.C_ANY: "ANY"}.get(d.type)
+        content = kind or model_str(d.content)
+        out.append("element(%s, omit(%s, %s), %s)." % (
+            name, "true" if d.omit_open else "false",
+            "true" if d.omit_close else "false", content))
+        for a in e.attributes:
+            out.append("attribute(%s, %s, %s, %r)." % (
+                name, a.name, a.type, a.default))
+    for name in sorted(dtd.entities):
+        ent = dtd.entities[name]
+        out.append("entity(%s, %r)." % (name, (ent.value or
+                                               ent.exturl or "")[:60]))
+    return "\n".join(out) + "\n"
