@@ -212,3 +212,30 @@ def test_max_memory_guard():
     dom, errs = parse_document(b'<a>' + b'x' * 300000 + b'</a>',
                                dialect='xml', max_memory=100000)
     assert any('resources' in e.message for e in errs)
+
+
+def test_sax_callbacks_and_capture():
+    """Reference callback test analog (test_sgml.pl:225-254): SAX
+    parse of utf8.xml; the begin callback for <name> captures that
+    element's content."""
+    import os
+    from packages_sgml_spark.core.sax import CallbackParser
+    from packages_sgml_spark.core.parser import ParserOptions
+    path = "/root/reference/Test/utf8.xml"
+    if not os.path.isfile(path):
+        return
+    captured = []
+    events = []
+
+    def on_begin(name, attrs, parser):
+        events.append(("b", name))
+        if name == "name":
+            parser.capture_content(lambda c: captured.append(c))
+
+    p = CallbackParser(ParserOptions(dialect="xml", encoding="utf-8"),
+                       on_begin=on_begin,
+                       on_end=lambda n, _p: events.append(("e", n)))
+    with open(path, "rb") as f:
+        p.parse(f.read())
+    assert captured == [['Dürst'], []]
+    assert ("b", "utf8") in events and ("e", "utf8") in events
