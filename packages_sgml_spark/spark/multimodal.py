@@ -103,3 +103,96 @@ def synthetic_media(spark, n=100) -> DataFrame:
                                    F.col("id").cast("string")), 32),
                  "utf-8").alias("payload"),
         F.lit("image/fake").alias("mime"))
+
+
+FRAME_SCHEMA = StructType([
+    StructField("media_id", StringType()),
+    StructField("frame_idx", IntegerType()),
+    StructField("ts_ms", IntegerType()),
+    StructField("frame", StringType()),   # token; bytes on a real decoder
+    StructField("status", StringType()),
+])
+
+AUDIO_SCHEMA = StructType([
+    StructField("media_id", StringType()),
+    StructField("duration_ms", IntegerType()),
+    StructField("n_samples", IntegerType()),
+    StructField("mfcc", ArrayType(FloatType())),
+    StructField("status", StringType()),
+])
+
+
+def video_frame_sample(media: DataFrame, every_ms=1000,
+                       max_frames=8, fake=True) -> DataFrame:
+    """Frame sampling over video binaries: one output row per sampled
+    frame (explode-style mapInPandas).  Decode STUBBED (no ffmpeg in
+    this container): fake=True derives deterministic frame tokens
+    from the payload; the row-explosion/batching/schema plumbing is
+    the real deliverable."""
+
+    def fn(batches):
+        for pdf in batches:
+            rows = {k: [] for k in ("media_id", "frame_idx", "ts_ms",
+                                    "frame", "status")}
+            for mid, kind, payload in zip(pdf["media_id"],
+                                          pdf["kind"], pdf["payload"]):
+                if kind != "video" and kind != "image":
+                    continue
+                if payload is None:
+                    rows["media_id"].append(mid)
+                    rows["frame_idx"].append(0)
+                    rows["ts_ms"].append(0)
+                    rows["frame"].append(None)
+                    rows["status"].append("empty")
+                    continue
+                if not fake:
+                    rows["media_id"].append(mid)
+                    rows["frame_idx"].append(0)
+                    rows["ts_ms"].append(0)
+                    rows["frame"].append(None)
+                    rows["status"].append("decoder_unavailable")
+                    continue
+                n = min(max_frames, 1 + len(payload) % max_frames)
+                for i in range(n):
+                    rows["media_id"].append(mid)
+                    rows["frame_idx"].append(i)
+                    rows["ts_ms"].append(i * every_ms)
+                    rows["frame"].append("frame:%s:%d" % (mid, i))
+                    rows["status"].append("ok")
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "kind", "payload") \
+        .mapInPandas(fn, schema=FRAME_SCHEMA)
+
+
+def audio_features(media: DataFrame, fake=True) -> DataFrame:
+    """MFCC-style audio features (STUBBED decode; deterministic fake
+    over the payload bytes keeps the plumbing testable)."""
+
+    def fn(batches):
+        for pdf in batches:
+            rows = {k: [] for k in ("media_id", "duration_ms",
+                                    "n_samples", "mfcc", "status")}
+            for mid, kind, payload in zip(pdf["media_id"],
+                                          pdf["kind"], pdf["payload"]):
+                rows["media_id"].append(mid)
+                if kind != "audio" or payload is None:
+                    rows["duration_ms"].append(None)
+                    rows["n_samples"].append(None)
+                    rows["mfcc"].append(None)
+                    rows["status"].append("skipped")
+                    continue
+                if not fake:
+                    raise NotImplementedError(
+                        "audio decode requires soundfile/librosa")
+                h = np.frombuffer(payload[:52].ljust(52, b"\0"),
+                                  dtype=np.uint8)
+                rows["duration_ms"].append(int(1000 + int(h[0]) * 37))
+                rows["n_samples"].append(int(h.sum()) * 16)
+                rows["mfcc"].append(
+                    [float(x) / 255.0 for x in h[:13]])
+                rows["status"].append("ok")
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "kind", "payload") \
+        .mapInPandas(fn, schema=AUDIO_SCHEMA)

@@ -290,3 +290,20 @@ def test_golden_compare_join(spark):
     assert rows == [], rows[:3]
     # note: Spark demotes broadcast hints on full_outer joins (SMJ);
     # with how='inner'/'left' the hint holds
+
+
+def test_multimodal_frames_and_audio(spark):
+    from packages_sgml_spark.spark.multimodal import (
+        synthetic_media, video_frame_sample, audio_features)
+    media = synthetic_media(spark, 24)
+    frames = video_frame_sample(media).collect()
+    assert len(frames) > 0
+    per = {}
+    for r in frames:
+        per.setdefault(r.media_id, []).append(r.frame_idx)
+    for mid, idxs in per.items():
+        assert idxs == sorted(idxs)         # ordered frame explode
+    audio = audio_features(media).collect()
+    ok = [r for r in audio if r.status == "ok"]
+    assert len(ok) == 8                      # the kind=='audio' third
+    assert all(len(r.mfcc) == 13 for r in ok)
