@@ -435,3 +435,10 @@ SELECT doc_id, CAST(doc_id % 4 + 1 AS BIGINT) AS n_urls,
        'https://ex.org/d/' || CAST(doc_id AS VARCHAR) || '/0'
          AS first_loc
 FROM documents"""
+
+ORACLES["value_quantiles"] = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95,
+       COUNT(*) AS n
+FROM events GROUP BY event_type"""

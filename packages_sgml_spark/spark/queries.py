@@ -581,3 +581,18 @@ def q_sitemap_parse(spark, sf_dir):
 
 
 QUERIES["sitemap_parse"] = q_sitemap_parse
+
+
+def q_value_quantiles(spark, sf_dir):
+    """Exact interpolated percentiles per event type (percentile() in
+    Spark == quantile_cont in DuckDB)."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy("event_type")
+            .agg(F.round(F.expr("percentile(value, 0.5)"), 6)
+                 .alias("p50"),
+                 F.round(F.expr("percentile(value, 0.95)"), 6)
+                 .alias("p95"),
+                 F.count("*").alias("n")))
+
+
+QUERIES["value_quantiles"] = q_value_quantiles

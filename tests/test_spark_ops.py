@@ -307,3 +307,15 @@ def test_multimodal_frames_and_audio(spark):
     ok = [r for r in audio if r.status == "ok"]
     assert len(ok) == 8                      # the kind=='audio' third
     assert all(len(r.mfcc) == 13 for r in ok)
+
+
+def test_salted_join_equals_plain_join(spark):
+    from packages_sgml_spark.spark.skew import salted_join_broadcastable
+    big = spark.range(5000).select((F.col("id") % 7).alias("k"),
+                                   F.col("id").alias("v"))
+    dim = spark.range(7).select(F.col("id").alias("k"),
+                                (F.col("id") * 10).alias("d"))
+    a = sorted((r.k, r.v, r.d) for r in
+               salted_join_broadcastable(big, dim, "k").collect())
+    b = sorted((r.k, r.v, r.d) for r in big.join(dim, "k").collect())
+    assert a == b
