@@ -128,3 +128,27 @@ def simhash(docs: DataFrame, bits=32) -> DataFrame:
                      F.lit(2 ** i)).otherwise(F.lit(0))
         sig = bit if sig is None else (sig + bit)
     return agg.select("doc_id", sig.cast("long").alias("simhash"))
+
+
+_HEX_HIGH = ("8", "9", "a", "b", "c", "d", "e", "f")
+
+
+def simhash_md5(docs: DataFrame, bits=32) -> DataFrame:
+    """SimHash with md5-derived projection bits (bit i = high bit of
+    hex digit i of md5(word)) — engine-portable, so the DuckDB oracle
+    verifies it exactly; same per-bit majority-vote construction as
+    simhash()."""
+    words = F.explode(norm_words(F.col("text")))
+    wh = (docs.select("doc_id", words.alias("w"))
+          .select("doc_id", F.md5(F.encode("w", "utf-8")).alias("h")))
+    bit_sums = [
+        F.sum(F.when(F.substring("h", i + 1, 1).isin(*_HEX_HIGH), 1)
+              .otherwise(-1)).alias("b%d" % i)
+        for i in range(bits)]
+    agg = wh.groupBy("doc_id").agg(*bit_sums)
+    sig = None
+    for i in range(bits):
+        bit = F.when(F.col("b%d" % i) > 0,
+                     F.lit(2 ** i)).otherwise(F.lit(0))
+        sig = bit if sig is None else (sig + bit)
+    return agg.select("doc_id", sig.cast("long").alias("simhash"))

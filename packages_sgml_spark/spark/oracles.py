@@ -442,3 +442,48 @@ SELECT event_type,
        round(quantile_cont(value, 0.95), 6) AS p95,
        COUNT(*) AS n
 FROM events GROUP BY event_type"""
+
+
+ORACLES["simhash_md5"] = """
+WITH words AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(
+           regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))
+           AS w
+  FROM documents),
+h AS (SELECT doc_id, md5(w) AS h FROM words),
+s AS (SELECT doc_id,
+       SUM(CASE WHEN substr(h, 1, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS b0,
+       SUM(CASE WHEN substr(h, 2, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS b1,
+       SUM(CASE WHEN substr(h, 3, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS b2,
+       SUM(CASE WHEN substr(h, 4, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS b3,
+       SUM(CASE WHEN substr(h, 5, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS b4,
+       SUM(CASE WHEN substr(h, 6, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS b5,
+       SUM(CASE WHEN substr(h, 7, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS b6,
+       SUM(CASE WHEN substr(h, 8, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS b7,
+       SUM(CASE WHEN substr(h, 9, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS b8,
+       SUM(CASE WHEN substr(h, 10, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS b9,
+       SUM(CASE WHEN substr(h, 11, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS b10,
+       SUM(CASE WHEN substr(h, 12, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS b11,
+       SUM(CASE WHEN substr(h, 13, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS b12,
+       SUM(CASE WHEN substr(h, 14, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS b13,
+       SUM(CASE WHEN substr(h, 15, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS b14,
+       SUM(CASE WHEN substr(h, 16, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS b15,
+       SUM(CASE WHEN substr(h, 17, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS b16,
+       SUM(CASE WHEN substr(h, 18, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS b17,
+       SUM(CASE WHEN substr(h, 19, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS b18,
+       SUM(CASE WHEN substr(h, 20, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS b19,
+       SUM(CASE WHEN substr(h, 21, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS b20,
+       SUM(CASE WHEN substr(h, 22, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS b21,
+       SUM(CASE WHEN substr(h, 23, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS b22,
+       SUM(CASE WHEN substr(h, 24, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS b23,
+       SUM(CASE WHEN substr(h, 25, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS b24,
+       SUM(CASE WHEN substr(h, 26, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS b25,
+       SUM(CASE WHEN substr(h, 27, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS b26,
+       SUM(CASE WHEN substr(h, 28, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS b27,
+       SUM(CASE WHEN substr(h, 29, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS b28,
+       SUM(CASE WHEN substr(h, 30, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS b29,
+       SUM(CASE WHEN substr(h, 31, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS b30,
+       SUM(CASE WHEN substr(h, 32, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS b31
+      FROM h GROUP BY doc_id)
+SELECT doc_id, CASE WHEN b0 > 0 THEN CAST(1 AS BIGINT) ELSE 0 END + CASE WHEN b1 > 0 THEN CAST(2 AS BIGINT) ELSE 0 END + CASE WHEN b2 > 0 THEN CAST(4 AS BIGINT) ELSE 0 END + CASE WHEN b3 > 0 THEN CAST(8 AS BIGINT) ELSE 0 END + CASE WHEN b4 > 0 THEN CAST(16 AS BIGINT) ELSE 0 END + CASE WHEN b5 > 0 THEN CAST(32 AS BIGINT) ELSE 0 END + CASE WHEN b6 > 0 THEN CAST(64 AS BIGINT) ELSE 0 END + CASE WHEN b7 > 0 THEN CAST(128 AS BIGINT) ELSE 0 END + CASE WHEN b8 > 0 THEN CAST(256 AS BIGINT) ELSE 0 END + CASE WHEN b9 > 0 THEN CAST(512 AS BIGINT) ELSE 0 END + CASE WHEN b10 > 0 THEN CAST(1024 AS BIGINT) ELSE 0 END + CASE WHEN b11 > 0 THEN CAST(2048 AS BIGINT) ELSE 0 END + CASE WHEN b12 > 0 THEN CAST(4096 AS BIGINT) ELSE 0 END + CASE WHEN b13 > 0 THEN CAST(8192 AS BIGINT) ELSE 0 END + CASE WHEN b14 > 0 THEN CAST(16384 AS BIGINT) ELSE 0 END + CASE WHEN b15 > 0 THEN CAST(32768 AS BIGINT) ELSE 0 END + CASE WHEN b16 > 0 THEN CAST(65536 AS BIGINT) ELSE 0 END + CASE WHEN b17 > 0 THEN CAST(131072 AS BIGINT) ELSE 0 END + CASE WHEN b18 > 0 THEN CAST(262144 AS BIGINT) ELSE 0 END + CASE WHEN b19 > 0 THEN CAST(524288 AS BIGINT) ELSE 0 END + CASE WHEN b20 > 0 THEN CAST(1048576 AS BIGINT) ELSE 0 END + CASE WHEN b21 > 0 THEN CAST(2097152 AS BIGINT) ELSE 0 END + CASE WHEN b22 > 0 THEN CAST(4194304 AS BIGINT) ELSE 0 END + CASE WHEN b23 > 0 THEN CAST(8388608 AS BIGINT) ELSE 0 END + CASE WHEN b24 > 0 THEN CAST(16777216 AS BIGINT) ELSE 0 END + CASE WHEN b25 > 0 THEN CAST(33554432 AS BIGINT) ELSE 0 END + CASE WHEN b26 > 0 THEN CAST(67108864 AS BIGINT) ELSE 0 END + CASE WHEN b27 > 0 THEN CAST(134217728 AS BIGINT) ELSE 0 END + CASE WHEN b28 > 0 THEN CAST(268435456 AS BIGINT) ELSE 0 END + CASE WHEN b29 > 0 THEN CAST(536870912 AS BIGINT) ELSE 0 END + CASE WHEN b30 > 0 THEN CAST(1073741824 AS BIGINT) ELSE 0 END + CASE WHEN b31 > 0 THEN CAST(2147483648 AS BIGINT) ELSE 0 END AS simhash FROM s"""

@@ -596,3 +596,10 @@ def q_value_quantiles(spark, sf_dir):
 
 
 QUERIES["value_quantiles"] = q_value_quantiles
+
+
+def q_simhash_md5(spark, sf_dir):
+    return dedup.simhash_md5(_t(spark, sf_dir, "documents"))
+
+
+QUERIES["simhash_md5"] = q_simhash_md5
