@@ -30,53 +30,64 @@ class CallbackParser(SGMLParser):
         self._cb_data = on_data
         self._cb_pi = on_pi
         self._depth = 0
-        self._captures = []     # (start_depth, content_list, stack, done)
+        self._captures = []     # active _Capture list (innermost last)
 
     # -- capture machinery -------------------------------------------------
 
+    class _Capture:
+        __slots__ = ("depth", "content", "stack", "done")
+
+        def __init__(self, depth, done):
+            self.depth = depth
+            self.content = []
+            self.stack = []
+            self.done = done
+
     def capture_content(self, done):
         """Begin capturing the content of the element whose begin
-        event is currently being delivered."""
-        self._captures.append((self._depth, [], [], done))
+        event is currently being delivered.  Captures nest: each
+        active capture maintains its own independent tree."""
+        self._captures.append(self._Capture(self._depth, done))
 
-    def _cap_add(self, node):
-        if self._captures:
-            _d, content, stack, _done = self._captures[-1]
-            (stack[-1].content if stack else content).append(node)
+    def _cap_nodes(self, make_node):
+        for cap in self._captures:
+            node = make_node()
+            (cap.stack[-1].content if cap.stack
+             else cap.content).append(node)
 
     # -- event plumbing ----------------------------------------------------
 
     def ev_begin(self, name, attrs):
         self._depth += 1
-        if self._captures:
+        for cap in self._captures:
             el = Element(name, attrs, [])
-            self._cap_add(el)
-            self._captures[-1][2].append(el)
+            (cap.stack[-1].content if cap.stack
+             else cap.content).append(el)
+            cap.stack.append(el)
         if self._cb_begin:
             self._cb_begin(name, attrs, self)
 
     def ev_end(self, name):
-        if self._captures:
-            d, content, stack, done = self._captures[-1]
-            if stack:
-                stack.pop()
-            if self._depth == d:
-                self._captures.pop()
-                done(content)
+        for cap in self._captures:
+            if cap.stack:
+                cap.stack.pop()
+        while self._captures and self._captures[-1].depth == self._depth:
+            cap = self._captures.pop()
+            cap.done(cap.content)
         self._depth -= 1
         if self._cb_end:
             self._cb_end(name, self)
 
     def ev_data(self, kind, text):
         if self._captures:
-            node = (text if kind == "cdata" else
-                    SData(text) if kind == "sdata" else NData(text))
-            self._cap_add(node)
+            self._cap_nodes(lambda: text if kind == "cdata" else
+                            SData(text) if kind == "sdata"
+                            else NData(text))
         if self._cb_data:
             self._cb_data(kind, text, self)
 
     def ev_pi(self, text):
         if self._captures:
-            self._cap_add(PI(text))
+            self._cap_nodes(lambda: PI(text))
         if self._cb_pi:
             self._cb_pi(text, self)

@@ -239,3 +239,19 @@ def test_sax_callbacks_and_capture():
         p.parse(f.read())
     assert captured == [['Dürst'], []]
     assert ("b", "utf8") in events and ("e", "utf8") in events
+
+
+def test_sax_nested_captures():
+    from packages_sgml_spark.core.sax import CallbackParser
+    from packages_sgml_spark.core.parser import ParserOptions
+    caps = []
+
+    def on_begin(name, attrs, p):
+        if name in ('b', 'c'):
+            p.capture_content(lambda c, n=name: caps.append((n, c)))
+
+    p = CallbackParser(ParserOptions(dialect='xml'), on_begin=on_begin)
+    p.parse(b'<a><b>x<c>y</c>z</b></a>')
+    assert caps[0] == ('c', ['y'])
+    assert caps[1][0] == 'b'
+    assert caps[1][1] == ['x', Element('c', [], ['y']), 'z']
