@@ -410,7 +410,19 @@ class SGMLParser(DeclMixin):
         """Parse a complete document from bytes (or str of octets).
         Returns (dom_content_list, errors)."""
         if isinstance(data, (bytes, bytearray)):
-            text = bytes(data).decode("latin-1")
+            data = bytes(data)
+            # UTF-16 BOM: transcode to UTF-8 octets (the reference's
+            # Prolog stream layer does BOM-driven recoding before the
+            # parser sees octets)
+            if data[:2] in (b"\xfe\xff", b"\xff\xfe"):
+                try:
+                    data = data.decode(
+                        "utf-16-be" if data[:2] == b"\xfe\xff"
+                        else "utf-16-le", errors="replace")[1:] \
+                        .encode("utf-8")
+                except Exception:   # noqa: BLE001 - keep raw octets
+                    pass
+            text = data.decode("latin-1")
         else:
             text = data
         if self.options.content_length is not None:

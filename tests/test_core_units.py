@@ -255,3 +255,10 @@ def test_sax_nested_captures():
     assert caps[0] == ('c', ['y'])
     assert caps[1][0] == 'b'
     assert caps[1][1] == ['x', Element('c', [], ['y']), 'z']
+
+
+def test_utf16_bom_transcode():
+    for enc in ('utf-16-le', 'utf-16-be'):
+        doc = '﻿<a>héllo р</a>'.encode(enc)
+        dom, errs = parse_document(doc, dialect='xml')
+        assert dom == [Element('a', [], ['héllo р'])], enc
