@@ -152,3 +152,42 @@ def simhash_md5(docs: DataFrame, bits=32) -> DataFrame:
                      F.lit(2 ** i)).otherwise(F.lit(0))
         sig = bit if sig is None else (sig + bit)
     return agg.select("doc_id", sig.cast("long").alias("simhash"))
+
+
+def dedup_components(pairs: DataFrame, max_iterations=12) -> DataFrame:
+    """Connected components over near-dup candidate pairs:
+    (doc_id, component) where component = min doc_id reachable (the
+    canonical representative to keep).
+
+    Iterative min-label propagation: each round every node adopts the
+    min label among itself and its neighbours; converges in O(graph
+    diameter) rounds (near-dup clusters are tiny, so a fixed bound is
+    safe; at extreme scale swap in the alternating large-star/
+    small-star variant — same join shapes)."""
+    fwd = pairs.select(F.col("doc_a").alias("src"),
+                       F.col("doc_b").alias("dst"))
+    edges = fwd.union(fwd.select(F.col("dst").alias("src"),
+                                 F.col("src").alias("dst"))).distinct()
+    labels = (edges.select("src").distinct()
+              .select(F.col("src").alias("node"),
+                      F.col("src").alias("label")))
+    for _ in range(max_iterations):
+        neigh = (edges.join(labels,
+                            edges.dst == labels.node)
+                 .groupBy("src")
+                 .agg(F.min("label").alias("nlabel")))
+        new_labels = (labels.join(neigh,
+                                  labels.node == neigh.src, "left")
+                      .select("node",
+                              F.least("label",
+                                      F.coalesce("nlabel", "label"))
+                              .alias("label")))
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "node")
+                   .filter(F.col("n.label") != F.col("o.label"))
+                   .take(1))
+        labels = new_labels
+        if not changed:
+            break
+    return labels.select(F.col("node").alias("doc_id"),
+                         F.col("label").alias("component"))

@@ -603,3 +603,14 @@ def q_simhash_md5(spark, sf_dir):
 
 
 QUERIES["simhash_md5"] = q_simhash_md5
+
+
+def q_dedup_components(spark, sf_dir):
+    """Near-dup clusters: connected components over the minhash-LSH
+    candidate pairs; component = canonical keeper doc_id."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs)
+    return dedup.dedup_components(pairs)
+
+
+QUERIES["dedup_components"] = q_dedup_components

@@ -319,3 +319,13 @@ def test_salted_join_equals_plain_join(spark):
                salted_join_broadcastable(big, dim, "k").collect())
     b = sorted((r.k, r.v, r.d) for r in big.join(dim, "k").collect())
     assert a == b
+
+
+def test_dedup_components_planted(spark):
+    from packages_sgml_spark.spark.dedup import dedup_components
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9), (4, 8), (8, 6)],
+        "doc_a long, doc_b long")
+    comp = {r.doc_id: r.component
+            for r in dedup_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7, 4: 4, 8: 4, 6: 4}
