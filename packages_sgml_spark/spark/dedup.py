@@ -182,6 +182,10 @@ def dedup_components(pairs: DataFrame, max_iterations=12) -> DataFrame:
                               F.least("label",
                                       F.coalesce("nlabel", "label"))
                               .alias("label")))
+        # cut lineage each round: iterative algorithms otherwise
+        # re-execute the whole chain on every action (checkpointing
+        # is the standard CC-on-Spark pattern)
+        new_labels = new_labels.localCheckpoint(eager=True)
         changed = (new_labels.alias("n")
                    .join(labels.alias("o"), "node")
                    .filter(F.col("n.label") != F.col("o.label"))
