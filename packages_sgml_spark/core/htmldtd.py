@@ -80,6 +80,21 @@ HTML5_DTD_TEXT = """
   class CDATA #IMPLIED id CDATA #IMPLIED>
 """.replace("{inline}", _INLINE).replace("{flow}", _FLOW)
 
+# HTML4-transitional flavour: legacy elements and the SGML
+# inclusion/exclusion exceptions HTML5 dropped (no nested forms/
+# anchors/labels; pre bans images and font tweaks).  Authored from
+# the public HTML 4.01 spec structure.
+HTML4_EXTRA_DTD_TEXT = """
+<!ELEMENT (font|center|strike|big|tt|u|s|acronym) - - ({flow})*>
+<!ELEMENT (dir|menu) - - (li)* -(p|div|table)>
+<!ELEMENT a - - ({flow})* -(a)>
+<!ELEMENT form - - ({flow})* -(form)>
+<!ELEMENT label - - ({flow})* -(label)>
+<!ELEMENT button - - ({flow})* -(a|form|input|select|textarea|label|button)>
+<!ELEMENT pre - - ({inline})* -(img|object|big|small|sub|sup|font)>
+<!ELEMENT applet - - ({flow}|param)*>
+""".replace("{inline}", _INLINE).replace("{flow}", _FLOW)
+
 _CACHE = {}
 
 
@@ -101,6 +116,11 @@ def build_html_dtd(key):
     p = SGMLParser(ParserOptions(dialect="sgml", quiet=True))
     dtd = p.dtd
     p.load_dtd_text(HTML5_DTD_TEXT)
+    if key == "html":
+        # HTML4 profile: legacy elements + exception declarations
+        # (redefinitions of a/form/label/pre etc. override the HTML5
+        # rows loaded above; redefinition gripes are style-level)
+        p.load_dtd_text(HTML4_EXTRA_DTD_TEXT)
     # entity tables: HTML4 set for 'html', full HTML5 set for 'html5'
     if key == "html5":
         for name, expansion in html.entities.html5.items():

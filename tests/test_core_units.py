@@ -262,3 +262,12 @@ def test_utf16_bom_transcode():
         doc = '﻿<a>héllo р</a>'.encode(enc)
         dom, errs = parse_document(doc, dialect='xml')
         assert dom == [Element('a', [], ['héllo р'])], enc
+
+
+def test_html4_dialect_profile():
+    doc = (b'<body><form><p>one<form><p>two</form></form>'
+           b'<a href=x>l1 <a href=y>l2</a></a></body>')
+    dom, errs = parse_document(doc, dialect='html', max_errors=-1)
+    assert extract_text(dom) == 'onetwol1 l2'
+    msgs = [e.message for e in errs]
+    assert 'Element "form" not allowed here' in msgs  # -(form) exclusion
