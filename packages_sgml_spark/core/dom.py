@@ -85,20 +85,18 @@ def dom_to_json(content: List[Node]) -> str:
 
 def extract_text(content: List[Node]) -> str:
     """Concatenate all CDATA text in document order (xpath.pl:584-620
-    text-of-subtree analog over the whole document)."""
+    text-of-subtree analog over the whole document).  Iterative —
+    crawl tag soup nests arbitrarily deep."""
     out = []
-
-    def walk(n):
+    stack = list(reversed(content))
+    while stack:
+        n = stack.pop()
         if isinstance(n, str):
             out.append(n)
         elif isinstance(n, Element):
-            for c in n.content:
-                walk(c)
+            stack.extend(reversed(n.content))
         elif isinstance(n, (SData, NData)):
             out.append(n.text)
-
-    for n in content:
-        walk(n)
     return "".join(out)
 
 
@@ -130,7 +128,15 @@ def flatten_nodes(content: List[Node], elem_spans=None,
             return data_spans[i]
         return (None, None)
 
-    def walk(n, parent_id, ord_):
+    _POST = object()
+
+    stack = [(n, -1, i) for i, n in reversed(list(enumerate(content)))]
+    while stack:
+        item = stack.pop()
+        if item[0] is _POST:
+            item[1]["subtree_end"] = len(rows)
+            continue
+        n, parent_id, ord_ = item
         nid = len(rows)
         if isinstance(n, Element):
             sp = _espan()
@@ -143,45 +149,43 @@ def flatten_nodes(content: List[Node], elem_spans=None,
                 "start_pos": sp[0], "end_pos": sp[1],
             }
             rows.append(row)
-            for i, c in enumerate(n.content):
-                walk(c, nid, i)
-            row["subtree_end"] = len(rows)
+            stack.append((_POST, row, None))
+            for i, c in reversed(list(enumerate(n.content))):
+                stack.append((c, nid, i))
         elif isinstance(n, str):
             sp = _dspan()
-            rows.append({"node_id": nid, "parent_id": parent_id, "ord": ord_,
-                         "kind": "text", "name": None, "attrs": None,
-                         "subtree_end": None,
+            rows.append({"node_id": nid, "parent_id": parent_id,
+                         "ord": ord_, "kind": "text", "name": None,
+                         "attrs": None, "subtree_end": None,
                          "start_pos": sp[0], "end_pos": sp[1],
                          "text": n})
         elif isinstance(n, SData):
             sp = _dspan()
-            rows.append({"node_id": nid, "parent_id": parent_id, "ord": ord_,
-                         "kind": "sdata", "name": None, "attrs": None,
-                         "subtree_end": None,
+            rows.append({"node_id": nid, "parent_id": parent_id,
+                         "ord": ord_, "kind": "sdata", "name": None,
+                         "attrs": None, "subtree_end": None,
                          "start_pos": sp[0], "end_pos": sp[1],
                          "text": n.text})
         elif isinstance(n, NData):
             sp = _dspan()
-            rows.append({"node_id": nid, "parent_id": parent_id, "ord": ord_,
-                         "kind": "ndata", "name": None, "attrs": None,
-                         "subtree_end": None,
+            rows.append({"node_id": nid, "parent_id": parent_id,
+                         "ord": ord_, "kind": "ndata", "name": None,
+                         "attrs": None, "subtree_end": None,
                          "start_pos": sp[0], "end_pos": sp[1],
                          "text": n.text})
         elif isinstance(n, PI):
-            rows.append({"node_id": nid, "parent_id": parent_id, "ord": ord_,
-                         "kind": "pi", "name": None, "attrs": None,
-                         "subtree_end": None,
+            rows.append({"node_id": nid, "parent_id": parent_id,
+                         "ord": ord_, "kind": "pi", "name": None,
+                         "attrs": None, "subtree_end": None,
                          "start_pos": None, "end_pos": None,
                          "text": n.text})
         elif isinstance(n, Entity):
-            rows.append({"node_id": nid, "parent_id": parent_id, "ord": ord_,
-                         "kind": "entity", "name": str(n.name), "attrs": None,
+            rows.append({"node_id": nid, "parent_id": parent_id,
+                         "ord": ord_, "kind": "entity",
+                         "name": str(n.name), "attrs": None,
                          "subtree_end": None,
                          "start_pos": None, "end_pos": None,
                          "text": None})
-
-    for i, n in enumerate(content):
-        walk(n, -1, i)
     return rows
 
 

@@ -106,3 +106,19 @@ def test_textonly_equals_dom_parser(soup):
                                       quiet=True))
     p2.parse(data)
     assert extract_text(dom) == p2.text()
+
+
+def test_very_deep_nesting_flatten():
+    """Crawl soup nests arbitrarily deep; the extraction-path walkers
+    are iterative (no RecursionError)."""
+    from packages_sgml_spark.core.parser import (SGMLParser,
+                                                 ParserOptions)
+    from packages_sgml_spark.core.dom import extract_text, flatten_nodes
+    doc = b"<div>" * 5000 + b"deep"
+    p = SGMLParser(ParserOptions(dialect="html5", max_errors=-1,
+                                 quiet=True))
+    dom, _ = p.parse(doc)
+    assert extract_text(dom) == "deep"
+    rows = flatten_nodes(dom, p.elem_spans, p.data_spans)
+    assert len(rows) == 5001
+    assert rows[0]["subtree_end"] == 5001
