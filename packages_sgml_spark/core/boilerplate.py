@@ -64,37 +64,34 @@ class Block:
 
 
 def collect_blocks(dom):
-    """DOM -> list of Blocks in document order."""
+    """DOM -> list of Blocks in document order (iterative: crawl
+    soup nests arbitrarily deep)."""
     blocks = []
-
-    def walk(n, block, in_link):
+    stack = [(n, None, False) for n in reversed(dom)]
+    while stack:
+        n, block, in_link = stack.pop()
         if isinstance(n, str):
             if block is not None:
                 block.texts.append(n)
                 if in_link:
                     block.link_chars += len(n)
-            return
+            continue
         if isinstance(n, (SData, NData)):
             if block is not None:
                 block.texts.append(n.text)
-            return
-        if not isinstance(n, Element):
-            return
-        if _pruned(n):
-            return
+            continue
+        if not isinstance(n, Element) or _pruned(n):
+            continue
         tag = _tagname(n)
         link = in_link or tag == "a"
         if tag in BLOCK_TAGS:
             nb = Block(tag)
             blocks.append(nb)
-            for c in n.content:
-                walk(c, nb, link)
+            for c in reversed(n.content):
+                stack.append((c, nb, link))
         else:
-            for c in n.content:
-                walk(c, block, link)
-
-    for n in dom:
-        walk(n, None, False)
+            for c in reversed(n.content):
+                stack.append((c, block, link))
     return [b for b in blocks if b.text().strip()]
 
 
