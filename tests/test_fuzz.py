@@ -122,3 +122,14 @@ def test_very_deep_nesting_flatten():
     rows = flatten_nodes(dom, p.elem_spans, p.data_spans)
     assert len(rows) == 5001
     assert rows[0]["subtree_end"] == 5001
+
+
+def test_deep_dom_json_emitter():
+    from packages_sgml_spark.core.dom import dom_to_json
+    import json as _json
+    dom, _ = parse_document(b'<d>' * 5000 + b'x', dialect='html5',
+                            max_errors=-1)
+    s = dom_to_json(dom)        # iterative emitter: no RecursionError
+    assert s.count('{') == 5000 and s.endswith('}]')
+    shallow, _ = parse_document(b'<a y="1">t</a>', dialect='xml')
+    assert _json.loads(dom_to_json(shallow))[0]['e'] == 'a'
