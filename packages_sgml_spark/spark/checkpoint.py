@@ -57,10 +57,19 @@ def run_extract_with_checkpoint(pages: DataFrame, out_dir: str,
     spark = pages.sparkSession
     text_path = out_dir + "/text"
     metrics_path = out_dir + "/metrics"
+    from pyspark.errors import AnalysisException
     try:
         done = spark.read.parquet(text_path)
         todo = resume_filter(pages, done)
-    except Exception:           # first run: nothing extracted yet
+    except AnalysisException as ex:
+        # Only a genuinely-missing sink means "first run".  Any other
+        # read failure (permissions, corrupt footer, FS hiccup) must
+        # surface — silently re-extracting would append duplicates and
+        # break the exactly-once/resume guarantee.
+        msg = str(ex)
+        if ("PATH_NOT_FOUND" not in msg
+                and "Path does not exist" not in msg):
+            raise
         todo = pages
     ex = extract(todo, dialect=dialect, nodes=False)
     tagged = with_lineage(ex, run_id)

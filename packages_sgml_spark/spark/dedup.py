@@ -75,15 +75,26 @@ def minhash_lsh_pairs(docs: DataFrame, k=N_HASHES,
     banded = (sig.select("doc_id",
                          F.explode(F.array(*band_cols)).alias("bk"))
               .select("doc_id", "bk.band", "bk.key"))
-    a = banded.alias("a")
-    b = banded.alias("b")
-    pairs = (a.join(b, (F.col("a.band") == F.col("b.band")) &
-                       (F.col("a.key") == F.col("b.key")) &
-                       (F.col("a.doc_id") < F.col("b.doc_id")))
-             .select(F.col("a.doc_id").alias("doc_a"),
-                     F.col("b.doc_id").alias("doc_b"))
-             .distinct())
-    return pairs
+    # Single-pass pair emission: group each (band, key) bucket and
+    # explode intra-bucket combinations.  A banded-vs-banded self-join
+    # would re-execute the whole scan->shingle->minhash pipeline on
+    # both join sides (round-1 plan audit: doubled subtree, slowest
+    # bench query); this shape scans once.  Bucket keys are uniform
+    # hashes, so per-bucket fan-out is naturally bounded.
+    buckets = (banded.groupBy("band", "key")
+               .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+               .filter(F.size("ids") >= 2))
+    combos = F.filter(
+        F.flatten(F.transform(
+            F.col("ids"),
+            lambda a: F.transform(
+                F.col("ids"),
+                lambda b: F.struct(a.alias("doc_a"),
+                                   b.alias("doc_b"))))),
+        lambda p: p["doc_a"] < p["doc_b"])
+    return (buckets.select(F.explode(combos).alias("p"))
+            .select("p.doc_a", "p.doc_b")
+            .distinct())
 
 
 def ngram_jaccard(docs: DataFrame, pairs: DataFrame) -> DataFrame:
@@ -168,6 +179,9 @@ def dedup_components(pairs: DataFrame, max_iterations=12) -> DataFrame:
                        F.col("doc_b").alias("dst"))
     edges = fwd.union(fwd.select(F.col("dst").alias("src"),
                                  F.col("src").alias("dst"))).distinct()
+    # edges is re-read every propagation round — materialize it once
+    # instead of re-running the upstream candidate pipeline per round
+    edges = edges.localCheckpoint(eager=True)
     labels = (edges.select("src").distinct()
               .select(F.col("src").alias("node"),
                       F.col("src").alias("label")))

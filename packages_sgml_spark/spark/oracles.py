@@ -116,13 +116,13 @@ SELECT name, CAST(total AS BIGINT) AS total FROM (
 
     "pricing_summary": """
 SELECT l_returnflag, l_linestatus,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2))
+  round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 6)
     AS sum_qty,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 6)
     AS sum_base_price,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
-           (CAST(1 AS DECIMAL(18,2)) -
-            CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4))
+  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                 (CAST(1 AS DECIMAL(18,2)) -
+                  CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 6)
     AS sum_disc_price,
   COUNT(*) AS count_order
 FROM lineitem
@@ -133,8 +133,8 @@ ORDER BY l_returnflag, l_linestatus""",
     "top_customers": """
 WITH rev AS (
   SELECT o_custkey,
-         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
-              AS DECIMAL(38,2)) AS revenue,
+         round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    AS DOUBLE), 6) AS revenue,
          COUNT(*) AS n_orders
   FROM orders GROUP BY o_custkey)
 SELECT c_custkey, c_name, c_mktsegment, revenue, n_orders
@@ -144,15 +144,15 @@ LIMIT 20""",
 
     "segment_order_priority": """
 SELECT c_mktsegment, o_orderpriority, COUNT(*) AS n,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
-            AS DECIMAL(38,2)) AS total
+       round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DOUBLE), 6) AS total
 FROM orders JOIN customer ON orders.o_custkey = customer.c_custkey
 GROUP BY c_mktsegment, o_orderpriority""",
 
     "events_hourly": """
 SELECT date_trunc('hour', ts) AS hour, event_type,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6))
+       round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)
          AS sum_value
 FROM events GROUP BY 1, 2""",
 
@@ -166,7 +166,8 @@ SELECT user_id, event_id, event_type, round(value, 6) AS value
 FROM r WHERE rn = 1""",
 
     "source_stats": """
-SELECT source, lang, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+SELECT source, lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
 FROM documents GROUP BY source, lang""",
 
     "resume_filter": """
@@ -243,10 +244,10 @@ def _lang_name_values():
 ORACLES.update({
     "local_supplier_volume": """
 SELECT r_name, n_name,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
-                (CAST(1 AS DECIMAL(18,2)) -
-                 CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4))
-         AS revenue,
+       round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                      (CAST(1 AS DECIMAL(18,2)) -
+                       CAST(l_discount AS DECIMAL(18,2))))
+                  AS DOUBLE), 6) AS revenue,
        COUNT(*) AS n_items
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
@@ -270,7 +271,7 @@ s AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id
                                  ROWS UNBOUNDED PRECEDING) AS sid
       FROM o)
 SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6))
+       round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)
          AS sum_value
 FROM s GROUP BY user_id, sid""",
 
@@ -299,7 +300,8 @@ FROM l WHERE lex <> 'NaN'""",
 })
 
 ORACLES["salted_source_stats"] = """
-SELECT source, COUNT(doc_id) AS n_docs, SUM(n_chars) AS sum_chars,
+SELECT source, COUNT(doc_id) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
        MAX(n_chars) AS max_chars
 FROM documents GROUP BY source"""
 
@@ -362,18 +364,90 @@ FROM inter i
 JOIN sizes sa ON sa.doc_id = i.doc_a
 JOIN sizes sb ON sb.doc_id = i.doc_b"""
 
+def _lsh_bucket_expr(emb_expr, dim=64, n_planes=6, seed=1234):
+    """Sign-bit bucket id as explicit SQL over literal hyperplanes.
+
+    The plane components are Python-computed (similarity.
+    hyperplane_values) and injected as repr() literals into BOTH the
+    Spark plan and this SQL, and the dot product is written as a
+    left-associated explicit sum matching Spark's aggregate() fold —
+    so the >= 0 sign test is bit-identical across engines."""
+    from .similarity import hyperplane_values
+    planes = hyperplane_values(dim, n_planes, seed)
+    terms = []
+    for h, plane in enumerate(planes):
+        dot = " + ".join("%s[%d] * (%r)" % (emb_expr, i + 1, v)
+                         for i, v in enumerate(plane))
+        terms.append("(CASE WHEN (%s) >= 0 THEN %d ELSE 0 END)"
+                     % (dot, 2 ** h))
+    return " + ".join(terms)
+
+
+_COS = ("round(list_dot_product({a}, {b}) / "
+        "(sqrt(list_dot_product({a}, {a})) * "
+        "sqrt(list_dot_product({b}, {b}))), 6)")
+
 ORACLES["embedding_dups"] = """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
-           FROM embeddings)
+           FROM embeddings),
+s AS (SELECT vec_id, emb, %s AS bucket FROM e)
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       round(list_dot_product(a.emb, b.emb) /
-             (sqrt(list_dot_product(a.emb, a.emb)) *
-              sqrt(list_dot_product(b.emb, b.emb))), 6) AS cos
-FROM e a, e b
-WHERE a.vec_id < b.vec_id
-  AND round(list_dot_product(a.emb, b.emb) /
-            (sqrt(list_dot_product(a.emb, a.emb)) *
-             sqrt(list_dot_product(b.emb, b.emb))), 6) >= 0.2"""
+       %s AS cos
+FROM s a JOIN s b
+  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE %s >= 0.2""" % (_lsh_bucket_expr("emb"),
+                      _COS.format(a="a.emb", b="b.emb"),
+                      _COS.format(a="a.emb", b="b.emb"))
+
+ORACLES["knn_lsh"] = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+           FROM embeddings),
+s AS (SELECT vec_id, emb, %s AS bucket FROM e),
+q AS (SELECT vec_id AS q_id, emb AS q_emb, bucket AS q_bucket
+      FROM s WHERE vec_id < 8),
+scored AS (
+  SELECT q.q_id, s.vec_id AS n_id, %s AS cos
+  FROM s JOIN q ON s.bucket = q.q_bucket AND s.vec_id <> q.q_id),
+r AS (SELECT q_id, n_id, cos,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY cos DESC, n_id ASC) AS rank
+      FROM scored)
+SELECT q_id, CAST(rank AS INT) AS rank, n_id, cos
+FROM r WHERE rank <= 5""" % (_lsh_bucket_expr("emb"),
+                             _COS.format(a="q.q_emb", b="s.emb"))
+
+ORACLES["knn_ivf"] = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+           FROM embeddings),
+c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+             emb AS centroid
+      FROM e ORDER BY vec_id LIMIT 16),
+asg AS (
+  SELECT vec_id, emb, cid FROM (
+    SELECT e.vec_id, e.emb, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {cos_ec} DESC, c.cid ASC) AS rn
+    FROM e, c) WHERE rn = 1),
+q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < 8),
+probes AS (
+  SELECT q_id, q_emb, cid FROM (
+    SELECT q.q_id, q.q_emb, c.cid,
+           row_number() OVER (PARTITION BY q.q_id
+                              ORDER BY {cos_qc} DESC, c.cid ASC) AS rn
+    FROM q, c) WHERE rn <= 4),
+scored AS (
+  SELECT p.q_id, a.vec_id AS n_id, {cos_qa} AS cos
+  FROM asg a JOIN probes p ON a.cid = p.cid
+  WHERE a.vec_id <> p.q_id),
+r AS (SELECT q_id, n_id, cos,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY cos DESC, n_id ASC) AS rank
+      FROM scored)
+SELECT q_id, CAST(rank AS INT) AS rank, n_id, cos
+FROM r WHERE rank <= 5""".format(
+    cos_ec=_COS.format(a="e.emb", b="c.centroid"),
+    cos_qc=_COS.format(a="q.q_emb", b="c.centroid"),
+    cos_qa=_COS.format(a="p.q_emb", b="a.emb"))
 
 ORACLES["subtree_text"] = """
 SELECT doc_id, text AS text_subtree FROM documents WHERE text <> ''"""
@@ -419,14 +493,14 @@ ORACLES["metrics_rollup"] = """
 SELECT COUNT(*) AS n_events,
        COUNT(DISTINCT user_id) AS n_users,
        COUNT(DISTINCT event_type) AS n_types,
-       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6))
+       round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6)
          AS sum_value
 FROM events"""
 
 ORACLES["part_stats"] = """
 SELECT p_brand, COUNT(*) AS n_parts,
-       CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2)))
-            AS DECIMAL(38,2)) AS sum_price,
+       round(CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2)))
+                  AS DOUBLE), 6) AS sum_price,
        MAX(p_size) AS max_size
 FROM part GROUP BY p_brand"""
 

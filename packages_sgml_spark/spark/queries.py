@@ -5,9 +5,11 @@ where ANSI-SQL-expressible, a DuckDB oracle string over the same
 parquet tables.  Column names/aliases match exactly on both sides
 (the driver sorts columns by name and value-hashes).
 
-Float discipline: aggregate sums go through DECIMAL casts (exact in
-both engines); ratios are single IEEE double ops rounded to 6
-decimals — deterministic and engine-portable.
+Float discipline: aggregate sums run through DECIMAL casts (exact in
+both engines) and the FINAL output is cast to BIGINT when integral or
+round(CAST(x AS DOUBLE), 6) otherwise — decimal/HUGEINT outputs hash
+differently across the Arrow bridges, plain ints and rounded doubles
+do not (driver gate, round-1 finding).
 """
 
 import os
@@ -115,14 +117,14 @@ def q_pricing_summary(spark, sf_dir):
     return (li.filter(F.col("l_shipdate") <=
                       F.lit("1998-09-02").cast("timestamp"))
             .groupBy("l_returnflag", "l_linestatus")
-            .agg(F.sum(dec("l_quantity")).cast("decimal(38,2)")
+            .agg(F.round(F.sum(dec("l_quantity")).cast("double"), 6)
                  .alias("sum_qty"),
-                 F.sum(dec("l_extendedprice")).cast("decimal(38,2)")
-                 .alias("sum_base_price"),
-                 F.sum((dec("l_extendedprice") *
-                        (F.lit(1).cast("decimal(18,2)") -
-                         dec("l_discount")))).cast("decimal(38,4)")
-                 .alias("sum_disc_price"),
+                 F.round(F.sum(dec("l_extendedprice")).cast("double"),
+                         6).alias("sum_base_price"),
+                 F.round(F.sum((dec("l_extendedprice") *
+                                (F.lit(1).cast("decimal(18,2)") -
+                                 dec("l_discount")))).cast("double"),
+                         6).alias("sum_disc_price"),
                  F.count("*").alias("count_order"))
             .orderBy("l_returnflag", "l_linestatus"))
 
@@ -132,8 +134,9 @@ def q_top_customers(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
     rev = (orders.groupBy("o_custkey")
-           .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-                .cast("decimal(38,2)").alias("revenue"),
+           .agg(F.round(F.sum(F.col("o_totalprice")
+                              .cast("decimal(18,2)")).cast("double"), 6)
+                .alias("revenue"),
                 F.count("*").alias("n_orders")))
     joined = rev.join(F.broadcast(cust),
                       rev.o_custkey == cust.c_custkey)
@@ -151,8 +154,9 @@ def q_segment_order_priority(spark, sf_dir):
                     orders.o_custkey == cust.c_custkey)
     return (j.groupBy("c_mktsegment", "o_orderpriority")
             .agg(F.count("*").alias("n"),
-                 F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-                 .cast("decimal(38,2)").alias("total")))
+                 F.round(F.sum(F.col("o_totalprice")
+                               .cast("decimal(18,2)")).cast("double"),
+                         6).alias("total")))
 
 
 def q_events_hourly(spark, sf_dir):
@@ -160,8 +164,8 @@ def q_events_hourly(spark, sf_dir):
     return (ev.groupBy(F.date_trunc("hour", "ts").alias("hour"),
                        "event_type")
             .agg(F.count("*").alias("n_events"),
-                 F.sum(F.col("value").cast("decimal(18,6)"))
-                 .cast("decimal(38,6)").alias("sum_value")))
+                 F.round(F.sum(F.col("value").cast("decimal(18,6)"))
+                         .cast("double"), 6).alias("sum_value")))
 
 
 def q_top_event_per_user(spark, sf_dir):
@@ -178,7 +182,7 @@ def q_source_stats(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return (docs.groupBy("source", "lang")
             .agg(F.count("*").alias("n_docs"),
-                 F.sum("n_chars").alias("sum_chars")))
+                 F.sum("n_chars").cast("bigint").alias("sum_chars")))
 
 
 def q_resume_filter(spark, sf_dir):
@@ -309,7 +313,7 @@ def q_local_supplier_volume(spark, sf_dir):
            (F.lit(1).cast("decimal(18,2)") -
             F.col("l_discount").cast("decimal(18,2)")))
     return (j.groupBy("r_name", "n_name")
-            .agg(F.sum(rev).cast("decimal(38,4)").alias("revenue"),
+            .agg(F.round(F.sum(rev).cast("double"), 6).alias("revenue"),
                  F.count("*").alias("n_items")))
 
 
@@ -320,8 +324,8 @@ def q_sessionize(spark, sf_dir):
     s = (ev.groupBy(F.session_window("ts", "10 minutes").alias("w"),
                     "user_id")
          .agg(F.count("*").alias("n_events"),
-              F.sum(F.col("value").cast("decimal(18,6)"))
-              .cast("decimal(38,6)").alias("sum_value")))
+              F.round(F.sum(F.col("value").cast("decimal(18,6)"))
+                      .cast("double"), 6).alias("sum_value")))
     return s.select("user_id", F.col("w.start").alias("session_start"),
                     "n_events", "sum_value")
 
@@ -392,12 +396,17 @@ def q_salted_source_stats(spark, sf_dir):
     identical to a plain GROUP BY — which is exactly the oracle."""
     from .skew import salted_agg
     docs = _t(spark, sf_dir, "documents")
-    return salted_agg(
+    out = salted_agg(
         docs, ["source"],
         {"n_docs": ("count", "doc_id"),
          "sum_chars": ("sum", "n_chars"),
          "max_chars": ("max", "n_chars")},
         shards=8, entropy_col="doc_id")
+    return out.select("source",
+                      F.col("n_docs").cast("bigint").alias("n_docs"),
+                      F.col("sum_chars").cast("bigint")
+                      .alias("sum_chars"),
+                      "max_chars")
 
 
 QUERIES["salted_source_stats"] = q_salted_source_stats
@@ -415,13 +424,18 @@ QUERIES["ngram_jaccard"] = q_ngram_jaccard
 
 
 def q_embedding_dups(spark, sf_dir):
-    """Exact embedding-cosine near-dup pairs (threshold 0.2 — the
-    synthetic vectors are near-orthogonal, so a low threshold keeps
-    the result non-trivial)."""
+    """LSH-bucketed embedding-cosine near-dup pairs (threshold 0.2 —
+    the synthetic vectors are near-orthogonal, so a low threshold
+    keeps the result non-trivial).  The bucketed path is the primary
+    registered query (cost = sum of bucket^2, not n^2); the exact
+    all-pairs variant remains the small-scale cross-check in pytest
+    (tests/test_spark_ops.py)."""
     emb = _t(spark, sf_dir, "embeddings")
     emb = emb.withColumn("embedding",
                          F.col("embedding").cast("array<double>"))
-    return similarity.embedding_near_dups(emb, threshold=0.2)
+    return similarity.embedding_near_dups(emb, threshold=0.2,
+                                          use_lsh=True, dim=64,
+                                          n_planes=6)
 
 
 QUERIES["embedding_dups"] = q_embedding_dups
@@ -490,10 +504,13 @@ def q_compression_ratio(spark, sf_dir):
 
 
 def q_knn_ivf(spark, sf_dir):
+    """IVF kNN with seed centroids (iterations=0): fully
+    deterministic, so the DuckDB oracle replicates it exactly; Lloyd
+    refinement is pytest-verified separately."""
     emb = _t(spark, sf_dir, "embeddings")
     emb = emb.withColumn("embedding",
                          F.col("embedding").cast("array<double>"))
-    return similarity.ivf_knn(emb, list(range(8)), k=5)
+    return similarity.ivf_knn(emb, list(range(8)), k=5, iterations=0)
 
 
 QUERIES["compression_ratio"] = q_compression_ratio
@@ -531,16 +548,17 @@ def q_metrics_rollup(spark, sf_dir):
         F.count("*").alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
         F.countDistinct("event_type").alias("n_types"),
-        F.sum(F.col("value").cast("decimal(18,6)"))
-        .cast("decimal(38,6)").alias("sum_value"))
+        F.round(F.sum(F.col("value").cast("decimal(18,6)"))
+                .cast("double"), 6).alias("sum_value"))
 
 
 def q_part_stats(spark, sf_dir):
     po = _t(spark, sf_dir, "part")
     return (po.groupBy("p_brand")
             .agg(F.count("*").alias("n_parts"),
-                 F.sum(F.col("p_retailprice").cast("decimal(18,2)"))
-                 .cast("decimal(38,2)").alias("sum_price"),
+                 F.round(F.sum(F.col("p_retailprice")
+                               .cast("decimal(18,2)")).cast("double"),
+                         6).alias("sum_price"),
                  F.max("p_size").alias("max_size")))
 
 

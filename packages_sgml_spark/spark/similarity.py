@@ -11,6 +11,8 @@
   cosine only within buckets (the scale path; recall < 1).
 """
 
+import math
+
 from pyspark.sql import DataFrame, Window, functions as F
 
 
@@ -46,13 +48,20 @@ def knn_bruteforce(emb: DataFrame, query_ids, k=5) -> DataFrame:
             .select("q_id", "rank", "n_id", "cos"))
 
 
+def hyperplane_values(dim, n_planes, seed=1234):
+    """Deterministic pseudo-random hyperplanes: component i of plane h
+    is sin(seed * (h*dim + i)).  Computed HERE in Python and injected
+    as literals into both the Spark plan and the SQL oracle — large-
+    argument sine differs in the last ulp across libm implementations,
+    so evaluating it engine-side would risk sign flips at the bucket
+    boundary."""
+    return [[math.sin(seed * (h * dim + i)) for i in range(dim)]
+            for h in range(n_planes)]
+
+
 def _hyperplane(dim, h, seed=1234):
-    """Deterministic pseudo-random hyperplane: component i of plane h
-    is sin(seed * (h*dim + i)) — computable in plain SQL for parity
-    with non-Spark implementations, good enough for bucketing."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda i: F.sin((F.lit(h * dim) + i) * F.lit(float(seed))))
+    return F.array(*[F.lit(v) for v in
+                     hyperplane_values(dim, h + 1, seed)[h]])
 
 
 def lsh_signature(emb: DataFrame, dim, n_planes=8) -> DataFrame:
@@ -119,32 +128,43 @@ def embedding_near_dups(emb: DataFrame, threshold=0.95,
     return scored.filter(F.col("cos") >= threshold)
 
 
-def ivf_centroids(emb: DataFrame, k=16, iterations=1) -> DataFrame:
+def ivf_centroids(emb: DataFrame, k=16, iterations=0,
+                  dim=None) -> DataFrame:
     """Deterministic IVF coarse quantizer: seed centroids = the k
-    lowest vec_ids, refined by `iterations` Lloyd steps (mean of
-    assigned vectors).  Pure DataFrame ops; centroids stay tiny and
-    broadcastable."""
-    cents = (emb.orderBy("vec_id").limit(k)
-             .select(F.monotonically_increasing_id().alias("cid"),
-                     F.col("embedding").alias("centroid")))
+    lowest vec_ids (cid = rank among them), refined by `iterations`
+    Lloyd steps (mean of assigned vectors).  Pure DataFrame ops;
+    centroids stay tiny and broadcastable.
+
+    iterations=0 (the oracled default) keeps centroids = exact data
+    vectors — no cross-engine float-mean drift; Lloyd refinement is a
+    library capability verified by pytest recall tests."""
+    seeds = emb.orderBy("vec_id").limit(k)
+    w = Window.partitionBy(F.lit(0)).orderBy("vec_id")
+    cents = seeds.select((F.row_number().over(w) - 1).alias("cid"),
+                         F.col("embedding").alias("centroid"))
+    if iterations and dim is None:
+        dim = len(emb.select("embedding").head()[0])
     for _ in range(iterations):
         assigned = ivf_assign(emb, cents)
-        dim = None
         cents = (assigned
                  .join(emb, "vec_id")
                  .groupBy("cid")
                  .agg(F.array(*[
                      F.avg(F.element_at("embedding", i + 1))
-                     for i in range(64)]).alias("centroid")))
+                     for i in range(dim)]).alias("centroid")))
     return cents
 
 
 def ivf_assign(emb: DataFrame, cents: DataFrame) -> DataFrame:
     """Assign each vector to its nearest centroid (broadcast
-    centroids, one narrow pass + per-row argmin)."""
+    centroids, one narrow pass + per-row argmin).  The similarity is
+    rounded to 6 decimals BEFORE the argmin so last-ulp accumulation
+    differences can't flip assignments across engines; ties break on
+    lowest cid."""
     scored = (emb.crossJoin(F.broadcast(cents))
-              .select("vec_id", "cid",
-                      cosine("embedding", "centroid").alias("sim")))
+              .select("vec_id", "embedding", "cid",
+                      F.round(cosine("embedding", "centroid"), 6)
+                      .alias("sim")))
     w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(),
                                              F.col("cid").asc())
     return (scored.withColumn("rn", F.row_number().over(w))
@@ -152,18 +172,19 @@ def ivf_assign(emb: DataFrame, cents: DataFrame) -> DataFrame:
 
 
 def ivf_knn(emb: DataFrame, query_ids, k=5, n_centroids=16,
-            nprobe=4) -> DataFrame:
+            nprobe=4, iterations=0) -> DataFrame:
     """IVF approximate top-k: search only the nprobe clusters nearest
     each query.  The scale path: candidate set shrinks from n to
     ~n*nprobe/n_centroids per query."""
-    cents = ivf_centroids(emb, n_centroids, iterations=1)
+    cents = ivf_centroids(emb, n_centroids, iterations=iterations)
     assigned = ivf_assign(emb, cents)
     q = (emb.filter(F.col("vec_id").isin(list(query_ids)))
          .select(F.col("vec_id").alias("q_id"),
                  F.col("embedding").alias("q_emb")))
     qprobe = (q.crossJoin(F.broadcast(cents))
               .select("q_id", "q_emb", "cid",
-                      cosine("q_emb", "centroid").alias("sim")))
+                      F.round(cosine("q_emb", "centroid"), 6)
+                      .alias("sim")))
     w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(),
                                            F.col("cid").asc())
     probes = (qprobe.withColumn("rn", F.row_number().over(w))

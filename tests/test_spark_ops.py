@@ -329,3 +329,104 @@ def test_dedup_components_planted(spark):
     comp = {r.doc_id: r.component
             for r in dedup_components(pairs).collect()}
     assert comp == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7, 4: 4, 8: 4, 6: 4}
+
+
+def test_compression_ratio_planted(spark):
+    """Planted expected values: the pandas-UDF zlib ratio equals a
+    direct Python zlib computation (no SQL oracle is possible, so
+    this is the value-level gate for the registry entry)."""
+    import zlib
+    from packages_sgml_spark.spark.textops import compression_ratio
+    texts = ["abc " * 200, "the quick brown fox", "", None,
+             "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaa", "x"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)],
+        "doc_id long, text string")
+    got = {r.doc_id: r.zratio for r in compression_ratio(docs).collect()}
+    for i, t in enumerate(texts):
+        if not t:
+            assert got[i] is None, (i, got[i])
+        else:
+            raw = t.encode("utf-8")
+            exp = round(len(zlib.compress(raw, 6)) / len(raw), 6)
+            assert got[i] == exp, (i, got[i], exp)
+
+
+def test_simhash_planted_properties(spark):
+    """Planted-truth properties for the xxhash64 simhash (engine
+    hash, no SQL oracle): identical text -> identical signature;
+    near-identical -> small hamming distance; disjoint vocabulary ->
+    large distance.  Same assertions against simhash_md5 keep both
+    constructions honest."""
+    from packages_sgml_spark.spark.dedup import simhash, simhash_md5
+    base = ("the quick brown fox jumps over the lazy dog "
+            "while the rain falls on the quiet empty street") * 3
+    near = base.replace("quiet", "busy")
+    far = ("zebra xylophone quartz jackdaw vex nymph waltz "
+           "fjord glyph sphinx") * 6
+    docs = spark.createDataFrame(
+        [(0, base), (1, base), (2, near), (3, far)],
+        "doc_id long, text string")
+
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    for fn in (simhash, simhash_md5):
+        sig = {r.doc_id: r.simhash for r in fn(docs).collect()}
+        assert sig[0] == sig[1]
+        assert ham(sig[0], sig[2]) <= 6, ham(sig[0], sig[2])
+        assert ham(sig[0], sig[3]) > ham(sig[0], sig[2])
+
+
+def test_embedding_lsh_pairs_subset_of_exact(spark):
+    """The registered LSH-bucketed near-dup path returns a subset of
+    the exact all-pairs result (identical cos values), with usable
+    recall at the gate threshold."""
+    from packages_sgml_spark.spark import similarity
+    emb = spark.read.parquet(SF + "/embeddings.parquet") \
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+    exact = {(r.vec_a, r.vec_b): r.cos for r in
+             similarity.embedding_near_dups(emb, threshold=0.2)
+             .collect()}
+    lsh = {(r.vec_a, r.vec_b): r.cos for r in
+           similarity.embedding_near_dups(emb, threshold=0.2,
+                                          use_lsh=True, dim=64,
+                                          n_planes=6).collect()}
+    assert set(lsh) <= set(exact)
+    for k, v in lsh.items():
+        assert v == exact[k], (k, v, exact[k])
+    assert len(lsh) / max(len(exact), 1) >= 0.05, \
+        (len(lsh), len(exact))
+
+
+def test_knn_lsh_recall_vs_exact(spark):
+    from packages_sgml_spark.spark import similarity
+    emb = spark.read.parquet(SF + "/embeddings.parquet") \
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+    ex = {(r.q_id, r.n_id) for r in
+          similarity.knn_bruteforce(emb, list(range(4)), k=5).collect()}
+    ap = {(r.q_id, r.n_id) for r in
+          similarity.knn_lsh(emb, list(range(4)), dim=64, k=5,
+                             n_planes=4).collect()}
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.3, recall
+
+
+def test_ivf_lloyd_derives_dim(spark):
+    """Lloyd refinement derives the embedding width from the data —
+    regression for the round-1 range(64) hardcode; exercised with an
+    8-dim table so the hardcode would null out components."""
+    from packages_sgml_spark.spark.similarity import (
+        ivf_assign, ivf_centroids)
+    import math
+    rows = [(i, [math.sin(i * 8 + j) for j in range(8)])
+            for i in range(40)]
+    emb = spark.createDataFrame(rows,
+                                "vec_id long, embedding array<double>")
+    cents = ivf_centroids(emb, k=4, iterations=1).collect()
+    assert len(cents) == 4
+    for r in cents:
+        assert len(r.centroid) == 8
+        assert all(c is not None for c in r.centroid), r
+    asg = ivf_assign(emb, ivf_centroids(emb, k=4, iterations=1))
+    assert asg.count() == 40

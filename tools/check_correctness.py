@@ -5,6 +5,7 @@ SF, compare row count + order-insensitive value-hash.
 Usage: python tools/check_correctness.py [sf_dir] [query ...]
 """
 
+import decimal
 import hashlib
 import os
 import sys
@@ -79,8 +80,19 @@ def main():
             print("%-24s ORACLE-ERROR %s" % (name, str(ex)[:200]))
             failures.append(name)
             continue
+        # Decimal outputs hash differently across the driver's Arrow
+        # bridges (round-1 finding: DuckDB SUM(int) -> HUGEINT,
+        # DECIMAL sums -> decimal128).  Treat any Decimal cell as a
+        # failure even when str() values agree.
+        has_dec = any(isinstance(v, decimal.Decimal)
+                      for rs in (rows[:5], orows[:5]) for r in rs
+                      for v in r)
         ok_n = len(rows) == len(orows)
         ok_c = sorted(cols) == sorted(ocols)
+        if has_dec:
+            print("%-24s DECIMAL-OUTPUT (driver-unsafe)" % name)
+            failures.append(name)
+            continue
         ok_h = (table_hash(cols, rows) == table_hash(ocols, orows)
                 if ok_n and ok_c else False)
         status = "OK" if (ok_n and ok_c and ok_h) else "MISMATCH"
