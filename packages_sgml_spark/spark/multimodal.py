@@ -64,12 +64,12 @@ def image_features(media: DataFrame, fake=True,
         for pdf in batches:
             out = {k: [] for k in ("media_id", "width", "height",
                                    "n_bytes", "features", "status")}
-            for _, row in pdf.iterrows():
-                out["media_id"].append(row["media_id"])
-                payload = row["payload"]
+            for media_id, kind, payload in zip(
+                    pdf["media_id"], pdf["kind"], pdf["payload"]):
+                out["media_id"].append(media_id)
                 n = len(payload) if payload is not None else 0
                 out["n_bytes"].append(n)
-                if payload is None or row["kind"] != "image":
+                if payload is None or kind != "image":
                     out["width"].append(None)
                     out["height"].append(None)
                     out["features"].append(None)
@@ -90,6 +90,26 @@ def image_features(media: DataFrame, fake=True,
 
     src = media.select("media_id", "kind", "payload")
     return src.mapInPandas(fn, schema=IMAGE_FEATURES_SCHEMA)
+
+
+def media_from_docs(docs: DataFrame) -> DataFrame:
+    """Deterministic media table derived from the documents table —
+    ASCII-only payload (doc_id + md5 hex) so the fake decode's byte
+    arithmetic is exactly replicable in the SQL oracle (bytes ==
+    characters).  kind cycles image/video/audio by doc_id."""
+    s = F.concat(F.col("doc_id").cast("string"), F.lit(":"),
+                 F.md5(F.col("doc_id").cast("string")))
+    payload = F.concat(s, F.md5(s))
+    kind = (F.when(F.col("doc_id") % 3 == 0, "audio")
+            .when(F.col("doc_id") % 3 == 1, "image")
+            .otherwise("video"))
+    return docs.select(
+        F.concat(F.lit("m"), F.col("doc_id").cast("string"))
+        .alias("media_id"),
+        F.col("doc_id"),
+        kind.alias("kind"),
+        F.encode(payload, "utf-8").alias("payload"),
+        F.lit("application/fake").alias("mime"))
 
 
 def synthetic_media(spark, n=100) -> DataFrame:

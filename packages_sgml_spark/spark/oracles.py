@@ -591,3 +591,54 @@ reach(src, node) AS (
   SELECT r.src, e.dst FROM reach r JOIN edges e ON r.node = e.src)
 SELECT src AS doc_id, MIN(node) AS component
 FROM reach GROUP BY src"""
+
+
+_MEDIA_CTE = """
+m AS (SELECT doc_id,
+             CAST(doc_id AS VARCHAR) || ':' ||
+             md5(CAST(doc_id AS VARCHAR)) AS s
+      FROM documents),
+p AS (SELECT doc_id, s || md5(s) AS payload,
+             CASE WHEN doc_id % 3 = 0 THEN 'audio'
+                  WHEN doc_id % 3 = 1 THEN 'image'
+                  ELSE 'video' END AS kind
+      FROM m)
+"""
+
+ORACLES["media_image_features"] = "WITH " + _MEDIA_CTE + """
+SELECT doc_id,
+  CASE WHEN kind = 'image'
+       THEN CAST(64 + (ascii(substr(payload, 1, 1)) * 7) % 1920 AS INT)
+       END AS width,
+  CASE WHEN kind = 'image'
+       THEN CAST(64 + (ascii(substr(payload, 2, 1)) * 7) % 1080 AS INT)
+       END AS height,
+  CAST(length(payload) AS INT) AS n_bytes,
+  CASE WHEN kind = 'image' THEN 'ok' ELSE 'skipped' END AS status
+FROM p"""
+
+ORACLES["media_frame_sample"] = "WITH " + _MEDIA_CTE + """
+SELECT doc_id, CAST(i AS INT) AS frame_idx,
+       CAST(i * 1000 AS INT) AS ts_ms,
+       'frame:m' || CAST(doc_id AS VARCHAR) || ':' ||
+         CAST(i AS VARCHAR) AS frame,
+       'ok' AS status
+FROM (SELECT doc_id,
+             unnest(range(0, least(8, 1 + length(payload) % 8))) AS i
+      FROM p WHERE kind IN ('image', 'video'))"""
+
+ORACLES["media_audio_features"] = "WITH " + _MEDIA_CTE + """
+SELECT doc_id,
+  CASE WHEN kind = 'audio'
+       THEN CAST(1000 + ascii(substr(payload, 1, 1)) * 37 AS INT)
+       END AS duration_ms,
+  CASE WHEN kind = 'audio'
+       THEN CAST(list_aggregate(
+              list_transform(
+                list_filter(regexp_split_to_array(
+                              substr(payload, 1, 52), ''),
+                            c -> c <> ''),
+                c -> ascii(c)), 'sum') * 16 AS INT)
+       END AS n_samples,
+  CASE WHEN kind = 'audio' THEN 'ok' ELSE 'skipped' END AS status
+FROM p"""

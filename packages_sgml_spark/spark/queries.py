@@ -623,6 +623,54 @@ def q_simhash_md5(spark, sf_dir):
 QUERIES["simhash_md5"] = q_simhash_md5
 
 
+def _media_doc_id():
+    return F.substring("media_id", 2, 32).cast("bigint").alias("doc_id")
+
+
+def q_media_image_features(spark, sf_dir):
+    """Multimodal image plumbing, driver-oracled: the deterministic
+    fake decode is pure byte arithmetic over an ASCII payload, so the
+    SQL oracle replicates width/height exactly.  (The real decoder is
+    the documented PIL/ffmpeg swap-in; the Spark-side schema/batching
+    is what this gate verifies.)"""
+    ensure_workers(spark)
+    from .multimodal import image_features, media_from_docs
+    docs = _t(spark, sf_dir, "documents")
+    media = media_from_docs(docs)
+    feats = image_features(media, fake=True)
+    return feats.select(_media_doc_id(), "width", "height",
+                        "n_bytes", "status")
+
+
+def q_media_frame_sample(spark, sf_dir):
+    """Video frame sampling (explode-style mapInPandas), oracled via
+    generate_series over the same deterministic frame count."""
+    ensure_workers(spark)
+    from .multimodal import media_from_docs, video_frame_sample
+    docs = _t(spark, sf_dir, "documents")
+    media = media_from_docs(docs)
+    frames = video_frame_sample(media, fake=True)
+    return frames.select(_media_doc_id(), "frame_idx", "ts_ms",
+                         "frame", "status")
+
+
+def q_media_audio_features(spark, sf_dir):
+    """Audio feature plumbing (fake MFCC), oracled on the integer
+    byte-sum features."""
+    ensure_workers(spark)
+    from .multimodal import audio_features, media_from_docs
+    docs = _t(spark, sf_dir, "documents")
+    media = media_from_docs(docs)
+    au = audio_features(media, fake=True)
+    return au.select(_media_doc_id(), "duration_ms", "n_samples",
+                     "status")
+
+
+QUERIES["media_image_features"] = q_media_image_features
+QUERIES["media_frame_sample"] = q_media_frame_sample
+QUERIES["media_audio_features"] = q_media_audio_features
+
+
 def q_dedup_components(spark, sf_dir):
     """Near-dup clusters: connected components over the minhash-LSH
     candidate pairs; component = canonical keeper doc_id."""
