@@ -2483,3 +2483,40 @@ class TextOnlyParser(SGMLParser):
 
     def text(self):
         return "".join(self.text_parts)
+
+
+class FirstElementTextParser(TextOnlyParser):
+    """Selective extraction: character data of the FIRST <target>
+    element only, then stop the tokenizer — the SA_* stop-condition
+    machinery (sgml2pl.c:1304-1310) keyed to a named element instead
+    of the document root.  Skips attribute conversion and DOM
+    construction entirely and abandons the byte stream as soon as the
+    element closes: for <title> on a typical page that parses a few
+    percent of the document."""
+
+    def __init__(self, options=None, dtd=None, target="title"):
+        super().__init__(options, dtd)
+        self.target = target
+        self._depth = 0
+        self.found = False
+
+    def _emit_begin(self, e, atts):
+        if self._depth:
+            self._depth += 1
+        elif e.name == self.target and not self.found:
+            self._depth = 1
+            self.found = True
+
+    def ev_end(self, name):
+        if self._depth:
+            self._depth -= 1
+            if self._depth == 0:
+                self.stopped = True
+                raise StopParse()
+
+    def ev_data(self, kind, text):
+        if self._depth:
+            self.text_parts.append(text)
+
+    def text(self):
+        return "".join(self.text_parts) if self.found else None

@@ -167,6 +167,55 @@ def extract(pages: DataFrame, dialect="html5", dom_json=False, nodes=True,
     return src.mapInPandas(fn, schema=EXTRACT_SCHEMA)
 
 
+ELEMENT_TEXT_SCHEMA = StructType([
+    StructField("url", StringType()),
+    StructField("element_text", StringType()),
+    StructField("status", StringType()),
+])
+
+
+def extract_element_text(pages: DataFrame, element="title",
+                         dialect="html5", repartition=0) -> DataFrame:
+    """Selective extraction of the first <element>'s text per page
+    (stop-condition fast path: the tokenizer abandons the byte stream
+    the moment the element closes — FirstElementTextParser).  Same
+    single-narrow-map shape as extract(); at crawl scale this is the
+    cheap metadata pass (title, first h1, canonical link text) that
+    shouldn't pay for a full parse."""
+    src = pages.select("url", "html")
+    if repartition:
+        src = src.repartition(repartition, F.xxhash64("url"))
+
+    def fn(batches):
+        from ..core.parser import FirstElementTextParser, ParserOptions
+
+        for pdf in batches:
+            out = {k: [] for k in ("url", "element_text", "status")}
+            for url, html in zip(pdf["url"].tolist(),
+                                 pdf["html"].tolist()):
+                out["url"].append(url)
+                if html is None or len(html) == 0:
+                    out["element_text"].append(None)
+                    out["status"].append("empty")
+                    continue
+                try:
+                    p = FirstElementTextParser(
+                        ParserOptions(dialect=dialect, encoding="utf-8",
+                                      max_errors=-1, quiet=True),
+                        target=element)
+                    p.parse(bytes(html))
+                    t = p.text()
+                    out["element_text"].append(t)
+                    out["status"].append("ok" if t is not None
+                                         else "not_found")
+                except Exception as ex:   # noqa: BLE001 per-row isolation
+                    out["element_text"].append(None)
+                    out["status"].append("exception: %s" % ex)
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(fn, schema=ELEMENT_TEXT_SCHEMA)
+
+
 def extracted_with_meta(pages: DataFrame, extracted: DataFrame) -> DataFrame:
     """Join extraction output back to page metadata (broadcast-free:
     both sides share the url key; Catalyst picks SMJ / shuffle hash)."""

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from . import dedup, similarity, textops
 from .extract import extract
-from .nodes import child_text, count_named, explode_nodes
+from .nodes import count_named, explode_nodes
 from .pages import docs_as_pages
 
 _PYFILE_SENT = {}
@@ -68,18 +68,18 @@ def q_extract_text(spark, sf_dir):
 
 
 def q_extract_title(spark, sf_dir):
+    """Title via the stop-condition fast path: the tokenizer stops at
+    </title> instead of building the full node table (round-1 bench:
+    nodes=True halves throughput; this parses a few % of each doc)."""
     ensure_workers(spark)
+    from .extract import extract_element_text
     docs = _t(spark, sf_dir, "documents")
     pages = docs_as_pages(docs)
-    ex = extract(pages, dialect="html5", nodes=True)
-    nodes = explode_nodes(ex)
-    titles = nodes.filter((F.col("kind") == "element") &
-                          (F.col("name") == "title"))
-    txt = child_text(nodes)
-    return (titles.join(txt, ["url", "node_id"])
+    ex = extract_element_text(pages, element="title", dialect="html5")
+    return (ex.filter(F.col("status") == "ok")
             .select(F.substring("url", 7, 32).cast("bigint")
                     .alias("doc_id"),
-                    F.col("text_direct").alias("title_text")))
+                    F.col("element_text").alias("title_text")))
 
 
 def q_count_links(spark, sf_dir):

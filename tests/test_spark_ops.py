@@ -430,3 +430,57 @@ def test_ivf_lloyd_derives_dim(spark):
         assert all(c is not None for c in r.centroid), r
     asg = ivf_assign(emb, ivf_centroids(emb, k=4, iterations=1))
     assert asg.count() == 40
+
+
+def test_extract_element_text_matches_dom_path(spark):
+    """The stop-condition title fast path returns exactly what the
+    full-DOM child-text path returns, over both the synthesized pages
+    and the reference golden corpus (where a title exists)."""
+    from packages_sgml_spark.core.parser import (
+        FirstElementTextParser, ParserOptions, SGMLParser)
+    from packages_sgml_spark.core.dom import Element
+    import os
+
+    def dom_first_text(dom, name):
+        stack = list(reversed(dom))
+        while stack:
+            n = stack.pop()
+            if not isinstance(n, Element):
+                continue
+            if n.name == name:
+                parts = []
+                sub = list(n.content)
+                i = 0
+                while i < len(sub):
+                    c = sub[i]
+                    if isinstance(c, str):
+                        parts.append(c)
+                    elif isinstance(c, Element):
+                        sub[i + 1:i + 1] = list(c.content)
+                    i += 1
+                return "".join(parts)
+            stack.extend(reversed(n.content))
+        return None
+
+    cases = [b"<html><head><title>A <b>bold</b> title </title>"
+             b"</head><body><p>body</p></body></html>",
+             b"<html><body><p>no title here</p></body></html>",
+             b"<title>implied &amp; decoded</title><p>x",
+             b"<TITLE>case folded</TITLE>"]
+    for fn in sorted(os.listdir("/root/reference/Test")):
+        if fn.endswith((".sgml", ".xml")):
+            with open("/root/reference/Test/" + fn, "rb") as f:
+                cases.append(f.read())
+    n_checked = 0
+    for html in cases:
+        fast = FirstElementTextParser(
+            ParserOptions(dialect="html5", encoding="utf-8",
+                          max_errors=-1, quiet=True), target="title")
+        fast.parse(html)
+        full = SGMLParser(ParserOptions(dialect="html5",
+                                        encoding="utf-8",
+                                        max_errors=-1, quiet=True))
+        dom, _ = full.parse(html)
+        assert fast.text() == dom_first_text(dom, "title"), html[:80]
+        n_checked += 1
+    assert n_checked >= 50
