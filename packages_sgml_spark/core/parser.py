@@ -226,6 +226,15 @@ class SGMLParser(DeclMixin):
         self.elem_spans = []        # (start,end) charpos per element
                                     # start-tag, in begin-event order
 
+        # re-entrant sub-parse support (sgml2pl.c:1981-2012 recursive
+        # sgml_parse + SA_CONTENT): whole-document buffer + base so a
+        # begin callback can continue the tokenizer re-entrantly, and
+        # a skip count the suspended outer loop consumes on resume
+        self._doc_text = None
+        self._doc_base = 0
+        self._pending_skip = 0
+        self._emitting_empty = False  # p->empty_element analog
+
     # ------------------------------------------------------------------
     # dialect / encoding (parser.c:1256-1298, 3807-3849)
     # ------------------------------------------------------------------
@@ -382,6 +391,7 @@ class SGMLParser(DeclMixin):
             text = text[:-1]
         else:
             self._fed_tail = ""
+        self._doc_text = None    # parse_content needs whole-buffer mode
         try:
             self.process_chars_toplevel(text)
         except StopParse:
@@ -441,6 +451,8 @@ class SGMLParser(DeclMixin):
             text = text[:-1] + CR
         elif text and not text.endswith(CR):
             text = text + CR
+        self._doc_text = text
+        self._doc_base = self.charpos
         try:
             self.process_chars_toplevel(text)
             if not self.stopped:
@@ -468,6 +480,11 @@ class SGMLParser(DeclMixin):
         while i < n:
             if self.stopped:
                 return
+            if self._pending_skip:
+                # a nested parse_content() consumed this span
+                i += self._pending_skip
+                self._pending_skip = 0
+                continue
             if max_mem is not None and len(self.cdata) > check_at:
                 # buffer growth guard (ERC_RESOURCE analog,
                 # sgml2pl.c:603-615, parser.c:4855-4860)
@@ -1360,7 +1377,9 @@ class SGMLParser(DeclMixin):
             self.open_element(e, True)
             if self.dtd.dialect in D.XML_DIALECTS:
                 self.update_space_mode(e, atts)
+            self._emitting_empty = bool(empty_el)
             self._emit_begin(e, atts)
+            self._emitting_empty = False
             if empty_el:
                 self.close_element(e, conref)
                 if conref:
@@ -1423,7 +1442,9 @@ class SGMLParser(DeclMixin):
                 len(memo) < 8192):
             memo[memo_key] = ('b', e, atts, empty_element is not None,
                               conref)
+        self._emitting_empty = empty_element is not None
         self._emit_begin(e, atts)
+        self._emitting_empty = False
         if empty_element is not None:
             self.close_element(e, conref)
             if conref:

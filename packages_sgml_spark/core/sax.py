@@ -49,6 +49,44 @@ class CallbackParser(SGMLParser):
         active capture maintains its own independent tree."""
         self._captures.append(self._Capture(self._depth, done))
 
+    def parse_content(self):
+        """True re-entrant sub-parse — the analog of calling
+        sgml_parse(Parser, [document(D), parse(content)]) from inside
+        a begin callback (sgml2pl.c:1981-2012 closure swap +
+        SA_CONTENT stop, test_sgml.pl:249-254).
+
+        Re-enters the tokenizer on the unconsumed document buffer,
+        routing events to a fresh DOM builder (outer callbacks are
+        suspended, as the reference's closure swap does) until the
+        current element's content closes; returns the content list
+        SYNCHRONOUSLY from within the callback.  The suspended outer
+        scan loop then skips the consumed span and resumes after the
+        element's end tag.  Sub-parses nest.  Only available inside a
+        whole-buffer parse() (not incremental feed())."""
+        if self._emitting_empty:
+            # <e/> / EMPTY content model: nothing to consume
+            # (sgml2pl.c:2148 `stopat == SA_CONTENT && empty_element`)
+            return []
+        if self._doc_text is None:
+            raise RuntimeError(
+                "parse_content requires a whole-buffer parse()")
+        cap = self._Capture(
+            self._depth, lambda _content: setattr(self, "stopped", True))
+        self._captures.append(cap)
+        saved = (self._cb_begin, self._cb_end, self._cb_data,
+                 self._cb_pi)
+        self._cb_begin = self._cb_end = self._cb_data = self._cb_pi = None
+        start = self.charpos - self._doc_base
+        try:
+            self.process_chars_toplevel(self._doc_text[start:])
+        finally:
+            (self._cb_begin, self._cb_end, self._cb_data,
+             self._cb_pi) = saved
+            self.stopped = False
+        consumed = (self.charpos - self._doc_base) - start
+        self._pending_skip += consumed
+        return cap.content
+
     def _cap_nodes(self, make_node):
         for cap in self._captures:
             node = make_node()

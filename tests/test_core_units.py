@@ -271,3 +271,94 @@ def test_html4_dialect_profile():
     assert extract_text(dom) == 'onetwol1 l2'
     msgs = [e.message for e in errs]
     assert 'Element "form" not allowed here' in msgs  # -(form) exclusion
+
+
+def test_reentrant_parse_content_reference_mirror():
+    """Mirror of test_sgml.pl:225-254 test_callback via the TRUE
+    re-entrant API: on_begin('name', ...) calls parser.parse_content()
+    SYNCHRONOUSLY and gets that element's content; outer callbacks do
+    not see the sub-document's events; the outer parse resumes after
+    the element.  Expected on Test/utf8.xml: two contents, the first
+    ['Dürst'], the second [] (empty element)."""
+    from packages_sgml_spark.core.parser import ParserOptions
+    from packages_sgml_spark.core.sax import CallbackParser
+
+    with open("/root/reference/Test/utf8.xml", "rb") as f:
+        data = f.read()
+
+    contents = []
+    outer_begins = []
+    outer_ends = []
+
+    def on_begin(name, attrs, p):
+        outer_begins.append(name)
+        if name == "name":
+            contents.append(p.parse_content())
+
+    def on_end(name, p):
+        outer_ends.append(name)
+
+    p = CallbackParser(ParserOptions(dialect="xml", encoding="utf-8"),
+                       on_begin=on_begin, on_end=on_end)
+    p.parse(data)
+    # length(Xs, 2), maplist(cdata, Xs): each [] or [Atom]
+    assert len(contents) == 2
+    assert contents[0] == ["Dürst"]
+    assert contents[1] == []
+    # closure-swap semantics: the sub-document's events are invisible
+    # to the outer callbacks; 'name' begins are seen, their ends are
+    # consumed by the sub-parse
+    assert outer_begins == ["utf8", "name", "name"]
+    assert "utf8" in outer_ends
+
+
+def test_reentrant_parse_content_nested_and_mixed():
+    """Nesting + mixed content + omitted end tags through the
+    re-entrant path; outer parse continues correctly after each
+    sub-parse."""
+    from packages_sgml_spark.core.dom import Element
+    from packages_sgml_spark.core.parser import ParserOptions
+    from packages_sgml_spark.core.sax import CallbackParser
+
+    got = {}
+    order = []
+
+    def on_begin(name, attrs, p):
+        order.append(name)
+        if name == "inner":
+            got["inner"] = p.parse_content()
+        elif name == "outer":
+            got["outer"] = p.parse_content()
+
+    xml = (b"<doc><pre>x</pre>"
+           b"<outer>a<inner>b<deep>c</deep></inner>d</outer>"
+           b"<post>y</post></doc>")
+    p = CallbackParser(ParserOptions(dialect="xml"), on_begin=on_begin)
+    p.parse(xml)
+    out = got["outer"]
+    assert out[0] == "a"
+    assert isinstance(out[1], Element) and out[1].name == "inner"
+    assert out[1].content[0] == "b"
+    assert out[1].content[1].name == "deep"
+    assert out[1].content[1].content == ["c"]
+    assert out[2] == "d"
+    # the outer capture consumed <inner> wholesale, so on_begin never
+    # fired for it or for <deep>; <post> still parsed afterwards
+    assert order == ["doc", "pre", "outer", "post"]
+    assert "inner" not in got
+
+    # nested sub-parse: trigger on inner only
+    got.clear()
+    order.clear()
+
+    def on_begin2(name, attrs, p):
+        order.append(name)
+        if name == "inner":
+            got["inner"] = p.parse_content()
+
+    p2 = CallbackParser(ParserOptions(dialect="xml"),
+                        on_begin=on_begin2)
+    p2.parse(xml)
+    assert got["inner"][0] == "b"
+    assert got["inner"][1].name == "deep"
+    assert order == ["doc", "pre", "outer", "inner", "post"]
