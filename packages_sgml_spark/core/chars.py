@@ -50,25 +50,26 @@ CLASS = tuple(_CLASS)
 
 
 def has_class(ch: str, mask: int) -> bool:
-    """HasClass analog (reference parser.c:236-268)."""
+    """HasClass analog (reference parser.c:236-268).  Wide chars use
+    the exact generated XML-1.0 tables (xml_unicode.c:43-1259 via
+    core/xml_ranges.py), matching the reference branch for branch."""
     cp = ord(ch)
     if cp <= 0xFF:
         return bool(CLASS[cp] & mask)
-    # Wide chars: reference consults generated XML-1.0 tables.
-    if mask & (CH_NAME | CH_NMSTART):
-        return ch.isalpha() or (mask & CH_NAME and (ch.isdigit() or _is_combining(ch)))
-    if mask & CH_BLANK and not (mask == CH_WHITE):
-        return ch.isspace()
+    from . import xml_ranges as X
+    if mask == CH_NAME:
+        return (X.is_basechar(cp) or X.is_digit(cp) or
+                X.is_ideographic(cp) or X.is_combining(cp) or
+                X.is_extender(cp))
+    if mask == CH_NMSTART:
+        return X.is_basechar(cp) or X.is_ideographic(cp)
     if mask == CH_WHITE:
         return False
+    if mask == CH_BLANK:
+        return ch.isspace()
     if mask == CH_DIGIT:
-        return ch.isdigit()
+        return X.is_digit(cp)
     return False
-
-
-def _is_combining(ch: str) -> bool:
-    import unicodedata
-    return unicodedata.combining(ch) != 0
 
 
 # Fast membership sets for the ASCII/latin-1 range plus a dynamic check.
@@ -88,16 +89,22 @@ DIGIT_CHARS = frozenset('0123456789')
 def is_name_char(ch: str) -> bool:
     if ch in NAME_CHARS:
         return True
-    if ord(ch) > 0xFF:
-        return ch.isalpha() or ch.isdigit() or _is_combining(ch)
+    cp = ord(ch)
+    if cp > 0xFF:
+        from . import xml_ranges as X
+        return (X.is_basechar(cp) or X.is_digit(cp) or
+                X.is_ideographic(cp) or X.is_combining(cp) or
+                X.is_extender(cp))
     return False
 
 
 def is_nmstart_char(ch: str) -> bool:
     if ch in NMSTART_CHARS:
         return True
-    if ord(ch) > 0xFF:
-        return ch.isalpha()
+    cp = ord(ch)
+    if cp > 0xFF:
+        from . import xml_ranges as X
+        return X.is_basechar(cp) or X.is_ideographic(cp)
     return False
 
 

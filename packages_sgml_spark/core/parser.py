@@ -158,8 +158,27 @@ class SGMLParser(DeclMixin):
         self.resolver = opts.resolver
         self.base_file = opts.file
         self.set_dialect(opts.dialect)
+        # Stream-layer encodings (the SWI set_sgml_parser(P,
+        # encoding(...)) matrix): UTF-16 variants are recoded to UTF-8
+        # octets before the parser sees them — including BOM-less
+        # input with an explicit endianness (parser.c:3807-3849 covers
+        # only the parser-level latin-1/ascii/utf-8 set; UTF-16 lives
+        # in the reference's Prolog stream layer).
+        self._stream_encoding = None
         if opts.encoding is not None:
-            self.xml_set_encoding(opts.encoding)
+            enc = opts.encoding.lower().replace("_", "-")
+            if enc in ("utf-16", "utf16", "unicode-be", "unicode-le",
+                       "utf-16be", "utf-16le", "utf-16-be", "utf-16-le"):
+                self._stream_encoding = {
+                    "utf-16": "utf-16", "utf16": "utf-16",
+                    "unicode-be": "utf-16-be",
+                    "unicode-le": "utf-16-le",
+                    "utf-16be": "utf-16-be", "utf-16-be": "utf-16-be",
+                    "utf-16le": "utf-16-le", "utf-16-le": "utf-16-le",
+                }[enc]
+                self.xml_set_encoding("utf-8")
+            else:
+                self.xml_set_encoding(opts.encoding)
         if opts.space is not None:
             self.dtd.space_mode = D.SPACE_MODE_NAMES[opts.space]
         if opts.number == "integer":
@@ -421,10 +440,28 @@ class SGMLParser(DeclMixin):
         Returns (dom_content_list, errors)."""
         if isinstance(data, (bytes, bytearray)):
             data = bytes(data)
+            if self._stream_encoding is not None:
+                # explicit encoding(utf-16 ...) option: recode even
+                # without a BOM.  The plain 'utf-16' name is
+                # BOM-driven with a big-endian default (network
+                # order), matching SWI's BOM-else-default recoding.
+                enc = self._stream_encoding
+                if enc == "utf-16":
+                    if data[:2] == b"\xff\xfe":
+                        enc = "utf-16-le"
+                    else:
+                        enc = "utf-16-be"
+                try:
+                    u = data.decode(enc, errors="replace")
+                    if u[:1] == "\ufeff":
+                        u = u[1:]
+                    data = u.encode("utf-8")
+                except Exception:   # noqa: BLE001 - keep raw octets
+                    pass
             # UTF-16 BOM: transcode to UTF-8 octets (the reference's
             # Prolog stream layer does BOM-driven recoding before the
             # parser sees octets)
-            if data[:2] in (b"\xfe\xff", b"\xff\xfe"):
+            elif data[:2] in (b"\xfe\xff", b"\xff\xfe"):
                 try:
                     data = data.decode(
                         "utf-16-be" if data[:2] == b"\xfe\xff"

@@ -362,3 +362,141 @@ def test_reentrant_parse_content_nested_and_mixed():
     assert got["inner"][0] == "b"
     assert got["inner"][1].name == "deep"
     assert order == ["doc", "pre", "outer", "inner", "post"]
+
+
+def test_xml_unicode_ranges_match_reference_tables():
+    """Exact-table gate: independently re-extract every range from
+    the reference's generated xml_unicode.c and check our generated
+    module byte-for-byte, then probe every range edge +-1 through the
+    public classification API (is_name_char / is_nmstart_char)."""
+    import re
+    from packages_sgml_spark.core import xml_ranges as X
+    from packages_sgml_spark.core.chars import (
+        is_name_char, is_nmstart_char)
+
+    with open("/root/reference/xml_unicode.c") as f:
+        text = f.read()
+    funcs = {}
+    names = ["xml_basechar", "xml_ideographic", "xml_combining_char",
+             "xml_digit", "xml_extender"]
+    positions = sorted((re.search(r"^%s\(int c\)" % n, text,
+                                  re.M).start(), n) for n in names)
+    for k, (pos, n) in enumerate(positions):
+        end = positions[k + 1][0] if k + 1 < len(positions) else len(text)
+        body = text[pos:end]
+        rs = [(int(a, 16), int(b, 16)) for a, b in re.findall(
+            r"return \(c >= 0x([0-9a-f]+) && c <= 0x([0-9a-f]+)\);",
+            body)]
+        rs += [(int(a, 16),) * 2 for a in re.findall(
+            r"return \(c == 0x([0-9a-f]+)\);", body)]
+        funcs[n] = tuple(sorted(rs))
+    assert funcs["xml_basechar"] == X.BASECHAR
+    assert funcs["xml_ideographic"] == X.IDEOGRAPHIC
+    assert funcs["xml_combining_char"] == X.COMBINING_CHAR
+    assert funcs["xml_digit"] == X.DIGIT
+    assert funcs["xml_extender"] == X.EXTENDER
+
+    def ref_name(cp):
+        return any(lo <= cp <= hi for n in names
+                   for lo, hi in funcs[n])
+
+    def ref_nmstart(cp):
+        return any(lo <= cp <= hi
+                   for n in ("xml_basechar", "xml_ideographic")
+                   for lo, hi in funcs[n])
+
+    probes = set()
+    for n in names:
+        for lo, hi in funcs[n]:
+            probes.update((lo - 1, lo, hi, hi + 1))
+    n_checked = 0
+    for cp in probes:
+        if cp <= 0xFF or cp > 0x10FFFF:
+            continue   # latin-1 range uses the CLASS table by design
+        ch = chr(cp)
+        assert is_name_char(ch) == ref_name(cp), hex(cp)
+        assert is_nmstart_char(ch) == ref_nmstart(cp), hex(cp)
+        n_checked += 1
+    assert n_checked > 900
+
+
+def test_xml_unicode_names_parse():
+    """Exotic (non-latin) tag/attr names through the full XML parser:
+    ideographic start, combining/extender continuation; digits can't
+    start a name."""
+    from packages_sgml_spark.core.parser import ParserOptions, SGMLParser
+    from packages_sgml_spark.core.dom import Element
+
+    doc = ("<一̀ 你·=\"v\">x</一̀>"
+           ).encode("utf-8")
+    p = SGMLParser(ParserOptions(dialect="xml", encoding="utf-8"))
+    dom, errors = p.parse(doc)
+    assert not errors, errors
+    el = dom[0]
+    assert isinstance(el, Element) and el.name == "一̀"
+    assert el.attrs[0][0] == "你·"
+    assert el.content == ["x"]
+
+    # U+0660 ARABIC-INDIC DIGIT ZERO is a name char, not a start char
+    bad = "<٠a>x</٠a>".encode("utf-8")
+    p2 = SGMLParser(ParserOptions(dialect="xml", encoding="utf-8"))
+    _dom2, errors2 = p2.parse(bad)
+    assert errors2
+
+
+def test_utf16_encoding_option_without_bom():
+    """Explicit encoding('utf-16le'/'utf-16be') decodes BOM-less
+    input identically to the reference's stream-layer recoding; the
+    bare 'utf-16' name is BOM-driven with a big-endian default."""
+    from packages_sgml_spark.core.parser import ParserOptions, SGMLParser
+
+    xml = '<doc a="ü">Dürst — ✓</doc>'
+    want_dom, want_err = SGMLParser(
+        ParserOptions(dialect="xml", encoding="utf-8")).parse(
+            xml.encode("utf-8"))
+    assert not want_err
+
+    cases = [
+        (xml.encode("utf-16-le"), "utf-16le"),       # no BOM, LE
+        (xml.encode("utf-16-be"), "utf-16be"),       # no BOM, BE
+        (xml.encode("utf-16-be"), "utf-16"),         # no BOM -> BE default
+        ("﻿".encode("utf-16-le") + xml.encode("utf-16-le"),
+         "utf-16"),                                   # BOM-driven LE
+        ("﻿".encode("utf-16-be") + xml.encode("utf-16-be"),
+         "utf-16"),                                   # BOM-driven BE
+    ]
+    for data, enc in cases:
+        p = SGMLParser(ParserOptions(dialect="xml", encoding=enc))
+        dom, errors = p.parse(data)
+        assert not errors, (enc, errors)
+        assert repr(dom) == repr(want_dom), enc
+
+
+def test_iso639_full_tables():
+    """Full reference table parity: every l2/l3 fact resolvable via
+    iso_639(); duplicate codes resolve to the Prolog first solution."""
+    import re
+    from packages_sgml_spark.core.iso639 import (
+        ISO_639_2, ISO_639_3, iso_639)
+    pat = re.compile(
+        r"^l([23])\(([a-z]+),\s*'((?:[^'\\]|\\.)*)'\)\.", re.M)
+
+    def unescape(name):
+        name = re.sub(r"\\u([0-9a-fA-F]{4})",
+                      lambda m: chr(int(m.group(1), 16)), name)
+        return name.replace("\\'", "'")
+
+    facts = [(w, c, unescape(n)) for w, c, n in
+             pat.findall(open("/root/reference/iso_639.pl").read())]
+    assert len(facts) == 136 + 427
+    seen = set()
+    for which, code, name in facts:
+        table = ISO_639_2 if which == "2" else ISO_639_3
+        if (which, code) in seen:
+            continue          # duplicate: first solution wins
+        seen.add((which, code))
+        assert table[code] == name, (code, table.get(code), name)
+    assert iso_639("fr") == "French"
+    assert iso_639("ace") == "Achinese"
+    assert iso_639("ine") == "Indo-European (Other)"
+    assert iso_639("nosuch") is None
