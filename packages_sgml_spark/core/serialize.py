@@ -56,6 +56,236 @@ def _attr_value_str(v):
     return str(v)
 
 
+_BLANK = " \t\r\n"
+
+
+class _Writer:
+    """xml_write/sgml_write option surface (sgml_write.pl:60-230 and
+    its emit machinery :339-660): layout/indent, net, cleanns, nsmap,
+    header, doctype/public/system.  Writes to an output list; names
+    are the parser's resolved strings (prefix:local), so nsmap/cleanns
+    operate on xmlns attributes rather than compound name terms."""
+
+    def __init__(self, dialect="xml", layout=True, indent=0,
+                 net=None, cleanns=True, nsmap=None, max_char=0x10FFFF,
+                 empty_elements=None):
+        self.dialect = dialect
+        self.xml = dialect in ("xml", "xmlns", "xhtml", "xhtml5")
+        self.layout = layout
+        self.indent = indent
+        self.net = net if net is not None else self.xml
+        self.cleanns = cleanns
+        self.nsmap = list(nsmap or [])
+        self.max_char = max_char
+        if empty_elements is None and dialect in ("html", "html5"):
+            empty_elements = _VOID
+        self.empty = frozenset(empty_elements or ())
+        self.out = []
+        self._bol = True    # at beginning of line ('~N' semantics)
+
+    def write(self, s):
+        if s:
+            self.out.append(s)
+            self._bol = s.endswith("\n")
+
+    def write_indent(self):
+        if not self.layout:
+            return
+        if not self._bol:
+            self.write("\n")
+        self.write("\t" * (self.indent // 8) + " " * (self.indent % 8))
+
+    # -- namespace map (update_nsmap, sgml_write.pl:483-521) ----------
+
+    def _clean_attrs(self, attrs):
+        """Drop xmlns attributes already bound identically in scope;
+        update the scope map.  Returns (attrs_to_write, saved_map)."""
+        saved = list(self.nsmap)
+        if not (self.xml and self.cleanns):
+            return attrs, saved
+        keep = []
+        for k, v in attrs:
+            if k == "xmlns" or k.startswith("xmlns:"):
+                ns = k[6:] if k.startswith("xmlns:") else ""
+                cur = dict(self.nsmap)
+                if cur.get(ns) == v:
+                    continue          # redundant re-declaration
+                self.nsmap = [(n, u) for n, u in self.nsmap
+                              if n != ns] + [(ns, v)]
+            keep.append((k, v))
+        return keep, saved
+
+    # -- elements ------------------------------------------------------
+
+    def emit_content_list(self, content):
+        for n in content:
+            self.emit(n)
+
+    def emit(self, n):
+        if isinstance(n, Element):
+            self.emit_element(n)
+        elif isinstance(n, str):
+            self.write(quote_cdata(n, self.max_char))
+        elif isinstance(n, (SData, NData)):
+            self.write(quote_cdata(n.text, self.max_char))
+        elif isinstance(n, PI):
+            self.write("<?%s?>" % n.text)
+        elif isinstance(n, Entity):
+            self.write("&%s;" % n.name)
+
+    def emit_element(self, el):
+        attrs, saved_map = self._clean_attrs(el.attrs)
+        alen = sum(len(k) + len(_attr_value_str(v)) + 3
+                   for k, v in attrs)
+        self.write("<" + el.name)
+        if alen > 60 and self.layout:
+            self.indent += 4
+            for k, v in attrs:
+                self.write_indent()
+                self._attr(k, v)
+            self.indent -= 4
+        else:
+            for k, v in attrs:
+                self.write(" ")
+                self._attr(k, v)
+        self._content(el, attrs)
+        self.nsmap = saved_map
+
+    def _attr(self, k, v):
+        self.write('%s="%s"' % (k, quote_attribute(
+            _attr_value_str(v), self.max_char)))
+
+    def _content(self, el, attrs):
+        content = el.content
+        if not content:
+            # empty element: XML />, SGML EMPTY <e>, SGML NET <e//
+            if self.net:
+                if self.xml:
+                    self.write("/>")
+                elif el.name in self.empty:
+                    self.write(">")
+                else:
+                    self.write("//")
+            else:
+                self.write(">")
+                if not (not self.xml and el.name in self.empty):
+                    self.write("</%s>" % el.name)
+            return
+        if len(content) == 1 and isinstance(content[0], str):
+            text = content[0]
+            if (not self.xml and self.net and "/" not in text and
+                    len(text) < 20):
+                self.write("/")
+                self.write(quote_cdata(text, self.max_char))
+                self.write("/")
+                return
+            if (el.name in ("script", "style") and
+                    self.dialect in ("html", "html5")):
+                self.write(">")
+                self.write(text)              # verbatim element
+                self.write("</%s>" % el.name)
+                return
+            self.write(">")
+            self.write(quote_cdata(text, self.max_char))
+            self.write("</%s>" % el.name)
+            return
+        preserve = any(k == "xml:space" and str(v) == "preserve"
+                       for k, v in attrs)
+        elems = self._element_content(content) \
+            if self.layout and not preserve else None
+        if elems is not None:
+            self.write(">")
+            self.indent += 2
+            for c in elems:
+                self.write_indent()
+                self.emit(c)
+            self.indent -= 2
+            self.write_indent()
+            self.write("</%s>" % el.name)
+        else:
+            self.write(">")
+            for c in content:
+                self.emit(c)
+            self.write("</%s>" % el.name)
+
+    @staticmethod
+    def _element_content(content):
+        """element_content/2: all children elements (blank text
+        dropped), else None -> mixed content."""
+        elems = []
+        for c in content:
+            if isinstance(c, Element):
+                elems.append(c)
+            elif isinstance(c, str) and c.strip(_BLANK) == "":
+                continue
+            else:
+                return None
+        return elems
+
+
+def _emit_doctype(w, content, doctype, public, system):
+    """emit_doctype/write_doctype (sgml_write.pl:293-336): written
+    iff doctype/public/system given; root name fills in."""
+    if doctype is None and public is None and system is None:
+        return
+    name = doctype
+    if name is None:
+        for n in content:
+            if isinstance(n, Element):
+                name = n.name
+                break
+    if name is None:
+        return
+    if public is None and system is None:
+        w.write("<!DOCTYPE %s []>\n\n" % name)
+    elif public is None:
+        w.write('<!DOCTYPE %s SYSTEM "%s">\n\n' % (name, system))
+    elif system is None:
+        w.write('<!DOCTYPE %s PUBLIC "%s">\n\n' % (name, public))
+    else:
+        w.write('<!DOCTYPE %s PUBLIC "%s" "%s">\n\n'
+                % (name, public, system))
+
+
+def xml_write(content, layout=True, indent=0, net=True, cleanns=True,
+              nsmap=None, header=True, doctype=None, public=None,
+              system=None, max_char=0x10FFFF, dialect="xml"):
+    """xml_write/3 analog returning a string (UTF-8-capable output,
+    so the header declares UTF-8 like the reference's utf8 stream)."""
+    if isinstance(content, Element):
+        content = [content]
+    w = _Writer(dialect=dialect, layout=layout, indent=indent, net=net,
+                cleanns=cleanns, nsmap=nsmap, max_char=max_char)
+    if header:
+        w.write('<?xml version="1.0" encoding="UTF-8"?>\n\n')
+    _emit_doctype(w, content, doctype, public, system)
+    w.write_indent()
+    w.emit_content_list(content)
+    return "".join(w.out)
+
+
+def sgml_write(content, layout=True, indent=0, net=False,
+               cleanns=True, doctype=None, public=None, system=None,
+               max_char=0x10FFFF, dialect="sgml", empty_elements=None):
+    """sgml_write/3 analog returning a string."""
+    if isinstance(content, Element):
+        content = [content]
+    w = _Writer(dialect=dialect, layout=layout, indent=indent, net=net,
+                cleanns=cleanns, max_char=max_char,
+                empty_elements=empty_elements)
+    w.write_indent()
+    _emit_doctype(w, content, doctype, public, system)
+    w.emit_content_list(content)
+    return "".join(w.out)
+
+
+def html_write(content, **opts):
+    """html_write/3 analog: sgml_write with the HTML empty-element
+    set (sgml_write.pl:215-222 dtd(html))."""
+    opts.setdefault("dialect", "html")
+    return sgml_write(content, **opts)
+
+
 def write_dom(content, dialect="xml", max_char=0x10FFFF,
               canonical=False):
     """Serialize a DOM content list to a string."""

@@ -500,3 +500,77 @@ def test_iso639_full_tables():
     assert iso_639("ace") == "Achinese"
     assert iso_639("ine") == "Indo-European (Other)"
     assert iso_639("nosuch") is None
+
+
+def test_soc_catalog_parse_reference_file():
+    """Parse the reference's own DTD/HTML4.soc: entry kinds, pubid
+    squish, base-relative resolution, unknown-keyword (SGMLDECL)
+    skipping."""
+    from packages_sgml_spark.core.catalog import (
+        CAT_DOCTYPE, CAT_PUBLIC, OVR_DOCTYPE, OVR_PUBLIC, SGMLCatalog)
+    cat = SGMLCatalog().load_file("/root/reference/DTD/HTML4.soc")
+    kinds = [k for k, _t, _r in cat.items]
+    # OVERRIDE YES is active: doctype/public entries get OVR_ kinds
+    assert kinds == [OVR_DOCTYPE, OVR_PUBLIC, OVR_PUBLIC, OVR_PUBLIC]
+    assert cat.items[0][1] == "HTML"
+    assert cat.items[0][2].endswith("/DTD/HTML4.dtd")
+    assert cat.items[1][1] == "-//W3C//ENTITIES Latin1//EN//HTML"
+    assert cat.items[1][2].endswith("/DTD/HTMLlat1.ent")
+    # lookups (find_in_catalogue semantics)
+    assert cat.find(CAT_DOCTYPE, name="html",
+                    ci=True).endswith("HTML4.dtd")
+    assert cat.find(CAT_DOCTYPE, name="html", ci=False) is None
+    assert cat.find(CAT_PUBLIC,
+                    pubid="-//W3C//ENTITIES Latin1//EN//HTML",
+                    name="x").endswith("HTMLlat1.ent")
+
+
+def test_soc_catalog_semantics():
+    from packages_sgml_spark.core.catalog import (
+        CAT_DOCTYPE, CAT_ENTITY, CAT_PENTITY, CAT_SYSTEM, SGMLCatalog)
+    text = """
+-- a comment: PUBLIC "x" ignored --
+OVERRIDE NO
+DOCTYPE note  notes/note.dtd
+SYSTEM "http://ex.org/a.dtd" local/a.dtd
+ENTITY chapter chap.ent
+PUBLIC "-//Ex//Spaced   Id//EN" spaced.ent
+BASE /abs/dir
+DOCTYPE other other.dtd
+"""
+    cat = SGMLCatalog().load_text(text, base="/cats")
+    assert cat.find(CAT_DOCTYPE, name="NOTE") == "/cats/notes/note.dtd"
+    # BASE redirect applies to later entries
+    assert cat.find(CAT_DOCTYPE, name="other") == "/abs/dir/other.dtd"
+    # sysid match returns immediately; unmatched sysid passes through
+    assert cat.find(CAT_SYSTEM, sysid="http://ex.org/a.dtd",
+                    name="x") == "/cats/local/a.dtd"
+    assert cat.find(CAT_ENTITY, name="x",
+                    sysid="http://ex.org/b.dtd") == "http://ex.org/b.dtd"
+    # pubid squish: runs of blanks collapse
+    from packages_sgml_spark.core.catalog import CAT_PUBLIC
+    assert cat.find(CAT_PUBLIC, name="x",
+                    pubid="-//Ex//Spaced Id//EN") == "/cats/spaced.ent"
+    # name-based defaults when unmapped
+    assert cat.find(CAT_ENTITY, name="chapter") == "/cats/chap.ent"
+    assert cat.find(CAT_ENTITY, name="nope") == "nope.ent"
+    assert cat.find(CAT_PENTITY, name="nope") == "nope.pen"
+    assert cat.find(CAT_ENTITY, name="%nope") == "nope.pen"
+    # DOCTYPE unmapped -> None (caller falls back to name.dtd rule)
+    assert cat.find(CAT_DOCTYPE, name="nope") is None
+
+
+def test_soc_catalog_parser_integration(tmp_path):
+    """ParserOptions(catalog=SGMLCatalog): DOCTYPE-less document
+    autoloads its DTD through a real .soc file."""
+    from packages_sgml_spark.core.catalog import SGMLCatalog
+    from packages_sgml_spark.core.parser import ParserOptions, SGMLParser
+
+    (tmp_path / "doc.dtd").write_text(
+        "<!ELEMENT doc - - (item+)> <!ELEMENT item - O (#PCDATA)>")
+    (tmp_path / "cat.soc").write_text(
+        "-- test catalog --\nDOCTYPE doc doc.dtd\n")
+    cat = SGMLCatalog().load_file(str(tmp_path / "cat.soc"))
+    p = SGMLParser(ParserOptions(dialect="sgml", catalog=cat))
+    dom, errors = p.parse(b"<doc><item>a<item>b</doc>")
+    assert dom[0].name == "doc" and len(dom[0].content) == 2

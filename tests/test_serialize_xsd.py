@@ -102,3 +102,137 @@ def test_xsd_times():
     assert xsd_time("1999-05")["kind"] == "gYearMonth"
     assert xsd_time("2002-09-23T25:00:00") is None
     assert xsd_time("2002-09-23T14:30:15+14:00")["tz_minutes"] == 840
+
+
+def test_xml_write_options():
+    """sgml_write.pl:60-230 option surface: header, doctype/public/
+    system, layout off, indent, net."""
+    from packages_sgml_spark.core.serialize import xml_write
+    dom, _ = parse_document(b"<a><b>t</b><c/></a>", dialect="xml")
+    # header + layout default
+    s = xml_write(dom)
+    assert s.startswith('<?xml version="1.0" encoding="UTF-8"?>\n\n')
+    assert "\n  <b>t</b>" in s and "\n  <c/>" in s   # element content
+    assert s.rstrip().endswith("</a>")
+    # header(false), layout(false): compact
+    s2 = xml_write(dom, header=False, layout=False)
+    assert s2 == "<a><b>t</b><c/></a>"
+    # net(false): <c></c>
+    s3 = xml_write(dom, header=False, layout=False, net=False)
+    assert s3 == "<a><b>t</b><c></c></a>"
+    # doctype emission variants (write_doctype :326-336)
+    assert xml_write(dom, header=False, layout=False,
+                     doctype="a").startswith("<!DOCTYPE a []>\n\n")
+    assert xml_write(dom, header=False, layout=False,
+                     public="-//X//EN").startswith(
+        '<!DOCTYPE a PUBLIC "-//X//EN">\n\n')
+    assert xml_write(dom, header=False, layout=False,
+                     system="a.dtd").startswith(
+        '<!DOCTYPE a SYSTEM "a.dtd">\n\n')
+    assert xml_write(dom, header=False, layout=False, public="-//X//EN",
+                     system="a.dtd").startswith(
+        '<!DOCTYPE a PUBLIC "-//X//EN" "a.dtd">\n\n')
+    # indent(N) initial indentation for embedding
+    s4 = xml_write(dom, header=False, indent=4)
+    assert s4.startswith("    <a>")
+
+
+def test_xml_write_layout_rules():
+    from packages_sgml_spark.core.serialize import xml_write
+    # mixed content is never reflowed
+    dom, _ = parse_document(b"<p>one <b>two</b> three</p>", dialect="xml")
+    s = xml_write(dom, header=False)
+    assert s == "<p>one <b>two</b> three</p>"
+    # xml:space=preserve blocks layout even for element content
+    dom2, _ = parse_document(
+        b'<a xml:space="preserve"><b>t</b><c/></a>', dialect="xml")
+    s2 = xml_write(dom2, header=False)
+    assert "\n" not in s2
+    # blank text between elements is layout, dropped on reflow
+    dom3, _ = parse_document(b"<a>\n  <b>t</b>\n  <c/>\n</a>",
+                             dialect="xml")
+    s3 = xml_write(dom3, header=False)
+    assert s3 == "<a>\n  <b>t</b>\n  <c/>\n</a>"
+    # long attribute lists wrap one-per-line at +4 (att_length > 60)
+    dom4, _ = parse_document(
+        b'<a attr_one="aaaaaaaaaaaaaaaaaaaa" '
+        b'attr_two="bbbbbbbbbbbbbbbbbbbb" '
+        b'attr_three="cccccccccccccccccc">x</a>', dialect="xml")
+    s4 = xml_write(dom4, header=False)
+    assert '<a\n    attr_one="aaaaaaaaaaaaaaaaaaaa"\n' in s4
+
+
+def test_xml_write_cleanns():
+    from packages_sgml_spark.core.serialize import xml_write
+    from packages_sgml_spark.core.dom import Element
+    # duplicate xmlns re-declaration in scope is dropped by default
+    inner = Element("b", [("xmlns:x", "http://ex.org/1")], ["t"])
+    outer = Element("a", [("xmlns:x", "http://ex.org/1")], [inner])
+    s = xml_write([outer], header=False, layout=False)
+    assert s == '<a xmlns:x="http://ex.org/1"><b>t</b></a>'
+    s2 = xml_write([outer], header=False, layout=False, cleanns=False)
+    assert s2.count("xmlns:x") == 2
+    # re-declaration to a DIFFERENT uri is kept
+    inner2 = Element("b", [("xmlns:x", "http://ex.org/2")], ["t"])
+    outer2 = Element("a", [("xmlns:x", "http://ex.org/1")], [inner2])
+    s3 = xml_write([outer2], header=False, layout=False)
+    assert s3.count("xmlns:x") == 2
+    # nsmap: ns assumed bound from the environment
+    s4 = xml_write([outer], header=False, layout=False,
+                   nsmap=[("x", "http://ex.org/1")])
+    assert "xmlns" not in s4
+
+
+def test_sgml_write_net_and_empty():
+    from packages_sgml_spark.core.serialize import html_write, sgml_write
+    from packages_sgml_spark.core.dom import Element
+    # SGML net(true): short /-free char content -> <b/xxx/
+    b = Element("b", [], ["xxx"])
+    assert sgml_write([b], layout=False, net=True) == "<b/xxx/"
+    assert sgml_write([b], layout=False) == "<b>xxx</b>"
+    # empty elements: declared EMPTY -> <foo>, net -> <foo//
+    e = Element("foo", [], [])
+    assert sgml_write([e], layout=False,
+                      empty_elements={"foo"}) == "<foo>"
+    assert sgml_write([e], layout=False) == "<foo></foo>"
+    assert sgml_write([e], layout=False, net=True) == "<foo//"
+    # html_write: void elements from the HTML set; script verbatim
+    br = Element("br", [], [])
+    assert html_write([br], layout=False) == "<br>"
+    sc = Element("script", [], ["if (a<b) f();"])
+    assert html_write([sc], layout=False) == \
+        "<script>if (a<b) f();</script>"
+
+
+def test_xml_write_fixed_point_corpus():
+    """Parse -> xml_write(layout) -> parse: DOM equal modulo layout
+    whitespace (the test_sgml_write.pl fp loop, layout-normalised)."""
+    import os
+    from packages_sgml_spark.core.serialize import xml_write
+
+    def strip_layout(content):
+        out = []
+        for n in content:
+            if isinstance(n, str):
+                if n.strip(" \t\r\n"):
+                    out.append(n)
+            elif hasattr(n, "content"):
+                n.content = strip_layout(n.content)
+                out.append(n)
+            else:
+                out.append(n)
+        return out
+
+    n_files = 0
+    for fn in sorted(os.listdir("/root/reference/Test")):
+        if not fn.endswith(".xml"):
+            continue
+        data = open("/root/reference/Test/" + fn, "rb").read()
+        dom1, err1 = parse_document(data, dialect="xml",
+                                    encoding="utf-8", quiet=True)
+        s = xml_write(dom1, header=False)
+        dom2, err2 = parse_document(s.encode("utf-8"), dialect="xml",
+                                    encoding="utf-8", quiet=True)
+        assert repr(strip_layout(dom1)) == repr(strip_layout(dom2)), fn
+        n_files += 1
+    assert n_files >= 15
