@@ -456,6 +456,7 @@ class DeclMixin:
             for nm in names2:
                 target.append(self.dtd.find_element(nm))
             self.dtd.has_inex = True
+            self.dtd._inex_members = None   # new members: rebuild set
         if i < len(s):
             self.gripe(*Gripes.syntax_error(
                 "Unexpected end of declaration", s[i:]))

@@ -170,6 +170,7 @@ class DTD:
         self.number_mode_integer = False     # NU_TOKEN default
         self.keep_prefix = False
         self.has_inex = False    # any +(..)/-(..)
+        self._inex_members = None  # lazy id-set of inex-listed elements
         self._tag_memo = {}      # decl-string -> parsed tag (parser.py)
         self._setup_done = False  # set_dialect ran at least once
 

@@ -515,9 +515,9 @@ class SGMLParser(DeclMixin):
         max_mem = self.options.max_memory
         check_at = 1 << 16
         while i < n:
-            if self.stopped:
-                return
-            if self._pending_skip:
+            if self.stopped or self._pending_skip:
+                if self.stopped:
+                    return
                 # a nested parse_content() consumed this span
                 i += self._pending_skip
                 self._pending_skip = 0
@@ -545,9 +545,23 @@ class SGMLParser(DeclMixin):
                                 self.startloc = (self.line,
                                                  self.linepos + 1,
                                                  self.charpos)
-                                self._advance_location(tag)
+                                if LF in tag:
+                                    self._advance_location(tag)
+                                else:       # inlined no-newline advance
+                                    self.charpos += len(tag)
+                                    self.linepos += len(tag)
                                 self.prepare_cdata()
-                                self.process_declaration(tag[1:-1])
+                                decl = tag[1:-1]
+                                # hoisted tag-memo probe (the common
+                                # repeated-tag case skips one call)
+                                memo = (self.dtd._tag_memo
+                                        if self.dmode != DM_DTD else None)
+                                entry = (memo.get(decl)
+                                         if memo is not None else None)
+                                if entry is not None:
+                                    self._replay_tag(entry)
+                                else:
+                                    self.process_declaration(decl)
                                 i = m.end()
                                 continue
                     if text[i] == '&' and self.dmode == DM_DATA:
@@ -560,9 +574,8 @@ class SGMLParser(DeclMixin):
                             self.process_entity(m.group(1))
                             i = m.end()
                             continue
-                    rex = (_RE_PCDATA_U if self.utf8_decode
-                           else _RE_PCDATA)
-                    m = rex.search(text, i)
+                    m = (_RE_PCDATA_U if self.utf8_decode
+                         else _RE_PCDATA).search(text, i)
                     j = m.start() if m else n
                     if j > i:
                         i += self._bulk_cdata(text, i, j)
@@ -695,15 +708,50 @@ class SGMLParser(DeclMixin):
                 # pending (blank) cdata first -- order matters.  It may
                 # also install a shortref map, in which case the rest
                 # of the span must go through the per-char path.
-                self.cdata_must_be_empty = not self.open_element(
-                    M.CDATA_ELEMENT, False)
+                # (inlined #PCDATA transition from open_element: the
+                # per-State memo makes this a dict hit; CDATA_ELEMENT
+                # can never be in an inclusion/exclusion list)
+                envs = self.environments
+                env = envs[-1] if envs else None
+                handled = False
+                if env is not None:
+                    memo = env.cdata_memo
+                    if memo is not None and memo[0] is env.state:
+                        env.state = memo[1]
+                        self.cdata_must_be_empty = False
+                        handled = True
+                    else:
+                        pe = env.element
+                        pedef = pe.structure
+                        if (not pe.undefined and pedef is not None and
+                                pedef.type != M.C_ANY):
+                            new = M.make_dtd_transition(
+                                env.state, M.CDATA_ELEMENT)
+                            if new is not None:
+                                env.cdata_memo = (env.state, new)
+                                env.state = new
+                                self.cdata_must_be_empty = False
+                                handled = True
+                if not handled:
+                    self.cdata_must_be_empty = not self.open_element(
+                        M.CDATA_ELEMENT, False)
                 self.blank_cdata = False
                 if self.map is not None:
                     self._advance_location(span[:k])
                     return k
                 self._append_span(span[k:])
         else:
-            self._append_span(span)
+            # inlined _append_span + no-LF _advance_location (the
+            # span has no CR and bulk spans rarely carry LF)
+            cdata = self.cdata
+            if not cdata:
+                self.startcdata = (self.line, self.linepos + 1,
+                                   self.charpos)
+            elif (span[0] == LF and cdata[-1] == CR and
+                    self.environments and
+                    self.environments[-1].space_mode != D.SP_STRICT):
+                cdata.pop()
+            cdata.extend(span)
         self._advance_location(span)
         return len(span)
 
@@ -1411,7 +1459,59 @@ class SGMLParser(DeclMixin):
         so sharing the parsed list is exact)."""
         if entry[0] == 'b':
             _k, e, atts, empty_el, conref = entry
-            self.open_element(e, True)
+            # steady-state specialization of open_element: parent
+            # defined, no inclusion/exclusion hit, content model has a
+            # direct transition at the top environment -- exactly the
+            # push branch of open_element (no pop_to, no cdata_memo,
+            # no gripes).  Anything else falls back to the full path.
+            envs = self.environments
+            done = False
+            if envs:
+                env = envs[-1]
+                pe = env.element
+                pedef = pe.structure
+                if (not pe.undefined and pedef is not None and
+                        pedef.type != M.C_ANY and
+                        self._in_or_excluded(e) == "normal"):
+                    new = M.make_dtd_transition(env.state, e)
+                    if new is not None:
+                        env.state = new
+                        if self.dtd.shorttag:
+                            self.push_element(e, False)
+                        else:
+                            # inlined push_element (non-shorttag)
+                            if self.cdata:
+                                self.emit_cdata(last=False)
+                            nenv = Environment(e)
+                            nedef = e.structure
+                            nenv.state = (
+                                nedef.initial_state
+                                if nedef is not None and
+                                nedef.initial_state is not None
+                                else M.make_state_engine(e))
+                            nenv.space_mode = env.space_mode
+                            if e.map is not None:
+                                self.map = nenv.map = e.map
+                            else:
+                                self.map = nenv.map = env.map
+                            envs.append(nenv)
+                            self.first = True
+                            if nedef is not None:
+                                t = nedef.type
+                                if t == M.C_CDATA or t == M.C_RCDATA:
+                                    self.state = (S_CDATA
+                                                  if t == M.C_CDATA
+                                                  else S_RCDATA)
+                                    self.cdata_state = self.state
+                                    self.etag = e.name
+                                    self.startcdata = (self.line,
+                                                       self.linepos,
+                                                       self.charpos)
+                                else:
+                                    self.cdata_state = S_PCDATA
+                        done = True
+            if not done:
+                self.open_element(e, True)
             if self.dtd.dialect in D.XML_DIALECTS:
                 self.update_space_mode(e, atts)
             self._emitting_empty = bool(empty_el)
@@ -1425,6 +1525,25 @@ class SGMLParser(DeclMixin):
         e = entry[1]
         if self.cdata:
             self.emit_cdata(last=True)
+        # steady-state specialization of close_element: the closed
+        # element IS the top environment (no omitted-close unwinding)
+        envs = self.environments
+        if envs and envs[-1].element is e:
+            env = envs[-1]
+            # inlined validate_completeness/complete
+            edef = e.structure
+            if (edef is not None and not e.undefined and
+                    edef.type != M.C_ANY and
+                    edef.final_state is not None and
+                    not (env.state is not None and
+                         M.same_state(edef.final_state, env.state))):
+                self.gripe(*Gripes.validate(
+                    "Incomplete element: <%s>" % e.name))
+            self.first = False
+            self.ev_end(e.name)
+            envs.pop()
+            self.map = envs[-1].map if envs else None
+            return True
         return self.close_element(e, False)
 
     def process_begin_element(self, decl, memo_key=None):
@@ -1547,7 +1666,11 @@ class SGMLParser(DeclMixin):
         if self.cdata:
             self.emit_cdata(last=False)
         env = Environment(e)
-        env.state = M.make_state_engine(e)
+        edef = e.structure
+        # inlined make_state_engine memo read (lazy init on miss)
+        env.state = (edef.initial_state
+                     if edef is not None and edef.initial_state is not None
+                     else M.make_state_engine(e))
         env.space_mode = (self.environments[-1].space_mode
                           if self.environments else self.dtd.space_mode)
         if self.dtd.shorttag:
@@ -1695,11 +1818,12 @@ class SGMLParser(DeclMixin):
                 env = self.environments[idx]
                 new = M.make_dtd_transition(env.state, e)
                 if new is not None:
-                    if (e is M.CDATA_ELEMENT and
-                            idx == len(self.environments) - 1):
+                    top = len(self.environments) - 1
+                    if e is M.CDATA_ELEMENT and idx == top:
                         env.cdata_memo = (env.state, new)
                     env.state = new
-                    self.pop_to(idx, e)
+                    if idx != top:
+                        self.pop_to(idx, e)
                     self.push_element(e, False)
                     return True
                 path = M.find_omitted_path(env.state, e)
@@ -1734,7 +1858,24 @@ class SGMLParser(DeclMixin):
 
     def _in_or_excluded(self, e):
         """(parser.c:2691-2709)."""
-        if not self.dtd.has_inex:
+        dtd = self.dtd
+        if not dtd.has_inex:
+            return "normal"
+        # membership pre-filter: elements that appear in NO +(..)/-(..)
+        # list anywhere in the DTD can't be included or excluded --
+        # one set lookup instead of an environment-stack walk
+        members = dtd._inex_members
+        if members is None:
+            members = set()
+            for el in dtd.elements.values():
+                edef = el.structure
+                if edef is not None:
+                    for x in edef.excluded:
+                        members.add(id(x))
+                    for x in edef.included:
+                        members.add(id(x))
+            dtd._inex_members = members
+        if id(e) not in members:
             return "normal"
         for env in reversed(self.environments):
             edef = env.element.structure
@@ -1760,10 +1901,6 @@ class SGMLParser(DeclMixin):
         while len(envs) > open_idx:
             env = envs[-1]
             ce = env.element
-            if not (conref and env is envs[-1] and
-                    len(envs) - 1 == len(self.environments) - 1 and
-                    ce is e and conref):
-                pass
             if not (conref and len(envs) - 1 == open_idx and ce is e):
                 self.validate_completeness(env)
             self.first = False
@@ -2530,10 +2667,8 @@ class TextOnlyParser(SGMLParser):
         pass
 
     def ev_data(self, kind, text):
-        start = self.startcdata[2]
-        end = self.startloc[2] if self.startloc[2] > start \
-            else self.charpos
-        self.data_spans.append((start, end))
+        # spans deliberately untracked: the text-only extract path
+        # never reads data_spans (nodes=False) — see extract.py
         self.text_parts.append(text)
 
     def ev_pi(self, text):
