@@ -39,7 +39,11 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
 
 
 def shingles(docs: DataFrame, w=SHINGLE_W) -> DataFrame:
-    """Word w-shingles per doc (deduplicated within doc)."""
+    """Word w-shingles per doc (deduplicated within doc).  The input
+    is spread to full parallelism first — shingling + per-shingle
+    hashing is the CPU-heavy stage of the dedup pipeline."""
+    from .util import spread
+    docs = spread(docs, "doc_id")
     words = norm_words(F.col("text"))
     n = F.size(words)
     sh = F.when(n >= w, F.array_distinct(F.transform(
@@ -125,6 +129,8 @@ def simhash(docs: DataFrame, bits=32) -> DataFrame:
     """SimHash over words: per-bit majority vote of word hashes.
     Uses xxhash64 (JVM-side); no SQL oracle (hash fn differs), the
     driver records a rows-only check."""
+    from .util import spread
+    docs = spread(docs, "doc_id")
     words = F.explode(norm_words(F.col("text")))
     wh = docs.select("doc_id", words.alias("w")) \
              .select("doc_id", F.xxhash64("w").alias("h"))
@@ -149,6 +155,8 @@ def simhash_md5(docs: DataFrame, bits=32) -> DataFrame:
     hex digit i of md5(word)) — engine-portable, so the DuckDB oracle
     verifies it exactly; same per-bit majority-vote construction as
     simhash()."""
+    from .util import spread
+    docs = spread(docs, "doc_id")
     words = F.explode(norm_words(F.col("text")))
     wh = (docs.select("doc_id", words.alias("w"))
           .select("doc_id", F.md5(F.encode("w", "utf-8")).alias("h")))

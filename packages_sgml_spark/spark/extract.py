@@ -147,18 +147,23 @@ def extract_batch_iter(batches: Iterator[pd.DataFrame], dialect_default,
 
 
 def extract(pages: DataFrame, dialect="html5", dom_json=False, nodes=True,
-            repartition=0) -> DataFrame:
+            repartition="auto") -> DataFrame:
     """pages(url, html [, dialect]) -> EXTRACT_SCHEMA DataFrame.
 
     `repartition` > 0 shuffles by xxhash64(url) first (uniform work
-    distribution at crawl scale); 0 keeps source partitioning (no
-    shuffle — the right default when reading well-laid-out parquet).
+    distribution at crawl scale); "auto" (default) repartitions by url
+    hash only when the source has fewer partitions than cores (an
+    under-partitioned small input would otherwise parse on one core;
+    no-op on well-laid-out crawl inputs); 0 keeps source partitioning.
     """
+    from .util import spread
     cols = ["url", "html"]
     if "dialect" in pages.columns:
         cols.append("dialect")
     src = pages.select(*cols)
-    if repartition:
+    if repartition == "auto":
+        src = spread(src, F.xxhash64("url"))
+    elif repartition:
         src = src.repartition(repartition, F.xxhash64("url"))
 
     def fn(batches):
@@ -175,7 +180,7 @@ ELEMENT_TEXT_SCHEMA = StructType([
 
 
 def extract_element_text(pages: DataFrame, element="title",
-                         dialect="html5", repartition=0) -> DataFrame:
+                         dialect="html5", repartition="auto") -> DataFrame:
     """Selective extraction of the first <element>'s text per page
     (stop-condition fast path: the tokenizer abandons the byte stream
     the moment the element closes — FirstElementTextParser).  Same
@@ -183,7 +188,10 @@ def extract_element_text(pages: DataFrame, element="title",
     cheap metadata pass (title, first h1, canonical link text) that
     shouldn't pay for a full parse."""
     src = pages.select("url", "html")
-    if repartition:
+    if repartition == "auto":
+        from .util import spread
+        src = spread(src, F.xxhash64("url"))
+    elif repartition:
         src = src.repartition(repartition, F.xxhash64("url"))
 
     def fn(batches):
@@ -233,13 +241,16 @@ MAIN_SCHEMA = StructType([
 
 
 def extract_main(pages: DataFrame, dialect="html5", min_words=3,
-                 max_link_density=0.4, repartition=0) -> DataFrame:
+                 max_link_density=0.4, repartition="auto") -> DataFrame:
     """Main-content extraction (boilerplate strip via DOM heuristics,
     core/boilerplate.py): pages(url, html) -> (url, text_main, ...).
     Same single-narrow-map shape as extract()."""
 
     src = pages.select("url", "html")
-    if repartition:
+    if repartition == "auto":
+        from .util import spread
+        src = spread(src, F.xxhash64("url"))
+    elif repartition:
         src = src.repartition(repartition, F.xxhash64("url"))
 
     def fn(batches):

@@ -33,7 +33,7 @@ def get_spark(app="packages-sgml-spark", cpus=None, shuffle_partitions=None,
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory",
-                os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+                os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.python.worker.faulthandler.enabled", "true")
         .config("spark.ui.enabled", "false")
     )

@@ -35,6 +35,8 @@ def _count_occurrences(col, pat):
 def lang_id_stopwords(docs: DataFrame) -> DataFrame:
     """Best-scoring language by marker-token occurrence counts.
     Ties break by language code order (deterministic)."""
+    from .util import spread
+    docs = spread(docs, "doc_id")
     padded = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
     scores = []
     for lang, pats in sorted(LANG_MARKERS.items()):
@@ -57,6 +59,8 @@ def lang_id_stopwords(docs: DataFrame) -> DataFrame:
 def quality_score(docs: DataFrame) -> DataFrame:
     """Heuristic quality features: length, punctuation density,
     stopword ratio, mean word length."""
+    from .util import spread
+    docs = spread(docs, "doc_id")
     text = F.col("text")
     n_chars = F.length(text)
     words = F.split(F.trim(text), r"\s+")
@@ -88,6 +92,8 @@ def token_count(docs: DataFrame) -> DataFrame:
     """Whitespace tokens + a BPE-ish subword proxy: tokens of
     letter-runs/digit-runs/single-other obtained by counting regex
     boundaries (SQL-expressible)."""
+    from .util import spread
+    docs = spread(docs, "doc_id")
     text = F.col("text")
     trimmed = F.trim(text)
     ws_tokens = F.when(F.length(trimmed) == 0, F.lit(0)) \
@@ -104,6 +110,8 @@ def token_count(docs: DataFrame) -> DataFrame:
 def fingerprint(docs: DataFrame) -> DataFrame:
     """Document fingerprint: md5 of the blank-normalized lowercase
     text (rolling-hash analog, deterministic + oracle-friendly)."""
+    from .util import spread
+    docs = spread(docs, "doc_id")
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
     return docs.select(
         "doc_id", F.md5(F.encode(norm, "utf-8")).alias("fp"))
@@ -113,6 +121,8 @@ def rolling_hash(docs: DataFrame, base=31, mod=1000000007) -> DataFrame:
     """Polynomial rolling hash (Rabin-Karp style) over the chars of
     the blank-normalized text — pure SQL fold (F.aggregate), exactly
     reproducible in the DuckDB oracle via list_reduce."""
+    from .util import spread
+    docs = spread(docs, "doc_id")
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
     chars = F.filter(F.split(norm, ""), lambda c: c != "")
     codes = F.transform(chars, lambda c: F.ascii(c).cast("long"))
@@ -126,6 +136,8 @@ def compression_ratio(docs: DataFrame) -> DataFrame:
     signal (low ratio = repetitive/templated text).  Arrow-batched
     pandas UDF (no per-row Python dispatch); no SQL oracle (zlib is
     not expressible in SQL) -> rows-only check."""
+    from .util import spread
+    docs = spread(docs, "doc_id")
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 

@@ -30,11 +30,24 @@ def test_top_customers_broadcast(spark):
     assert "BroadcastHashJoin" in p or "BroadcastExchange" in p
 
 
-def test_extract_no_shuffle(spark):
+def test_extract_single_spread_shuffle(spark):
+    """The extract plan's ONLY exchange is the deliberate
+    under-partitioned-input spread (url-hash repartition); the parse
+    itself stays a narrow map.  With a well-partitioned source the
+    spread is a no-op (second assertion block)."""
+    from pyspark.sql import functions as F
+    from packages_sgml_spark.spark.extract import extract
     from packages_sgml_spark.spark.queries import QUERIES
     p = _plan(QUERIES["extract_text"](spark, SF))
-    assert "Exchange" not in p            # zero-shuffle narrow map
+    assert p.count("Exchange") == 1
+    assert "REPARTITION_BY_NUM" in p      # the spread, nothing else
     assert "MapInPandas" in p
+    # a source already at >= default parallelism skips the spread
+    wide = spark.range(10000, numPartitions=64).select(
+        F.concat(F.lit("u"), F.col("id").cast("string")).alias("url"),
+        F.encode(F.lit("<p>x</p>"), "utf-8").alias("html"))
+    p2 = _plan(extract(wide, dialect="html5", nodes=False))
+    assert "Exchange" not in p2           # zero-shuffle narrow map
     # pruning reaches the parquet scan: only doc_id + text are read
     read = p.split("ReadSchema: ")[1].splitlines()[0]
     assert "doc_id" in read and "text" in read
