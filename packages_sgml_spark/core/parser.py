@@ -93,7 +93,7 @@ class ParserOptions:
                  keep_prefix=False, positions=False,
                  catalog=None, content_length=None,
                  stop_at=None, max_memory=None,
-                 resolver=None):
+                 resolver=None, on_urlns=None):
         self.dialect = dialect
         self.qualify_attributes = qualify_attributes
         self.encoding = encoding
@@ -114,6 +114,8 @@ class ParserOptions:
         self.quiet = quiet
         self.file = file
         self.resolver = resolver
+        self.on_urlns = on_urlns    # url -> canonical ns hook
+                                    # (sgml2pl.c:938 put_url)
 
 
 class Environment:
@@ -253,6 +255,7 @@ class SGMLParser(DeclMixin):
         self._doc_base = 0
         self._pending_skip = 0
         self._emitting_empty = False  # p->empty_element analog
+        self._url_cache = []        # MRU url->canonical (URL_CACHE=4)
 
     # ------------------------------------------------------------------
     # dialect / encoding (parser.c:1256-1298, 3807-3849)
@@ -2589,6 +2592,7 @@ def _xmlns_resolve_element(self, name):
         prefix, local = name.split(':', 1)
         url = self._xmlns_find(prefix)
         if url is not None:
+            url = self._put_url(url)
             if env is not None:
                 env.thisns = (prefix, url)
             if kp:
@@ -2605,6 +2609,8 @@ def _xmlns_resolve_element(self, name):
             return QName(prefix, prefix, local)
         return "%s:%s" % (prefix, local)
     url = self._xmlns_find(None)
+    if url:
+        url = self._put_url(url)
     if env is not None:
         env.thisns = (None, url) if url else None
     if url:
@@ -2627,6 +2633,7 @@ def _xmlns_resolve_attr(self, name, qualify=False):
             return "%s:%s" % (prefix, local)
         url = self._xmlns_find(prefix)
         if url is not None:
+            url = self._put_url(url)
             if kp:
                 return QName(prefix, url, local)
             return "%s:%s" % (url, local) if url else local
@@ -2713,3 +2720,27 @@ class FirstElementTextParser(TextOnlyParser):
 
     def text(self):
         return "".join(self.text_parts) if self.found else None
+
+
+def _put_url(self, url):
+    """Map a namespace url through the on_urlns hook with a tiny MRU
+    cache (sgml2pl.c:911-982 put_url, URL_CACHE=4): hook failure (or
+    returning None) passes the url through; results cache for the
+    parser's lifetime."""
+    hook = self.options.on_urlns
+    if hook is None or not url:
+        return url
+    for u, c in self._url_cache:
+        if u == url:
+            return c if c is not None else url
+    try:
+        canonical = hook(url)
+    except Exception:   # noqa: BLE001 - hook failure == passthrough
+        canonical = None
+    cache = self._url_cache
+    cache.insert(0, (url, canonical))
+    del cache[4:]
+    return canonical if canonical is not None else url
+
+
+SGMLParser._put_url = _put_url

@@ -574,3 +574,37 @@ def test_soc_catalog_parser_integration(tmp_path):
     p = SGMLParser(ParserOptions(dialect="sgml", catalog=cat))
     dom, errors = p.parse(b"<doc><item>a<item>b</doc>")
     assert dom[0].name == "doc" and len(dom[0].content) == 2
+
+
+def test_urlns_canonicalization_hook():
+    """on_urlns hook (sgml2pl.c:938-982 put_url analog): namespace
+    urls map through the hook before entering DOM names, with MRU
+    caching; failures pass the url through."""
+    from packages_sgml_spark.core.parser import ParserOptions, SGMLParser
+
+    calls = []
+
+    def urlns(url):
+        calls.append(url)
+        if url == "http://long.example.org/ns/v1":
+            return "ex1"
+        raise KeyError(url)   # hook failure -> passthrough
+
+    doc = (b'<a xmlns="http://long.example.org/ns/v1" '
+           b'xmlns:o="http://other.org/ns">'
+           b'<b/><o:c/><b/></a>')
+    p = SGMLParser(ParserOptions(dialect="xmlns", on_urlns=urlns))
+    dom, errors = p.parse(doc)
+    assert not errors
+    a = dom[0]
+    assert a.name == "ex1:a"
+    kids = [n.name for n in a.content]
+    assert kids == ["ex1:b", "http://other.org/ns:c", "ex1:b"]
+    # MRU cache: each distinct url resolved once despite repeats
+    assert calls == ["http://long.example.org/ns/v1",
+                     "http://other.org/ns"]
+
+    # without the hook, raw urls (unchanged default behavior)
+    p2 = SGMLParser(ParserOptions(dialect="xmlns"))
+    dom2, _ = p2.parse(doc)
+    assert dom2[0].name == "http://long.example.org/ns/v1:a"
