@@ -224,6 +224,57 @@ def extract_element_text(pages: DataFrame, element="title",
     return src.mapInPandas(fn, schema=ELEMENT_TEXT_SCHEMA)
 
 
+SERIALIZE_SCHEMA = StructType([
+    StructField("url", StringType()),
+    StructField("xml_out", StringType()),
+    StructField("status", StringType()),
+])
+
+
+def serialize_pages(pages: DataFrame, dialect="html5",
+                    out_dialect="xml", repartition="auto") -> DataFrame:
+    """Parse each page and write the DOM back as compact XML
+    (sgml_write.pl inverse-of-parser role re-expressed as a Spark
+    operator): pages(url, html) -> (url, xml_out).  The writer runs
+    with layout=False/net=True so output is deterministic and
+    SQL-reconstructable for synthesized corpora."""
+    src = pages.select("url", "html")
+    if repartition == "auto":
+        from .util import spread
+        src = spread(src, F.xxhash64("url"))
+    elif repartition:
+        src = src.repartition(repartition, F.xxhash64("url"))
+
+    def fn(batches):
+        from ..core.parser import ParserOptions, SGMLParser
+        from ..core.serialize import xml_write
+
+        for pdf in batches:
+            out = {k: [] for k in ("url", "xml_out", "status")}
+            for url, html in zip(pdf["url"].tolist(),
+                                 pdf["html"].tolist()):
+                out["url"].append(url)
+                if html is None or len(html) == 0:
+                    out["xml_out"].append(None)
+                    out["status"].append("empty")
+                    continue
+                try:
+                    p = SGMLParser(ParserOptions(
+                        dialect=dialect, encoding="utf-8",
+                        max_errors=-1, quiet=True))
+                    dom, _errors = p.parse(bytes(html))
+                    out["xml_out"].append(xml_write(
+                        dom, header=False, layout=False, net=True,
+                        dialect=out_dialect))
+                    out["status"].append("ok")
+                except Exception as ex:   # noqa: BLE001
+                    out["xml_out"].append(None)
+                    out["status"].append("exception: %s" % ex)
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(fn, schema=SERIALIZE_SCHEMA)
+
+
 def extracted_with_meta(pages: DataFrame, extracted: DataFrame) -> DataFrame:
     """Join extraction output back to page metadata (broadcast-free:
     both sides share the url key; Catalyst picks SMJ / shuffle hash)."""

@@ -642,3 +642,16 @@ SELECT doc_id,
        END AS n_samples,
   CASE WHEN kind = 'audio' THEN 'ok' ELSE 'skipped' END AS status
 FROM p"""
+
+
+ORACLES["serialize_roundtrip"] = """
+SELECT doc_id,
+  '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+  ' </title></head><body>' ||
+  CASE WHEN text = '' THEN '<p/>'
+       ELSE '<p>' ||
+            replace(replace(replace(text, '&', '&amp;'),
+                            '<', '&lt;'), '>', '&gt;') ||
+            '</p>' END ||
+  '</body></html>' AS xml_out
+FROM documents"""

@@ -671,6 +671,23 @@ QUERIES["media_frame_sample"] = q_media_frame_sample
 QUERIES["media_audio_features"] = q_media_audio_features
 
 
+def q_serialize_roundtrip(spark, sf_dir):
+    """Writer surface under the driver gate: parse the synthesized
+    pages and serialize the DOM back as compact XML (sgml_write
+    analog); oracle reconstructs the exact output string."""
+    ensure_workers(spark)
+    from .extract import serialize_pages
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs_as_pages(docs)
+    ser = serialize_pages(pages, dialect="html5", out_dialect="xml")
+    return ser.select(
+        F.substring("url", 7, 32).cast("bigint").alias("doc_id"),
+        F.col("xml_out"))
+
+
+QUERIES["serialize_roundtrip"] = q_serialize_roundtrip
+
+
 def q_dedup_components(spark, sf_dir):
     """Near-dup clusters: connected components over the minhash-LSH
     candidate pairs; component = canonical keeper doc_id."""
