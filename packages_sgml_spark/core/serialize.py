@@ -15,6 +15,7 @@ parse -> write -> parse -> write is a fixed point
 """
 
 from .dom import Element, SData, NData, PI, Entity
+from .model import C_EMPTY as _C_EMPTY
 
 _ATTR_QUOTE = {"<": "&lt;", ">": "&gt;", "&": "&amp;", '"': "&quot;"}
 _CDATA_QUOTE = {"<": "&lt;", ">": "&gt;", "&": "&amp;"}
@@ -24,30 +25,67 @@ _VOID = frozenset("area base br col embed hr img input link meta source "
                   "track wbr param".split())
 
 
-def quote_attribute(s, max_char=0x10FFFF):
+def quote_attribute(s, max_char=0x10FFFF, entity_map=None):
     out = []
     for c in s:
         r = _ATTR_QUOTE.get(c)
         if r is not None:
             out.append(r)
         elif ord(c) > max_char:
-            out.append("&#%d;" % ord(c))
+            out.append(_write_entity(ord(c), entity_map))
         else:
             out.append(c)
     return "".join(out)
 
 
-def quote_cdata(s, max_char=0x10FFFF):
+def quote_cdata(s, max_char=0x10FFFF, entity_map=None):
     out = []
     for c in s:
         r = _CDATA_QUOTE.get(c)
         if r is not None:
             out.append(r)
         elif ord(c) > max_char:
-            out.append("&#%d;" % ord(c))
+            out.append(_write_entity(ord(c), entity_map))
         else:
             out.append(c)
     return "".join(out)
+
+
+def _write_entity(code, entity_map):
+    """write_entity (sgml_write.pl:853-857): DTD character-data
+    entity name when the DTD provides one, else a hex char ref."""
+    if entity_map is not None:
+        name = entity_map.get(code)
+        if name is not None:
+            return "&%s;" % name
+    return "&#x%X;" % code
+
+
+# output encodings whose writers pass wide chars through verbatim
+# (unicode_encoding/1, sgml_write.pl:848-851); anything else caps the
+# directly-writable range and falls back to entities
+_ENCODING_MAX = {
+    "utf-8": 0x10FFFF, "utf8": 0x10FFFF, "wchar_t": 0x10FFFF,
+    "utf-16": 0x10FFFF, "unicode-le": 0x10FFFF, "unicode-be": 0x10FFFF,
+    "iso-8859-1": 0xFF, "iso_latin_1": 0xFF, "latin-1": 0xFF,
+    "us-ascii": 0x7F, "ascii": 0x7F,
+}
+
+
+def dtd_character_entities(dtd):
+    """dtd_character_entities/2 (sgml_write.pl:923-945): codepoint ->
+    entity name for every DTD entity whose replacement is '&#N;' or a
+    single character."""
+    out = {}
+    for name, ent in dtd.entities.items():
+        v = ent.value
+        if not isinstance(v, str):
+            continue
+        if v.startswith("&#") and v.endswith(";") and v[2:-1].isdigit():
+            out.setdefault(int(v[2:-1]), name)
+        elif len(v) == 1:
+            out.setdefault(ord(v), name)
+    return out
 
 
 def _attr_value_str(v):
@@ -68,7 +106,7 @@ class _Writer:
 
     def __init__(self, dialect="xml", layout=True, indent=0,
                  net=None, cleanns=True, nsmap=None, max_char=0x10FFFF,
-                 empty_elements=None):
+                 empty_elements=None, entity_map=None):
         self.dialect = dialect
         self.xml = dialect in ("xml", "xmlns", "xhtml", "xhtml5")
         self.layout = layout
@@ -80,6 +118,7 @@ class _Writer:
         if empty_elements is None and dialect in ("html", "html5"):
             empty_elements = _VOID
         self.empty = frozenset(empty_elements or ())
+        self.entity_map = entity_map
         self.out = []
         self._bol = True    # at beginning of line ('~N' semantics)
 
@@ -125,9 +164,11 @@ class _Writer:
         if isinstance(n, Element):
             self.emit_element(n)
         elif isinstance(n, str):
-            self.write(quote_cdata(n, self.max_char))
+            self.write(quote_cdata(n, self.max_char,
+                                   self.entity_map))
         elif isinstance(n, (SData, NData)):
-            self.write(quote_cdata(n.text, self.max_char))
+            self.write(quote_cdata(n.text, self.max_char,
+                                   self.entity_map))
         elif isinstance(n, PI):
             self.write("<?%s?>" % n.text)
         elif isinstance(n, Entity):
@@ -153,7 +194,8 @@ class _Writer:
 
     def _attr(self, k, v):
         self.write('%s="%s"' % (k, quote_attribute(
-            _attr_value_str(v), self.max_char)))
+            _attr_value_str(v), self.max_char,
+            self.entity_map)))
 
     def _content(self, el, attrs):
         content = el.content
@@ -176,7 +218,8 @@ class _Writer:
             if (not self.xml and self.net and "/" not in text and
                     len(text) < 20):
                 self.write("/")
-                self.write(quote_cdata(text, self.max_char))
+                self.write(quote_cdata(text, self.max_char,
+                                       self.entity_map))
                 self.write("/")
                 return
             if (el.name in ("script", "style") and
@@ -186,7 +229,8 @@ class _Writer:
                 self.write("</%s>" % el.name)
                 return
             self.write(">")
-            self.write(quote_cdata(text, self.max_char))
+            self.write(quote_cdata(text, self.max_char,
+                                   self.entity_map))
             self.write("</%s>" % el.name)
             return
         preserve = any(k == "xml:space" and str(v) == "preserve"
@@ -247,17 +291,38 @@ def _emit_doctype(w, content, doctype, public, system):
                 % (name, public, system))
 
 
+def _enc_opts(encoding, max_char, dtd):
+    """Resolve the dtd(DTD)/encoding writer options: a non-unicode
+    target encoding caps the directly-writable codepoint range, and a
+    DTD supplies named character-data entities for the rest
+    (sgml_write.pl:110-118, :826-857)."""
+    if encoding is not None:
+        max_char = _ENCODING_MAX.get(
+            encoding.lower().replace("_", "-"), max_char)
+    entity_map = dtd_character_entities(dtd) if dtd is not None else None
+    return max_char, entity_map
+
+
 def xml_write(content, layout=True, indent=0, net=True, cleanns=True,
               nsmap=None, header=True, doctype=None, public=None,
-              system=None, max_char=0x10FFFF, dialect="xml"):
-    """xml_write/3 analog returning a string (UTF-8-capable output,
-    so the header declares UTF-8 like the reference's utf8 stream)."""
+              system=None, max_char=0x10FFFF, dialect="xml",
+              encoding=None, dtd=None):
+    """xml_write/3 analog returning a string.  `encoding` caps the
+    directly-writable range ('iso-8859-1' -> 0xFF, 'us-ascii' ->
+    0x7F); chars beyond it write as DTD character entities (when
+    `dtd` provides them) or hex char refs."""
     if isinstance(content, Element):
         content = [content]
+    max_char, entity_map = _enc_opts(encoding, max_char, dtd)
     w = _Writer(dialect=dialect, layout=layout, indent=indent, net=net,
-                cleanns=cleanns, nsmap=nsmap, max_char=max_char)
+                cleanns=cleanns, nsmap=nsmap, max_char=max_char,
+                entity_map=entity_map)
     if header:
-        w.write('<?xml version="1.0" encoding="UTF-8"?>\n\n')
+        enc_name = {"iso-8859-1": "ISO-8859-1", "iso_latin_1":
+                    "ISO-8859-1", "latin-1": "ISO-8859-1",
+                    "us-ascii": "US-ASCII", "ascii": "US-ASCII"}.get(
+                        (encoding or "").lower(), "UTF-8")
+        w.write('<?xml version="1.0" encoding="%s"?>\n\n' % enc_name)
     _emit_doctype(w, content, doctype, public, system)
     w.write_indent()
     w.emit_content_list(content)
@@ -266,13 +331,22 @@ def xml_write(content, layout=True, indent=0, net=True, cleanns=True,
 
 def sgml_write(content, layout=True, indent=0, net=False,
                cleanns=True, doctype=None, public=None, system=None,
-               max_char=0x10FFFF, dialect="sgml", empty_elements=None):
-    """sgml_write/3 analog returning a string."""
+               max_char=0x10FFFF, dialect="sgml", empty_elements=None,
+               encoding=None, dtd=None):
+    """sgml_write/3 analog returning a string; `encoding`/`dtd` as in
+    xml_write."""
     if isinstance(content, Element):
         content = [content]
+    max_char, entity_map = _enc_opts(encoding, max_char, dtd)
+    if dtd is not None and empty_elements is None:
+        # the dtd(DTD) option also supplies the EMPTY element set
+        empty_elements = {
+            e.name for e in dtd.elements.values()
+            if e.structure is not None and not e.undefined and
+            e.structure.type == _C_EMPTY}
     w = _Writer(dialect=dialect, layout=layout, indent=indent, net=net,
                 cleanns=cleanns, max_char=max_char,
-                empty_elements=empty_elements)
+                empty_elements=empty_elements, entity_map=entity_map)
     w.write_indent()
     _emit_doctype(w, content, doctype, public, system)
     w.emit_content_list(content)

@@ -60,7 +60,8 @@ def test_quote_rules():
     assert quote_attribute('a<b>"c&') == 'a&lt;b&gt;&quot;c&amp;'
     assert quote_cdata('a<b>"c&') == 'a&lt;b&gt;"c&amp;'
     assert quote_cdata('é', max_char=255) == 'é'
-    assert quote_cdata('€', max_char=255) == '&#8364;'
+    # hex char ref (write_entity, sgml_write.pl:853-857)
+    assert quote_cdata('€', max_char=255) == '&#x20AC;'
 
 
 def test_xsd_numbers():
@@ -236,3 +237,42 @@ def test_xml_write_fixed_point_corpus():
         assert repr(strip_layout(dom1)) == repr(strip_layout(dom2)), fn
         n_files += 1
     assert n_files >= 15
+
+
+def test_writer_encoding_and_dtd_entities():
+    """dtd(DTD)/encoding writer options (sgml_write.pl:110-118,
+    :826-857): a latin-1/ascii target writes wide chars as DTD
+    character-data entities when available, else hex char refs; the
+    DTD also supplies the EMPTY element set for SGML output."""
+    from packages_sgml_spark.core.parser import ParserOptions, SGMLParser
+    from packages_sgml_spark.core.serialize import (
+        dtd_character_entities, sgml_write, xml_write)
+    from packages_sgml_spark.core.htmldtd import get_html_dtd
+
+    dtd = get_html_dtd("html")
+    emap = dtd_character_entities(dtd)
+    assert emap.get(0xF6) == "ouml"        # ö from the HTML entity set
+    assert emap.get(0x20AC) == "euro"
+
+    doc = "<p>Köln € Ж</p>".encode("utf-8")
+    p = SGMLParser(ParserOptions(dialect="xml", encoding="utf-8"))
+    dom, _ = p.parse(doc)
+    # utf-8 output: verbatim
+    assert xml_write(dom, header=False, layout=False) == \
+        "<p>Köln € Ж</p>"
+    # latin-1 output without a DTD: hex char refs above 0xFF
+    assert xml_write(dom, header=False, layout=False,
+                     encoding="iso-8859-1") == \
+        "<p>Köln &#x20AC; &#x416;</p>"
+    # ascii output with the HTML DTD: named entities where the DTD
+    # has them, hex refs otherwise (U+0416 has no HTML entity)
+    assert xml_write(dom, header=False, layout=False,
+                     encoding="us-ascii", dtd=dtd) == \
+        "<p>K&ouml;ln &euro; &#x416;</p>"
+    # header declares the actual encoding
+    assert xml_write(dom, encoding="iso-8859-1").startswith(
+        '<?xml version="1.0" encoding="ISO-8859-1"?>')
+    # dtd(DTD) supplies the EMPTY element set for SGML writing
+    from packages_sgml_spark.core.dom import Element
+    br = Element("br", [], [])
+    assert sgml_write([br], layout=False, dtd=dtd) == "<br>"
