@@ -275,6 +275,74 @@ def serialize_pages(pages: DataFrame, dialect="html5",
     return src.mapInPandas(fn, schema=SERIALIZE_SCHEMA)
 
 
+def _page_sink(pages: DataFrame, schema, col_name, fn_one,
+               repartition="auto") -> DataFrame:
+    """Shared shape for per-page text sinks (ESIS dump, canonical
+    XML): url+html -> (url, <col>, status) via one narrow
+    mapInPandas, with the usual spread/repartition handling."""
+    src = pages.select("url", "html")
+    if repartition == "auto":
+        from .util import spread
+        src = spread(src, F.xxhash64("url"))
+    elif repartition:
+        src = src.repartition(repartition, F.xxhash64("url"))
+
+    def fn(batches):
+        for pdf in batches:
+            out = {k: [] for k in ("url", col_name, "status")}
+            for url, html in zip(pdf["url"].tolist(),
+                                 pdf["html"].tolist()):
+                out["url"].append(url)
+                if html is None or len(html) == 0:
+                    out[col_name].append(None)
+                    out["status"].append("empty")
+                    continue
+                try:
+                    out[col_name].append(fn_one(bytes(html)))
+                    out["status"].append("ok")
+                except Exception as ex:   # noqa: BLE001
+                    out[col_name].append(None)
+                    out["status"].append("exception: %s" % ex)
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(fn, schema=schema)
+
+
+def esis_pages(pages: DataFrame, dialect="html5",
+               repartition="auto") -> DataFrame:
+    """ESIS event-dump sink (the reference CLI's golden format,
+    sgml.c:194-281) as a Spark operator: (url, esis, status)."""
+    schema = StructType([StructField("url", StringType()),
+                         StructField("esis", StringType()),
+                         StructField("status", StringType())])
+
+    def one(html):
+        from ..core.esis import esis_dump
+        return esis_dump(html, dialect=dialect, encoding="utf-8",
+                         quiet=True, max_errors=-1)
+
+    return _page_sink(pages, schema, "esis", one, repartition)
+
+
+def c14n_pages(pages: DataFrame, dialect="xml",
+               repartition="auto") -> DataFrame:
+    """Exclusive-canonical-XML sink (xml_write_canonical, byte-exact
+    vs the reference's -exc outputs) as a Spark operator."""
+    schema = StructType([StructField("url", StringType()),
+                         StructField("c14n", StringType()),
+                         StructField("status", StringType())])
+
+    def one(html):
+        from ..core.c14n import xml_write_canonical
+        from ..core.parser import ParserOptions, SGMLParser
+        p = SGMLParser(ParserOptions(dialect=dialect, encoding="utf-8",
+                                     quiet=True, max_errors=-1))
+        dom, _errors = p.parse(html)
+        return xml_write_canonical(dom)
+
+    return _page_sink(pages, schema, "c14n", one, repartition)
+
+
 def extracted_with_meta(pages: DataFrame, extracted: DataFrame) -> DataFrame:
     """Join extraction output back to page metadata (broadcast-free:
     both sides share the url key; Catalyst picks SMJ / shuffle hash)."""

@@ -655,3 +655,28 @@ SELECT doc_id,
             '</p>' END ||
   '</body></html>' AS xml_out
 FROM documents"""
+
+
+ORACLES["esis_dump"] = r"""
+SELECT doc_id,
+  '(html' || chr(10) || '(head' || chr(10) || '(title' || chr(10) ||
+  '-Doc ' || CAST(doc_id AS VARCHAR) || ' ' || chr(10) ||
+  ')title' || chr(10) || ')head' || chr(10) ||
+  '(body' || chr(10) || '(p' || chr(10) ||
+  CASE WHEN text = '' THEN ''
+       ELSE '-' || replace(replace(replace(text, '\', '\\'),
+                                   chr(10), '\n'), chr(9), '\t') ||
+            chr(10) END ||
+  ')p' || chr(10) || ')body' || chr(10) || ')html' || chr(10) ||
+  'C' || chr(10) AS esis
+FROM documents"""
+
+ORACLES["c14n"] = """
+SELECT doc_id,
+  '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+  ' </title></head><body><p>' ||
+  replace(replace(replace(replace(text, '&', '&amp;'),
+                          '<', '&lt;'), '>', '&gt;'),
+          chr(13), '&#xD;') ||
+  '</p></body></html>' AS c14n
+FROM documents"""

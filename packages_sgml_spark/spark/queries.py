@@ -688,6 +688,37 @@ def q_serialize_roundtrip(spark, sf_dir):
 QUERIES["serialize_roundtrip"] = q_serialize_roundtrip
 
 
+def q_esis_dump(spark, sf_dir):
+    """ESIS event-stream sink under the driver gate (the reference
+    CLI's golden format); oracle reconstructs the exact stream."""
+    ensure_workers(spark)
+    from .extract import esis_pages
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs_as_pages(docs)
+    es = esis_pages(pages, dialect="html5")
+    return es.select(
+        F.substring("url", 7, 32).cast("bigint").alias("doc_id"),
+        F.col("esis"))
+
+
+def q_c14n(spark, sf_dir):
+    """Exclusive-canonical-XML sink under the driver gate (byte-exact
+    c14n machinery, pytest-verified against the reference's 17 -exc
+    outputs); oracle reconstructs the canonical string."""
+    ensure_workers(spark)
+    from .extract import c14n_pages
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs_as_pages(docs)
+    cn = c14n_pages(pages, dialect="xml")
+    return cn.select(
+        F.substring("url", 7, 32).cast("bigint").alias("doc_id"),
+        F.col("c14n"))
+
+
+QUERIES["esis_dump"] = q_esis_dump
+QUERIES["c14n"] = q_c14n
+
+
 def q_dedup_components(spark, sf_dir):
     """Near-dup clusters: connected components over the minhash-LSH
     candidate pairs; component = canonical keeper doc_id."""
