@@ -24,7 +24,10 @@ def main(argv=None):
     ap.add_argument("--output", required=True)
     ap.add_argument("--run-id", default="run-%d" % int(time.time()))
     ap.add_argument("--dialect", default="html5")
-    ap.add_argument("--repartition", type=int, default=0)
+    ap.add_argument("--repartition", default="auto",
+                    help="N (url-hash shuffle to N partitions), "
+                         "0 (keep source partitioning), or 'auto' "
+                         "(spread only when under-partitioned)")
     ap.add_argument("--resume", action="store_true")
     args = ap.parse_args(argv)
 
@@ -38,13 +41,22 @@ def main(argv=None):
 
     pages = spark.read.parquet(args.input)
     if args.resume:
+        from pyspark.errors import AnalysisException
         try:
             done = spark.read.parquet(args.output + "/text")
             pages = resume_filter(pages, done)
-        except Exception:
-            pass
+        except AnalysisException as ex_:
+            # only a missing sink means first run; other read errors
+            # must surface (silent re-extraction breaks exactly-once)
+            msg = str(ex_)
+            if ("PATH_NOT_FOUND" not in msg and
+                    "Path does not exist" not in msg):
+                raise
+    rep = args.repartition
+    if rep != "auto":
+        rep = int(rep)
     ex = extract(pages, dialect=args.dialect, nodes=False,
-                 repartition=args.repartition)
+                 repartition=rep)
     tagged = with_lineage(ex, args.run_id)
     cols = ["url", "url_hash", "text_extracted", "n_errors",
             "html_bytes", "status", "run_id", "partition_id"]
