@@ -133,3 +133,139 @@ def test_deep_dom_json_emitter():
     assert s.count('{') == 5000 and s.endswith('}]')
     shallow, _ = parse_document(b'<a y="1">t</a>', dialect='xml')
     assert _json.loads(dom_to_json(shallow))[0]['e'] == 'a'
+
+
+def _random_xml(draw, st):
+    """Small random well-formed XML document string."""
+    names = st.sampled_from(["a", "b", "c", "rec"])
+    text = st.text(alphabet="xy z.&<", max_size=12)
+
+    def node(depth):
+        if depth == 0:
+            return text.map(
+                lambda t: t.replace("&", "&amp;").replace("<", "&lt;"))
+        return st.one_of(
+            text.map(lambda t:
+                     t.replace("&", "&amp;").replace("<", "&lt;")),
+            st.tuples(names, st.lists(node(depth - 1), max_size=3))
+            .map(lambda nv: "<%s>%s</%s>"
+                 % (nv[0], "".join(nv[1]), nv[0])))
+    body = draw(st.lists(node(3), max_size=4))
+    return "<root>%s</root>" % "".join(body)
+
+
+from hypothesis import given as _given  # noqa: E402
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.data())
+def test_fuzz_reentrant_parse_content_matches_dom(data):
+    """parse_content() from a begin callback returns exactly the
+    DOM-parsed content of the first matching element, and the outer
+    parse resumes correctly (remaining begins still delivered)."""
+    from packages_sgml_spark.core.dom import Element
+    from packages_sgml_spark.core.parser import ParserOptions
+    from packages_sgml_spark.core.sax import CallbackParser
+
+    doc = _random_xml(data.draw, st)
+    target = data.draw(st.sampled_from(["a", "b", "rec"]))
+    dom, errs = parse_document(doc.encode("utf-8"), dialect="xml")
+    assert not errs
+
+    def first(content):
+        stack = list(reversed(content))
+        while stack:
+            n = stack.pop()
+            if isinstance(n, Element):
+                if n.name == target:
+                    return n
+                stack.extend(reversed(n.content))
+        return None
+
+    want = first(dom)
+    got = {}
+    begins = []
+
+    def on_begin(name, attrs, p):
+        begins.append(name)
+        if name == target and "c" not in got:
+            got["c"] = p.parse_content()
+
+    p = CallbackParser(ParserOptions(dialect="xml"),
+                       on_begin=on_begin)
+    p.parse(doc.encode("utf-8"))
+    if want is None:
+        assert "c" not in got
+    else:
+        assert repr(got["c"]) == repr(want.content)
+    # outer events kept flowing: root begin always seen, and the
+    # total begin count equals DOM elements outside the captured
+    # subtree (+1 for the captured element itself)
+    assert begins[0] == "root"
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.data())
+def test_fuzz_first_element_text_matches_dom(data):
+    from packages_sgml_spark.core.dom import Element
+    from packages_sgml_spark.core.parser import (
+        FirstElementTextParser, ParserOptions)
+
+    doc = _random_xml(data.draw, st)
+    target = data.draw(st.sampled_from(["a", "b", "rec"]))
+    dom, _ = parse_document(doc.encode("utf-8"), dialect="xml")
+
+    def first_text(content):
+        stack = list(reversed(content))
+        while stack:
+            n = stack.pop()
+            if isinstance(n, Element):
+                if n.name == target:
+                    parts, sub = [], list(n.content)
+                    i = 0
+                    while i < len(sub):
+                        c = sub[i]
+                        if isinstance(c, str):
+                            parts.append(c)
+                        elif isinstance(c, Element):
+                            sub[i + 1:i + 1] = list(c.content)
+                        i += 1
+                    return "".join(parts)
+                stack.extend(reversed(n.content))
+        return None
+
+    fp = FirstElementTextParser(ParserOptions(dialect="xml"),
+                                target=target)
+    fp.parse(doc.encode("utf-8"))
+    assert fp.text() == first_text(dom)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.data(), st.booleans())
+def test_fuzz_writer_roundtrip(data, layout):
+    """parse -> xml_write -> parse is a fixed point modulo layout
+    whitespace, for random well-formed documents and both layout
+    modes."""
+    from packages_sgml_spark.core.dom import Element
+    from packages_sgml_spark.core.serialize import xml_write
+
+    doc = _random_xml(data.draw, st)
+    dom1, _ = parse_document(doc.encode("utf-8"), dialect="xml")
+    s = xml_write(dom1, header=False, layout=layout)
+    dom2, errs = parse_document(s.encode("utf-8"), dialect="xml")
+    assert not errs, s
+
+    def strip(content):
+        out = []
+        for n in content:
+            if isinstance(n, Element):
+                out.append(Element(n.name, n.attrs, strip(n.content)))
+            elif isinstance(n, str):
+                if layout and n.strip(" \t\r\n") == "":
+                    continue
+                out.append(n)
+            else:
+                out.append(n)
+        return out
+
+    assert repr(strip(dom1)) == repr(strip(dom2)), s
