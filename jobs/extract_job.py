@@ -50,7 +50,8 @@ def main(argv=None):
             # must surface (silent re-extraction breaks exactly-once)
             msg = str(ex_)
             if ("PATH_NOT_FOUND" not in msg and
-                    "Path does not exist" not in msg):
+                    "Path does not exist" not in msg and
+                    "UNABLE_TO_INFER_SCHEMA" not in msg):
                 raise
     rep = args.repartition
     if rep != "auto":

@@ -401,7 +401,32 @@ class SGMLParser(DeclMixin):
         byte chunking; the FSM carries state across chunk
         boundaries.  Call close() at end of input."""
         if isinstance(data, (bytes, bytearray)):
-            text = bytes(data).decode("latin-1")
+            data = bytes(data)
+            if self._stream_encoding is not None:
+                # incremental UTF-16 recode (same semantics as the
+                # whole-buffer path in parse(): bare 'utf-16' is
+                # BOM-driven with a big-endian default)
+                if not hasattr(self, "_inc_head"):
+                    self._inc_head = b""
+                    self._inc_dec = None
+                if self._inc_dec is None:
+                    self._inc_head += data
+                    if len(self._inc_head) < 2:
+                        return self     # need 2 bytes to sniff a BOM
+                    import codecs
+                    enc = self._stream_encoding
+                    if enc == "utf-16":
+                        enc = ("utf-16-le"
+                               if self._inc_head[:2] == b"\xff\xfe"
+                               else "utf-16-be")
+                    self._inc_dec = codecs.getincrementaldecoder(enc)(
+                        errors="replace")
+                    data, self._inc_head = self._inc_head, b""
+                u = self._inc_dec.decode(data)
+                if u[:1] == "﻿":
+                    u = u[1:]
+                data = u.encode("utf-8")
+            text = data.decode("latin-1")
         else:
             text = data
         self._fed_tail = getattr(self, "_fed_tail", "")

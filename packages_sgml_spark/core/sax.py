@@ -70,6 +70,14 @@ class CallbackParser(SGMLParser):
         if self._doc_text is None:
             raise RuntimeError(
                 "parse_content requires a whole-buffer parse()")
+        if self._locstack or self._entity_startloc:
+            # charpos currently points into pushed (entity/subset)
+            # replacement text, not into the document buffer, so the
+            # re-entrant slice would be garbage.  Refuse loudly; the
+            # async capture_content API still works here.
+            raise RuntimeError(
+                "parse_content is not available from inside entity "
+                "expansion; use capture_content()")
         cap = self._Capture(
             self._depth, lambda _content: setattr(self, "stopped", True))
         self._captures.append(cap)

@@ -65,9 +65,11 @@ def _write_entity(code, entity_map):
 # (unicode_encoding/1, sgml_write.pl:848-851); anything else caps the
 # directly-writable range and falls back to entities
 _ENCODING_MAX = {
-    "utf-8": 0x10FFFF, "utf8": 0x10FFFF, "wchar_t": 0x10FFFF,
-    "utf-16": 0x10FFFF, "unicode-le": 0x10FFFF, "unicode-be": 0x10FFFF,
-    "iso-8859-1": 0xFF, "iso_latin_1": 0xFF, "latin-1": 0xFF,
+    # keys are post-normalization ('_' -> '-', lowercased)
+    "utf-8": 0x10FFFF, "utf8": 0x10FFFF, "wchar-t": 0x10FFFF,
+    "utf-16": 0x10FFFF, "utf-16le": 0x10FFFF, "utf-16be": 0x10FFFF,
+    "unicode-le": 0x10FFFF, "unicode-be": 0x10FFFF,
+    "iso-8859-1": 0xFF, "iso-latin-1": 0xFF, "latin-1": 0xFF,
     "us-ascii": 0x7F, "ascii": 0x7F,
 }
 
@@ -295,10 +297,14 @@ def _enc_opts(encoding, max_char, dtd):
     """Resolve the dtd(DTD)/encoding writer options: a non-unicode
     target encoding caps the directly-writable codepoint range, and a
     DTD supplies named character-data entities for the rest
-    (sgml_write.pl:110-118, :826-857)."""
+    (sgml_write.pl:110-118, :826-857).  Unknown encoding names are an
+    error — silently keeping the full range would emit documents that
+    cannot be encoded in the declared charset."""
     if encoding is not None:
-        max_char = _ENCODING_MAX.get(
-            encoding.lower().replace("_", "-"), max_char)
+        key = encoding.lower().replace("_", "-")
+        if key not in _ENCODING_MAX:
+            raise ValueError("unknown writer encoding: %r" % encoding)
+        max_char = _ENCODING_MAX[key]
     entity_map = dtd_character_entities(dtd) if dtd is not None else None
     return max_char, entity_map
 
@@ -318,10 +324,15 @@ def xml_write(content, layout=True, indent=0, net=True, cleanns=True,
                 cleanns=cleanns, nsmap=nsmap, max_char=max_char,
                 entity_map=entity_map)
     if header:
-        enc_name = {"iso-8859-1": "ISO-8859-1", "iso_latin_1":
-                    "ISO-8859-1", "latin-1": "ISO-8859-1",
-                    "us-ascii": "US-ASCII", "ascii": "US-ASCII"}.get(
-                        (encoding or "").lower(), "UTF-8")
+        enc_name = {"iso-8859-1": "ISO-8859-1",
+                    "iso-latin-1": "ISO-8859-1",
+                    "latin-1": "ISO-8859-1",
+                    "us-ascii": "US-ASCII", "ascii": "US-ASCII",
+                    "utf-16": "UTF-16", "utf-16le": "UTF-16",
+                    "utf-16be": "UTF-16", "unicode-le": "UTF-16",
+                    "unicode-be": "UTF-16"}.get(
+                        (encoding or "").lower().replace("_", "-"),
+                        "UTF-8")
         w.write('<?xml version="1.0" encoding="%s"?>\n\n' % enc_name)
     _emit_doctype(w, content, doctype, public, system)
     w.write_indent()
@@ -347,8 +358,8 @@ def sgml_write(content, layout=True, indent=0, net=False,
     w = _Writer(dialect=dialect, layout=layout, indent=indent, net=net,
                 cleanns=cleanns, max_char=max_char,
                 empty_elements=empty_elements, entity_map=entity_map)
-    w.write_indent()
     _emit_doctype(w, content, doctype, public, system)
+    w.write_indent()
     w.emit_content_list(content)
     return "".join(w.out)
 

@@ -62,13 +62,16 @@ def run_extract_with_checkpoint(pages: DataFrame, out_dir: str,
         done = spark.read.parquet(text_path)
         todo = resume_filter(pages, done)
     except AnalysisException as ex:
-        # Only a genuinely-missing sink means "first run".  Any other
-        # read failure (permissions, corrupt footer, FS hiccup) must
-        # surface — silently re-extracting would append duplicates and
-        # break the exactly-once/resume guarantee.
+        # Only a genuinely-missing or genuinely-empty sink means
+        # "first run" — UNABLE_TO_INFER_SCHEMA covers a dir a crashed
+        # first attempt created but never committed (only
+        # _temporary/).  Any other read failure (permissions, corrupt
+        # footer, FS hiccup) must surface: silently re-extracting
+        # would append duplicates and break exactly-once/resume.
         msg = str(ex)
         if ("PATH_NOT_FOUND" not in msg
-                and "Path does not exist" not in msg):
+                and "Path does not exist" not in msg
+                and "UNABLE_TO_INFER_SCHEMA" not in msg):
             raise
         todo = pages
     ex = extract(todo, dialect=dialect, nodes=False)

@@ -172,13 +172,6 @@ def extract(pages: DataFrame, dialect="html5", dom_json=False, nodes=True,
     return src.mapInPandas(fn, schema=EXTRACT_SCHEMA)
 
 
-ELEMENT_TEXT_SCHEMA = StructType([
-    StructField("url", StringType()),
-    StructField("element_text", StringType()),
-    StructField("status", StringType()),
-])
-
-
 def extract_element_text(pages: DataFrame, element="title",
                          dialect="html5", repartition="auto") -> DataFrame:
     """Selective extraction of the first <element>'s text per page
@@ -187,48 +180,16 @@ def extract_element_text(pages: DataFrame, element="title",
     single-narrow-map shape as extract(); at crawl scale this is the
     cheap metadata pass (title, first h1, canonical link text) that
     shouldn't pay for a full parse."""
-    src = pages.select("url", "html")
-    if repartition == "auto":
-        from .util import spread
-        src = spread(src, F.xxhash64("url"))
-    elif repartition:
-        src = src.repartition(repartition, F.xxhash64("url"))
-
-    def fn(batches):
+    def one(html):
         from ..core.parser import FirstElementTextParser, ParserOptions
+        p = FirstElementTextParser(
+            ParserOptions(dialect=dialect, encoding="utf-8",
+                          max_errors=-1, quiet=True), target=element)
+        p.parse(html)
+        t = p.text()
+        return t, ("ok" if t is not None else "not_found")
 
-        for pdf in batches:
-            out = {k: [] for k in ("url", "element_text", "status")}
-            for url, html in zip(pdf["url"].tolist(),
-                                 pdf["html"].tolist()):
-                out["url"].append(url)
-                if html is None or len(html) == 0:
-                    out["element_text"].append(None)
-                    out["status"].append("empty")
-                    continue
-                try:
-                    p = FirstElementTextParser(
-                        ParserOptions(dialect=dialect, encoding="utf-8",
-                                      max_errors=-1, quiet=True),
-                        target=element)
-                    p.parse(bytes(html))
-                    t = p.text()
-                    out["element_text"].append(t)
-                    out["status"].append("ok" if t is not None
-                                         else "not_found")
-                except Exception as ex:   # noqa: BLE001 per-row isolation
-                    out["element_text"].append(None)
-                    out["status"].append("exception: %s" % ex)
-            yield pd.DataFrame(out)
-
-    return src.mapInPandas(fn, schema=ELEMENT_TEXT_SCHEMA)
-
-
-SERIALIZE_SCHEMA = StructType([
-    StructField("url", StringType()),
-    StructField("xml_out", StringType()),
-    StructField("status", StringType()),
-])
+    return _page_sink(pages, "element_text", one, repartition)
 
 
 def serialize_pages(pages: DataFrame, dialect="html5",
@@ -238,48 +199,28 @@ def serialize_pages(pages: DataFrame, dialect="html5",
     operator): pages(url, html) -> (url, xml_out).  The writer runs
     with layout=False/net=True so output is deterministic and
     SQL-reconstructable for synthesized corpora."""
-    src = pages.select("url", "html")
-    if repartition == "auto":
-        from .util import spread
-        src = spread(src, F.xxhash64("url"))
-    elif repartition:
-        src = src.repartition(repartition, F.xxhash64("url"))
-
-    def fn(batches):
+    def one(html):
         from ..core.parser import ParserOptions, SGMLParser
         from ..core.serialize import xml_write
+        p = SGMLParser(ParserOptions(dialect=dialect, encoding="utf-8",
+                                     max_errors=-1, quiet=True))
+        dom, _errors = p.parse(html)
+        return xml_write(dom, header=False, layout=False, net=True,
+                         dialect=out_dialect), "ok"
 
-        for pdf in batches:
-            out = {k: [] for k in ("url", "xml_out", "status")}
-            for url, html in zip(pdf["url"].tolist(),
-                                 pdf["html"].tolist()):
-                out["url"].append(url)
-                if html is None or len(html) == 0:
-                    out["xml_out"].append(None)
-                    out["status"].append("empty")
-                    continue
-                try:
-                    p = SGMLParser(ParserOptions(
-                        dialect=dialect, encoding="utf-8",
-                        max_errors=-1, quiet=True))
-                    dom, _errors = p.parse(bytes(html))
-                    out["xml_out"].append(xml_write(
-                        dom, header=False, layout=False, net=True,
-                        dialect=out_dialect))
-                    out["status"].append("ok")
-                except Exception as ex:   # noqa: BLE001
-                    out["xml_out"].append(None)
-                    out["status"].append("exception: %s" % ex)
-            yield pd.DataFrame(out)
-
-    return src.mapInPandas(fn, schema=SERIALIZE_SCHEMA)
+    return _page_sink(pages, "xml_out", one, repartition)
 
 
-def _page_sink(pages: DataFrame, schema, col_name, fn_one,
+def _page_sink(pages: DataFrame, col_name, fn_one,
                repartition="auto") -> DataFrame:
-    """Shared shape for per-page text sinks (ESIS dump, canonical
-    XML): url+html -> (url, <col>, status) via one narrow
-    mapInPandas, with the usual spread/repartition handling."""
+    """Shared shape for per-page text sinks (first-element text,
+    serialized XML, ESIS dump, canonical XML): url+html ->
+    (url, <col>, status) via one narrow mapInPandas, with the usual
+    spread/repartition handling, the per-row size guard, and per-row
+    exception isolation.  fn_one(bytes) -> (value, status)."""
+    schema = StructType([StructField("url", StringType()),
+                         StructField(col_name, StringType()),
+                         StructField("status", StringType())])
     src = pages.select("url", "html")
     if repartition == "auto":
         from .util import spread
@@ -297,9 +238,14 @@ def _page_sink(pages: DataFrame, schema, col_name, fn_one,
                     out[col_name].append(None)
                     out["status"].append("empty")
                     continue
+                if len(html) > MAX_HTML_BYTES:
+                    out[col_name].append(None)
+                    out["status"].append("too_large")
+                    continue
                 try:
-                    out[col_name].append(fn_one(bytes(html)))
-                    out["status"].append("ok")
+                    val, status = fn_one(bytes(html))
+                    out[col_name].append(val)
+                    out["status"].append(status)
                 except Exception as ex:   # noqa: BLE001
                     out[col_name].append(None)
                     out["status"].append("exception: %s" % ex)
@@ -312,35 +258,27 @@ def esis_pages(pages: DataFrame, dialect="html5",
                repartition="auto") -> DataFrame:
     """ESIS event-dump sink (the reference CLI's golden format,
     sgml.c:194-281) as a Spark operator: (url, esis, status)."""
-    schema = StructType([StructField("url", StringType()),
-                         StructField("esis", StringType()),
-                         StructField("status", StringType())])
-
     def one(html):
         from ..core.esis import esis_dump
         return esis_dump(html, dialect=dialect, encoding="utf-8",
-                         quiet=True, max_errors=-1)
+                         quiet=True, max_errors=-1), "ok"
 
-    return _page_sink(pages, schema, "esis", one, repartition)
+    return _page_sink(pages, "esis", one, repartition)
 
 
 def c14n_pages(pages: DataFrame, dialect="xml",
                repartition="auto") -> DataFrame:
     """Exclusive-canonical-XML sink (xml_write_canonical, byte-exact
     vs the reference's -exc outputs) as a Spark operator."""
-    schema = StructType([StructField("url", StringType()),
-                         StructField("c14n", StringType()),
-                         StructField("status", StringType())])
-
     def one(html):
         from ..core.c14n import xml_write_canonical
         from ..core.parser import ParserOptions, SGMLParser
         p = SGMLParser(ParserOptions(dialect=dialect, encoding="utf-8",
                                      quiet=True, max_errors=-1))
         dom, _errors = p.parse(html)
-        return xml_write_canonical(dom)
+        return xml_write_canonical(dom), "ok"
 
-    return _page_sink(pages, schema, "c14n", one, repartition)
+    return _page_sink(pages, "c14n", one, repartition)
 
 
 def extracted_with_meta(pages: DataFrame, extracted: DataFrame) -> DataFrame:

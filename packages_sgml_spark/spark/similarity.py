@@ -48,20 +48,22 @@ def knn_bruteforce(emb: DataFrame, query_ids, k=5) -> DataFrame:
             .select("q_id", "rank", "n_id", "cos"))
 
 
+def hyperplane_row(dim, h, seed=1234):
+    """Component i of plane h is sin(seed * (h*dim + i)).  Computed
+    HERE in Python and injected as literals into both the Spark plan
+    and the SQL oracle — large-argument sine differs in the last ulp
+    across libm implementations, so evaluating it engine-side would
+    risk sign flips at the bucket boundary."""
+    return [math.sin(seed * (h * dim + i)) for i in range(dim)]
+
+
 def hyperplane_values(dim, n_planes, seed=1234):
-    """Deterministic pseudo-random hyperplanes: component i of plane h
-    is sin(seed * (h*dim + i)).  Computed HERE in Python and injected
-    as literals into both the Spark plan and the SQL oracle — large-
-    argument sine differs in the last ulp across libm implementations,
-    so evaluating it engine-side would risk sign flips at the bucket
-    boundary."""
-    return [[math.sin(seed * (h * dim + i)) for i in range(dim)]
-            for h in range(n_planes)]
+    """All n_planes rows (the oracle-side entry point)."""
+    return [hyperplane_row(dim, h, seed) for h in range(n_planes)]
 
 
 def _hyperplane(dim, h, seed=1234):
-    return F.array(*[F.lit(v) for v in
-                     hyperplane_values(dim, h + 1, seed)[h]])
+    return F.array(*[F.lit(v) for v in hyperplane_row(dim, h, seed)])
 
 
 def lsh_signature(emb: DataFrame, dim, n_planes=8) -> DataFrame:

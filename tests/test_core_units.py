@@ -608,3 +608,66 @@ def test_urlns_canonicalization_hook():
     p2 = SGMLParser(ParserOptions(dialect="xmlns"))
     dom2, _ = p2.parse(doc)
     assert dom2[0].name == "http://long.example.org/ns/v1:a"
+
+
+def test_review_fixes_round2():
+    """Regression pack for the round-2 code-review findings."""
+    import pytest as _pytest
+    from packages_sgml_spark.core.parser import ParserOptions, SGMLParser
+    from packages_sgml_spark.core.sax import CallbackParser
+    from packages_sgml_spark.core.serialize import sgml_write, xml_write
+    from packages_sgml_spark.core.dom import Element
+
+    # 1. parse_content inside entity expansion refuses loudly
+    doc = (b'<!DOCTYPE a [<!ELEMENT a - - ANY>'
+           b'<!ELEMENT b - - (#PCDATA)>'
+           b'<!ENTITY frag "<b>inside</b>">]>'
+           b'<a>x&frag;y</a>')
+    hits = []
+
+    def on_begin(name, attrs, p):
+        if name == "b":
+            with _pytest.raises(RuntimeError):
+                p.parse_content()
+            hits.append(name)
+
+    CallbackParser(ParserOptions(dialect="sgml"),
+                   on_begin=on_begin).parse(doc)
+    assert hits == ["b"]
+
+    # 2. iso_latin_1 (underscore form) caps the writable range;
+    #    unknown encodings raise instead of emitting a lying header
+    from packages_sgml_spark.core.parser import parse_document
+    dom, _ = parse_document("<p>café €</p>".encode("utf-8"),
+                            dialect="xml")
+    s = xml_write(dom, header=False, layout=False,
+                  encoding="iso_latin_1")
+    assert s == "<p>café &#x20AC;</p>"
+    with _pytest.raises(ValueError):
+        xml_write(dom, encoding="klingon")
+    assert xml_write(dom, encoding="utf-16").startswith(
+        '<?xml version="1.0" encoding="UTF-16"?>')
+
+    # 3. feed() honors the utf-16 stream encoding incl. 1-byte chunks
+    xml = '<doc a="ü">Dürst</doc>'
+    data = xml.encode("utf-16-le")
+    want, _ = SGMLParser(ParserOptions(dialect="xml",
+                                       encoding="utf-8")).parse(
+        xml.encode("utf-8"))
+    for cuts in ((1,), (3, 7), (2, 4, 11)):
+        p = SGMLParser(ParserOptions(dialect="xml",
+                                     encoding="utf-16le"))
+        prev = 0
+        for c in cuts:
+            p.feed(data[prev:c])
+            prev = c
+        p.feed(data[prev:])
+        dom2, errs = p.close()
+        assert not errs and repr(dom2) == repr(want), cuts
+
+    # 4. sgml_write with indent>0 indents the root, not the DOCTYPE
+    el = Element("book", [], [Element("t", [], ["x"])])
+    out = sgml_write(el, doctype="book", system="book.dtd", indent=4)
+    assert out.startswith('<!DOCTYPE book SYSTEM "book.dtd">\n\n')
+    assert "\n    <book>" in "\n" + out.split("\n\n", 1)[1][:60] or \
+        out.split("\n\n", 1)[1].startswith("    <book>")
