@@ -30,7 +30,9 @@ HEADLINE = [
     "knn_cosine", "knn_lsh",
 ]
 
-PARSE_DOCS = int(os.environ.get("BENCH_PARSE_DOCS", "6000"))
+# 12k docs ≈ 88 MB: the 6k corpus finishes in <1 s at local[32] and
+# jitters; this size measures steady-state (scaling mode uses 16k)
+PARSE_DOCS = int(os.environ.get("BENCH_PARSE_DOCS", "12000"))
 
 
 def _force(df):
