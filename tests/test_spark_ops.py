@@ -484,3 +484,38 @@ def test_extract_element_text_matches_dom_path(spark):
         assert fast.text() == dom_first_text(dom, "title"), html[:80]
         n_checked += 1
     assert n_checked >= 50
+
+
+def test_page_sink_size_guard_and_statuses(spark):
+    """All page sinks share the per-row guards: empty -> 'empty',
+    oversized -> 'too_large', parse output otherwise."""
+    from pyspark.sql import functions as F
+    from packages_sgml_spark.spark.extract import (
+        MAX_HTML_BYTES, extract_element_text, serialize_pages)
+    big = b"<p>" + b"x" * (MAX_HTML_BYTES + 1)
+    rows = [("u1", b"<html><head><title>T</title></head></html>"),
+            ("u2", b""), ("u3", None), ("u4", big),
+            ("u5", b"<p>no title</p>")]
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    got = {r.url: (r.element_text, r.status)
+           for r in extract_element_text(pages).collect()}
+    assert got["u1"] == ("T", "ok")
+    assert got["u2"][1] == "empty" and got["u3"][1] == "empty"
+    assert got["u4"][1] == "too_large"
+    assert got["u5"] == (None, "not_found")
+    ser = {r.url: r.status for r in serialize_pages(pages).collect()}
+    assert ser["u1"] == "ok" and ser["u4"] == "too_large"
+
+
+def test_spread_semantics(spark):
+    from pyspark.sql import functions as F
+    from packages_sgml_spark.spark.util import spread
+    want = spark.sparkContext.defaultParallelism
+    narrow = spark.range(1000, numPartitions=1).select(
+        F.col("id").alias("doc_id"))
+    assert spread(narrow, "doc_id").rdd.getNumPartitions() == want
+    wide = spark.range(1000, numPartitions=want + 4)
+    assert spread(wide).rdd.getNumPartitions() == want + 4  # no-op
+    # rows preserved exactly
+    assert sorted(r.doc_id for r in spread(narrow, "doc_id")
+                  .collect()) == list(range(1000))
