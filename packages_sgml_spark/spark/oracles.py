@@ -680,3 +680,23 @@ SELECT doc_id,
           chr(13), '&#xD;') ||
   '</p></body></html>' AS c14n
 FROM documents"""
+
+
+ORACLES["ann_recall"] = """
+WITH exact AS (%s),
+lsh AS (%s),
+ivf AS (%s),
+base AS (SELECT q_id, COUNT(*) AS k FROM exact GROUP BY q_id),
+lhit AS (SELECT e.q_id, COUNT(*) AS lsh_hits
+         FROM exact e JOIN lsh l ON e.q_id = l.q_id AND e.n_id = l.n_id
+         GROUP BY e.q_id),
+ihit AS (SELECT e.q_id, COUNT(*) AS ivf_hits
+         FROM exact e JOIN ivf i ON e.q_id = i.q_id AND e.n_id = i.n_id
+         GROUP BY e.q_id)
+SELECT b.q_id,
+       round(coalesce(lsh_hits, 0) / b.k, 6) AS lsh_recall,
+       round(coalesce(ivf_hits, 0) / b.k, 6) AS ivf_recall
+FROM base b
+LEFT JOIN lhit ON b.q_id = lhit.q_id
+LEFT JOIN ihit ON b.q_id = ihit.q_id""" % (
+    ORACLES["knn_cosine"], ORACLES["knn_lsh"], ORACLES["knn_ivf"])

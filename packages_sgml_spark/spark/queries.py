@@ -719,6 +719,39 @@ QUERIES["esis_dump"] = q_esis_dump
 QUERIES["c14n"] = q_c14n
 
 
+def q_ann_recall(spark, sf_dir):
+    """Recall of the approximate kNN paths against the exact
+    brute-force top-k, per query vector — the quality metric for the
+    LSH/IVF scale paths, computed in one job and fully oracled (both
+    sides are deterministic)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    emb = emb.withColumn("embedding",
+                         F.col("embedding").cast("array<double>"))
+    qids = list(range(8))
+    exact = similarity.knn_bruteforce(emb, qids, k=5) \
+        .select("q_id", "n_id")
+    lsh = similarity.knn_lsh(emb, qids, dim=64, k=5) \
+        .select("q_id", F.col("n_id").alias("l_id"))
+    ivf = similarity.ivf_knn(emb, qids, k=5, iterations=0) \
+        .select("q_id", F.col("n_id").alias("i_id"))
+    lhit = (exact.join(lsh, (exact.q_id == lsh.q_id) &
+                       (exact.n_id == lsh.l_id))
+            .groupBy(exact.q_id).agg(F.count("*").alias("lsh_hits")))
+    ihit = (exact.join(ivf, (exact.q_id == ivf.q_id) &
+                       (exact.n_id == ivf.i_id))
+            .groupBy(exact.q_id).agg(F.count("*").alias("ivf_hits")))
+    base = exact.groupBy("q_id").agg(F.count("*").alias("k"))
+    return (base.join(lhit, "q_id", "left").join(ihit, "q_id", "left")
+            .select("q_id",
+                    F.round(F.coalesce("lsh_hits", F.lit(0)) /
+                            F.col("k"), 6).alias("lsh_recall"),
+                    F.round(F.coalesce("ivf_hits", F.lit(0)) /
+                            F.col("k"), 6).alias("ivf_recall")))
+
+
+QUERIES["ann_recall"] = q_ann_recall
+
+
 def q_dedup_components(spark, sf_dir):
     """Near-dup clusters: connected components over the minhash-LSH
     candidate pairs; component = canonical keeper doc_id."""
