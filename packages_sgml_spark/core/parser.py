@@ -78,6 +78,10 @@ _RE_FULLTAG = _re_mod.compile(
 _RE_FULLENT = _re_mod.compile(r"&(#?[A-Za-z0-9._:\-]+);")
 
 
+_MEMO_MISS = object()    # transition-memo probe sentinel (memoized
+                         # results legitimately include None)
+
+
 class StopParse(Exception):
     """Raised internally when max_errors is exceeded
     (sgml2pl.c:2137-2146)."""
@@ -578,7 +582,8 @@ class SGMLParser(DeclMixin):
                                 else:       # inlined no-newline advance
                                     self.charpos += len(tag)
                                     self.linepos += len(tag)
-                                self.prepare_cdata()
+                                if self.cdata:
+                                    self.prepare_cdata()
                                 decl = tag[1:-1]
                                 # hoisted tag-memo probe (the common
                                 # repeated-tag case skips one call)
@@ -1501,7 +1506,16 @@ class SGMLParser(DeclMixin):
                 if (not pe.undefined and pedef is not None and
                         pedef.type != M.C_ANY and
                         self._in_or_excluded(e) == "normal"):
-                    new = M.make_dtd_transition(env.state, e)
+                    # inlined make_dtd_transition memo probe (the
+                    # dict caches None results, hence the sentinel)
+                    st = env.state
+                    memo_t = st.memo if st is not None else None
+                    if memo_t is not None:
+                        new = memo_t.get(id(e), _MEMO_MISS)
+                        if new is _MEMO_MISS:
+                            new = M.make_dtd_transition(st, e)
+                    else:
+                        new = M.make_dtd_transition(st, e)
                     if new is not None:
                         env.state = new
                         if self.dtd.shorttag:
