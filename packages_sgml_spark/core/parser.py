@@ -2580,6 +2580,46 @@ def parse_document(data, dialect="sgml", **kw):
     return p.parse(data)
 
 
+def _load(source, dialect, **kw):
+    """load_structure/3 core (sgml.pl:390-459): accepts a path, a
+    file object, bytes, or str; returns the DOM content list (errors
+    are available via parse_document for callers that want them)."""
+    if hasattr(source, "read"):
+        data = source.read()
+    elif isinstance(source, str) and "\0" not in source and \
+            "<" not in source and len(source) < 4096:
+        import os
+        if os.path.exists(source):
+            with open(source, "rb") as f:
+                data = f.read()
+        else:
+            data = source
+    else:
+        data = source
+    dom, _errors = parse_document(data, dialect=dialect, **kw)
+    return dom
+
+
+def load_html(source, **kw):
+    """load_html/3 analog (sgml.pl:605-640): path/file/bytes -> DOM
+    content list, HTML dialect with tag-soup recovery."""
+    kw.setdefault("max_errors", -1)
+    kw.setdefault("quiet", True)
+    kw.setdefault("encoding", "utf-8")
+    return _load(source, "html5", **kw)
+
+
+def load_xml(source, **kw):
+    """load_xml/3 analog."""
+    kw.setdefault("encoding", "utf-8")
+    return _load(source, "xml", **kw)
+
+
+def load_sgml(source, **kw):
+    """load_sgml/3 analog."""
+    return _load(source, "sgml", **kw)
+
+
 # ----------------------------------------------------------------------
 # XMLNS support (xmlns.c:40-268, sgml2pl.c:986-1041) — mixed into
 # SGMLParser below

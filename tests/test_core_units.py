@@ -671,3 +671,68 @@ def test_review_fixes_round2():
     assert out.startswith('<!DOCTYPE book SYSTEM "book.dtd">\n\n')
     assert "\n    <book>" in "\n" + out.split("\n\n", 1)[1][:60] or \
         out.split("\n\n", 1)[1].startswith("    <book>")
+
+
+def test_xpath_analog():
+    """xpath/3 analog (xpath.pl:269-560): axes, star, same-name
+    sibling indexing, last/last-N, attribute projection and
+    conditions, contains, text/normalize_space/number functions."""
+    from packages_sgml_spark.core.parser import parse_document
+    from packages_sgml_spark.core.xpath import xpath, xpath_chk
+
+    html = (b'<html><body>'
+            b'<table align="CENTER"><tr><td>a</td><td>b</td></tr>'
+            b'<tr><td>c</td><td href="x">d</td></tr></table>'
+            b'<p>one</p><p> two  words </p><p>3.5</p>'
+            b'<a href="http://ex.org/1">L1</a>'
+            b'<a href="http://ex.org/2">L2</a>'
+            b'</body></html>')
+    dom, _ = parse_document(html, dialect="xml")
+
+    # descendant axis + text()
+    assert [t for t in xpath(dom, "//td/text()")] == \
+        ["a", "b", "c", "d"]
+    # same-name sibling index (nth), last, last-N
+    assert xpath_chk(dom, "//tr(2)/td(1)/text()") == "c"
+    assert [t for t in xpath(dom, "//td(last)/text()")] == ["b", "d"]
+    assert xpath_chk(dom, "//p(last-1)/text()") == " two  words "
+    # attribute projection (modifier and trailing function forms)
+    assert [v for v in xpath(dom, "//a(@href)")] == \
+        ["http://ex.org/1", "http://ex.org/2"]
+    assert xpath_chk(dom, "//td(2)/@href") == "x"
+    # conditions: equality and contains
+    assert xpath_chk(dom, '//table(@align=CENTER)') is not None
+    assert xpath_chk(dom, '//table(@align=left)') is None
+    assert xpath_chk(dom, '//a(contains(@href,"2"))/text()') == "L2"
+    assert xpath_chk(dom, '//p(contains(text,words))/text()') == \
+        " two  words "
+    # functions
+    assert xpath_chk(dom, "//p(2)/normalize_space()") == "two words"
+    assert xpath_chk(dom, "//p(3)/number()") == 3.5
+    # star and chained child steps from the root
+    assert xpath_chk(dom, "/html/body/table/tr/td/text()") == "a"
+    assert len(list(xpath(dom, "//tr/*"))) == 4
+    # content / self functions
+    el = xpath_chk(dom, "//p(1)")
+    assert el.name == "p"
+    assert xpath_chk(dom, "//p(1)/content") == ["one"]
+
+
+def test_load_api(tmp_path):
+    """load_html/load_xml/load_sgml loader API (sgml.pl:605-640):
+    path, file object, bytes, and str sources."""
+    from packages_sgml_spark.core.parser import (
+        load_html, load_sgml, load_xml)
+    from packages_sgml_spark.core.xpath import xpath_chk
+
+    f = tmp_path / "page.html"
+    f.write_text("<html><body><p>Hi <b>there")
+    dom = load_html(str(f))
+    assert xpath_chk(dom, "//b/text()") == "there"
+    with open(str(f), "rb") as fh:
+        dom2 = load_html(fh)
+    assert repr(dom2) == repr(dom)
+    dom3 = load_xml(b"<a><b>x</b></a>")
+    assert dom3[0].name == "a"
+    dom4 = load_sgml(b"<!DOCTYPE t [<!ELEMENT t O O (#PCDATA)>]>hey")
+    assert dom4[0].content == ["hey"]
