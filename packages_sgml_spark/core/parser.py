@@ -2581,19 +2581,22 @@ def parse_document(data, dialect="sgml", **kw):
 
 
 def _load(source, dialect, **kw):
-    """load_structure/3 core (sgml.pl:390-459): accepts a path, a
-    file object, bytes, or str; returns the DOM content list (errors
-    are available via parse_document for callers that want them)."""
+    """load_structure/3 core (sgml.pl:390-459): accepts a path
+    (str/os.PathLike), a file object, bytes, or a markup string;
+    returns the DOM content list.  A markup-free str is ALWAYS a
+    path (like the reference's atom-is-a-filename rule) — a missing
+    file raises instead of silently parsing the string, so the same
+    call can't mean different things depending on CWD contents."""
+    import os
     if hasattr(source, "read"):
         data = source.read()
-    elif isinstance(source, str) and "\0" not in source and \
-            "<" not in source and len(source) < 4096:
-        import os
-        if os.path.exists(source):
-            with open(source, "rb") as f:
-                data = f.read()
-        else:
-            data = source
+    elif isinstance(source, os.PathLike):
+        with open(os.fspath(source), "rb") as f:
+            data = f.read()
+    elif isinstance(source, str) and "<" not in source and \
+            "\n" not in source:
+        with open(source, "rb") as f:
+            data = f.read()
     else:
         data = source
     dom, _errors = parse_document(data, dialect=dialect, **kw)

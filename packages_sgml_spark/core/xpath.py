@@ -90,52 +90,61 @@ def _name_matches(el, name):
 
 
 def _sub_dom(content, name):
-    """sub_dom/5: every descendant element matching name, in document
-    order, with (index, count) among same-name siblings of its own
-    content list."""
-    def walk(nodes):
-        counts = {}
-        for n in nodes:
-            if isinstance(n, Element):
-                counts[n.name] = counts.get(n.name, 0) + 1
-        seen = {}
-        for n in nodes:
-            if not isinstance(n, Element):
-                continue
-            seen[n.name] = seen.get(n.name, 0) + 1
-            if _name_matches(n, name):
-                yield seen[n.name], counts[n.name], n
-            yield from walk(n.content)
-    yield from walk(content)
+    """sub_dom/5: every descendant(-or-list-member) element matching
+    name, in document order, with (index, count) sibling numbering —
+    iterative (deep tag-soup safe), pre-order."""
+    stack = [iter(_children(content, name, all_=True))]
+    while stack:
+        it = stack[-1]
+        entry = next(it, None)
+        if entry is None:
+            stack.pop()
+            continue
+        i, ln, el, matched = entry
+        if matched:
+            yield i, ln, el
+        stack.append(iter(_children(el.content, name, all_=True)))
 
 
-def _children(content, name):
-    """nth_element/count_named_elements: matching child elements with
-    same-name sibling (index, count)."""
+def _children(content, name, all_=False):
+    """nth_element/count_named_elements: child elements with sibling
+    (index, count).  For a named step the numbering runs among
+    SAME-NAME siblings; for '*' the reference's unbound-name counting
+    numbers ALL element siblings (xpath.pl:356-390).  With all_=True
+    every element is yielded, flagged by whether it matches (used by
+    _sub_dom, which must descend through non-matching elements)."""
+    star = name == "*"
     counts = {}
+    n_all = 0
     for n in content:
         if isinstance(n, Element):
             counts[n.name] = counts.get(n.name, 0) + 1
+            n_all += 1
     seen = {}
+    i_all = 0
     for n in content:
         if not isinstance(n, Element):
             continue
         seen[n.name] = seen.get(n.name, 0) + 1
-        if _name_matches(n, name):
-            yield seen[n.name], counts[n.name], n
+        i_all += 1
+        matched = star or n.name == name
+        if matched or all_:
+            if star:
+                entry = (i_all, n_all, n)
+            else:
+                entry = (seen[n.name], counts[n.name], n)
+            if all_:
+                yield entry + (matched,)
+            else:
+                yield entry
 
 
 def text_of_dom(node):
-    """text_of_dom: concatenated character data of the subtree."""
-    out = []
-    stack = [node]
-    while stack:
-        n = stack.pop()
-        if isinstance(n, str):
-            out.append(n)
-        elif isinstance(n, Element):
-            stack.extend(reversed(n.content))
-    return "".join(out)
+    """text_of_dom (xpath.pl:584-620): concatenated data of the
+    subtree, including SDATA/NDATA nodes — delegates to the shared
+    dom.extract_text walker."""
+    from .dom import extract_text
+    return extract_text(node if isinstance(node, list) else [node])
 
 
 def _attr(el, name):
@@ -243,7 +252,11 @@ def xpath(dom, spec):
             if not ok:
                 continue
             if step_idx + 1 < len(steps):
-                yield from run(el.content, step_idx + 1)
+                # a following // step is descendant-OR-SELF of this
+                # element (sub_dom's first clause, xpath.pl:332-334)
+                nxt_deep = steps[step_idx + 1][0]
+                yield from run([el] if nxt_deep else el.content,
+                               step_idx + 1)
             elif projected is not None:
                 yield projected
             else:

@@ -728,8 +728,10 @@ def q_ann_recall(spark, sf_dir):
     emb = emb.withColumn("embedding",
                          F.col("embedding").cast("array<double>"))
     qids = list(range(8))
+    # materialize the (quadratic) exact baseline once: it feeds the
+    # base/lhit/ihit branches and would otherwise execute 3x
     exact = similarity.knn_bruteforce(emb, qids, k=5) \
-        .select("q_id", "n_id")
+        .select("q_id", "n_id").localCheckpoint(eager=True)
     lsh = similarity.knn_lsh(emb, qids, dim=64, k=5) \
         .select("q_id", F.col("n_id").alias("l_id"))
     ivf = similarity.ivf_knn(emb, qids, k=5, iterations=0) \

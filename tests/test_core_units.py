@@ -736,3 +736,45 @@ def test_load_api(tmp_path):
     assert dom3[0].name == "a"
     dom4 = load_sgml(b"<!DOCTYPE t [<!ELEMENT t O O (#PCDATA)>]>hey")
     assert dom4[0].content == ["hey"]
+
+
+def test_xpath_review_fixes():
+    """Round-2 review regressions for the xpath analog."""
+    import pathlib
+    import pytest as _pytest
+    from packages_sgml_spark.core.parser import (
+        load_html, load_sgml, parse_document)
+    from packages_sgml_spark.core.xpath import xpath, xpath_chk
+
+    # deep-soup safety: // axis must be iterative
+    deep = b"<r>" + b"<d>" * 3000 + b"x" + b"</d>" * 3000 + b"</r>"
+    dom, _ = parse_document(deep, dialect="xml")
+    assert len(list(xpath(dom, "//d"))) == 3000
+    assert xpath_chk(dom, "//d/text()") == "x"
+
+    # star indexing counts ALL element siblings (reference unbound-
+    # name semantics), not per-name
+    dom2, _ = parse_document(b"<r><h1>one</h1><p>two</p></r>",
+                             dialect="xml")
+    assert xpath_chk(dom2, "//r/*(2)/text()") == "two"
+    assert [text for text in xpath(dom2, "//r/*(last)/text()")] == \
+        ["two"]
+
+    # chained // is descendant-or-self
+    dom3, _ = parse_document(b"<a><b>x</b></a>", dialect="xml")
+    assert xpath_chk(dom3, "//b//b/text()") == "x"
+    assert xpath_chk(dom3, "//a//b/text()") == "x"
+
+    # text() includes SDATA nodes (delegates to extract_text)
+    sd = (b'<!DOCTYPE t [<!ELEMENT t - - (#PCDATA)>'
+          b'<!ENTITY e SDATA "[euro]">]><t>cost &e; ok</t>')
+    dom4, _ = parse_document(sd, dialect="sgml")
+    assert xpath_chk(dom4, "//t/text()") == "cost [euro] ok"
+
+    # loaders: PathLike accepted; missing path raises; markup-free
+    # string is always a path (never silently parsed as data)
+    p = pathlib.Path("/tmp/xp_load_test.html")
+    p.write_text("<p>ok</p>")
+    assert xpath_chk(load_html(p), "//p/text()") == "ok"
+    with _pytest.raises(OSError):
+        load_sgml("no-such-file-here")
