@@ -1503,9 +1503,16 @@ class SGMLParser(DeclMixin):
                 env = envs[-1]
                 pe = env.element
                 pedef = pe.structure
+                dtd = self.dtd
+                # inlined _in_or_excluded membership pre-filter; the
+                # env-stack walk only runs for inex-listed elements
+                members = dtd._inex_members if dtd.has_inex else None
+                inex_normal = (
+                    not dtd.has_inex or
+                    (members is not None and id(e) not in members) or
+                    self._in_or_excluded(e) == "normal")
                 if (not pe.undefined and pedef is not None and
-                        pedef.type != M.C_ANY and
-                        self._in_or_excluded(e) == "normal"):
+                        pedef.type != M.C_ANY and inex_normal):
                     # inlined make_dtd_transition memo probe (the
                     # dict caches None results, hence the sentinel)
                     st = env.state
