@@ -125,10 +125,13 @@ def ngram_jaccard(docs: DataFrame, pairs: DataFrame) -> DataFrame:
                              F.col("n_inter")), 6).alias("jaccard")))
 
 
-def simhash(docs: DataFrame, bits=32) -> DataFrame:
+def simhash_fast(docs: DataFrame, bits=32) -> DataFrame:
     """SimHash over words: per-bit majority vote of word hashes.
-    Uses xxhash64 (JVM-side); no SQL oracle (hash fn differs), the
-    driver records a rows-only check."""
+    Uses xxhash64 (JVM-side) — the performance path for real
+    clusters.  xxhash64 has no DuckDB twin, so the *registered*
+    `simhash` query is simhash_md5 (identical construction, portable
+    projection bits); this variant is planted-truth pytest'd
+    (tests/test_spark_ops.py) instead."""
     from .util import spread
     docs = spread(docs, "doc_id")
     words = F.explode(norm_words(F.col("text")))

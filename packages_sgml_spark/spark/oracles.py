@@ -518,7 +518,7 @@ SELECT event_type,
 FROM events GROUP BY event_type"""
 
 
-ORACLES["simhash_md5"] = """
+ORACLES["simhash"] = """
 WITH words AS (
   SELECT doc_id,
          unnest(regexp_split_to_array(

@@ -244,7 +244,10 @@ def q_minhash_lsh_pairs(spark, sf_dir):
 
 
 def q_simhash(spark, sf_dir):
-    return dedup.simhash(_t(spark, sf_dir, "documents"))
+    """Registered simhash = the md5-projection variant (fully
+    DuckDB-oracled).  dedup.simhash_fast (xxhash64) is the library
+    perf path, planted-truth pytest'd."""
+    return dedup.simhash_md5(_t(spark, sf_dir, "documents"))
 
 
 def q_knn_cosine(spark, sf_dir):
@@ -616,11 +619,9 @@ def q_value_quantiles(spark, sf_dir):
 QUERIES["value_quantiles"] = q_value_quantiles
 
 
-def q_simhash_md5(spark, sf_dir):
-    return dedup.simhash_md5(_t(spark, sf_dir, "documents"))
-
-
-QUERIES["simhash_md5"] = q_simhash_md5
+# (simhash_md5 was folded into the primary "simhash" registry entry
+# in round 3 — one oracled simhash query instead of an oracled twin
+# plus a permanently rows-only xxhash64 row.)
 
 
 def _media_doc_id():

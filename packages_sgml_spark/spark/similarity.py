@@ -179,6 +179,11 @@ def ivf_knn(emb: DataFrame, query_ids, k=5, n_centroids=16,
     each query.  The scale path: candidate set shrinks from n to
     ~n*nprobe/n_centroids per query."""
     cents = ivf_centroids(emb, n_centroids, iterations=iterations)
+    # cents is consumed twice below (ivf_assign + the qprobe
+    # crossJoin); without a lineage cut Catalyst plans the
+    # orderBy().limit(k) corpus subtree twice — two extra full scans
+    # (round-2 VERDICT).  It is <= n_centroids rows; materialize once.
+    cents = cents.localCheckpoint(eager=True)
     assigned = ivf_assign(emb, cents)
     q = (emb.filter(F.col("vec_id").isin(list(query_ids)))
          .select(F.col("vec_id").alias("q_id"),

@@ -58,3 +58,26 @@ def test_local_supplier_volume_broadcasts_dims(spark):
     from packages_sgml_spark.spark.queries import QUERIES
     p = _plan(QUERIES["local_supplier_volume"](spark, SF))
     assert p.count("BroadcastHashJoin") >= 3   # cust, supp, nation, region
+
+
+def test_minhash_lsh_single_scan(spark):
+    """Regression net for the round-1 doubled-subtree bug: the banded
+    LSH pipeline must read the documents parquet exactly once (the
+    r1 plan self-joined two copies of the shingle subtree = 2 scans)."""
+    from packages_sgml_spark.spark.queries import QUERIES
+    p = _plan(QUERIES["minhash_lsh_pairs"](spark, SF))
+    assert p.count("Scan parquet") == 1, p
+
+
+def test_knn_ivf_single_centroid_subtree(spark):
+    """Regression net for the round-2 duplicated centroid subtree:
+    cents is localCheckpoint'd inside ivf_knn, so the plan must NOT
+    contain the orderBy(vec_id).limit(k) corpus subtree at all (it
+    ran once at build time), and the remaining corpus scans are the
+    assign pass + the query-vector filter + the candidate join."""
+    from packages_sgml_spark.spark.queries import QUERIES
+    p = _plan(QUERIES["knn_ivf"](spark, SF))
+    assert "TakeOrderedAndProject" not in p.split("rank")[0] or \
+        p.count("TakeOrderedAndProject") == 0, p
+    # the checkpointed centroids appear as scans of an existing RDD
+    assert "Scan ExistingRDD" in p or "LocalTableScan" in p, p

@@ -358,7 +358,7 @@ def test_simhash_planted_properties(spark):
     near-identical -> small hamming distance; disjoint vocabulary ->
     large distance.  Same assertions against simhash_md5 keep both
     constructions honest."""
-    from packages_sgml_spark.spark.dedup import simhash, simhash_md5
+    from packages_sgml_spark.spark.dedup import simhash_fast, simhash_md5
     base = ("the quick brown fox jumps over the lazy dog "
             "while the rain falls on the quiet empty street") * 3
     near = base.replace("quiet", "busy")
@@ -371,7 +371,7 @@ def test_simhash_planted_properties(spark):
     def ham(a, b):
         return bin(a ^ b).count("1")
 
-    for fn in (simhash, simhash_md5):
+    for fn in (simhash_fast, simhash_md5):
         sig = {r.doc_id: r.simhash for r in fn(docs).collect()}
         assert sig[0] == sig[1]
         assert ham(sig[0], sig[2]) <= 6, ham(sig[0], sig[2])
