@@ -26,6 +26,19 @@ _RE_LAYOUT = _re.compile(r'[ \t\r\n]+')
 
 
 class DeclMixin:
+
+    def _invalidate_replay_caches(self):
+        """ELEMENT/ATTLIST/ENTITY declarations can change what a
+        memoized tag or entity replay would produce (content models,
+        attribute defaults, entity values) — drop both caches."""
+        dtd = self.dtd
+        memo = dtd._tag_memo
+        if memo:
+            memo.clear()
+        fast = dtd._ent_fast
+        if fast:
+            fast.clear()
+
     # ------------------------------------------------------------------
     # lexical helpers (parser.c:848-1198)
     # ------------------------------------------------------------------
@@ -394,6 +407,7 @@ class DeclMixin:
 
     def process_element_declaration(self, s):
         """(parser.c:2297-2386)."""
+        self._invalidate_replay_caches()
         s = self.expand_pentities(s)
         if s is None:
             return
@@ -476,6 +490,7 @@ class DeclMixin:
     )
 
     def process_attlist_declaration(self, s):
+        self._invalidate_replay_caches()
         s = self.expand_pentities(s)
         if s is None:
             return
@@ -629,6 +644,7 @@ class DeclMixin:
     # ------------------------------------------------------------------
 
     def process_entity_declaration(self, s):
+        self._invalidate_replay_caches()
         i = 0
         isparam = False
         n = len(s)

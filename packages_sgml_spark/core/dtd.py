@@ -172,6 +172,8 @@ class DTD:
         self.has_inex = False    # any +(..)/-(..)
         self._inex_members = None  # lazy id-set of inex-listed elements
         self._tag_memo = {}      # decl-string -> parsed tag (parser.py)
+        self._ent_fast = {}      # entity name -> (text, kind) replay
+                                 # cache (parser.process_entity)
         self._setup_done = False  # set_dialect ran at least once
 
         self.encoding = "iso-8859-1"

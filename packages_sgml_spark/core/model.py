@@ -48,13 +48,15 @@ class Model:
 
 
 class State:
-    __slots__ = ("transitions", "expander", "memo", "same_memo")
+    __slots__ = ("transitions", "expander", "memo", "same_memo",
+                 "omit_memo")
 
     def __init__(self):
         self.transitions = None   # None = unexpanded; list of (elem, State)
         self.expander = None      # (target_state, [Model, ...]) for AND groups
         self.memo = None          # {element_id: State|None} transition cache
         self.same_memo = None     # {final_id: bool} same_state cache
+        self.omit_memo = None     # {element_id: list|None} omitted-path cache
 
 
 def link(frm: State, to: State, elem) -> None:
@@ -215,9 +217,21 @@ def same_state(final: State, here: State) -> bool:
 
 def find_omitted_path(state: Optional[State], e) -> Optional[list]:
     """DFS for a chain of omit-open elements reaching e
-    (model.c:236-285).  Returns list of Elements to open, or None."""
+    (model.c:236-285).  Returns list of Elements to open, or None.
+
+    Memoized per state like make_dtd_transition/same_state (the state
+    graph and the omit_open flags / engines of *defined* elements the
+    DFS traverses are immutable once built, so the cache is exact);
+    callers only iterate the result, never mutate it."""
     if state is None:
         return None
+    memo = state.omit_memo
+    key = id(e)
+    if memo is not None:
+        try:
+            return memo[key]
+        except KeyError:
+            pass
     visited = []
     path = []
 
@@ -240,6 +254,9 @@ def find_omitted_path(state: Optional[State], e) -> Optional[list]:
                     return True
         return False
 
-    if walk(state):
-        return path
-    return None
+    result = path if walk(state) else None
+    if memo is None:
+        state.omit_memo = {key: result}
+    else:
+        memo[key] = result
+    return result

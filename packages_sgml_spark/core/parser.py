@@ -81,6 +81,17 @@ _RE_FULLENT = _re_mod.compile(r"&(#?[A-Za-z0-9._:\-]+);")
 _MEMO_MISS = object()    # transition-memo probe sentinel (memoized
                          # results legitimately include None)
 
+# steady-state PCDATA executor (see SGMLParser._pcdata_fast): bulk
+# span scan that treats ']' as ordinary data (legal because the
+# executor only runs with no open marked section)
+_RE_PCFAST = _re_mod.compile(r'[<&\r]')
+_RE_PCFAST_U = _re_mod.compile(r'[<&\r\x80-\xff]')
+
+# kill switch for A/B benchmarking and differential testing: when
+# False, process_chars_toplevel never enters _pcdata_fast and the
+# round-2 token-at-a-time branches handle everything
+FAST_PCDATA = True
+
 
 class StopParse(Exception):
     """Raised internally when max_errors is exceeded
@@ -140,6 +151,16 @@ class Environment:
 
 
 class SGMLParser(DeclMixin):
+
+    # _pcdata_fast event-sink specialization: subclasses whose
+    # _emit_begin / ev_end are pure no-ops set these True so the
+    # steady-state executor can skip the dynamic dispatch entirely,
+    # and subclasses whose ev_data unconditionally appends the cdata
+    # string to self.text_parts set _FAST_DATA_DIRECT.  Any subclass
+    # overriding those hooks MUST leave (or reset) these to False.
+    _FAST_BEGIN_NOOP = False
+    _FAST_END_NOOP = False
+    _FAST_DATA_DIRECT = False
 
     def __init__(self, options: ParserOptions = None, dtd=None):
         opts = options or ParserOptions()
@@ -277,6 +298,7 @@ class SGMLParser(DeclMixin):
         dtd._setup_done = True
         # flags changed: cached parsed tags may embed dialect behaviour
         dtd._tag_memo = {} if dialect != D.DL_XMLNS else None
+        dtd._ent_fast = {}
         if dialect in (D.DL_SGML, D.DL_HTML, D.DL_HTML5):
             if dialect == D.DL_HTML5:
                 dtd.encoding = "utf-8"
@@ -566,6 +588,17 @@ class SGMLParser(DeclMixin):
                 if (self.map is None and self.dmode == DM_DATA and
                         not self.waiting_for_net and
                         self.mark_state == MS_INCLUDE and not self.marked):
+                    dtd_ = self.dtd
+                    if (FAST_PCDATA and not dtd_.shorttag and
+                            dtd_.dialect not in D.XML_DIALECTS and
+                            dtd_._tag_memo is not None):
+                        j = self._pcdata_fast(text, i, n)
+                        if j != i:
+                            i = j
+                            continue
+                        # no progress: memo miss / CR / multibyte /
+                        # unmatched '<' or '&' — the branches below
+                        # (and ultimately putchar) take over at i
                     if text[i] == '<' and not self.dtd.shorttag and \
                             self.dtd.dialect not in D.XML_DIALECTS:
                         # whole-tag collapse of S_DECL0/S_DECL
@@ -697,6 +730,660 @@ class SGMLParser(DeclMixin):
                     continue
             putchar(text[i])
             i += 1
+
+    def _pcdata_fast(self, text, i, n):
+        """Steady-state PCDATA token executor.
+
+        A fused, local-variable inline of the round-2 bulk branches
+        (whole-tag memo replay, whole-entity collapse, PCDATA span
+        append) for the by-far-common parser configuration: no
+        shortref map, DATA mode, no marked section, no pending NET,
+        non-shorttag non-XML dialect.  It processes tokens in a tight
+        loop until anything perturbs that configuration (state change,
+        map install, DTD swap, stop condition, memo miss, CR or
+        multibyte byte, unmatched '<'/'&') and then returns the new
+        position; the general loop re-establishes invariants and takes
+        over.  Every branch is a 1:1 inline of the corresponding
+        method (_replay_tag / _bulk_cdata / prepare_cdata /
+        emit_cdata / process_entity's cached expansions / the
+        one-level omitted-close walk of open_element+pop_to); no new
+        semantics.
+
+        Locations (line/linepos/charpos) live in locals and are
+        written back before every call that can gripe, emit events, or
+        raise StopParse (gripe itself reads only startloc).  Tokens
+        whose entire effect is inlined ("pure") skip the full
+        perturbation recheck: the inline code knows exactly which
+        fields it touched.  ']' is ordinary data here (no open marked
+        section), so the span regex drops it from the stop set.
+        """
+        dtd = self.dtd
+        memo = dtd._tag_memo
+        fastent = dtd._ent_fast
+        envs = self.environments
+        utf8 = self.utf8_decode
+        re_pc = _RE_PCFAST_U if utf8 else _RE_PCFAST
+        tag_match = _RE_FULLTAG.match
+        ent_match = _RE_FULLENT.match
+        has_inex = dtd.has_inex
+        if has_inex and dtd._inex_members is None:
+            # force the lazy member set so the per-tag pre-filter is a
+            # set probe, not an env-stack walk (CDATA_ELEMENT is never
+            # inex-listed, so this probe is free of side effects)
+            self._in_or_excluded(M.CDATA_ELEMENT)
+        members = dtd._inex_members if has_inex else None
+        begin_noop = self._FAST_BEGIN_NOOP
+        end_noop = self._FAST_END_NOOP
+        sink = self.text_parts if self._FAST_DATA_DIRECT else None
+        make_trans = M.make_dtd_transition
+        CDATA_EL = M.CDATA_ELEMENT
+        ID_CD = id(CDATA_EL)
+        C_ANY = M.C_ANY
+        SP_STRICT = D.SP_STRICT
+        SP_SGML = D.SP_SGML
+        SP_DEFAULT = D.SP_DEFAULT
+        SP_REMOVE = D.SP_REMOVE
+        SP_PRESERVE = D.SP_PRESERVE
+        line = self.line
+        linepos = self.linepos
+        charpos = self.charpos
+        cdata = self.cdata
+        max_mem = self.options.max_memory
+        check_at = len(cdata) + (1 << 16)
+        while i < n:
+            c = text[i]
+            if c == '<':
+                m = tag_match(text, i)
+                if m is None:
+                    break                       # FSM handles '<'
+                tag = m.group(0)
+                if utf8 and not tag.isascii():
+                    break
+                entry = memo.get(tag[1:-1])
+                if entry is None:
+                    break       # miss: general loop redoes this tag
+                # location over the tag (outer-loop tag branch mirror)
+                self.startloc = (line, linepos + 1, charpos)
+                tl = len(tag)
+                charpos += tl
+                nl = tag.count(LF)
+                if nl:
+                    line += nl
+                    linepos = tl - tag.rfind(LF) - 1
+                else:
+                    linepos += tl
+                self.line = line
+                self.linepos = linepos
+                self.charpos = charpos
+                pure = True
+                # prepare_cdata inline: C_EMPTY auto-close + blank
+                # revalidation both divert to the full method (rare)
+                if cdata:
+                    need_full = False
+                    if envs:
+                        e0 = envs[-1].element
+                        s0 = e0.structure
+                        if (s0 is not None and s0.type == M.C_EMPTY and
+                                not e0.undefined):
+                            need_full = True
+                    if not need_full and self.blank_cdata and \
+                            not all(map(is_blank_char, cdata)):
+                        need_full = True
+                    if need_full:
+                        self.prepare_cdata()
+                        cdata = self.cdata
+                        pure = False
+                # _replay_tag inline
+                if entry[0] == 'b':
+                    _k, e, atts, empty_el, conref = entry
+                    done = False
+                    switched = False
+                    nmap = None
+                    if envs:
+                        env = envs[-1]
+                        pe = env.element
+                        pedef = pe.structure
+                        inex_normal = (
+                            not has_inex or id(e) not in members or
+                            self._in_or_excluded(e) == "normal")
+                        if (not pe.undefined and pedef is not None and
+                                pedef.type != C_ANY and inex_normal):
+                            st = env.state
+                            memo_t = st.memo if st is not None else None
+                            if memo_t is not None:
+                                new = memo_t.get(id(e), _MEMO_MISS)
+                                if new is _MEMO_MISS:
+                                    new = make_trans(st, e)
+                            else:
+                                new = make_trans(st, e)
+                            penv = env
+                            if new is None and len(envs) >= 2 and \
+                                    pedef.omit_close and \
+                                    not M.find_omitted_path(st, e):
+                                # one-level omitted-close walk
+                                # (open_element idx=top-1 + pop_to
+                                # single iteration, parser.c:2962-2996
+                                # + 2818-2848 mirrors)
+                                env1 = envs[-2]
+                                st1 = env1.state
+                                memo1 = (st1.memo if st1 is not None
+                                         else None)
+                                if memo1 is not None:
+                                    new1 = memo1.get(id(e), _MEMO_MISS)
+                                    if new1 is _MEMO_MISS:
+                                        new1 = make_trans(st1, e)
+                                else:
+                                    new1 = make_trans(st1, e)
+                                if new1 is not None:
+                                    env1.state = new1
+                                    # pop_to inline: validate, emit,
+                                    # ev_end, pop (omit_close known
+                                    # True -> no omitted-close gripe)
+                                    if (not pe.undefined and
+                                            pedef.type != C_ANY and
+                                            pedef.final_state
+                                            is not None):
+                                        fs = pedef.final_state
+                                        est = env.state
+                                        if est is None:
+                                            ok1 = False
+                                        elif fs is est:
+                                            ok1 = True
+                                        else:
+                                            smm = est.same_memo
+                                            r = (smm.get(id(fs),
+                                                         _MEMO_MISS)
+                                                 if smm is not None
+                                                 else _MEMO_MISS)
+                                            if r is _MEMO_MISS:
+                                                r = M.same_state(fs, est)
+                                            ok1 = r
+                                        if not ok1:
+                                            self.gripe(*Gripes.validate(
+                                                "Incomplete element: "
+                                                "<%s>" % pe.name))
+                                    if cdata:
+                                        # emit_cdata(last=True) inline
+                                        s = ''.join(cdata)
+                                        sm = env.space_mode
+                                        if sm == SP_SGML or \
+                                                sm == SP_DEFAULT:
+                                            if self.first:
+                                                if s and s[0] == CR:
+                                                    s = s[1:]
+                                                if s and s[0] == LF:
+                                                    s = s[1:]
+                                            if s:
+                                                if s[-1] == LF:
+                                                    s = s[:-1]
+                                                if s and s[-1] == CR:
+                                                    s = s[:-1]
+                                            if sm == SP_DEFAULT:
+                                                s = collapse_blanks(s)
+                                        elif sm == SP_REMOVE:
+                                            s = collapse_blanks(
+                                                s, trim=True)
+                                        if s:
+                                            if not self.blank_cdata:
+                                                if (self.
+                                                        cdata_must_be_empty):
+                                                    self.gripe(
+                                                        *Gripes.
+                                                        not_allowed_pcdata(
+                                                            s))
+                                                if sink is not None:
+                                                    sink.append(s)
+                                                else:
+                                                    self.ev_data(
+                                                        "cdata", s)
+                                                    pure = False
+                                            else:
+                                                bnew = make_trans(
+                                                    env.state, CDATA_EL)
+                                                if bnew is not None:
+                                                    env.state = bnew
+                                                    if sink is not None:
+                                                        sink.append(s)
+                                                    else:
+                                                        self.ev_data(
+                                                            "cdata", s)
+                                                        pure = False
+                                                elif (env.element.
+                                                      undefined and
+                                                      env.space_mode in
+                                                      (SP_PRESERVE,
+                                                       SP_STRICT)):
+                                                    if sink is not None:
+                                                        sink.append(s)
+                                                    else:
+                                                        self.ev_data(
+                                                            "cdata", s)
+                                                        pure = False
+                                        cdata = self.cdata = []
+                                        self.blank_cdata = True
+                                        self.cdata_must_be_empty = False
+                                    self.first = False
+                                    if not end_noop:
+                                        self.ev_end(pe.name)
+                                        pure = False
+                                    envs.pop()
+                                    self.map = env1.map
+                                    penv = env1
+                                    new = new1
+                            if new is not None:
+                                env = penv
+                                env.state = new
+                                if cdata:
+                                    # emit_cdata(last=False) inline
+                                    s = ''.join(cdata)
+                                    sm = env.space_mode
+                                    if sm == SP_SGML or sm == SP_DEFAULT:
+                                        if self.first:
+                                            if s and s[0] == CR:
+                                                s = s[1:]
+                                            if s and s[0] == LF:
+                                                s = s[1:]
+                                        if sm == SP_DEFAULT:
+                                            s = collapse_blanks(s)
+                                    elif sm == SP_REMOVE:
+                                        s = collapse_blanks(s, trim=True)
+                                    if s:
+                                        if not self.blank_cdata:
+                                            if self.cdata_must_be_empty:
+                                                self.gripe(
+                                                    *Gripes.
+                                                    not_allowed_pcdata(s))
+                                            if sink is not None:
+                                                sink.append(s)
+                                            else:
+                                                self.ev_data("cdata", s)
+                                                pure = False
+                                        else:
+                                            bnew = make_trans(
+                                                env.state, CDATA_EL)
+                                            if bnew is not None:
+                                                env.state = bnew
+                                                if sink is not None:
+                                                    sink.append(s)
+                                                else:
+                                                    self.ev_data(
+                                                        "cdata", s)
+                                                    pure = False
+                                            elif (env.element.undefined
+                                                  and env.space_mode in
+                                                  (SP_PRESERVE,
+                                                   SP_STRICT)):
+                                                if sink is not None:
+                                                    sink.append(s)
+                                                else:
+                                                    self.ev_data(
+                                                        "cdata", s)
+                                                    pure = False
+                                    cdata = self.cdata = []
+                                    self.blank_cdata = True
+                                    self.cdata_must_be_empty = False
+                                nenv = Environment(e)
+                                nedef = e.structure
+                                nenv.state = (
+                                    nedef.initial_state
+                                    if nedef is not None and
+                                    nedef.initial_state is not None
+                                    else M.make_state_engine(e))
+                                nenv.space_mode = env.space_mode
+                                if e.map is not None:
+                                    nmap = e.map
+                                else:
+                                    nmap = env.map
+                                self.map = nenv.map = nmap
+                                envs.append(nenv)
+                                self.first = True
+                                if nedef is not None:
+                                    t = nedef.type
+                                    if t == M.C_CDATA or t == M.C_RCDATA:
+                                        self.state = (S_CDATA
+                                                      if t == M.C_CDATA
+                                                      else S_RCDATA)
+                                        self.cdata_state = self.state
+                                        self.etag = e.name
+                                        self.startcdata = (line, linepos,
+                                                           charpos)
+                                        switched = True
+                                    else:
+                                        self.cdata_state = S_PCDATA
+                                done = True
+                    if not done:
+                        self.open_element(e, True)
+                        cdata = self.cdata
+                        pure = False
+                    # (update_space_mode skipped: non-XML dialect)
+                    if not begin_noop:
+                        self._emitting_empty = bool(empty_el)
+                        self._emit_begin(e, atts)
+                        self._emitting_empty = False
+                        pure = False
+                    if empty_el:
+                        self.close_element(e, conref)
+                        if conref:
+                            self.cdata_state = self.state = S_PCDATA
+                        cdata = self.cdata
+                        pure = False
+                    i = m.end()
+                    if pure:
+                        if switched or nmap is not None:
+                            return i
+                        continue
+                else:
+                    e = entry[1]
+                    if cdata:
+                        # emit_cdata(last=True) inline
+                        s = ''.join(cdata)
+                        if envs:
+                            env = envs[-1]
+                            sm = env.space_mode
+                            if sm == SP_SGML or sm == SP_DEFAULT:
+                                if self.first:
+                                    if s and s[0] == CR:
+                                        s = s[1:]
+                                    if s and s[0] == LF:
+                                        s = s[1:]
+                                if s:
+                                    if s[-1] == LF:
+                                        s = s[:-1]
+                                    if s and s[-1] == CR:
+                                        s = s[:-1]
+                                if sm == SP_DEFAULT:
+                                    s = collapse_blanks(s)
+                            elif sm == SP_REMOVE:
+                                s = collapse_blanks(s, trim=True)
+                        if s:
+                            if not self.blank_cdata:
+                                if self.cdata_must_be_empty:
+                                    self.gripe(
+                                        *Gripes.not_allowed_pcdata(s))
+                                if sink is not None:
+                                    sink.append(s)
+                                else:
+                                    self.ev_data("cdata", s)
+                                    pure = False
+                            elif envs:
+                                env = envs[-1]
+                                bnew = make_trans(env.state, CDATA_EL)
+                                if bnew is not None:
+                                    env.state = bnew
+                                    if sink is not None:
+                                        sink.append(s)
+                                    else:
+                                        self.ev_data("cdata", s)
+                                        pure = False
+                                elif (env.element.undefined and
+                                      env.space_mode in
+                                      (SP_PRESERVE, SP_STRICT)):
+                                    if sink is not None:
+                                        sink.append(s)
+                                    else:
+                                        self.ev_data("cdata", s)
+                                        pure = False
+                        cdata = self.cdata = []
+                        self.blank_cdata = True
+                        self.cdata_must_be_empty = False
+                    if envs and envs[-1].element is e:
+                        env = envs[-1]
+                        edef = e.structure
+                        ok = True
+                        if (edef is not None and not e.undefined and
+                                edef.type != C_ANY and
+                                edef.final_state is not None):
+                            fs = edef.final_state
+                            est = env.state
+                            if est is None:
+                                ok = False
+                            elif fs is not est:
+                                smm = est.same_memo
+                                r = (smm.get(id(fs), _MEMO_MISS)
+                                     if smm is not None else _MEMO_MISS)
+                                if r is _MEMO_MISS:
+                                    r = M.same_state(fs, est)
+                                ok = r
+                        if not ok:
+                            self.gripe(*Gripes.validate(
+                                "Incomplete element: <%s>" % e.name))
+                        self.first = False
+                        if not end_noop:
+                            self.ev_end(e.name)
+                            pure = False
+                        envs.pop()
+                        mp = envs[-1].map if envs else None
+                        self.map = mp
+                        i = m.end()
+                        if pure:
+                            if mp is not None:
+                                return i
+                            continue
+                    else:
+                        self.close_element(e, False)
+                        cdata = self.cdata
+                        pure = False
+                        i = m.end()
+                # impure token: full perturbation recheck (mirrors the
+                # general loop's steady-state guard + preconditions)
+                if (self.state != S_PCDATA or self.map is not None or
+                        self.stopped or self._pending_skip or
+                        self.dtd is not dtd or self.dmode != DM_DATA or
+                        self.mark_state != MS_INCLUDE or self.marked or
+                        self.waiting_for_net or
+                        self.utf8_decode != utf8):
+                    return i
+                line = self.line
+                linepos = self.linepos
+                charpos = self.charpos
+                cdata = self.cdata
+                continue
+            if c == '&':
+                m = ent_match(text, i)
+                if m is None:
+                    break                       # FSM handles '&'
+                ename = m.group(1)
+                self.startloc = (line, linepos + 1, charpos)
+                ml = m.end() - i                # entity spans no LF
+                charpos += ml
+                linepos += ml
+                fe = fastent.get(ename) if fastent is not None else None
+                if fe is not None:
+                    # process_entity single-outcome replay (the cache
+                    # is populated only by the plain-append / one-char
+                    # / EC_CDATA-text paths and invalidated on any
+                    # declaration)
+                    s_, kind = fe
+                    if kind == 0:
+                        cdata.append(s_)        # numeric: plain append
+                    elif s_:
+                        if self.blank_cdata and (
+                                kind == 2 or not is_blank_char(s_)):
+                            env = envs[-1] if envs else None
+                            handled = False
+                            if env is not None:
+                                cm = env.cdata_memo
+                                if cm is not None and cm[0] is env.state:
+                                    env.state = cm[1]
+                                    self.cdata_must_be_empty = False
+                                    handled = True
+                            if not handled:
+                                self.line = line
+                                self.linepos = linepos
+                                self.charpos = charpos
+                                self.cdata_must_be_empty = \
+                                    not self.open_element(CDATA_EL, False)
+                                cdata = self.cdata
+                                self.blank_cdata = False
+                                i = m.end()
+                                if (self.state != S_PCDATA or
+                                        self.map is not None or
+                                        self.stopped or
+                                        self._pending_skip or
+                                        self.dtd is not dtd or
+                                        self.dmode != DM_DATA or
+                                        self.mark_state != MS_INCLUDE or
+                                        self.marked or
+                                        self.waiting_for_net or
+                                        self.utf8_decode != utf8):
+                                    if kind == 1:
+                                        cdata.append(s_)
+                                    else:
+                                        cdata.extend(s_)
+                                    return i
+                            self.blank_cdata = False
+                        if kind == 1:
+                            cdata.append(s_)
+                        else:
+                            cdata.extend(s_)
+                    i = m.end()
+                    continue
+                self.line = line
+                self.linepos = linepos
+                self.charpos = charpos
+                self.process_entity(ename)
+                i = m.end()
+                if (self.state != S_PCDATA or self.map is not None or
+                        self.stopped or self._pending_skip or
+                        self.dtd is not dtd or self.dmode != DM_DATA or
+                        self.mark_state != MS_INCLUDE or self.marked or
+                        self.waiting_for_net or
+                        self.utf8_decode != utf8):
+                    return i
+                line = self.line
+                linepos = self.linepos
+                charpos = self.charpos
+                cdata = self.cdata
+                continue
+            m = re_pc.search(text, i)
+            j = m.start() if m else n
+            if j == i:
+                break                           # CR / multibyte: FSM
+            span = text[i:j]
+            ns = j - i
+            if self.blank_cdata:
+                # _bulk_cdata blank-prefix inline; the common span
+                # starts non-blank (k == 0), skipping the lstrip copy
+                c0 = span[0]
+                if (c0 == ' ' or c0 == '\t' or c0 == '\n' or
+                        (ord(c0) > 255 and c0.isspace())):
+                    k = ns - len(span.lstrip(_BLANKS4))
+                    while k < ns and ord(span[k]) > 255 and \
+                            span[k].isspace():
+                        k += 1
+                        while k < ns and is_blank_char(span[k]):
+                            k += 1
+                else:
+                    k = 0
+                if k:
+                    if not cdata:
+                        self.startcdata = (line, linepos + 1, charpos)
+                    elif (span[0] == LF and cdata[-1] == CR and envs and
+                            envs[-1].space_mode != SP_STRICT):
+                        cdata.pop()
+                    cdata.extend(span[:k])
+                if k < ns:
+                    env = envs[-1] if envs else None
+                    handled = False
+                    if env is not None:
+                        cm = env.cdata_memo
+                        if cm is not None and cm[0] is env.state:
+                            env.state = cm[1]
+                            self.cdata_must_be_empty = False
+                            handled = True
+                        else:
+                            pe = env.element
+                            pedef = pe.structure
+                            if (not pe.undefined and pedef is not None
+                                    and pedef.type != C_ANY):
+                                st2 = env.state
+                                bm = st2.memo if st2 is not None else None
+                                if bm is not None:
+                                    new = bm.get(ID_CD, _MEMO_MISS)
+                                    if new is _MEMO_MISS:
+                                        new = make_trans(st2, CDATA_EL)
+                                else:
+                                    new = make_trans(st2, CDATA_EL)
+                                if new is not None:
+                                    env.cdata_memo = (st2, new)
+                                    env.state = new
+                                    self.cdata_must_be_empty = False
+                                    handled = True
+                    opened = False
+                    if not handled:
+                        self.line = line
+                        self.linepos = linepos
+                        self.charpos = charpos
+                        self.cdata_must_be_empty = not self.open_element(
+                            CDATA_EL, False)
+                        cdata = self.cdata
+                        opened = True
+                    self.blank_cdata = False
+                    if self.map is not None:
+                        # shortref map installed: prefix is consumed,
+                        # the rest re-runs per-char (mirror of
+                        # _bulk_cdata's early return k)
+                        pre = span[:k]
+                        pnl = pre.count(LF)
+                        charpos += k
+                        if pnl:
+                            line += pnl
+                            linepos = k - pre.rfind(LF) - 1
+                        else:
+                            linepos += k
+                        self.line = line
+                        self.linepos = linepos
+                        self.charpos = charpos
+                        return i + k
+                    rest = span[k:]
+                    if not cdata:
+                        self.startcdata = (line, linepos + 1, charpos)
+                    elif (rest[0] == LF and cdata[-1] == CR and envs and
+                            envs[-1].space_mode != SP_STRICT):
+                        cdata.pop()
+                    cdata.extend(rest)
+                    if opened and (self.stopped or self._pending_skip):
+                        # implied-tag events may have tripped a stop
+                        # condition: finish this span (byte-exact with
+                        # _bulk_cdata) then yield at the token boundary
+                        charpos += ns
+                        nl = span.count(LF)
+                        if nl:
+                            line += nl
+                            linepos = ns - span.rfind(LF) - 1
+                        else:
+                            linepos += ns
+                        self.line = line
+                        self.linepos = linepos
+                        self.charpos = charpos
+                        return j
+            else:
+                if not cdata:
+                    self.startcdata = (line, linepos + 1, charpos)
+                elif (span[0] == LF and cdata[-1] == CR and envs and
+                        envs[-1].space_mode != SP_STRICT):
+                    cdata.pop()
+                cdata.extend(span)
+            charpos += ns
+            nl = span.count(LF)
+            if nl:
+                line += nl
+                linepos = ns - span.rfind(LF) - 1
+            else:
+                linepos += ns
+            if max_mem is not None and len(cdata) > check_at:
+                if len(cdata) > max_mem:
+                    self.line = line
+                    self.linepos = linepos
+                    self.charpos = charpos
+                    self.gripe(*Gripes.resource("CDATA buffer"))
+                    raise StopParse()
+                check_at = len(cdata) + (1 << 16)
+            i = j
+        self.line = line
+        self.linepos = linepos
+        self.charpos = charpos
+        return i
 
     def _bulk_verbatim(self, span):
         """N x add_verbatim_cdata for a span with no CR and no
@@ -2294,14 +2981,25 @@ class SGMLParser(DeclMixin):
         return i + 1, j, self.iskip_layout(s, j + 1)
 
     def process_entity(self, name):
-        """(parser.c:4475-4589)."""
+        """(parser.c:4475-4589).
+
+        Populates dtd._ent_fast with replayable expansions for the
+        steady-state executor: kind 0 = numeric char ref (plain
+        append, no blank handling — reference parity), kind 1 = named
+        entity resolving to one character (blank-open + append),
+        kind 2 = EC_CDATA text (blank-open + extend).  The cache is
+        invalidated by any ENTITY/ELEMENT/ATTLIST declaration."""
         from .entities import char_entity_value
         if name.startswith('#'):
             v = char_entity_value(name)
             if v <= 0:
                 return self.gripe(*Gripes.syntax_error(
                     "Bad character entity", name))
-            self.cdata.append(safe_chr(v))
+            c = safe_chr(v)
+            fast = self.dtd._ent_fast
+            if fast is not None and len(fast) < 4096:
+                fast[name] = (c, 0)
+            self.cdata.append(c)
             return True
         dtd = self.dtd
         e = dtd.entities.get(name)
@@ -2331,6 +3029,10 @@ class SGMLParser(DeclMixin):
                     return self.gripe(*Gripes.syntax_error(
                         "Illegal character entity", text))
                 c = safe_chr(chr_)
+                fast = dtd._ent_fast
+                if fast is not None and len(fast) < 4096 and \
+                        dtd.entities.get(name) is e:
+                    fast[name] = (c, 1)
                 if self.blank_cdata and not is_blank_char(c):
                     self.cdata_must_be_empty = not self.open_element(
                         M.CDATA_ELEMENT, False)
@@ -2339,6 +3041,10 @@ class SGMLParser(DeclMixin):
                 return True
             if e.content == D.EC_SGML:
                 return self.process_entity_chars(e, text)
+            fast = dtd._ent_fast
+            if fast is not None and len(fast) < 4096 and \
+                    dtd.entities.get(name) is e:
+                fast[name] = (text, 2)
             if text:
                 if self.blank_cdata:
                     self.cdata_must_be_empty = not self.open_element(
@@ -2752,6 +3458,10 @@ class TextOnlyParser(SGMLParser):
     Event order and space-mode semantics are identical — only the
     event sinks differ."""
 
+    _FAST_BEGIN_NOOP = True      # _emit_begin is a no-op here
+    _FAST_END_NOOP = True        # ev_end is a no-op here
+    _FAST_DATA_DIRECT = True     # ev_data == text_parts.append
+
     def __init__(self, options=None, dtd=None):
         super().__init__(options, dtd)
         self.text_parts = []
@@ -2782,6 +3492,10 @@ class FirstElementTextParser(TextOnlyParser):
     construction entirely and abandons the byte stream as soon as the
     element closes: for <title> on a typical page that parses a few
     percent of the document."""
+
+    _FAST_BEGIN_NOOP = False     # _emit_begin / ev_end / ev_data are
+    _FAST_END_NOOP = False       # meaningful again in this subclass
+    _FAST_DATA_DIRECT = False
 
     def __init__(self, options=None, dtd=None, target="title"):
         super().__init__(options, dtd)

@@ -56,12 +56,35 @@ def shingles(docs: DataFrame, w=SHINGLE_W) -> DataFrame:
 def minhash_signatures(docs: DataFrame, k=N_HASHES) -> DataFrame:
     """k minhash values per doc: min over shingles of
     md5(i || ':' || shingle) for i in 0..k-1 (lexicographic min of
-    hex digests — portable to the SQL oracle)."""
-    sh = shingles(docs)
-    mins = [F.min(F.md5(F.encode(
-        F.concat(F.lit(str(i) + ":"), F.col("shingle")), "utf-8")))
-        .alias("h%d" % i) for i in range(k)]
-    return sh.groupBy("doc_id").agg(*mins)
+    hex digests — portable to the SQL oracle).
+
+    Computed per-row with array_min over a higher-order transform —
+    no shingle explode, no groupBy, therefore ZERO shuffle: the whole
+    signature stage is a narrow map over the documents scan.  (min
+    over duplicate shingles equals min over distinct ones, so the
+    within-doc dedup the exploded round-2 shape did is unnecessary
+    here; shingles() keeps it for the Jaccard verifier, which counts
+    set sizes.)  This also removes the round-2 allocation hot spot —
+    the exploded shingle rows were the bench's GC-churn driver."""
+    from .util import spread
+    # NULL text produced no exploded rows in the round-2 shape; keep
+    # the same row set in the per-row shape
+    docs = spread(docs.filter(F.col("text").isNotNull()), "doc_id")
+    words = norm_words(F.col("text"))
+    n = F.size(words)
+    sh = F.when(n >= SHINGLE_W, F.transform(
+        F.sequence(F.lit(0), n - SHINGLE_W),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, SHINGLE_W)),
+    )).otherwise(F.array(F.concat_ws(" ", words)))
+    # materialize the shingle array once; the k min-hash projections
+    # below all read the same column (not k recomputations)
+    based = docs.select("doc_id", sh.alias("sh"))
+    mins = [F.array_min(F.transform(
+        F.col("sh"),
+        lambda s: F.md5(F.encode(F.concat(F.lit(str(i) + ":"), s),
+                                 "utf-8")))).alias("h%d" % i)
+        for i in range(k)]
+    return based.select("doc_id", *mins)
 
 
 def minhash_lsh_pairs(docs: DataFrame, k=N_HASHES,

@@ -1,0 +1,207 @@
+"""Differential tests for the steady-state PCDATA executor
+(core/parser.py _pcdata_fast): with FAST_PCDATA toggled off, the
+general token-at-a-time loop is the semantic oracle.  Output (text,
+DOM repr, error list incl. line numbers) must be identical on every
+input, including adversarial tag soup.
+"""
+
+import random
+
+import pytest
+
+import packages_sgml_spark.core.parser as P
+from packages_sgml_spark.core.parser import (
+    ParserOptions, SGMLParser, TextOnlyParser, FirstElementTextParser)
+
+
+def _parse_all(cls, docs, dialect="html5", **kw):
+    out = []
+    for d in docs:
+        p = cls(ParserOptions(dialect=dialect), **kw)
+        dom, errors = p.parse(d)
+        text = p.text() if hasattr(p, "text") else None
+        out.append((text, repr(dom), [(e.severity, e.line, e.message)
+                                      for e in errors]))
+    return out
+
+
+def _differential(docs, cls=TextOnlyParser, dialect="html5", **kw):
+    """fast-vs-slow parity on identical DTD state.
+
+    The shared HTML DTD deliberately *learns* across parses
+    (undeclared attributes get defined after the first gripe,
+    gripe-free tags get memoized), so the first pass over a corpus
+    sees colder state than the second regardless of mode.  A full
+    warm-up pass first makes the shared state a fixed point; the two
+    collected passes then compare like for like.  (Fresh-process runs
+    of each mode are byte-identical without this — verified when the
+    executor landed.)"""
+    try:
+        P.FAST_PCDATA = True
+        _parse_all(cls, docs, dialect, **kw)        # warm shared DTD
+        fast = _parse_all(cls, docs, dialect, **kw)
+        P.FAST_PCDATA = False
+        slow = _parse_all(cls, docs, dialect, **kw)
+    finally:
+        P.FAST_PCDATA = True
+    for i, (f, s) in enumerate(zip(fast, slow)):
+        assert f == s, (i, docs[i][:200], f, s)
+
+
+WORDS = ["alpha", "beta", " ", "\n", "\t\n ", "x&y", "a<b", "]]>", "]",
+         "&amp;", "&lt;", "&#65;", "&#x42;", "&undefined;", "&amp",
+         "caf\xe9", " pad", "line\r\nbreak", "line\rcr", "tail\n"]
+TAGS = ["p", "b", "i", "ul", "li", "a", "div", "span", "h1", "table",
+        "tr", "td", "em", "title", "head", "body", "html", "script",
+        "style", "br", "hr", "img", "nosuchtag", "weird-tag"]
+
+
+def _soup(rng, n_tokens=60):
+    parts = []
+    for _ in range(n_tokens):
+        r = rng.random()
+        if r < 0.35:
+            parts.append(rng.choice(WORDS))
+        elif r < 0.6:
+            t = rng.choice(TAGS)
+            if rng.random() < 0.3:
+                parts.append('<%s class="c%d" id=\'i\'>' %
+                             (t, rng.randrange(9)))
+            else:
+                parts.append("<%s>" % t)
+        elif r < 0.8:
+            parts.append("</%s>" % rng.choice(TAGS))
+        elif r < 0.85:
+            parts.append("<!-- comment -->")
+        elif r < 0.9:
+            parts.append("<![CDATA[ raw < & ]]>")
+        else:
+            parts.append(rng.choice(
+                ["<?pi data?>", "<>", "< notatag", "&#0;", "&;",
+                 "<b", "</>", "<a href=x>", "\x00"]))
+    return "".join(parts)
+
+
+def test_fast_pcdata_differential_soup_textonly():
+    rng = random.Random(20260816)
+    docs = [_soup(rng) for _ in range(120)]
+    _differential(docs, TextOnlyParser)
+
+
+def test_fast_pcdata_differential_soup_dom():
+    rng = random.Random(42424242)
+    docs = [_soup(rng) for _ in range(80)]
+    _differential(docs, SGMLParser)
+
+
+def test_fast_pcdata_differential_first_element():
+    rng = random.Random(777)
+    docs = ["<html><head><title>T%d</title></head><body>%s</body></html>"
+            % (i, _soup(rng, 30)) for i in range(40)]
+    _differential(docs, FirstElementTextParser, target="title")
+
+
+def test_fast_pcdata_differential_structured():
+    docs = [
+        # leading text before any element (enforce/auto-open paths)
+        "hello <b>world</b>",
+        "   \n\t  <p>blank prefix</p>",
+        "&amp; entity before any tag",
+        "&#65;&#66; numeric at start",
+        # C_EMPTY top element then text
+        "<p><br>after empty<hr>more",
+        # omitted closes (the pop-one-level replay)
+        "<ul><li>one<li>two<li>three</ul>",
+        "<p>first<p>second<p>third",
+        "<table><tr><td>a<td>b<tr><td>c</table>",
+        # script/style CDATA switching mid-stream
+        "<p>x</p><script>if (a < b && c > d) {}</script><p>y</p>",
+        "<style>a > b { color: red }</style>tail",
+        # entities adjacent to tags and blanks
+        "<p>&amp;</p>",
+        "<p> &amp;leading blank</p>",
+        "<p>&#10;newline entity</p>",
+        "<p>&nbsp;&copy;&eacute;</p>",
+        # CR/LF dances crossing emit boundaries
+        "<p>line1\r\nline2</p>\r\n<p>line3\rline4</p>",
+        "<p>trail\r</p>",
+        "<pre>\npreformatted\n</pre>",
+        # marked sections interleaved (fast loop must bail cleanly)
+        "a<![INCLUDE[inside]]>b",
+        "a<![IGNORE[gone]]>b",
+        # max-depth-ish nesting
+        "<div>" * 40 + "deep" + "</div>" * 40,
+        # attribute quoting edge
+        "<a href=\"x>y\" title='q>r'>link</a>",
+        # empty document / only entities / only tags
+        "", "&amp;", "<p></p>",
+        # undefined elements everywhere (allow_for / tag soup)
+        "<zzz><yyy>text</yyy></zzz>",
+        # long whitespace runs (blank_cdata revalidation)
+        "<p>" + " " * 300 + "x</p>",
+        "<p>" + "\n" * 50 + "</p><p>next</p>",
+    ]
+    _differential(docs, TextOnlyParser)
+    _differential(docs, SGMLParser)
+
+
+def test_fast_pcdata_differential_sgml_dialect():
+    """Plain sgml dialect (doctype-driven) also routes through the
+    executor; error lists must stay identical (more gripes here)."""
+    docs = [
+        "<!DOCTYPE html><html><head><title>t</title></head>"
+        "<body><p>one<p>two</body></html>",
+        "<p>no doctype tag soup<ul><li>a<li>b</ul>",
+    ]
+    _differential(docs, SGMLParser, dialect="html")
+
+
+def test_fast_pcdata_kill_switch_stays_on():
+    """The shipped default must be the fast path."""
+    assert P.FAST_PCDATA is True
+
+
+@pytest.mark.parametrize("encoding", [None, "utf-8"])
+def test_fast_pcdata_utf8_modes(encoding):
+    docs = ["<p>caf\xc3\xa9 utf8 bytes</p>",     # latin-1-fed utf-8
+            "<p>plain ascii</p>",
+            "<p>t\xe9l\xe9</p>"]
+    out = []
+    for flag in (True, True, False):    # first pass warms shared DTD
+        P.FAST_PCDATA = flag
+        res = []
+        for d in docs:
+            p = TextOnlyParser(ParserOptions(dialect="html5",
+                                             encoding=encoding))
+            p.parse(d)
+            res.append((p.text(),
+                        [(e.line, e.message) for e in p.errors]))
+        out.append(res)
+    P.FAST_PCDATA = True
+    assert out[1] == out[2]
+
+
+def test_entity_cache_invalidation_on_redeclaration():
+    """A mid-instance <!ENTITY> redefinition must not replay the stale
+    cached expansion (dtd._ent_fast invalidation)."""
+    doc = ("<!DOCTYPE doc [<!ELEMENT doc (#PCDATA)>"
+           "<!ENTITY e 'one'>]>"
+           "<doc>&e;<!ENTITY e 'two'>&e;</doc>")
+    for flag in (True, False):
+        P.FAST_PCDATA = flag
+        p = SGMLParser(ParserOptions(dialect="sgml"))
+        dom, _ = p.parse(doc)
+        texts = [c for c in dom[0].content if isinstance(c, str)]
+        P.FAST_PCDATA = True
+        # reference semantics: first declaration wins, adjacent cdata
+        # merges -> 'oneone'; a stale-cache bug would yield 'onetwo'
+        assert texts == ["oneone"], texts
+    # parity between modes is the real assertion
+    outs = []
+    for flag in (True, False):
+        P.FAST_PCDATA = flag
+        p = SGMLParser(ParserOptions(dialect="sgml"))
+        dom, errs = p.parse(doc)
+        outs.append((repr(dom), [(e.line, e.message) for e in errs]))
+    P.FAST_PCDATA = True
+    assert outs[0] == outs[1]

@@ -69,6 +69,18 @@ def test_minhash_lsh_single_scan(spark):
     assert p.count("Scan parquet") == 1, p
 
 
+def test_minhash_signatures_zero_shuffle(spark):
+    """The round-3 per-row signature shape: array_min over a
+    higher-order transform — a narrow map, no explode, no groupBy.
+    The only allowed exchange is the deliberate spread repartition."""
+    from packages_sgml_spark.spark.dedup import minhash_signatures
+    from packages_sgml_spark.spark.queries import _t
+    p = _plan(minhash_signatures(_t(spark, SF, "documents")))
+    assert "Generate" not in p, p               # no explode
+    ex = p.count("Exchange")
+    assert ex <= 1 and ("REPARTITION" in p or ex == 0), p
+
+
 def test_knn_ivf_single_centroid_subtree(spark):
     """Regression net for the round-2 duplicated centroid subtree:
     cents is localCheckpoint'd inside ivf_knn, so the plan must NOT
