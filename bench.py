@@ -97,10 +97,33 @@ def parse_throughput(spark, n_docs=PARSE_DOCS):
     }
 
 
+def _box_load():
+    """Load average + a 0.2 s single-thread CPU probe, recorded so a
+    bench JSON can be read against the box's co-tenant noise at the
+    time of the run (round-2 VERDICT item 8: 12-18 s headline swings
+    track load, not code)."""
+    try:
+        la1, la5, _ = os.getloadavg()
+    except OSError:
+        la1 = la5 = None
+    t0 = time.process_time()
+    t_wall = time.time()
+    x = 0
+    while time.time() - t_wall < 0.2:
+        x += 1
+    cpu_frac = (time.process_time() - t0) / max(time.time() - t_wall,
+                                                1e-9)
+    return {"loadavg_1m": round(la1, 2) if la1 is not None else None,
+            "loadavg_5m": round(la5, 2) if la5 is not None else None,
+            "cpu_probe_frac": round(cpu_frac, 3),
+            "spins": x}
+
+
 def bench_default():
     from packages_sgml_spark.spark.session import get_spark
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    load0 = _box_load()
     spark = get_spark(app="bench", cpus=cpus)
     spark.sparkContext.setLogLevel("ERROR")
     timings = run_queries(spark, sf_dir)
@@ -121,6 +144,8 @@ def bench_default():
         "parse_mb_per_sec": pt["mb_per_sec"],
         "parse_corpus": {"n_docs": pt["n_docs"], "mb": pt["mb"]},
         "cpus": cpus,
+        "box_load_before": load0,
+        "box_load_after": _box_load(),
     }))
 
 
@@ -183,6 +208,7 @@ def bench_scaling(n_lo=None, n_hi=None):
         "cpu_ceiling_efficiency": round(ceiling, 3),
         "efficiency_vs_ceiling": round(eff / ceiling, 3),
         "throughput": {str(k): v for k, v in results.items()},
+        "box_load": _box_load(),
     }))
 
 

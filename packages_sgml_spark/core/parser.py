@@ -162,6 +162,11 @@ class SGMLParser(DeclMixin):
     _FAST_END_NOOP = False
     _FAST_DATA_DIRECT = False
 
+    # feed() buffer retention: subclasses exposing the synchronous
+    # re-entrant parse_content() from push parsing (CallbackParser)
+    # set this True; the plain parser keeps push parsing O(1)-memory.
+    _retain_feed = False
+
     def __init__(self, options: ParserOptions = None, dtd=None):
         opts = options or ParserOptions()
         self.options = opts
@@ -279,6 +284,10 @@ class SGMLParser(DeclMixin):
         self._doc_text = None
         self._doc_base = 0
         self._pending_skip = 0
+        self._feed_mode = False     # True once feed() retains a buffer
+        self._ent_frames = []       # (replacement_text, [index]) stack
+                                    # for re-entrant parse inside
+                                    # entity expansion (sax.py)
         self._emitting_empty = False  # p->empty_element analog
         self._url_cache = []        # MRU url->canonical (URL_CACHE=4)
 
@@ -464,7 +473,26 @@ class SGMLParser(DeclMixin):
             text = text[:-1]
         else:
             self._fed_tail = ""
-        self._doc_text = None    # parse_content needs whole-buffer mode
+        if self._retain_feed:
+            # buffer-retention mode (CallbackParser): keep the fed
+            # text so the synchronous parse_content() re-entrant API
+            # works from push parsing too.  Trades memory for the
+            # reference's pull-mode convenience; max_memory bounds it.
+            if not self._feed_mode:
+                self._feed_mode = True
+                self._doc_text = ""
+                self._doc_base = self.charpos
+            self._doc_text += text
+            mm = self.options.max_memory
+            if mm is not None and len(self._doc_text) > mm:
+                try:
+                    self.gripe(*Gripes.resource("retained feed buffer"))
+                except StopParse:
+                    pass
+                self.stopped = True
+                return self
+        else:
+            self._doc_text = None   # parse_content: whole-buffer only
         try:
             self.process_chars_toplevel(text)
         except StopParse:
@@ -572,9 +600,17 @@ class SGMLParser(DeclMixin):
             if self.stopped or self._pending_skip:
                 if self.stopped:
                     return
-                # a nested parse_content() consumed this span
-                i += self._pending_skip
-                self._pending_skip = 0
+                # a nested parse_content() consumed this span; in
+                # feed() mode the sub-parse may have consumed past the
+                # current chunk, so carry the overshoot into the next
+                # feed's text
+                take = self._pending_skip
+                if i + take > n:
+                    self._pending_skip = take - (n - i)
+                    i = n
+                else:
+                    self._pending_skip = 0
+                    i += take
                 continue
             if max_mem is not None and len(self.cdata) > check_at:
                 # buffer growth guard (ERC_RESOURCE analog,
@@ -3085,10 +3121,22 @@ class SGMLParser(DeclMixin):
         self.line = 1
         self.linepos = 0
         self.charpos = 0
+        # indexed frame instead of a plain for-loop: a re-entrant
+        # parse_content() fired from a callback inside this expansion
+        # consumes a slice of `text` directly and advances frame[0]
+        # past it (charpos tracks the frame index 1:1 here — it was
+        # reset above and putchar bumps it once per char)
+        frame = [0]
+        self._ent_frames.append((text, frame, [0]))
+        n = len(text)
+        putchar = self.putchar
         try:
-            for c in text:
-                self.putchar(c)
+            while frame[0] < n:
+                c = text[frame[0]]
+                frame[0] += 1
+                putchar(c)
         finally:
+            self._ent_frames.pop()
             self.utf8_decode = old_decode
             self.buffer = old_buffer
             self._entity_startloc.pop()

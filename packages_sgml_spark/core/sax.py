@@ -9,6 +9,15 @@ from .dom import Element, SData, NData, PI
 from .parser import SGMLParser
 
 
+class IncompleteContentError(RuntimeError):
+    """parse_content() was called from a feed()-mode parse and the
+    element's content is not yet fully buffered.  The sub-parse has
+    already consumed the buffered prefix, so the parser cannot be
+    resumed meaningfully — callers that cannot guarantee the content
+    is buffered should use capture_content() (asynchronous, works
+    across arbitrary chunk boundaries) instead."""
+
+
 class CallbackParser(SGMLParser):
     """Event-callback parser.  Callbacks:
 
@@ -21,6 +30,9 @@ class CallbackParser(SGMLParser):
     materialise the current element's content as a DOM list; `done`
     is invoked with the content when the element closes (the
     parse(content) re-entrancy analog)."""
+
+    _retain_feed = True     # keep fed text so parse_content() works
+                            # from push parsing (see SGMLParser.feed)
 
     def __init__(self, options=None, on_begin=None, on_end=None,
                  on_data=None, on_pi=None):
@@ -61,25 +73,43 @@ class CallbackParser(SGMLParser):
         current element's content closes; returns the content list
         SYNCHRONOUSLY from within the callback.  The suspended outer
         scan loop then skips the consumed span and resumes after the
-        element's end tag.  Sub-parses nest.  Only available inside a
-        whole-buffer parse() (not incremental feed())."""
+        element's end tag.  Sub-parses nest.
+
+        Available inside a whole-buffer parse() and — since the
+        parser retains fed text (buffer-retention mode) — inside an
+        incremental feed() as well, PROVIDED the element's complete
+        content has already been fed.  If it has not, the sub-parse
+        runs off the buffered tail and IncompleteContentError is
+        raised; that state is not resumable (use capture_content for
+        chunk-boundary-proof streaming capture)."""
         if self._emitting_empty:
             # <e/> / EMPTY content model: nothing to consume
             # (sgml2pl.c:2148 `stopat == SA_CONTENT && empty_element`)
             return []
+        if self._ent_frames:
+            # inside an entity expansion: consume from the innermost
+            # replacement text (the reference's input-stack pull,
+            # sgml2pl.c:1981-2012 — entity text is just the top of
+            # its input stack).  charpos was reset to 0 for this
+            # frame and tracks the frame index exactly.
+            return self._parse_content_in_entity()
         if self._doc_text is None:
             raise RuntimeError(
-                "parse_content requires a whole-buffer parse()")
+                "parse_content requires a whole-buffer parse() or a "
+                "retained feed() buffer")
         if self._locstack or self._entity_startloc:
-            # charpos currently points into pushed (entity/subset)
-            # replacement text, not into the document buffer, so the
-            # re-entrant slice would be garbage.  Refuse loudly; the
-            # async capture_content API still works here.
+            # charpos points into pushed subset replacement text, not
+            # into the document buffer, so the re-entrant slice would
+            # be garbage.  Refuse loudly; the async capture_content
+            # API still works here.
             raise RuntimeError(
-                "parse_content is not available from inside entity "
-                "expansion; use capture_content()")
+                "parse_content is not available from inside a DTD "
+                "subset replay; use capture_content()")
+        completed = []
         cap = self._Capture(
-            self._depth, lambda _content: setattr(self, "stopped", True))
+            self._depth,
+            lambda _content: (completed.append(True),
+                              setattr(self, "stopped", True)))
         self._captures.append(cap)
         saved = (self._cb_begin, self._cb_end, self._cb_data,
                  self._cb_pi)
@@ -91,8 +121,57 @@ class CallbackParser(SGMLParser):
             (self._cb_begin, self._cb_end, self._cb_data,
              self._cb_pi) = saved
             self.stopped = False
+        if self._feed_mode and not completed:
+            raise IncompleteContentError(
+                "parse_content: element content not fully fed yet "
+                "(the buffered prefix has been consumed; this parse "
+                "cannot be resumed — use capture_content())")
         consumed = (self.charpos - self._doc_base) - start
         self._pending_skip += consumed
+        return cap.content
+
+    def _parse_content_in_entity(self):
+        """Re-entrant sub-parse while expanding an EC_SGML entity:
+        consume the rest of the innermost replacement text until the
+        current element's content closes, then advance the expansion
+        frame past the consumed span.  Content that is not closed
+        within this replacement text (it would have to continue in an
+        outer source) raises IncompleteContentError — same contract
+        as the not-yet-fed case in feed() mode."""
+        text, frame, subdepth = self._ent_frames[-1]
+        completed = []
+
+        def done(_content):
+            completed.append(True)
+            self.stopped = True
+
+        cap = self._Capture(self._depth, done)
+        self._captures.append(cap)
+        saved = (self._cb_begin, self._cb_end, self._cb_data,
+                 self._cb_pi)
+        self._cb_begin = self._cb_end = self._cb_data = self._cb_pi = None
+        start = self.charpos            # == chars consumed this frame
+        outermost = subdepth[0] == 0
+        subdepth[0] += 1
+        try:
+            self.process_chars_toplevel(text[start:])
+        finally:
+            subdepth[0] -= 1
+            (self._cb_begin, self._cb_end, self._cb_data,
+             self._cb_pi) = saved
+            self.stopped = False
+        if not completed:
+            raise IncompleteContentError(
+                "parse_content: element content does not close inside "
+                "this entity expansion (the expanded prefix has been "
+                "consumed; use capture_content())")
+        if outermost:
+            # the per-char expansion loop resumes from the frame index
+            frame[0] = self.charpos
+        else:
+            # nested inside another sub-parse over this same frame:
+            # that sub-parse's scan loop consumes the skip instead
+            self._pending_skip += self.charpos - start
         return cap.content
 
     def _cap_nodes(self, make_node):

@@ -618,7 +618,9 @@ def test_review_fixes_round2():
     from packages_sgml_spark.core.serialize import sgml_write, xml_write
     from packages_sgml_spark.core.dom import Element
 
-    # 1. parse_content inside entity expansion refuses loudly
+    # 1. parse_content inside entity expansion WORKS since round 3
+    #    (input-stack frames): the sub-parse returns the element's
+    #    content from within the replacement text
     doc = (b'<!DOCTYPE a [<!ELEMENT a - - ANY>'
            b'<!ELEMENT b - - (#PCDATA)>'
            b'<!ENTITY frag "<b>inside</b>">]>'
@@ -627,13 +629,11 @@ def test_review_fixes_round2():
 
     def on_begin(name, attrs, p):
         if name == "b":
-            with _pytest.raises(RuntimeError):
-                p.parse_content()
-            hits.append(name)
+            hits.append(p.parse_content())
 
     CallbackParser(ParserOptions(dialect="sgml"),
                    on_begin=on_begin).parse(doc)
-    assert hits == ["b"]
+    assert hits == [["inside"]]
 
     # 2. iso_latin_1 (underscore form) caps the writable range;
     #    unknown encodings raise instead of emitting a lying header
