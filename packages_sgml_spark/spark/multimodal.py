@@ -1,11 +1,21 @@
 """Multimodal column handling: image/audio/video as opaque binary
 columns with typed metadata.
 
-The decode step is STUBBED (no image/audio libs in this container):
-`decode_image` raises NotImplementedError unless `fake=True`, which
-produces a deterministic fake decode so the Spark-side plumbing
-(schema, batching, partitioning, UDF signature) is real and tested.
-On a real cluster, swap `_decode_impl` for PIL/ffmpeg.
+Decode status (round 3):
+- image: REAL pure-stdlib PNG decode (core/media.py — chunk walk,
+  zlib inflate, full scanline defilter) with 4x4 grid-pooled
+  features; non-PNG formats report status=decode_error (JPEG et al
+  genuinely need external libs).
+- audio: REAL WAV decode (stdlib wave + numpy PCM) with duration /
+  sample count / 13 FFT band energies.
+- video: container parsing (mp4/webm) genuinely needs ffmpeg-class
+  code and remains a documented stub.
+
+`fake=True` keeps the deterministic pseudo-decode used by the
+DuckDB-oracled registry queries (the oracle must replicate the
+arithmetic in SQL; a real pixel pipeline cannot be oracled there).
+Real-decode paths are verified by pytest round-trips against the
+encoder in core/media.py and stdlib-written WAV fixtures.
 """
 
 from typing import Iterator
@@ -38,13 +48,15 @@ IMAGE_FEATURES_SCHEMA = StructType([
 def _decode_impl(payload: bytes, fake: bool):
     """Decode image bytes -> (width, height, feature_vector).
 
-    STUB: real decode needs PIL/opencv (absent here).  The fake path
-    derives a deterministic pseudo-decode from the payload bytes so
-    shapes/batching are exercised end-to-end."""
+    fake=True: deterministic pseudo-decode (oracle-replicable byte
+    arithmetic) for the driver-gated registry queries.
+    fake=False: REAL PNG decode via core/media.py; raises
+    MediaDecodeError for non-PNG payloads (mapped to
+    status=decode_error by the caller)."""
     if not fake:
-        raise NotImplementedError(
-            "image decode requires PIL/opencv; run with fake=True in "
-            "this container")
+        from ..core.media import decode_png, image_grid_features
+        width, height, _ch, px = decode_png(payload)
+        return width, height, image_grid_features(px)
     h = np.frombuffer(payload[:64].ljust(64, b"\0"), dtype=np.uint8)
     width = int(64 + (int(h[0]) * 7) % 1920)
     height = int(64 + (int(h[1]) * 7) % 1080)
@@ -81,11 +93,11 @@ def image_features(media: DataFrame, fake=True,
                     out["height"].append(h)
                     out["features"].append([float(x) for x in f])
                     out["status"].append("ok")
-                except NotImplementedError:
+                except Exception:   # noqa: BLE001 - per-row isolation
                     out["width"].append(None)
                     out["height"].append(None)
                     out["features"].append(None)
-                    out["status"].append("decoder_unavailable")
+                    out["status"].append("decode_error")
             yield pd.DataFrame(out)
 
     src = media.select("media_id", "kind", "payload")
@@ -186,8 +198,10 @@ def video_frame_sample(media: DataFrame, every_ms=1000,
 
 
 def audio_features(media: DataFrame, fake=True) -> DataFrame:
-    """MFCC-style audio features (STUBBED decode; deterministic fake
-    over the payload bytes keeps the plumbing testable)."""
+    """Audio features: duration, sample count, 13-band spectral
+    energies.  fake=True keeps the oracle-replicable byte arithmetic
+    for the driver gate; fake=False does REAL WAV decode (stdlib
+    wave + numpy PCM, core/media.py) with per-row error isolation."""
 
     def fn(batches):
         for pdf in batches:
@@ -203,8 +217,22 @@ def audio_features(media: DataFrame, fake=True) -> DataFrame:
                     rows["status"].append("skipped")
                     continue
                 if not fake:
-                    raise NotImplementedError(
-                        "audio decode requires soundfile/librosa")
+                    try:
+                        from ..core.media import (
+                            decode_wav, audio_band_energies)
+                        rate, _nch, samples = decode_wav(bytes(payload))
+                        rows["duration_ms"].append(
+                            int(len(samples) * 1000 / max(rate, 1)))
+                        rows["n_samples"].append(int(len(samples)))
+                        rows["mfcc"].append(
+                            audio_band_energies(samples))
+                        rows["status"].append("ok")
+                    except Exception:   # noqa: BLE001 - row isolation
+                        rows["duration_ms"].append(None)
+                        rows["n_samples"].append(None)
+                        rows["mfcc"].append(None)
+                        rows["status"].append("decode_error")
+                    continue
                 h = np.frombuffer(payload[:52].ljust(52, b"\0"),
                                   dtype=np.uint8)
                 rows["duration_ms"].append(int(1000 + int(h[0]) * 37))
