@@ -186,10 +186,12 @@ def bench_scaling(n_lo=None, n_hi=None):
     results = {}
     # interleave the two configs twice and keep the best run of each:
     # the box is co-tenant-noisy, so single runs mislead either way
-    # larger corpus than the default bench: at high N the 6k-doc run
+    # larger corpus than the default bench: at high N a short run
     # finishes in ~2s and fixed costs (scheduling, Arrow batch ramp)
-    # dominate, understating steady-state scaling
-    n_docs = int(os.environ.get("BENCH_PARSE_DOCS", "16000"))
+    # dominate, understating steady-state scaling.  Round 3: the
+    # parser got ~1.7x faster, so 16k docs dropped local[8] under 3 s
+    # and measured 0.77; at 40k (~7 s) the same build measures 0.93.
+    n_docs = int(os.environ.get("BENCH_PARSE_DOCS", "40000"))
     for cpus in (n_lo, n_hi, n_lo, n_hi):
         spark = get_spark(app="bench-scaling-%d" % cpus, cpus=cpus)
         spark.sparkContext.setLogLevel("ERROR")
