@@ -1273,6 +1273,16 @@ class SGMLParser(DeclMixin):
                         else:
                             cdata.extend(s_)
                     i = m.end()
+                    # buffer-growth guard (entity "width bombs": tags
+                    # flush cdata, entity replays only grow it)
+                    if max_mem is not None and len(cdata) > check_at:
+                        if len(cdata) > max_mem:
+                            self.line = line
+                            self.linepos = linepos
+                            self.charpos = charpos
+                            self.gripe(*Gripes.resource("CDATA buffer"))
+                            raise StopParse()
+                        check_at = len(cdata) + (1 << 16)
                     continue
                 self.line = line
                 self.linepos = linepos
@@ -1290,6 +1300,11 @@ class SGMLParser(DeclMixin):
                 linepos = self.linepos
                 charpos = self.charpos
                 cdata = self.cdata
+                if max_mem is not None and len(cdata) > check_at:
+                    if len(cdata) > max_mem:
+                        self.gripe(*Gripes.resource("CDATA buffer"))
+                        raise StopParse()
+                    check_at = len(cdata) + (1 << 16)
                 continue
             m = re_pc.search(text, i)
             j = m.start() if m else n

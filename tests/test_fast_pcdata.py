@@ -181,6 +181,25 @@ def test_fast_pcdata_utf8_modes(encoding):
     assert out[1] == out[2]
 
 
+def test_entity_width_bomb_hits_memory_guard():
+    """Entity replays grow cdata without flushing; the executor must
+    still enforce max_memory like the general loop does per token."""
+    body = "&e;" * 5000
+    doc = ("<!DOCTYPE doc [<!ELEMENT doc (#PCDATA)>"
+           "<!ENTITY e '0123456789abcdef'>]>"
+           "<doc>" + body + "</doc>")
+    for flag in (True, False):
+        P.FAST_PCDATA = flag
+        opts = ParserOptions(dialect="sgml")
+        opts.max_memory = 4096
+        p = SGMLParser(opts)
+        p.parse(doc)
+        P.FAST_PCDATA = True
+        assert any("resources" in e.message for e in p.errors), \
+            [e.message for e in p.errors]
+        assert len(p.cdata) < 4096 + (1 << 16) + 65
+
+
 def test_entity_cache_invalidation_on_redeclaration():
     """A mid-instance <!ENTITY> redefinition must not replay the stale
     cached expansion (dtd._ent_fast invalidation)."""
