@@ -156,6 +156,36 @@ def test_fast_pcdata_differential_sgml_dialect():
     _differential(docs, SGMLParser, dialect="html")
 
 
+try:
+    from hypothesis import given, settings, strategies as st
+    _HAVE_HYP = True
+except ImportError:                                 # pragma: no cover
+    _HAVE_HYP = False
+
+
+if _HAVE_HYP:
+    _token = st.one_of(
+        st.sampled_from(WORDS),
+        st.sampled_from(TAGS).map(lambda t: "<%s>" % t),
+        st.sampled_from(TAGS).map(lambda t: "</%s>" % t),
+        st.sampled_from(["<!-- c -->", "<![CDATA[x<y]]>", "<?pi?>",
+                         "&#x41;", "&amp;", "&nope;", "\r\n", "\r",
+                         "]]>", "]", "<", "&", "< ", "<1bad>"]),
+        st.text(alphabet="ab <>&;/\r\n\t\xe9", min_size=0,
+                max_size=12),
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(_token, min_size=0, max_size=40))
+    def test_fast_pcdata_differential_hypothesis(tokens):
+        """Property: for ANY token soup, executor output ==
+        general-loop output (text, DOM, errors).  Hypothesis shrinks
+        failures to minimal counterexamples."""
+        doc = "".join(tokens)
+        _differential([doc], TextOnlyParser)
+        _differential([doc], SGMLParser)
+
+
 def test_fast_pcdata_kill_switch_stays_on():
     """The shipped default must be the fast path."""
     assert P.FAST_PCDATA is True

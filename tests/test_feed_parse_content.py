@@ -197,6 +197,46 @@ def test_parse_content_entity_unclosed_raises():
     assert caught == ["b"]
 
 
+def test_reference_corpus_chunked_feed_parity():
+    """Every reference Test/ document, push-parsed in 13-byte chunks
+    through CallbackParser, produces the same event stream + errors
+    as the whole-buffer parse — retention and chunk-boundary handling
+    hold on the real corpus, not just synthetic soup."""
+    import os
+    tdir = "/root/reference/Test"
+    if not os.path.isdir(tdir):
+        pytest.skip("reference corpus absent")
+    files = sorted(f for f in os.listdir(tdir)
+                   if f.endswith((".sgml", ".xml")))
+    assert files
+    for fn in files:
+        with open(os.path.join(tdir, fn), "rb") as f:
+            data = f.read()
+        dialect = "sgml" if fn.endswith(".sgml") else "xml"
+
+        def run_events(chunked):
+            ev = []
+            p = CallbackParser(
+                ParserOptions(dialect=dialect),
+                on_begin=lambda n, a, p_: ev.append(("b", n, a)),
+                on_end=lambda n, p_: ev.append(("e", n)),
+                on_data=lambda k, t, p_: ev.append(("d", k, t)),
+                on_pi=lambda t, p_: ev.append(("pi", t)))
+            if chunked:
+                for i in range(0, len(data), 13):
+                    p.feed(data[i:i + 13])
+                    if p.stopped:
+                        break
+                _dom, errors = p.close()
+            else:
+                _dom, errors = p.parse(data)
+            return ev, [(e.line, e.message) for e in errors]
+
+        whole = run_events(False)
+        chunked = run_events(True)
+        assert whole == chunked, fn
+
+
 def test_feed_mode_equals_whole_buffer_output():
     """Chunked feed through CallbackParser produces the same DOM and
     errors as whole-buffer parse (retention must not perturb the
