@@ -31,7 +31,8 @@ HEADLINE = [
 ]
 
 # 12k docs ≈ 88 MB: the 6k corpus finishes in <1 s at local[32] and
-# jitters; this size measures steady-state (scaling mode uses 16k)
+# jitters; this size measures steady-state (scaling mode defaults to
+# 40k — see bench_scaling)
 PARSE_DOCS = int(os.environ.get("BENCH_PARSE_DOCS", "12000"))
 
 

@@ -30,7 +30,10 @@ class DeclMixin:
     def _invalidate_replay_caches(self):
         """ELEMENT/ATTLIST/ENTITY declarations can change what a
         memoized tag or entity replay would produce (content models,
-        attribute defaults, entity values) — drop both caches."""
+        attribute defaults, entity values) — drop both caches, and
+        bump the omitted-path cache generation (find_omitted_path
+        reads other elements' omit_open flags, so its per-state memos
+        go stale on redeclaration too; model.py:OMIT_GEN)."""
         dtd = self.dtd
         memo = dtd._tag_memo
         if memo:
@@ -38,6 +41,8 @@ class DeclMixin:
         fast = dtd._ent_fast
         if fast:
             fast.clear()
+        from . import model as _M
+        _M.OMIT_GEN[0] += 1
 
     # ------------------------------------------------------------------
     # lexical helpers (parser.c:848-1198)

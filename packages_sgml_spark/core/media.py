@@ -4,10 +4,13 @@ The container has no PIL/opencv/ffmpeg, but real decode of the two
 most common training-data formats needs neither:
 
 - PNG: chunk walk + zlib inflate + scanline defilter (all five filter
-  types), 8-bit gray / gray+alpha / RGB / RGBA / palette.  The
-  defilter loop is vectorized with numpy per scanline (Sub/Paeth
-  carry a horizontal dependency, so those run per-pixel-column over
-  ndarray rows — still C-speed per row).
+  types), 8-bit gray / gray+alpha / RGB / RGBA / palette.  Up has no
+  horizontal dependency and is numpy-vectorized; Sub/Average/Paeth
+  run as plain-int bytearray loops (~50-80 ns/byte — Python-speed,
+  but 20-50x faster than numpy scalar indexing; a ~1 MP RGB Paeth
+  image decodes in roughly a second per core, fine for sampled
+  feature extraction, too slow for exhaustive 100 TB decode — that
+  tier needs the documented PIL/ffmpeg swap-in).
 - WAV: stdlib `wave` for the RIFF header + numpy PCM views (8/16/32
   bit int, mono or interleaved multichannel).
 
@@ -37,14 +40,57 @@ class MediaDecodeError(ValueError):
     pass
 
 
-def _paeth(a, b, c):
-    p = a.astype(np.int16) + b.astype(np.int16) - c.astype(np.int16)
-    pa = np.abs(p - a)
-    pb = np.abs(p - b)
-    pc = np.abs(p - c)
-    out = np.where((pa <= pb) & (pa <= pc), a,
-                   np.where(pb <= pc, b, c))
-    return out.astype(np.uint8)
+def _defilter(raw, height, stride, ch):
+    """Undo PNG scanline filters into a flat bytearray.
+
+    Up is numpy-vectorized (no horizontal dependency); Sub / Average
+    / Paeth carry a left-pixel dependency, so they run as plain-int
+    bytearray loops — ~50-80 ns per byte, 20-50x faster than
+    numpy-scalar indexing (which pays ndarray item boxing per pixel).
+    """
+    out = bytearray(height * stride)
+    prev = bytearray(stride)
+    off = 0
+    for y in range(height):
+        ftype = raw[off]
+        row = bytearray(raw[off + 1:off + 1 + stride])
+        off += stride + 1
+        if ftype == 0:                      # None
+            pass
+        elif ftype == 1:                    # Sub
+            for x in range(ch, stride):
+                row[x] = (row[x] + row[x - ch]) & 0xFF
+        elif ftype == 2:                    # Up
+            np_row = np.frombuffer(bytes(row), dtype=np.uint8) + \
+                np.frombuffer(bytes(prev), dtype=np.uint8)
+            row = bytearray(np_row.tobytes())
+        elif ftype == 3:                    # Average
+            for x in range(ch):
+                row[x] = (row[x] + (prev[x] >> 1)) & 0xFF
+            for x in range(ch, stride):
+                row[x] = (row[x] +
+                          ((row[x - ch] + prev[x]) >> 1)) & 0xFF
+        elif ftype == 4:                    # Paeth
+            for x in range(stride):
+                a = row[x - ch] if x >= ch else 0
+                b = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                p = a + b - c
+                pa = p - a if p > a else a - p
+                pb = p - b if p > b else b - p
+                pc = p - c if p > c else c - p
+                if pa <= pb and pa <= pc:
+                    pred = a
+                elif pb <= pc:
+                    pred = b
+                else:
+                    pred = c
+                row[x] = (row[x] + pred) & 0xFF
+        else:
+            raise MediaDecodeError("bad PNG filter type %d" % ftype)
+        out[y * stride:(y + 1) * stride] = row
+        prev = row
+    return out
 
 
 def decode_png(payload: bytes):
@@ -93,37 +139,9 @@ def decode_png(payload: bytes):
     stride = width * ch
     if len(raw) < height * (stride + 1):
         raise MediaDecodeError("PNG pixel data truncated")
-    out = np.empty((height, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.uint8)
-    off = 0
-    for y in range(height):
-        ftype = raw[off]
-        row = np.frombuffer(raw, dtype=np.uint8,
-                            count=stride, offset=off + 1).copy()
-        off += stride + 1
-        if ftype == 0:                      # None
-            pass
-        elif ftype == 1:                    # Sub
-            for x in range(ch, stride):
-                row[x] = (int(row[x]) + int(row[x - ch])) & 0xFF
-        elif ftype == 2:                    # Up
-            row += prev
-        elif ftype == 3:                    # Average
-            for x in range(stride):
-                left = row[x - ch] if x >= ch else 0
-                row[x] = (row[x] + ((int(left) + int(prev[x])) >> 1)) \
-                    & 0xFF
-        elif ftype == 4:                    # Paeth
-            for x in range(stride):
-                a = row[x - ch] if x >= ch else np.uint8(0)
-                c = prev[x - ch] if x >= ch else np.uint8(0)
-                row[x] = (int(row[x]) + int(_paeth(
-                    np.uint8(a), prev[x], np.uint8(c)))) & 0xFF
-        else:
-            raise MediaDecodeError("bad PNG filter type %d" % ftype)
-        out[y] = row
-        prev = out[y]
-    px = out.reshape(height, width, ch)
+    flat = _defilter(raw, height, stride, ch)
+    px = np.frombuffer(bytes(flat), dtype=np.uint8) \
+        .reshape(height, width, ch)
     if color_type == 3:
         if palette is None:
             raise MediaDecodeError("palette PNG without PLTE")

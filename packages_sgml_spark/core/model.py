@@ -36,6 +36,14 @@ C_EMPTY, C_CDATA, C_RCDATA, C_ANY, C_PCDATA = range(5)
 MAX_VISITED = 256
 MAXOMITTED = 32
 
+# find_omitted_path cache generation: unlike the transition/same_state
+# memos (pure graph reachability, unaffected by redeclaration), the
+# omitted-path DFS reads other elements' omit_open flags and builds
+# their engines, so an ELEMENT (re)declaration can change its result.
+# DeclMixin._invalidate_replay_caches bumps this; stale-generation
+# memos are discarded lazily.
+OMIT_GEN = [0]
+
 
 class Model:
     __slots__ = ("type", "cardinality", "element", "group")
@@ -56,7 +64,8 @@ class State:
         self.expander = None      # (target_state, [Model, ...]) for AND groups
         self.memo = None          # {element_id: State|None} transition cache
         self.same_memo = None     # {final_id: bool} same_state cache
-        self.omit_memo = None     # {element_id: list|None} omitted-path cache
+        self.omit_memo = None     # (OMIT_GEN, {element_id: list|None})
+                                  # generation-stamped omitted-path cache
 
 
 def link(frm: State, to: State, elem) -> None:
@@ -219,13 +228,21 @@ def find_omitted_path(state: Optional[State], e) -> Optional[list]:
     """DFS for a chain of omit-open elements reaching e
     (model.c:236-285).  Returns list of Elements to open, or None.
 
-    Memoized per state like make_dtd_transition/same_state (the state
-    graph and the omit_open flags / engines of *defined* elements the
-    DFS traverses are immutable once built, so the cache is exact);
-    callers only iterate the result, never mutate it."""
+    Memoized per state like make_dtd_transition/same_state, but
+    generation-stamped: the DFS reads other elements' omit_open flags
+    and content models, which an ELEMENT (re)declaration can change —
+    DeclMixin._invalidate_replay_caches bumps OMIT_GEN and stale
+    memos are discarded here.  Callers only iterate the result, never
+    mutate it."""
     if state is None:
         return None
-    memo = state.omit_memo
+    gen = OMIT_GEN[0]
+    memo_entry = state.omit_memo
+    memo = None
+    if memo_entry is not None:
+        mgen, memo = memo_entry
+        if mgen != gen:
+            memo = None
     key = id(e)
     if memo is not None:
         try:
@@ -256,7 +273,7 @@ def find_omitted_path(state: Optional[State], e) -> Optional[list]:
 
     result = path if walk(state) else None
     if memo is None:
-        state.omit_memo = {key: result}
+        state.omit_memo = (gen, {key: result})
     else:
         memo[key] = result
     return result

@@ -435,6 +435,11 @@ class SGMLParser(DeclMixin):
         parser.c:4682-4718 begin/putchar/end lifecycle): feed any
         byte chunking; the FSM carries state across chunk
         boundaries.  Call close() at end of input."""
+        if self.stopped:
+            # a stopped parser ignores further input; without this a
+            # retention-mode feed would keep growing _doc_text (and
+            # re-griping) after the max_memory stop
+            return self
         if isinstance(data, (bytes, bytearray)):
             data = bytes(data)
             if self._stream_encoding is not None:

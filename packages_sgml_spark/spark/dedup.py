@@ -67,9 +67,13 @@ def minhash_signatures(docs: DataFrame, k=N_HASHES) -> DataFrame:
     set sizes.)  This also removes the round-2 allocation hot spot —
     the exploded shingle rows were the bench's GC-churn driver."""
     from .util import spread
-    # NULL text produced no exploded rows in the round-2 shape; keep
-    # the same row set in the per-row shape
-    docs = spread(docs.filter(F.col("text").isNotNull()), "doc_id")
+    # NULL text: norm_words(NULL) -> NULL array, so the when() falls
+    # to the otherwise branch and concat_ws over the NULL array
+    # yields '' — one empty shingle, exactly what the round-2
+    # explode+groupBy shape produced (verified: r2 emitted a
+    # signature row h_i = md5('i:') for NULL and empty text alike).
+    # No filter here — the row set must not change.
+    docs = spread(docs, "doc_id")
     words = norm_words(F.col("text"))
     n = F.size(words)
     sh = F.when(n >= SHINGLE_W, F.transform(

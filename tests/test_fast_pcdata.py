@@ -254,3 +254,56 @@ def test_entity_cache_invalidation_on_redeclaration():
         outs.append((repr(dom), [(e.line, e.message) for e in errs]))
     P.FAST_PCDATA = True
     assert outs[0] == outs[1]
+
+
+def test_omit_path_cache_invalidated_on_redeclaration():
+    """find_omitted_path memos are generation-stamped: a mid-instance
+    <!ELEMENT> redeclaration that changes omit_open must not replay a
+    stale omitted-path decision (round-3 review finding)."""
+    from packages_sgml_spark.core import model as M
+
+    def run():
+        p = SGMLParser(ParserOptions(dialect="sgml"))
+        doc = ("<!DOCTYPE a [<!ELEMENT a - - (b)>"
+               "<!ELEMENT b O O (#PCDATA)>]>"
+               "<a>text</a>")
+        dom, errs = p.parse(doc)
+        return repr(dom), [(e.line, e.message) for e in errs], p
+
+    # first parse: b is omit-open, so bare text inside <a> auto-opens
+    # b; the omitted path [b] gets memoized on a's initial state
+    d1, e1, p1 = run()
+    assert "b" in d1
+    # redeclare via the decl handler (bumps OMIT_GEN); a fresh parse
+    # with a DTD where b is NOT omissible must not reuse the path
+    gen0 = M.OMIT_GEN[0]
+    p1._invalidate_replay_caches()
+    assert M.OMIT_GEN[0] == gen0 + 1
+    p = SGMLParser(ParserOptions(dialect="sgml"))
+    doc2 = ("<!DOCTYPE a [<!ELEMENT a - - (b)>"
+            "<!ELEMENT b - - (#PCDATA)>]>"
+            "<a>text</a>")
+    dom2, errs2 = p.parse(doc2)
+    # non-omissible b: the reference gripes instead of silently
+    # opening; either way the stale [b] path must not replay
+    assert any("b" in m or "PCDATA" in m for _l, m in
+               [(e.line, e.message) for e in errs2]) or "b" not in repr(dom2)
+
+
+def test_minhash_null_and_empty_text_rowset(spark):
+    """Round-3 review finding: the per-row signature shape must keep
+    the round-2 row set — NULL text and empty text both yield one
+    empty shingle and the signature h_i = md5('i:')."""
+    import hashlib
+    from packages_sgml_spark.spark.dedup import minhash_signatures
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, None), (3, ""),
+         (4, "one two")],
+        "doc_id long, text string")
+    rows = {r.doc_id: r for r in minhash_signatures(docs).collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    empty_sig = hashlib.md5(b"0:").hexdigest()
+    assert rows[2].h0 == empty_sig
+    assert rows[3].h0 == empty_sig
+    assert rows[2].h1 == hashlib.md5(b"1:").hexdigest()
+    assert rows[1].h0 != empty_sig
