@@ -113,9 +113,12 @@ def test_multimodal_plumbing(spark):
     assert len(ok) == 20 and len(skipped) == 10   # audio rows skipped
     assert all(len(r.features) == 16 for r in ok)
     assert all(64 <= r.width < 1984 for r in ok)
-    # stub contract: real decode path raises cleanly
+    # round-3 contract: fake=False is a REAL PNG decode now — garbage
+    # raises MediaDecodeError (the Spark caller maps it to
+    # status=decode_error), real PNGs decode (test_media_decode.py)
+    from packages_sgml_spark.core.media import MediaDecodeError
     from packages_sgml_spark.spark.multimodal import _decode_impl
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(MediaDecodeError):
         _decode_impl(b"xx", fake=False)
 
 
