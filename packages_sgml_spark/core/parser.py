@@ -630,8 +630,11 @@ class SGMLParser(DeclMixin):
                         not self.waiting_for_net and
                         self.mark_state == MS_INCLUDE and not self.marked):
                     dtd_ = self.dtd
+                    # XML dialects ride the executor too (shorttag is
+                    # False there and the memo exists; XMLNS is
+                    # excluded by its None memo) — the executor calls
+                    # update_space_mode per begin tag for them
                     if (FAST_PCDATA and not dtd_.shorttag and
-                            dtd_.dialect not in D.XML_DIALECTS and
                             dtd_._tag_memo is not None):
                         j = self._pcdata_fast(text, i, n)
                         if j != i:
@@ -806,6 +809,7 @@ class SGMLParser(DeclMixin):
         re_pc = _RE_PCFAST_U if utf8 else _RE_PCFAST
         tag_match = _RE_FULLTAG.match
         ent_match = _RE_FULLENT.match
+        is_xml = dtd.dialect in D.XML_DIALECTS
         has_inex = dtd.has_inex
         if has_inex and dtd._inex_members is None:
             # force the lazy member set so the per-tag pre-filter is a
@@ -1096,7 +1100,11 @@ class SGMLParser(DeclMixin):
                         self.open_element(e, True)
                         cdata = self.cdata
                         pure = False
-                    # (update_space_mode skipped: non-XML dialect)
+                    if is_xml:
+                        # xml:space / element space-mode handling
+                        # (_replay_tag mirror for XML dialects); only
+                        # mutates env.space_mode or gripes
+                        self.update_space_mode(e, atts)
                     if not begin_noop:
                         self._emitting_empty = bool(empty_el)
                         self._emit_begin(e, atts)

@@ -307,3 +307,53 @@ def test_minhash_null_and_empty_text_rowset(spark):
     assert rows[3].h0 == empty_sig
     assert rows[2].h1 == hashlib.md5(b"1:").hexdigest()
     assert rows[1].h0 != empty_sig
+
+
+def test_fast_pcdata_differential_xml_dialects():
+    """Round-3 extension: XML dialects ride the executor (with the
+    per-begin update_space_mode call).  Differential over XML soup
+    including xml:space switching, empty elements, CDATA sections,
+    and predefined entities."""
+    docs = [
+        '<?xml version="1.0"?><doc><a>text</a><b/></doc>',
+        '<doc><pre xml:space="preserve">  kept  </pre>'
+        '<p xml:space="default">  collapsed  </p></doc>',
+        '<doc>&lt;tag&gt; &amp; &quot;q&quot; &apos;a&apos;</doc>',
+        '<doc><![CDATA[raw < & > stuff]]></doc>',
+        '<doc><a href="x">link</a><empty/><selfclose attr="v"/></doc>',
+        '<doc>\n  <indented>\n    text\n  </indented>\n</doc>',
+        '<doc><bad</doc>',
+        '<doc>unclosed',
+        '<doc>a]]>b</doc>',
+        '<doc>&undefined;</doc>',
+        '<doc att="&amp;ent">t</doc>',
+        '<a><b><c><d>deep</d></c></b></a>',
+    ]
+    for dialect in ("xml", "xhtml"):
+        _differential(docs, SGMLParser, dialect=dialect)
+
+
+def test_fast_pcdata_xml_soup_differential():
+    rng = random.Random(13579)
+    docs = []
+    for _ in range(60):
+        parts = []
+        for _ in range(40):
+            r = rng.random()
+            if r < 0.4:
+                parts.append(rng.choice(
+                    ["text", " ", "\n", "&amp;", "&#65;", "x&y",
+                     "caf\xe9", "]]>", "a<b"]))
+            elif r < 0.65:
+                t = rng.choice(["a", "b", "item", "Mixed", "UPPER"])
+                parts.append(rng.choice(
+                    ["<%s>" % t, "<%s/>" % t,
+                     '<%s k="v" xml:space="preserve">' % t]))
+            elif r < 0.9:
+                parts.append("</%s>" % rng.choice(
+                    ["a", "b", "item", "Mixed", "UPPER"]))
+            else:
+                parts.append(rng.choice(
+                    ["<!-- c -->", "<![CDATA[x]]>", "<?pi?>"]))
+        docs.append("".join(parts))
+    _differential(docs, SGMLParser, dialect="xml")
