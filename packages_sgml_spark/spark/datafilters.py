@@ -1,0 +1,122 @@
+"""Corpus-hygiene operators for training-data pipelines: benchmark
+contamination detection, within-document repetition statistics
+(Gopher/MassiveText-style quality rules), and PII scrubbing.
+
+All pure Spark SQL (JVM, whole-stage codegen — zero Python in the hot
+path) with exact DuckDB oracles in spark/oracles.py.
+
+Scale design:
+- contamination: the benchmark side is tiny by construction (eval
+  sets); its n-gram table broadcast-joins against the corpus n-gram
+  explode — one scan of the corpus, no corpus-side shuffle besides
+  the per-doc count aggregate on doc_id (the natural key, no skew).
+- repetition: entirely per-row higher-order functions — a narrow map.
+- pii_scrub: regexp functions per row — a narrow map.
+"""
+
+from pyspark.sql import DataFrame, functions as F
+
+from .dedup import norm_words
+
+CONTAM_N = 5          # words per contamination shingle
+BENCH_MOD = 97        # doc_id % BENCH_MOD == 0 -> benchmark member
+
+
+def _word_ngrams(words_col, n):
+    """Array of n-word shingles of a words array (SQL-only)."""
+    cnt = F.size(words_col)
+    return F.when(cnt >= n, F.transform(
+        F.sequence(F.lit(0), cnt - n),
+        lambda i: F.concat_ws(" ", F.slice(words_col, i + 1, n)),
+    )).otherwise(F.array())
+
+
+def contamination(docs: DataFrame, n=CONTAM_N,
+                  bench_mod=BENCH_MOD) -> DataFrame:
+    """Flag training documents sharing any word n-gram with a
+    benchmark set (decontamination pass).  The benchmark here is the
+    deterministic doc_id % bench_mod == 0 subset — self-contained for
+    the driver tables; swap in an eval-set table in production.
+
+    Output: (doc_id, n_contaminated, contaminated) for NON-benchmark
+    docs, sorted-by-construction-free (driver compares unordered)."""
+    from .util import spread
+    docs = spread(docs, "doc_id")
+    words = norm_words(F.col("text"))
+    grams = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(_word_ngrams(words, n)))
+        .alias("gram"))
+    bench = (grams.filter(F.col("doc_id") % bench_mod == 0)
+             .select(F.col("gram").alias("bgram")).distinct())
+    train = grams.filter(F.col("doc_id") % bench_mod != 0)
+    hits = (train.join(F.broadcast(bench),
+                       train.gram == bench.bgram, "left")
+            .groupBy("doc_id")
+            .agg(F.count(F.col("bgram")).alias("n_contaminated")))
+    return hits.select(
+        "doc_id",
+        F.col("n_contaminated").cast("bigint").alias("n_contaminated"),
+        (F.col("n_contaminated") > 0).cast("int").alias("contaminated"))
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Within-document repetition fractions (quality-filter features
+    in the Gopher/MassiveText family), entirely per-row:
+
+    - dup_word_frac:  1 - distinct_words / words
+    - dup_line_frac:  1 - distinct_lines / lines   (split on \\n)
+    - dup_3gram_frac: 1 - distinct word-3-grams / word-3-grams
+
+    Empty docs report zeros."""
+    from .util import spread
+    docs = spread(docs, "doc_id")
+    words = norm_words(F.col("text"))
+    lines = F.split(F.col("text"), "\n")
+    grams = _word_ngrams(words, 3)
+
+    def dup_frac(arr):
+        n = F.size(arr)
+        return F.when(n > 0, F.round(
+            1.0 - F.size(F.array_distinct(arr)) / n, 6)) \
+            .otherwise(F.lit(0.0))
+
+    return docs.select(
+        "doc_id",
+        F.size(words).cast("bigint").alias("n_words"),
+        dup_frac(words).alias("dup_word_frac"),
+        dup_frac(lines).alias("dup_line_frac"),
+        dup_frac(grams).alias("dup_3gram_frac"))
+
+
+# PII patterns — deliberately conservative and identical across
+# engines (Java regex in Spark, RE2-ish in DuckDB: the subset below
+# behaves the same in both).
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+IPV4_RE = ("\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b")
+PHONE_RE = "\\+[0-9]{1,3}[- ][0-9]{3,4}[- ][0-9]{3,6}"
+
+
+def pii_scrub(docs: DataFrame) -> DataFrame:
+    """Redact emails, IPv4 addresses and international phone numbers;
+    report per-doc counts.  Redaction order: email, ip, phone (the
+    oracle applies the identical order)."""
+    from .util import spread
+    docs = spread(docs, "doc_id")
+    t = F.col("text")
+    # column-API regexp functions (not F.expr): SQL string literals
+    # would re-process the pattern's backslash escapes
+    n_email = F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), F.lit(0)))
+    n_ip = F.size(F.regexp_extract_all(t, F.lit(IPV4_RE), F.lit(0)))
+    n_phone = F.size(F.regexp_extract_all(t, F.lit(PHONE_RE), F.lit(0)))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, EMAIL_RE, "<EMAIL>"),
+            IPV4_RE, "<IP>"),
+        PHONE_RE, "<PHONE>")
+    return docs.select(
+        "doc_id",
+        scrubbed.alias("scrubbed"),
+        n_email.cast("bigint").alias("n_emails"),
+        n_ip.cast("bigint").alias("n_ips"),
+        n_phone.cast("bigint").alias("n_phones"))

@@ -700,3 +700,74 @@ FROM base b
 LEFT JOIN lhit ON b.q_id = lhit.q_id
 LEFT JOIN ihit ON b.q_id = ihit.q_id""" % (
     ORACLES["knn_cosine"], ORACLES["knn_lsh"], ORACLES["knn_ivf"])
+
+
+# ---------------------------------------------------------------------
+# round-3 corpus-hygiene operators (spark/datafilters.py)
+# ---------------------------------------------------------------------
+
+_NORM_WORDS = """
+words AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(
+           regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')
+           AS ws
+  FROM documents)"""
+
+ORACLES["contamination"] = "WITH " + _NORM_WORDS + """,
+g AS (
+  SELECT doc_id,
+         unnest(list_distinct(
+           CASE WHEN len(ws) >= 5 THEN
+             [array_to_string(ws[i:i+4], ' ')
+              FOR i IN range(1, len(ws) - 3)]
+           ELSE [] END)) AS gram
+  FROM words),
+bench AS (SELECT DISTINCT gram AS bgram FROM g WHERE doc_id % 97 = 0),
+train AS (SELECT * FROM g WHERE doc_id % 97 <> 0)
+SELECT t.doc_id,
+       CAST(count(b.bgram) AS BIGINT) AS n_contaminated,
+       CAST(count(b.bgram) > 0 AS INT) AS contaminated
+FROM train t LEFT JOIN bench b ON t.gram = b.bgram
+GROUP BY t.doc_id"""
+
+ORACLES["repetition_stats"] = "WITH " + _NORM_WORDS + """,
+feat AS (
+  SELECT doc_id, ws,
+         string_split(text, chr(10)) AS lns,
+         CASE WHEN len(ws) >= 3 THEN
+           [array_to_string(ws[i:i+2], ' ')
+            FOR i IN range(1, len(ws) - 1)]
+         ELSE [] END AS g3
+  FROM words)
+SELECT doc_id,
+       CAST(len(ws) AS BIGINT) AS n_words,
+       CASE WHEN len(ws) > 0 THEN
+         round(1.0 - CAST(len(list_distinct(ws)) AS DOUBLE)
+               / len(ws), 6) ELSE 0.0 END AS dup_word_frac,
+       CASE WHEN len(lns) > 0 THEN
+         round(1.0 - CAST(len(list_distinct(lns)) AS DOUBLE)
+               / len(lns), 6) ELSE 0.0 END AS dup_line_frac,
+       CASE WHEN len(g3) > 0 THEN
+         round(1.0 - CAST(len(list_distinct(g3)) AS DOUBLE)
+               / len(g3), 6) ELSE 0.0 END AS dup_3gram_frac
+FROM feat"""
+
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_IP = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+_PII_PHONE = "\\+[0-9]{1,3}[- ][0-9]{3,4}[- ][0-9]{3,6}"
+
+ORACLES["pii_scrub"] = """
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(text,
+         '%(email)s', '<EMAIL>', 'g'),
+         '%(ip)s', '<IP>', 'g'),
+         '%(phone)s', '<PHONE>', 'g') AS scrubbed,
+       CAST(len(regexp_extract_all(text, '%(email)s')) AS BIGINT)
+         AS n_emails,
+       CAST(len(regexp_extract_all(text, '%(ip)s')) AS BIGINT)
+         AS n_ips,
+       CAST(len(regexp_extract_all(text, '%(phone)s')) AS BIGINT)
+         AS n_phones
+FROM documents""" % {"email": _PII_EMAIL, "ip": _PII_IP,
+                     "phone": _PII_PHONE}

@@ -764,3 +764,33 @@ def q_dedup_components(spark, sf_dir):
 
 
 QUERIES["dedup_components"] = q_dedup_components
+
+
+# ---------------------------------------------------------------------
+# round-3 corpus-hygiene operators (spark/datafilters.py)
+# ---------------------------------------------------------------------
+
+def q_contamination(spark, sf_dir):
+    """Benchmark decontamination: non-benchmark docs sharing any
+    5-word n-gram with the deterministic benchmark subset."""
+    from . import datafilters
+    return datafilters.contamination(_t(spark, sf_dir, "documents"))
+
+
+QUERIES["contamination"] = q_contamination
+
+
+def q_repetition_stats(spark, sf_dir):
+    from . import datafilters
+    return datafilters.repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+QUERIES["repetition_stats"] = q_repetition_stats
+
+
+def q_pii_scrub(spark, sf_dir):
+    from . import datafilters
+    return datafilters.pii_scrub(_t(spark, sf_dir, "documents"))
+
+
+QUERIES["pii_scrub"] = q_pii_scrub

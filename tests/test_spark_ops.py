@@ -522,3 +522,53 @@ def test_spread_semantics(spark):
     # rows preserved exactly
     assert sorted(r.doc_id for r in spread(narrow, "doc_id")
                   .collect()) == list(range(1000))
+
+
+def test_contamination_planted(spark):
+    """A doc sharing a 5-gram with the benchmark subset (doc_id % 97
+    == 0) is flagged; an unrelated doc is not; benchmark members are
+    excluded from the output."""
+    from packages_sgml_spark.spark.datafilters import contamination
+    bench_text = ("the quick brown fox jumps over the lazy dog "
+                  "while rain falls softly")
+    rows = [
+        (0, bench_text),                                  # benchmark
+        (1, "intro words then the quick brown fox jumps over "
+            "something else"),                            # contaminated
+        (2, "totally unrelated content about spark shuffle "
+            "partitions and arrow batches here"),         # clean
+        (3, "tiny doc"),                                  # <5 words: absent
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in contamination(docs).collect()}
+    assert 0 not in out                 # benchmark member excluded
+    assert 3 not in out                 # too short to emit 5-grams
+    assert out[1].contaminated == 1 and out[1].n_contaminated >= 1
+    assert out[2].contaminated == 0 and out[2].n_contaminated == 0
+
+
+def test_repetition_stats_planted(spark):
+    from packages_sgml_spark.spark.datafilters import repetition_stats
+    rows = [
+        (1, "unique words only here today"),
+        (2, "spam spam spam spam"),
+        (3, "line\nline\nother"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in repetition_stats(docs).collect()}
+    assert out[1].dup_word_frac == 0.0
+    assert out[2].dup_word_frac == 0.75          # 1 distinct of 4
+    assert out[2].dup_3gram_frac == 0.5          # 1 distinct of 2
+    assert out[3].dup_line_frac == round(1 - 2 / 3, 6)
+
+
+def test_pii_scrub_planted(spark):
+    from packages_sgml_spark.spark.datafilters import pii_scrub
+    rows = [(1, "mail bob@example.com or admin@sub.domain.org, "
+                "host 192.168.0.1, call +1 555 123456 now")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    r = pii_scrub(docs).collect()[0]
+    assert r.n_emails == 2 and r.n_ips == 1 and r.n_phones == 1
+    assert "<EMAIL>" in r.scrubbed and "<IP>" in r.scrubbed \
+        and "<PHONE>" in r.scrubbed
+    assert "bob@" not in r.scrubbed and "192.168" not in r.scrubbed
