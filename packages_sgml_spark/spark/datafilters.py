@@ -120,3 +120,54 @@ def pii_scrub(docs: DataFrame) -> DataFrame:
         n_email.cast("bigint").alias("n_emails"),
         n_ip.cast("bigint").alias("n_ips"),
         n_phone.cast("bigint").alias("n_phones"))
+
+
+def messy_urls(docs: DataFrame) -> DataFrame:
+    """Deterministic crawl-style messy URLs from doc_id (mixed-case
+    scheme/host, default port, duplicate-alias paths, tracking params,
+    fragments) — SQL-reconstructable for the oracle."""
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("HTTPS://Host"), (d % 50).cast("string"),
+        F.lit(".Example.ORG:443/path/"), (d % 200).cast("string"),
+        F.when(d % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(d % 2 == 0,
+               F.concat(F.lit("?id="), (d % 7).cast("string"),
+                        F.lit("&utm_source=feed"))).otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.lit("#frag")).otherwise(F.lit("")))
+    return docs.select("doc_id", url.alias("url"))
+
+
+def canonicalize_url(col):
+    """Crawl URL canonicalization, pure string/regex ops (identical
+    semantics in Spark and DuckDB):
+    1. lowercase the scheme://host[:port] prefix
+    2. drop :443 (https default port)
+    3. drop the fragment
+    4. drop utm_* tracking parameters (trailing '&utm_...' form)
+    5. drop a terminal '/'"""
+    c = col
+    prefix = F.lower(F.regexp_extract(c, "^[^/]+//[^/]+", 0))
+    rest = F.regexp_replace(c, "^[^/]+//[^/]+", "")
+    c = F.concat(prefix, rest)
+    c = F.regexp_replace(c, ":443/", "/")
+    c = F.regexp_replace(c, "#.*$", "")
+    c = F.regexp_replace(c, "&utm_[^&#]*", "")
+    c = F.regexp_replace(c, "/$", "")
+    return c
+
+
+def url_dedup(docs: DataFrame) -> DataFrame:
+    """Canonical-URL dedup over the messy synthetic URL table:
+    (url_canon, n_aliases, keep_doc_id) — one hash-groupBy shuffle on
+    the canonical key (uniform by construction)."""
+    from .util import spread
+    urls = messy_urls(spread(docs, "doc_id"))
+    canon = urls.select(
+        "doc_id", canonicalize_url(F.col("url")).alias("url_canon"))
+    return (canon.groupBy("url_canon")
+            .agg(F.count("*").alias("n_aliases"),
+                 F.min("doc_id").alias("keep_doc_id"))
+            .select("url_canon",
+                    F.col("n_aliases").cast("bigint").alias("n_aliases"),
+                    "keep_doc_id"))

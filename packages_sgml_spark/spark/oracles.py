@@ -771,3 +771,27 @@ SELECT doc_id,
          AS n_phones
 FROM documents""" % {"email": _PII_EMAIL, "ip": _PII_IP,
                      "phone": _PII_PHONE}
+
+ORACLES["url_dedup"] = """
+WITH u AS (
+  SELECT doc_id,
+         'HTTPS://Host' || CAST(doc_id % 50 AS VARCHAR) ||
+         '.Example.ORG:443/path/' || CAST(doc_id % 200 AS VARCHAR) ||
+         CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END ||
+         CASE WHEN doc_id % 2 = 0 THEN
+           '?id=' || CAST(doc_id % 7 AS VARCHAR) || '&utm_source=feed'
+         ELSE '' END ||
+         CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END AS url
+  FROM documents),
+c AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+           lower(regexp_extract(url, '^[^/]+//[^/]+', 0)) ||
+           regexp_replace(url, '^[^/]+//[^/]+', ''),
+           ':443/', '/'), '#.*$', ''), '&utm_[^&#]*', ''), '/$', '')
+           AS url_canon
+  FROM u)
+SELECT url_canon,
+       CAST(count(*) AS BIGINT) AS n_aliases,
+       min(doc_id) AS keep_doc_id
+FROM c GROUP BY url_canon"""

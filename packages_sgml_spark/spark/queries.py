@@ -794,3 +794,13 @@ def q_pii_scrub(spark, sf_dir):
 
 
 QUERIES["pii_scrub"] = q_pii_scrub
+
+
+def q_url_dedup(spark, sf_dir):
+    """Canonical-URL dedup (normalize messy crawl URLs, group
+    aliases, keep min doc_id)."""
+    from . import datafilters
+    return datafilters.url_dedup(_t(spark, sf_dir, "documents"))
+
+
+QUERIES["url_dedup"] = q_url_dedup

@@ -572,3 +572,27 @@ def test_pii_scrub_planted(spark):
     assert "<EMAIL>" in r.scrubbed and "<IP>" in r.scrubbed \
         and "<PHONE>" in r.scrubbed
     assert "bob@" not in r.scrubbed and "192.168" not in r.scrubbed
+
+
+def test_url_dedup_planted(spark):
+    """URL canonicalization: aliases (case, :443, fragment, utm
+    params, trailing slash) collapse; keep_doc_id = min alias."""
+    from packages_sgml_spark.spark.datafilters import (
+        canonicalize_url, url_dedup)
+    from pyspark.sql import functions as F
+    urls = spark.createDataFrame(
+        [(1, "HTTPS://A.Example.ORG:443/x/?id=1&utm_source=f#frag"),
+         (2, "https://a.example.org/x/?id=1")],
+        "doc_id long, url string")
+    canon = urls.select(canonicalize_url(F.col("url")).alias("c")) \
+        .collect()
+    assert canon[0].c == canon[1].c == "https://a.example.org/x/?id=1"
+    docs = spark.createDataFrame(
+        [(i,) for i in (7, 607)], "doc_id long")   # 7 % 200 == 607 % 200?
+    # 607 % 200 = 7: same path; 607 % 50 = 7 == 7 % 50: same host;
+    # parity/frag/slash flags differ -> still same canonical? 7%3=1,
+    # 607%3=1 (no slash both); 7%2=1, 607%2=1 (no params); 7%5=2,
+    # 607%5=2 (no frag).  Identical messy urls -> 1 canon, 2 aliases.
+    out = url_dedup(docs).collect()
+    assert len(out) == 1
+    assert out[0].n_aliases == 2 and out[0].keep_doc_id == 7
