@@ -43,13 +43,22 @@ def contamination(docs: DataFrame, n=CONTAM_N,
     from .util import spread
     docs = spread(docs, "doc_id")
     words = norm_words(F.col("text"))
-    grams = docs.select(
-        "doc_id",
-        F.explode(F.array_distinct(_word_ngrams(words, n)))
-        .alias("gram"))
-    bench = (grams.filter(F.col("doc_id") % bench_mod == 0)
-             .select(F.col("gram").alias("bgram")).distinct())
-    train = grams.filter(F.col("doc_id") % bench_mod != 0)
+
+    def grams_of(df):
+        return df.select(
+            "doc_id",
+            F.explode(F.array_distinct(_word_ngrams(words, n)))
+            .alias("gram"))
+
+    # benchmark n-gram set: computed ONCE and materialized (it is
+    # tiny — an eval set), so the main plan is a SINGLE corpus scan
+    # joined against broadcast literals instead of the doubled
+    # scan+shingle subtree a naive self-referencing grams frame
+    # produces (the round-1 minhash bug class)
+    bench = (grams_of(docs.filter(F.col("doc_id") % bench_mod == 0))
+             .select(F.col("gram").alias("bgram")).distinct()
+             .localCheckpoint(eager=True))
+    train = grams_of(docs.filter(F.col("doc_id") % bench_mod != 0))
     hits = (train.join(F.broadcast(bench),
                        train.gram == bench.bgram, "left")
             .groupBy("doc_id")

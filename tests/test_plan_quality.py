@@ -81,6 +81,17 @@ def test_minhash_signatures_zero_shuffle(spark):
     assert ex <= 1 and ("REPARTITION" in p or ex == 0), p
 
 
+def test_contamination_single_scan(spark):
+    """The benchmark n-gram set is checkpointed once, so the main
+    contamination plan scans the corpus parquet exactly once (train
+    side) and broadcast-joins materialized literals."""
+    from packages_sgml_spark.spark.queries import QUERIES
+    p = _plan(QUERIES["contamination"](spark, SF))
+    assert p.count("Scan parquet") == 1, p
+    assert "Scan ExistingRDD" in p or "LocalTableScan" in p, p
+    assert "BroadcastExchange" in p, p
+
+
 def test_knn_ivf_single_centroid_subtree(spark):
     """Regression net for the round-2 duplicated centroid subtree:
     cents is localCheckpoint'd inside ivf_knn, so the plan must NOT
