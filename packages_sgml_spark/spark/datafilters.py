@@ -108,21 +108,25 @@ PHONE_RE = "\\+[0-9]{1,3}[- ][0-9]{3,4}[- ][0-9]{3,6}"
 
 def pii_scrub(docs: DataFrame) -> DataFrame:
     """Redact emails, IPv4 addresses and international phone numbers;
-    report per-doc counts.  Redaction order: email, ip, phone (the
-    oracle applies the identical order)."""
+    report per-doc counts.  Redaction is sequential (email, then ip,
+    then phone) and each count is computed on the text as it stood
+    BEFORE that stage — so every count equals the number of tokens
+    that stage inserted, even when patterns overlap (e.g. a phone-like
+    prefix consumed by an email match is not double-counted).  The
+    oracle applies the identical staging."""
     from .util import spread
     docs = spread(docs, "doc_id")
     t = F.col("text")
     # column-API regexp functions (not F.expr): SQL string literals
     # would re-process the pattern's backslash escapes
+    after_email = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
+    after_ip = F.regexp_replace(after_email, IPV4_RE, "<IP>")
+    scrubbed = F.regexp_replace(after_ip, PHONE_RE, "<PHONE>")
     n_email = F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), F.lit(0)))
-    n_ip = F.size(F.regexp_extract_all(t, F.lit(IPV4_RE), F.lit(0)))
-    n_phone = F.size(F.regexp_extract_all(t, F.lit(PHONE_RE), F.lit(0)))
-    scrubbed = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(t, EMAIL_RE, "<EMAIL>"),
-            IPV4_RE, "<IP>"),
-        PHONE_RE, "<PHONE>")
+    n_ip = F.size(F.regexp_extract_all(after_email, F.lit(IPV4_RE),
+                                       F.lit(0)))
+    n_phone = F.size(F.regexp_extract_all(after_ip, F.lit(PHONE_RE),
+                                          F.lit(0)))
     return docs.select(
         "doc_id",
         scrubbed.alias("scrubbed"),
@@ -154,7 +158,9 @@ def canonicalize_url(col):
     2. drop :443 (https default port)
     3. drop the fragment
     4. drop utm_* tracking parameters (trailing '&utm_...' form)
-    5. drop a terminal '/'"""
+    5. drop a terminal '/' and a '/' directly before the query
+       string ('/path/?q' == '/path?q' — without this, slash aliases
+       with query strings never collapse)"""
     c = col
     prefix = F.lower(F.regexp_extract(c, "^[^/]+//[^/]+", 0))
     rest = F.regexp_replace(c, "^[^/]+//[^/]+", "")
@@ -162,6 +168,7 @@ def canonicalize_url(col):
     c = F.regexp_replace(c, ":443/", "/")
     c = F.regexp_replace(c, "#.*$", "")
     c = F.regexp_replace(c, "&utm_[^&#]*", "")
+    c = F.regexp_replace(c, "/\\?", "?")
     c = F.regexp_replace(c, "/$", "")
     return c
 

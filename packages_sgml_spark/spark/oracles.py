@@ -758,19 +758,24 @@ _PII_IP = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
 _PII_PHONE = "\\+[0-9]{1,3}[- ][0-9]{3,4}[- ][0-9]{3,6}"
 
 ORACLES["pii_scrub"] = """
+WITH staged AS (
+  SELECT doc_id, text,
+         regexp_replace(text, '%(email)s', '<EMAIL>', 'g') AS t1
+  FROM documents),
+staged2 AS (
+  SELECT doc_id, text, t1,
+         regexp_replace(t1, '%(ip)s', '<IP>', 'g') AS t2
+  FROM staged)
 SELECT doc_id,
-       regexp_replace(regexp_replace(regexp_replace(text,
-         '%(email)s', '<EMAIL>', 'g'),
-         '%(ip)s', '<IP>', 'g'),
-         '%(phone)s', '<PHONE>', 'g') AS scrubbed,
+       regexp_replace(t2, '%(phone)s', '<PHONE>', 'g') AS scrubbed,
        CAST(len(regexp_extract_all(text, '%(email)s')) AS BIGINT)
          AS n_emails,
-       CAST(len(regexp_extract_all(text, '%(ip)s')) AS BIGINT)
+       CAST(len(regexp_extract_all(t1, '%(ip)s')) AS BIGINT)
          AS n_ips,
-       CAST(len(regexp_extract_all(text, '%(phone)s')) AS BIGINT)
+       CAST(len(regexp_extract_all(t2, '%(phone)s')) AS BIGINT)
          AS n_phones
-FROM documents""" % {"email": _PII_EMAIL, "ip": _PII_IP,
-                     "phone": _PII_PHONE}
+FROM staged2""" % {"email": _PII_EMAIL, "ip": _PII_IP,
+                    "phone": _PII_PHONE}
 
 ORACLES["url_dedup"] = """
 WITH u AS (
@@ -785,10 +790,12 @@ WITH u AS (
   FROM documents),
 c AS (
   SELECT doc_id,
-         regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         regexp_replace(regexp_replace(regexp_replace(
+           regexp_replace(regexp_replace(
            lower(regexp_extract(url, '^[^/]+//[^/]+', 0)) ||
            regexp_replace(url, '^[^/]+//[^/]+', ''),
-           ':443/', '/'), '#.*$', ''), '&utm_[^&#]*', ''), '/$', '')
+           ':443/', '/'), '#.*$', ''), '&utm_[^&#]*', ''),
+           '/\?', '?'), '/$', '')
            AS url_canon
   FROM u)
 SELECT url_canon,

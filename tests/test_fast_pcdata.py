@@ -329,7 +329,7 @@ def test_fast_pcdata_differential_xml_dialects():
         '<doc att="&amp;ent">t</doc>',
         '<a><b><c><d>deep</d></c></b></a>',
     ]
-    for dialect in ("xml", "xhtml"):
+    for dialect in ("xml", "xhtml", "xhtml5"):
         _differential(docs, SGMLParser, dialect=dialect)
 
 

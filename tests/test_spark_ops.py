@@ -582,11 +582,12 @@ def test_url_dedup_planted(spark):
     from pyspark.sql import functions as F
     urls = spark.createDataFrame(
         [(1, "HTTPS://A.Example.ORG:443/x/?id=1&utm_source=f#frag"),
-         (2, "https://a.example.org/x/?id=1")],
+         (2, "https://a.example.org/x?id=1")],
         "doc_id long, url string")
     canon = urls.select(canonicalize_url(F.col("url")).alias("c")) \
         .collect()
-    assert canon[0].c == canon[1].c == "https://a.example.org/x/?id=1"
+    # the '/?'->'?' stage collapses slash-before-query aliases too
+    assert canon[0].c == canon[1].c == "https://a.example.org/x?id=1"
     docs = spark.createDataFrame(
         [(i,) for i in (7, 607)], "doc_id long")   # 7 % 200 == 607 % 200?
     # 607 % 200 = 7: same path; 607 % 50 = 7 == 7 % 50: same host;

@@ -8,8 +8,9 @@ this repo — with two build fixes it needs outside the SWI tree:
   * a hand-written config.h (the package generates one via cmake);
   * its `.dtd` extension matching patched from the broken
     narrow-as-wide `strcaseeq` cast (sgml.c:373) to strcasecmp.
-Then parses the same deterministic corpus generator this repo's
-single-thread A/B uses, scaled to ~1 MB docs so the per-invocation
+Then parses a deterministic corpus with the same tag-density shape
+as this repo's single-thread A/B corpus (seeded with crc32, not the
+salted Python hash), scaled to ~1 MB docs so the per-invocation
 fixed cost (process spawn + full HTML4.dtd parse) can be measured
 with a tiny-file baseline and subtracted.
 
@@ -25,6 +26,7 @@ import subprocess
 import sys
 import tempfile
 import time
+import zlib as _zlib
 
 REF = "/root/reference"
 
@@ -44,7 +46,8 @@ SOURCES = ["parser.c", "util.c", "charmap.c", "catalog.c", "model.c",
 
 
 def page(i, scale):
-    h = abs(hash(('x', i)))
+    # deterministic across processes (Python str hash is salted)
+    h = _zlib.crc32(b"x%d" % i)
     host = "host%d.example.org" % (h % 1000)
     n_paras = (h % 7 + 1) * scale
     para = ('<p>Paragraph about topic %d with some &amp; entities, a '
@@ -98,9 +101,17 @@ def main():
         def run_all(paths):
             t0 = time.perf_counter()
             for f in paths:
-                subprocess.run([exe, "-s", "HTML4.dtd", f], env=env,
-                               cwd=work, stdout=subprocess.DEVNULL,
-                               stderr=subprocess.DEVNULL)
+                r = subprocess.run([exe, "-s", "HTML4.dtd", f],
+                                   env=env, cwd=work,
+                                   stdout=subprocess.DEVNULL,
+                                   stderr=subprocess.DEVNULL)
+                if r.returncode not in (0, 1):
+                    # 1 = parsed with warnings/errors; anything else
+                    # means the CLI itself failed -> the timing would
+                    # be garbage, refuse to print a bogus number
+                    raise RuntimeError(
+                        "ref_sgml failed (%d) on %s" %
+                        (r.returncode, f))
             return time.perf_counter() - t0
 
         run_all(files[:2])                      # warm cache
