@@ -110,11 +110,22 @@ def decode_png(payload: bytes):
         (length,) = struct.unpack(">I", payload[pos:pos + 4])
         ctype = payload[pos + 4:pos + 8]
         data = payload[pos + 8:pos + 8 + length]
+        if len(data) < length:
+            # truncated chunk: the declared length runs past the
+            # payload — raise the documented decode error, never a
+            # raw struct/ValueError (decode-error contract)
+            raise MediaDecodeError("PNG chunk %r truncated"
+                                   % ctype.decode("latin-1"))
         pos += 12 + length          # length + type + data + CRC
         if ctype == b"IHDR":
-            (width, height, bit_depth, color_type, _comp, _filt,
-             interlace) = struct.unpack(">IIBBBBB", data)
+            try:
+                (width, height, bit_depth, color_type, _comp, _filt,
+                 interlace) = struct.unpack(">IIBBBBB", data)
+            except struct.error:
+                raise MediaDecodeError("PNG IHDR malformed")
         elif ctype == b"PLTE":
+            if length % 3:
+                raise MediaDecodeError("PNG PLTE length not 3-aligned")
             palette = np.frombuffer(data, dtype=np.uint8) \
                         .reshape(-1, 3)
         elif ctype == b"IDAT":

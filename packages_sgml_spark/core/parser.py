@@ -487,6 +487,15 @@ class SGMLParser(DeclMixin):
                 self._feed_mode = True
                 self._doc_text = ""
                 self._doc_base = self.charpos
+            else:
+                # drop the consumed prefix so retention is O(unconsumed
+                # tail), not O(total stream): parse_content() only ever
+                # slices forward from charpos (sax.py:117), so nothing
+                # before charpos - _doc_base can be read again
+                consumed = self.charpos - self._doc_base
+                if 0 < consumed <= len(self._doc_text):
+                    self._doc_text = self._doc_text[consumed:]
+                    self._doc_base = self.charpos
             self._doc_text += text
             mm = self.options.max_memory
             if mm is not None and len(self._doc_text) > mm:

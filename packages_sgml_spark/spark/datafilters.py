@@ -38,8 +38,11 @@ def contamination(docs: DataFrame, n=CONTAM_N,
     deterministic doc_id % bench_mod == 0 subset — self-contained for
     the driver tables; swap in an eval-set table in production.
 
-    Output: (doc_id, n_contaminated, contaminated) for NON-benchmark
-    docs, sorted-by-construction-free (driver compares unordered)."""
+    Output: (doc_id, n_contaminated, contaminated) for EVERY
+    non-benchmark doc — docs too short to form a single n-gram are
+    reported with n_contaminated=0 (clean), not silently omitted, so
+    consumers can join the result back onto the corpus without an
+    absent-means-clean convention."""
     from .util import spread
     docs = spread(docs, "doc_id")
     words = norm_words(F.col("text"))
@@ -62,11 +65,16 @@ def contamination(docs: DataFrame, n=CONTAM_N,
     hits = (train.join(F.broadcast(bench),
                        train.gram == bench.bgram, "left")
             .groupBy("doc_id")
-            .agg(F.count(F.col("bgram")).alias("n_contaminated")))
-    return hits.select(
-        "doc_id",
-        F.col("n_contaminated").cast("bigint").alias("n_contaminated"),
-        (F.col("n_contaminated") > 0).cast("int").alias("contaminated"))
+            .agg(F.count(F.col("bgram")).alias("n_hits")))
+    # left-join back onto the doc universe: gram-less (short) docs get
+    # an explicit clean row instead of vanishing from the output
+    universe = docs.filter(F.col("doc_id") % bench_mod != 0) \
+                   .select("doc_id")
+    n = F.coalesce(F.col("n_hits"), F.lit(0))
+    return (universe.join(hits, "doc_id", "left")
+            .select("doc_id",
+                    n.cast("bigint").alias("n_contaminated"),
+                    (n > 0).cast("int").alias("contaminated")))
 
 
 def repetition_stats(docs: DataFrame) -> DataFrame:
@@ -99,11 +107,18 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
 
 
 # PII patterns — deliberately conservative and identical across
-# engines (Java regex in Spark, RE2-ish in DuckDB: the subset below
-# behaves the same in both).
+# engines (Java regex in Spark, RE2 in DuckDB: the subset below —
+# classes, bounded repeats, \b, leftmost-first alternation — behaves
+# the same in both).
 EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 IPV4_RE = ("\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b")
-PHONE_RE = "\\+[0-9]{1,3}[- ][0-9]{3,4}[- ][0-9]{3,6}"
+# international +CC forms, US (NNN) NNN-NNNN, and dashed/dotted
+# NNN-NNN-NNNN / NNN.NNN.NNNN (word-bounded so digit runs inside
+# longer numbers never match); bare space-separated digit triples are
+# deliberately excluded (false-positive magnet on numeric prose)
+PHONE_RE = ("\\+[0-9]{1,3}[- ][0-9]{3,4}[- ][0-9]{3,6}"
+            "|\\([0-9]{3}\\) ?[0-9]{3}[-. ][0-9]{4}"
+            "|\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b")
 
 
 def pii_scrub(docs: DataFrame) -> DataFrame:
@@ -155,7 +170,10 @@ def canonicalize_url(col):
     """Crawl URL canonicalization, pure string/regex ops (identical
     semantics in Spark and DuckDB):
     1. lowercase the scheme://host[:port] prefix
-    2. drop :443 (https default port)
+    2. drop the scheme's default port from the PREFIX only
+       (https :443, http :80) — anchored so a path/query containing
+       ':443/' (e.g. ?next=https://x:443/y) is never touched, and a
+       slash-less 'https://h:443' still loses its port
     3. drop the fragment
     4. drop utm_* tracking parameters (trailing '&utm_...' form)
     5. drop a terminal '/' and a '/' directly before the query
@@ -163,9 +181,10 @@ def canonicalize_url(col):
        with query strings never collapse)"""
     c = col
     prefix = F.lower(F.regexp_extract(c, "^[^/]+//[^/]+", 0))
+    prefix = F.regexp_replace(prefix, "^(https://[^:/]+):443$", "$1")
+    prefix = F.regexp_replace(prefix, "^(http://[^:/]+):80$", "$1")
     rest = F.regexp_replace(c, "^[^/]+//[^/]+", "")
     c = F.concat(prefix, rest)
-    c = F.regexp_replace(c, ":443/", "/")
     c = F.regexp_replace(c, "#.*$", "")
     c = F.regexp_replace(c, "&utm_[^&#]*", "")
     c = F.regexp_replace(c, "/\\?", "?")

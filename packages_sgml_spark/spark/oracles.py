@@ -724,12 +724,16 @@ g AS (
            ELSE [] END)) AS gram
   FROM words),
 bench AS (SELECT DISTINCT gram AS bgram FROM g WHERE doc_id % 97 = 0),
-train AS (SELECT * FROM g WHERE doc_id % 97 <> 0)
-SELECT t.doc_id,
-       CAST(count(b.bgram) AS BIGINT) AS n_contaminated,
-       CAST(count(b.bgram) > 0 AS INT) AS contaminated
-FROM train t LEFT JOIN bench b ON t.gram = b.bgram
-GROUP BY t.doc_id"""
+train AS (SELECT * FROM g WHERE doc_id % 97 <> 0),
+hits AS (
+  SELECT t.doc_id, count(b.bgram) AS n_hits
+  FROM train t LEFT JOIN bench b ON t.gram = b.bgram
+  GROUP BY t.doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_contaminated,
+       CAST(coalesce(h.n_hits, 0) > 0 AS INT) AS contaminated
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+WHERE d.doc_id % 97 <> 0"""
 
 ORACLES["repetition_stats"] = "WITH " + _NORM_WORDS + """,
 feat AS (
@@ -755,7 +759,9 @@ FROM feat"""
 
 _PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 _PII_IP = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
-_PII_PHONE = "\\+[0-9]{1,3}[- ][0-9]{3,4}[- ][0-9]{3,6}"
+_PII_PHONE = ("\\+[0-9]{1,3}[- ][0-9]{3,4}[- ][0-9]{3,6}"
+              "|\\([0-9]{3}\\) ?[0-9]{3}[-. ][0-9]{4}"
+              "|\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b")
 
 ORACLES["pii_scrub"] = """
 WITH staged AS (
@@ -791,10 +797,13 @@ WITH u AS (
 c AS (
   SELECT doc_id,
          regexp_replace(regexp_replace(regexp_replace(
+           regexp_replace(
            regexp_replace(regexp_replace(
-           lower(regexp_extract(url, '^[^/]+//[^/]+', 0)) ||
+             lower(regexp_extract(url, '^[^/]+//[^/]+', 0)),
+             '^(https://[^:/]+):443$', '\\1'),
+             '^(http://[^:/]+):80$', '\\1') ||
            regexp_replace(url, '^[^/]+//[^/]+', ''),
-           ':443/', '/'), '#.*$', ''), '&utm_[^&#]*', ''),
+           '#.*$', ''), '&utm_[^&#]*', ''),
            '/\?', '?'), '/$', '')
            AS url_canon
   FROM u)

@@ -118,6 +118,30 @@ def test_png_rejects_garbage():
         decode_png(PNG_MAGIC + b"\x00\x00\x00\x00XXXX")
 
 
+def test_png_truncated_chunk_raises_decode_error():
+    """r4 advice fix: a chunk whose declared length runs past the
+    payload (or a short IHDR) raises MediaDecodeError, never a raw
+    struct.error, per the decode-error contract."""
+    from packages_sgml_spark.core.media import (
+        MediaDecodeError, decode_png, PNG_MAGIC)
+    import struct as _s
+    # IHDR declaring 13 bytes but only 4 present
+    bad = PNG_MAGIC + _s.pack(">I", 13) + b"IHDR" + b"\x00" * 4
+    with pytest.raises(MediaDecodeError):
+        decode_png(bad)
+    # IHDR present-but-short (length field says 4, unpack needs 13)
+    bad2 = (PNG_MAGIC + _s.pack(">I", 4) + b"IHDR" + b"\x00" * 4
+            + b"\x00" * 4)
+    with pytest.raises(MediaDecodeError):
+        decode_png(bad2)
+    # PLTE not 3-aligned
+    ihdr = _s.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    bad3 = (PNG_MAGIC + _s.pack(">I", 13) + b"IHDR" + ihdr + b"crc0"
+            + _s.pack(">I", 4) + b"PLTE" + b"\x00" * 4 + b"crc0")
+    with pytest.raises(MediaDecodeError):
+        decode_png(bad3)
+
+
 def test_grid_features_shape_and_range():
     px = _pixels(h=32, w=48, ch=3)
     f = image_grid_features(px)

@@ -527,7 +527,8 @@ def test_spread_semantics(spark):
 def test_contamination_planted(spark):
     """A doc sharing a 5-gram with the benchmark subset (doc_id % 97
     == 0) is flagged; an unrelated doc is not; benchmark members are
-    excluded from the output."""
+    excluded; gram-less short docs get an explicit clean row (the
+    output covers the full non-benchmark universe)."""
     from packages_sgml_spark.spark.datafilters import contamination
     bench_text = ("the quick brown fox jumps over the lazy dog "
                   "while rain falls softly")
@@ -537,14 +538,15 @@ def test_contamination_planted(spark):
             "something else"),                            # contaminated
         (2, "totally unrelated content about spark shuffle "
             "partitions and arrow batches here"),         # clean
-        (3, "tiny doc"),                                  # <5 words: absent
+        (3, "tiny doc"),                                  # <5 words: clean row
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r.doc_id: r for r in contamination(docs).collect()}
     assert 0 not in out                 # benchmark member excluded
-    assert 3 not in out                 # too short to emit 5-grams
+    assert out[3].contaminated == 0 and out[3].n_contaminated == 0
     assert out[1].contaminated == 1 and out[1].n_contaminated >= 1
     assert out[2].contaminated == 0 and out[2].n_contaminated == 0
+    assert set(out) == {1, 2, 3}        # full non-benchmark universe
 
 
 def test_repetition_stats_planted(spark):
@@ -572,6 +574,46 @@ def test_pii_scrub_planted(spark):
     assert "<EMAIL>" in r.scrubbed and "<IP>" in r.scrubbed \
         and "<PHONE>" in r.scrubbed
     assert "bob@" not in r.scrubbed and "192.168" not in r.scrubbed
+
+
+def test_pii_scrub_us_phone_forms(spark):
+    """r4 broadening: US (NNN) NNN-NNNN and dashed/dotted forms are
+    scrubbed; digit runs inside longer numbers are not (word
+    boundaries); dotted phones are NOT eaten by the IPv4 stage (an
+    IPv4 needs four octets)."""
+    from packages_sgml_spark.spark.datafilters import pii_scrub
+    rows = [
+        (1, "call (555) 123-4567 or (555)987-6543 today"),
+        (2, "alt 555-123-4567 and 555.123.4567 forms"),
+        (3, "order id 12345-678-90123 is not a phone"),
+        (4, "ip 10.0.0.1 then dotted 555.123.4567"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in pii_scrub(docs).collect()}
+    assert out[1].n_phones == 2 and "123-4567" not in out[1].scrubbed
+    assert out[2].n_phones == 2
+    assert out[3].n_phones == 0 and "12345-678-90123" in out[3].scrubbed
+    assert out[4].n_ips == 1 and out[4].n_phones == 1
+
+
+def test_canonicalize_url_anchored_port(spark):
+    """r4 advice fix: the default-port strip is anchored to the
+    scheme://host prefix — ':443/' inside a query string survives, a
+    slash-less https host still loses its port, and http :80 is
+    handled too."""
+    from packages_sgml_spark.spark.datafilters import canonicalize_url
+    from pyspark.sql import functions as F
+    rows = [(1, "https://h.org/p?next=https://x:443/y"),
+            (2, "HTTPS://H.org:443"),
+            (3, "HTTP://h.org:80/a"),
+            (4, "https://h.org:8443/a")]
+    out = [r.c for r in spark.createDataFrame(rows, "i long, url string")
+           .select(canonicalize_url(F.col("url")).alias("c"))
+           .orderBy("i").collect()]
+    assert out[0] == "https://h.org/p?next=https://x:443/y"
+    assert out[1] == "https://h.org"
+    assert out[2] == "http://h.org/a"
+    assert out[3] == "https://h.org:8443/a"   # non-default port kept
 
 
 def test_url_dedup_planted(spark):
