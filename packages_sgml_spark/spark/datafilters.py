@@ -47,10 +47,15 @@ def contamination(docs: DataFrame, n=CONTAM_N,
     docs = spread(docs, "doc_id")
     words = norm_words(F.col("text"))
 
-    def grams_of(df):
+    def grams_of(df, outer=False):
+        # outer=True keeps gram-less (short) docs as one NULL-gram row
+        # instead of dropping them — same single corpus scan, no extra
+        # universe join (a NULL gram matches no benchmark gram, so the
+        # doc aggregates to n_contaminated = 0)
+        ex = F.explode_outer if outer else F.explode
         return df.select(
             "doc_id",
-            F.explode(F.array_distinct(_word_ngrams(words, n)))
+            ex(F.array_distinct(_word_ngrams(words, n)))
             .alias("gram"))
 
     # benchmark n-gram set: computed ONCE and materialized (it is
@@ -61,20 +66,16 @@ def contamination(docs: DataFrame, n=CONTAM_N,
     bench = (grams_of(docs.filter(F.col("doc_id") % bench_mod == 0))
              .select(F.col("gram").alias("bgram")).distinct()
              .localCheckpoint(eager=True))
-    train = grams_of(docs.filter(F.col("doc_id") % bench_mod != 0))
+    train = grams_of(docs.filter(F.col("doc_id") % bench_mod != 0),
+                     outer=True)
     hits = (train.join(F.broadcast(bench),
                        train.gram == bench.bgram, "left")
             .groupBy("doc_id")
             .agg(F.count(F.col("bgram")).alias("n_hits")))
-    # left-join back onto the doc universe: gram-less (short) docs get
-    # an explicit clean row instead of vanishing from the output
-    universe = docs.filter(F.col("doc_id") % bench_mod != 0) \
-                   .select("doc_id")
-    n = F.coalesce(F.col("n_hits"), F.lit(0))
-    return (universe.join(hits, "doc_id", "left")
-            .select("doc_id",
-                    n.cast("bigint").alias("n_contaminated"),
-                    (n > 0).cast("int").alias("contaminated")))
+    return hits.select(
+        "doc_id",
+        F.col("n_hits").cast("bigint").alias("n_contaminated"),
+        (F.col("n_hits") > 0).cast("int").alias("contaminated"))
 
 
 def repetition_stats(docs: DataFrame) -> DataFrame:
