@@ -91,11 +91,12 @@ def minhash_signatures(docs: DataFrame, k=N_HASHES) -> DataFrame:
     return based.select("doc_id", *mins)
 
 
-def minhash_lsh_pairs(docs: DataFrame, k=N_HASHES,
-                      bands=N_BANDS) -> DataFrame:
-    """Candidate near-dup pairs via banded LSH over the minhash
-    signature.  rows-per-band = k / bands."""
-    sig = minhash_signatures(docs, k)
+MAX_LSH_BUCKET = 64   # distinct-signature reps kept per (band, key)
+
+
+def _banded(sig: DataFrame, k, bands) -> DataFrame:
+    """(doc_id, band, key) rows: one md5 band key per band over the
+    signature columns."""
     r = k // bands
     band_cols = []
     for b in range(bands):
@@ -103,17 +104,62 @@ def minhash_lsh_pairs(docs: DataFrame, k=N_HASHES,
         band_cols.append(F.struct(
             F.lit(b).alias("band"),
             F.md5(F.concat_ws("|", *cols)).alias("key")))
-    banded = (sig.select("doc_id",
-                         F.explode(F.array(*band_cols)).alias("bk"))
-              .select("doc_id", "bk.band", "bk.key"))
-    # Single-pass pair emission: group each (band, key) bucket and
-    # explode intra-bucket combinations.  A banded-vs-banded self-join
-    # would re-execute the whole scan->shingle->minhash pipeline on
-    # both join sides (round-1 plan audit: doubled subtree, slowest
-    # bench query); this shape scans once.  Bucket keys are uniform
-    # hashes, so per-bucket fan-out is naturally bounded.
+    return (sig.select("doc_id",
+                       F.explode(F.array(*band_cols)).alias("bk"))
+            .select("doc_id", "bk.band", "bk.key"))
+
+
+def _sig_with_rep(docs: DataFrame, k):
+    """Signatures + per-identical-signature representative (min
+    doc_id over the full signature group), materialized ONCE so the
+    star-edge and rep branches below don't each re-run the
+    scan->shingle->minhash subtree (round-1 doubled-subtree bug
+    class).  The window shuffle keys are content hashes — a crawl's
+    boilerplate-identical cluster lands in ONE partition but streams
+    through it as rows (O(m)), never as a collected array."""
+    from pyspark.sql import Window
+    sig = minhash_signatures(docs, k)
+    hcols = ["h%d" % i for i in range(k)]
+    w = Window.partitionBy(*hcols)
+    return (sig.withColumn("rep", F.min("doc_id").over(w))
+            .localCheckpoint(eager=True), hcols)
+
+
+def minhash_lsh_pairs(docs: DataFrame, k=N_HASHES, bands=N_BANDS,
+                      max_bucket=MAX_LSH_BUCKET) -> DataFrame:
+    """Candidate near-dup pairs via banded LSH over the minhash
+    signature (rows-per-band = k / bands), with the two skew guards a
+    crawl-scale corpus needs (round-3 review: boilerplate-identical
+    pages all share one (band, key), so an unguarded
+    collect_list+combos bucket is the classic dedup OOM):
+
+    1. identical-signature collapse: docs with byte-equal signatures
+       are emitted as STAR EDGES (rep, member) — m-1 pairs instead of
+       the m(m-1)/2 clique — and only the distinct-signature
+       representatives enter the banding stage.  For connected-
+       component dedup (dedup_components) the clustering is
+       unchanged: the star reaches every member.
+    2. bucket cap: a (band, key) bucket keeps at most `max_bucket`
+       representatives (the smallest doc_ids, deterministic).  The
+       cap is NOT silent — lsh_bucket_stats() reports the bucket
+       histogram and exactly how many reps overflowed; near-dup-heavy
+       corpora should consult it and verify recall via ngram_jaccard
+       on a sample.
+
+    Single corpus scan end-to-end: signatures are a narrow per-row
+    map, the windowed rep frame is checkpointed once, and pair
+    emission groups the banded reps without any self-join of the
+    shingle subtree."""
+    with_rep, hcols = _sig_with_rep(docs, k)
+    star = (with_rep.filter(F.col("doc_id") != F.col("rep"))
+            .select(F.col("rep").alias("doc_a"),
+                    F.col("doc_id").alias("doc_b")))
+    reps = (with_rep.filter(F.col("doc_id") == F.col("rep"))
+            .select("doc_id", *hcols))
+    banded = _banded(reps, k, bands)
     buckets = (banded.groupBy("band", "key")
-               .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+               .agg(F.slice(F.sort_array(F.collect_list("doc_id")),
+                            1, max_bucket).alias("ids"))
                .filter(F.size("ids") >= 2))
     combos = F.filter(
         F.flatten(F.transform(
@@ -123,9 +169,52 @@ def minhash_lsh_pairs(docs: DataFrame, k=N_HASHES,
                 lambda b: F.struct(a.alias("doc_a"),
                                    b.alias("doc_b"))))),
         lambda p: p["doc_a"] < p["doc_b"])
-    return (buckets.select(F.explode(combos).alias("p"))
-            .select("p.doc_a", "p.doc_b")
-            .distinct())
+    rep_pairs = (buckets.select(F.explode(combos).alias("p"))
+                 .select("p.doc_a", "p.doc_b"))
+    return star.unionByName(rep_pairs).distinct()
+
+
+def lsh_bucket_stats(docs: DataFrame, k=N_HASHES, bands=N_BANDS,
+                     max_bucket=MAX_LSH_BUCKET) -> DataFrame:
+    """Observability companion to minhash_lsh_pairs (the no-silent-
+    caps rule): per-band bucket-size distribution over the
+    DISTINCT-SIGNATURE representatives, plus how much the bucket cap
+    would drop.  Columns:
+
+      band, n_buckets, n_multi (size >= 2), max_bucket_size,
+      n_overflow_buckets (size > max_bucket), n_dropped_reps (sum of
+      size - max_bucket over overflowing buckets), n_star_members
+      (docs collapsed into identical-signature stars before banding).
+    All exact integers (no approximate percentiles — the driver gate
+    hash-compares against DuckDB)."""
+    with_rep, hcols = _sig_with_rep(docs, k)
+    n_star = (with_rep.filter(F.col("doc_id") != F.col("rep"))
+              .groupBy().agg(F.count("*").alias("n_star_members")))
+    reps = (with_rep.filter(F.col("doc_id") == F.col("rep"))
+            .select("doc_id", *hcols))
+    sizes = (_banded(reps, k, bands)
+             .groupBy("band", "key").agg(F.count("*").alias("sz")))
+    over = F.when(F.col("sz") > max_bucket,
+                  F.col("sz") - max_bucket).otherwise(F.lit(0))
+    per_band = (sizes.groupBy("band").agg(
+        F.count("*").alias("n_buckets"),
+        F.sum((F.col("sz") >= 2).cast("long")).alias("n_multi"),
+        F.max("sz").alias("max_bucket_size"),
+        F.sum((F.col("sz") > max_bucket).cast("long"))
+         .alias("n_overflow_buckets"),
+        F.sum(over).alias("n_dropped_reps")))
+    return (per_band.crossJoin(n_star)
+            .select("band",
+                    F.col("n_buckets").cast("bigint").alias("n_buckets"),
+                    F.col("n_multi").cast("bigint").alias("n_multi"),
+                    F.col("max_bucket_size").cast("bigint")
+                     .alias("max_bucket_size"),
+                    F.col("n_overflow_buckets").cast("bigint")
+                     .alias("n_overflow_buckets"),
+                    F.col("n_dropped_reps").cast("bigint")
+                     .alias("n_dropped_reps"),
+                    F.col("n_star_members").cast("bigint")
+                     .alias("n_star_members")))
 
 
 def ngram_jaccard(docs: DataFrame, pairs: DataFrame) -> DataFrame:

@@ -306,7 +306,8 @@ SELECT source, COUNT(doc_id) AS n_docs,
 FROM documents GROUP BY source"""
 
 
-ORACLES["minhash_lsh_pairs"] = "WITH " + _SHINGLE_CTE + """,
+# full 12-hash signature CTE (shared by the LSH-family oracles)
+_SIG12_CTE = """
 sig AS (SELECT doc_id, min(md5('0:' || shingle)) AS h0,
        min(md5('1:' || shingle)) AS h1,
        min(md5('2:' || shingle)) AS h2,
@@ -318,38 +319,71 @@ sig AS (SELECT doc_id, min(md5('0:' || shingle)) AS h0,
        min(md5('8:' || shingle)) AS h8,
        min(md5('9:' || shingle)) AS h9,
        min(md5('10:' || shingle)) AS h10,
-       min(md5('11:' || shingle)) AS h11 FROM u GROUP BY doc_id),
-banded AS (
-  SELECT doc_id, 0 AS band, md5(h0 || '|' || h1 || '|' || h2) AS key FROM sig UNION ALL
-  SELECT doc_id, 1 AS band, md5(h3 || '|' || h4 || '|' || h5) AS key FROM sig UNION ALL
-  SELECT doc_id, 2 AS band, md5(h6 || '|' || h7 || '|' || h8) AS key FROM sig UNION ALL
-  SELECT doc_id, 3 AS band, md5(h9 || '|' || h10 || '|' || h11) AS key FROM sig)
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM banded a JOIN banded b
-  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id"""
+       min(md5('11:' || shingle)) AS h11 FROM u GROUP BY doc_id)"""
 
-ORACLES["ngram_jaccard"] = "WITH " + _SHINGLE_CTE + """,
-sig AS (SELECT doc_id, min(md5('0:' || shingle)) AS h0,
-       min(md5('1:' || shingle)) AS h1,
-       min(md5('2:' || shingle)) AS h2,
-       min(md5('3:' || shingle)) AS h3,
-       min(md5('4:' || shingle)) AS h4,
-       min(md5('5:' || shingle)) AS h5,
-       min(md5('6:' || shingle)) AS h6,
-       min(md5('7:' || shingle)) AS h7,
-       min(md5('8:' || shingle)) AS h8,
-       min(md5('9:' || shingle)) AS h9,
-       min(md5('10:' || shingle)) AS h10,
-       min(md5('11:' || shingle)) AS h11 FROM u GROUP BY doc_id),
+# r4 skew-guarded pair semantics, mirroring dedup.minhash_lsh_pairs:
+# identical-signature groups collapse to star edges (rep, member);
+# only distinct-signature representatives are banded; each (band,
+# key) bucket keeps the MAX_LSH_BUCKET smallest reps.
+_LSH_PAIR_CTES = """
+wr AS (
+  SELECT doc_id, h0, h1, h2, h3, h4, h5, h6, h7, h8, h9, h10, h11,
+         min(doc_id) OVER (PARTITION BY h0, h1, h2, h3, h4, h5, h6,
+                           h7, h8, h9, h10, h11) AS rep
+  FROM sig),
+star AS (SELECT rep AS doc_a, doc_id AS doc_b FROM wr
+         WHERE doc_id <> rep),
+reps AS (SELECT * FROM wr WHERE doc_id = rep),
 banded AS (
-  SELECT doc_id, 0 AS band, md5(h0 || '|' || h1 || '|' || h2) AS key FROM sig UNION ALL
-  SELECT doc_id, 1 AS band, md5(h3 || '|' || h4 || '|' || h5) AS key FROM sig UNION ALL
-  SELECT doc_id, 2 AS band, md5(h6 || '|' || h7 || '|' || h8) AS key FROM sig UNION ALL
-  SELECT doc_id, 3 AS band, md5(h9 || '|' || h10 || '|' || h11) AS key FROM sig),
-pairs AS (
+  SELECT doc_id, 0 AS band, md5(h0 || '|' || h1 || '|' || h2) AS key
+  FROM reps UNION ALL
+  SELECT doc_id, 1, md5(h3 || '|' || h4 || '|' || h5) FROM reps UNION ALL
+  SELECT doc_id, 2, md5(h6 || '|' || h7 || '|' || h8) FROM reps UNION ALL
+  SELECT doc_id, 3, md5(h9 || '|' || h10 || '|' || h11) FROM reps),
+buckets AS (
+  SELECT band, key, (list_sort(list(doc_id)))[1:%(cap)d] AS ids
+  FROM banded GROUP BY band, key HAVING count(*) >= 2),
+capped AS (SELECT band, key, unnest(ids) AS doc_id FROM buckets),
+rpairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM banded a JOIN banded b
+  FROM capped a JOIN capped b
     ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+pairs AS (
+  SELECT DISTINCT doc_a, doc_b FROM (
+    SELECT doc_a, doc_b FROM star
+    UNION ALL SELECT doc_a, doc_b FROM rpairs))"""
+
+
+def _lsh_cap():
+    from .dedup import MAX_LSH_BUCKET
+    return MAX_LSH_BUCKET
+
+
+_LSH_PAIR_CTES = _LSH_PAIR_CTES % {"cap": _lsh_cap()}
+
+ORACLES["minhash_lsh_pairs"] = ("WITH " + _SHINGLE_CTE + "," +
+                                _SIG12_CTE + "," + _LSH_PAIR_CTES + """
+SELECT doc_a, doc_b FROM pairs""")
+
+ORACLES["lsh_bucket_stats"] = ("WITH " + _SHINGLE_CTE + "," +
+                               _SIG12_CTE + "," + _LSH_PAIR_CTES + """,
+sizes AS (SELECT band, key, count(*) AS sz
+          FROM banded GROUP BY band, key)
+SELECT band,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(sum(CASE WHEN sz >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_multi,
+       CAST(max(sz) AS BIGINT) AS max_bucket_size,
+       CAST(sum(CASE WHEN sz > %(cap)d THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_overflow_buckets,
+       CAST(sum(CASE WHEN sz > %(cap)d THEN sz - %(cap)d ELSE 0 END)
+            AS BIGINT) AS n_dropped_reps,
+       CAST((SELECT count(*) FROM wr WHERE doc_id <> rep) AS BIGINT)
+         AS n_star_members
+FROM sizes GROUP BY band""" % {"cap": _lsh_cap()})
+
+ORACLES["ngram_jaccard"] = ("WITH " + _SHINGLE_CTE + "," +
+                            _SIG12_CTE + "," + _LSH_PAIR_CTES + """,
 inter AS (
   SELECT p.doc_a, p.doc_b, COUNT(*) AS n_inter
   FROM pairs p
@@ -362,7 +396,7 @@ SELECT i.doc_a, i.doc_b,
              (sa.n_sh + sb.n_sh - i.n_inter), 6) AS jaccard
 FROM inter i
 JOIN sizes sa ON sa.doc_id = i.doc_a
-JOIN sizes sb ON sb.doc_id = i.doc_b"""
+JOIN sizes sb ON sb.doc_id = i.doc_b""")
 
 def _lsh_bucket_expr(emb_expr, dim=64, n_planes=6, seed=1234):
     """Sign-bit bucket id as explicit SQL over literal hyperplanes.
@@ -562,26 +596,8 @@ s AS (SELECT doc_id,
       FROM h GROUP BY doc_id)
 SELECT doc_id, CASE WHEN b0 > 0 THEN CAST(1 AS BIGINT) ELSE 0 END + CASE WHEN b1 > 0 THEN CAST(2 AS BIGINT) ELSE 0 END + CASE WHEN b2 > 0 THEN CAST(4 AS BIGINT) ELSE 0 END + CASE WHEN b3 > 0 THEN CAST(8 AS BIGINT) ELSE 0 END + CASE WHEN b4 > 0 THEN CAST(16 AS BIGINT) ELSE 0 END + CASE WHEN b5 > 0 THEN CAST(32 AS BIGINT) ELSE 0 END + CASE WHEN b6 > 0 THEN CAST(64 AS BIGINT) ELSE 0 END + CASE WHEN b7 > 0 THEN CAST(128 AS BIGINT) ELSE 0 END + CASE WHEN b8 > 0 THEN CAST(256 AS BIGINT) ELSE 0 END + CASE WHEN b9 > 0 THEN CAST(512 AS BIGINT) ELSE 0 END + CASE WHEN b10 > 0 THEN CAST(1024 AS BIGINT) ELSE 0 END + CASE WHEN b11 > 0 THEN CAST(2048 AS BIGINT) ELSE 0 END + CASE WHEN b12 > 0 THEN CAST(4096 AS BIGINT) ELSE 0 END + CASE WHEN b13 > 0 THEN CAST(8192 AS BIGINT) ELSE 0 END + CASE WHEN b14 > 0 THEN CAST(16384 AS BIGINT) ELSE 0 END + CASE WHEN b15 > 0 THEN CAST(32768 AS BIGINT) ELSE 0 END + CASE WHEN b16 > 0 THEN CAST(65536 AS BIGINT) ELSE 0 END + CASE WHEN b17 > 0 THEN CAST(131072 AS BIGINT) ELSE 0 END + CASE WHEN b18 > 0 THEN CAST(262144 AS BIGINT) ELSE 0 END + CASE WHEN b19 > 0 THEN CAST(524288 AS BIGINT) ELSE 0 END + CASE WHEN b20 > 0 THEN CAST(1048576 AS BIGINT) ELSE 0 END + CASE WHEN b21 > 0 THEN CAST(2097152 AS BIGINT) ELSE 0 END + CASE WHEN b22 > 0 THEN CAST(4194304 AS BIGINT) ELSE 0 END + CASE WHEN b23 > 0 THEN CAST(8388608 AS BIGINT) ELSE 0 END + CASE WHEN b24 > 0 THEN CAST(16777216 AS BIGINT) ELSE 0 END + CASE WHEN b25 > 0 THEN CAST(33554432 AS BIGINT) ELSE 0 END + CASE WHEN b26 > 0 THEN CAST(67108864 AS BIGINT) ELSE 0 END + CASE WHEN b27 > 0 THEN CAST(134217728 AS BIGINT) ELSE 0 END + CASE WHEN b28 > 0 THEN CAST(268435456 AS BIGINT) ELSE 0 END + CASE WHEN b29 > 0 THEN CAST(536870912 AS BIGINT) ELSE 0 END + CASE WHEN b30 > 0 THEN CAST(1073741824 AS BIGINT) ELSE 0 END + CASE WHEN b31 > 0 THEN CAST(2147483648 AS BIGINT) ELSE 0 END AS simhash FROM s"""
 
-ORACLES["dedup_components"] = "WITH RECURSIVE " + _SHINGLE_CTE + """,
-sig AS (SELECT doc_id,
-       min(md5('0:' || shingle)) AS h0, min(md5('1:' || shingle)) AS h1,
-       min(md5('2:' || shingle)) AS h2, min(md5('3:' || shingle)) AS h3,
-       min(md5('4:' || shingle)) AS h4, min(md5('5:' || shingle)) AS h5,
-       min(md5('6:' || shingle)) AS h6, min(md5('7:' || shingle)) AS h7,
-       min(md5('8:' || shingle)) AS h8, min(md5('9:' || shingle)) AS h9,
-       min(md5('10:' || shingle)) AS h10,
-       min(md5('11:' || shingle)) AS h11
-       FROM u GROUP BY doc_id),
-banded AS (
-  SELECT doc_id, 0 AS band, md5(h0 || '|' || h1 || '|' || h2) AS key
-  FROM sig UNION ALL
-  SELECT doc_id, 1, md5(h3 || '|' || h4 || '|' || h5) FROM sig UNION ALL
-  SELECT doc_id, 2, md5(h6 || '|' || h7 || '|' || h8) FROM sig UNION ALL
-  SELECT doc_id, 3, md5(h9 || '|' || h10 || '|' || h11) FROM sig),
-pairs AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM banded a JOIN banded b
-    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+ORACLES["dedup_components"] = ("WITH RECURSIVE " + _SHINGLE_CTE + "," +
+                               _SIG12_CTE + "," + _LSH_PAIR_CTES + """,
 edges AS (
   SELECT doc_a AS src, doc_b AS dst FROM pairs
   UNION SELECT doc_b, doc_a FROM pairs),
@@ -590,7 +606,7 @@ reach(src, node) AS (
   UNION
   SELECT r.src, e.dst FROM reach r JOIN edges e ON r.node = e.src)
 SELECT src AS doc_id, MIN(node) AS component
-FROM reach GROUP BY src"""
+FROM reach GROUP BY src""")
 
 
 _MEDIA_CTE = """

@@ -804,3 +804,13 @@ def q_url_dedup(spark, sf_dir):
 
 
 QUERIES["url_dedup"] = q_url_dedup
+
+
+def q_lsh_bucket_stats(spark, sf_dir):
+    """LSH bucket-size observability (r4, the no-silent-caps rule):
+    per-band histogram over distinct-signature reps + how much the
+    minhash_lsh_pairs bucket cap would drop + star-collapse size."""
+    return dedup.lsh_bucket_stats(_t(spark, sf_dir, "documents"))
+
+
+QUERIES["lsh_bucket_stats"] = q_lsh_bucket_stats

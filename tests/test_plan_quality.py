@@ -62,11 +62,14 @@ def test_local_supplier_volume_broadcasts_dims(spark):
 
 def test_minhash_lsh_single_scan(spark):
     """Regression net for the round-1 doubled-subtree bug: the banded
-    LSH pipeline must read the documents parquet exactly once (the
-    r1 plan self-joined two copies of the shingle subtree = 2 scans)."""
+    LSH pipeline reads the documents parquet exactly ONCE — since r4
+    that scan happens inside the eager signature checkpoint
+    (_sig_with_rep), so the final plan contains ZERO parquet scans
+    and both the star and rep branches read the materialized RDD."""
     from packages_sgml_spark.spark.queries import QUERIES
     p = _plan(QUERIES["minhash_lsh_pairs"](spark, SF))
-    assert p.count("Scan parquet") == 1, p
+    assert p.count("Scan parquet") == 0, p
+    assert "Scan ExistingRDD" in p, p
 
 
 def test_minhash_signatures_zero_shuffle(spark):

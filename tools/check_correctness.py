@@ -39,7 +39,47 @@ def table_hash(cols, rows):
     return h.hexdigest()
 
 
+def reconcile(correctness_path):
+    """Registry <-> driver-gate reconciliation (round-3 review: three
+    registered queries had no row in CORRECTNESS_r03.json).  Asserts
+    every queries() key has a row in the given CORRECTNESS json and
+    that the row is green (or explicitly no_oracle).  Exit 1 and list
+    the gaps loudly otherwise.
+
+    Usage: python tools/check_correctness.py --reconcile FILE.json"""
+    import json
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as E
+    got = json.load(open(correctness_path))
+    want = set(E.queries())
+    missing = sorted(want - set(got))
+    extra = sorted(set(got) - want)
+    bad = sorted(
+        k for k, v in got.items()
+        if k in want and v.get("err") not in (None, "no_oracle"))
+    red = sorted(
+        k for k, v in got.items()
+        if k in want and v.get("err") is None and not (
+            v.get("rows_match") and v.get("schema_match")
+            and v.get("hash_match")))
+    print("registry: %d queries; %s: %d entries"
+          % (len(want), correctness_path, len(got)))
+    if missing:
+        print("MISSING from gate file (no driver verdict!):", missing)
+    if extra:
+        print("extra (stale keys no longer registered):", extra)
+    if bad:
+        print("ERRORED entries:", bad)
+    if red:
+        print("NON-GREEN entries:", red)
+    ok = not (missing or bad or red)
+    print("reconcile:", "OK" if ok else "FAIL")
+    return 0 if ok else 1
+
+
 def main():
+    if len(sys.argv) > 2 and sys.argv[1] == "--reconcile":
+        return reconcile(sys.argv[2])
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
     sys.path.insert(0, "/root/repo")
