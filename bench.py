@@ -30,10 +30,14 @@ HEADLINE = [
     "knn_cosine", "knn_lsh",
 ]
 
-# 12k docs ≈ 88 MB: the 6k corpus finishes in <1 s at local[32] and
-# jitters; this size measures steady-state (scaling mode defaults to
-# 40k — see bench_scaling)
-PARSE_DOCS = int(os.environ.get("BENCH_PARSE_DOCS", "12000"))
+# corpus sized to the parser: with the r4 compiled executor the old
+# 12k corpus (~88 MB) finishes in <1 s at local[32] and measures the
+# Arrow/JVM round-trip floor, not the parse (measured r4: 12k -> 80
+# MB/s "throughput", 40k -> ~390 MB/s on the same build).  40k docs
+# ≈ 295 MB keeps the timed region in parse-dominated steady state;
+# grow this again if the parser gets faster (same lesson as the r3
+# scaling-corpus bump).
+PARSE_DOCS = int(os.environ.get("BENCH_PARSE_DOCS", "40000"))
 
 
 def _force(df):
@@ -191,8 +195,11 @@ def bench_scaling(n_lo=None, n_hi=None):
     # finishes in ~2s and fixed costs (scheduling, Arrow batch ramp)
     # dominate, understating steady-state scaling.  Round 3: the
     # parser got ~1.7x faster, so 16k docs dropped local[8] under 3 s
-    # and measured 0.77; at 40k (~7 s) the same build measures 0.93.
-    n_docs = int(os.environ.get("BENCH_PARSE_DOCS", "40000"))
+    # and measured 0.77; at 40k (~7 s) the same build measured 0.93.
+    # Round 4: the compiled executor is ~5x faster again, so the
+    # scaling corpus grows to 120k docs (~0.9 GB) to keep local[8]
+    # in steady state for several seconds.
+    n_docs = int(os.environ.get("BENCH_SCALE_DOCS", "120000"))
     for cpus in (n_lo, n_hi, n_lo, n_hi):
         spark = get_spark(app="bench-scaling-%d" % cpus, cpus=cpus)
         spark.sparkContext.setLogLevel("ERROR")

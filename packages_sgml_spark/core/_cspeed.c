@@ -1,0 +1,1740 @@
+/* Steady-state PCDATA token executor, compiled.
+ *
+ * A C mirror of SGMLParser._pcdata_fast's PURE paths (parser.py:787):
+ * whole-tag memo replay, whole-entity replay, PCDATA span append,
+ * plus inline CR handling (putchar/add_cdata collapse).  Anything the
+ * Python executor marks impure (open_element fallback, gripes, empty
+ * elements, state switches it can't finish) makes this executor STOP
+ * BEFORE CONSUMING THE TOKEN and return to Python, whose general loop
+ * re-processes the token with full semantics — so output (text,
+ * errors, DOM, positions) is byte-identical to the pure-Python path
+ * by construction, and the differential suite in
+ * tests/test_cspeed.py enforces it.
+ *
+ * Reference semantics mirrored (via parser.py, itself cited to
+ * /root/reference/parser.c): putchar_dtd_parser S_PCDATA branch
+ * (parser.c:4847+), add_cdata CR/LF dance (parser.c:4758-4797),
+ * open_element push branch (parser.c:2895-3014), one-level
+ * omitted-close (parser.c:2962-2996 + 2818-2848), emit space modes
+ * (parser.c:4312-4374).
+ *
+ * Object model: Python Element/State objects are interned into
+ * integer-indexed registries (identity-based, strong refs).
+ * Transition / same-state / omitted-path results are cached in C hash
+ * maps keyed by (state_idx, elem_idx); misses call back into
+ * model.make_dtd_transition / same_state / find_omitted_path, which
+ * memoize Python-side too, keeping both views identical.  The tag and
+ * entity replay maps shadow dtd._tag_memo / dtd._ent_fast lazily.
+ * model.OMIT_GEN is the shared invalidation generation: when it
+ * moves, ALL C registries are dropped and rebuilt from live objects.
+ */
+
+#define PY_SSIZE_T_CLEAN
+#include <Python.h>
+#include <string.h>
+
+/* ---------------------------------------------------------------- */
+/* small open-addressing maps                                        */
+/* ---------------------------------------------------------------- */
+
+typedef struct {
+    uint64_t *keys;     /* key 0 = empty slot; callers bias keys +1 */
+    int64_t *vals;
+    size_t cap, n;
+} U64Map;
+
+static void u64map_init(U64Map *m) { m->keys = NULL; m->vals = NULL; m->cap = 0; m->n = 0; }
+static void u64map_free(U64Map *m) { free(m->keys); free(m->vals); u64map_init(m); }
+
+static int u64map_grow(U64Map *m)
+{
+    size_t ncap = m->cap ? m->cap * 2 : 64;
+    uint64_t *nk = calloc(ncap, sizeof(uint64_t));
+    int64_t *nv = malloc(ncap * sizeof(int64_t));
+    if (!nk || !nv) { free(nk); free(nv); return -1; }
+    for (size_t i = 0; i < m->cap; i++) {
+        if (!m->keys[i]) continue;
+        uint64_t h = m->keys[i] * 0x9E3779B97F4A7C15ULL;
+        size_t j = h & (ncap - 1);
+        while (nk[j]) j = (j + 1) & (ncap - 1);
+        nk[j] = m->keys[i]; nv[j] = m->vals[i];
+    }
+    free(m->keys); free(m->vals);
+    m->keys = nk; m->vals = nv; m->cap = ncap;
+    return 0;
+}
+
+static int u64map_put(U64Map *m, uint64_t key, int64_t val)
+{
+    key += 1;
+    if (m->n * 4 >= m->cap * 3 && u64map_grow(m) < 0) return -1;
+    uint64_t h = key * 0x9E3779B97F4A7C15ULL;
+    size_t j = h & (m->cap - 1);
+    while (m->keys[j] && m->keys[j] != key) j = (j + 1) & (m->cap - 1);
+    if (!m->keys[j]) { m->keys[j] = key; m->n++; }
+    m->vals[j] = val;
+    return 0;
+}
+
+/* returns 1 if found */
+static int u64map_get(const U64Map *m, uint64_t key, int64_t *out)
+{
+    if (!m->cap) return 0;
+    key += 1;
+    uint64_t h = key * 0x9E3779B97F4A7C15ULL;
+    size_t j = h & (m->cap - 1);
+    while (m->keys[j]) {
+        if (m->keys[j] == key) { *out = m->vals[j]; return 1; }
+        j = (j + 1) & (m->cap - 1);
+    }
+    return 0;
+}
+
+/* byte-string keyed map (tag decls, entity names)                   */
+
+typedef struct {
+    char *key; size_t klen;
+    int64_t val;
+} SEnt;
+
+typedef struct {
+    SEnt *slots;        /* key NULL = empty */
+    size_t cap, n;
+} StrMap;
+
+static void strmap_init(StrMap *m) { m->slots = NULL; m->cap = 0; m->n = 0; }
+static void strmap_free(StrMap *m)
+{
+    for (size_t i = 0; i < m->cap; i++) free(m->slots[i].key);
+    free(m->slots);
+    strmap_init(m);
+}
+
+static uint64_t strhash(const char *s, size_t n)
+{
+    uint64_t h = 0xCBF29CE484222325ULL;
+    for (size_t i = 0; i < n; i++) { h ^= (unsigned char)s[i]; h *= 0x100000001B3ULL; }
+    return h ? h : 1;
+}
+
+static int strmap_grow(StrMap *m)
+{
+    size_t ncap = m->cap ? m->cap * 2 : 64;
+    SEnt *ns = calloc(ncap, sizeof(SEnt));
+    if (!ns) return -1;
+    for (size_t i = 0; i < m->cap; i++) {
+        if (!m->slots[i].key) continue;
+        size_t j = strhash(m->slots[i].key, m->slots[i].klen) & (ncap - 1);
+        while (ns[j].key) j = (j + 1) & (ncap - 1);
+        ns[j] = m->slots[i];
+    }
+    free(m->slots);
+    m->slots = ns; m->cap = ncap;
+    return 0;
+}
+
+static int strmap_put(StrMap *m, const char *key, size_t klen, int64_t val)
+{
+    if (m->n * 4 >= m->cap * 3 && strmap_grow(m) < 0) return -1;
+    size_t j = strhash(key, klen) & (m->cap - 1);
+    while (m->slots[j].key &&
+           (m->slots[j].klen != klen || memcmp(m->slots[j].key, key, klen)))
+        j = (j + 1) & (m->cap - 1);
+    if (!m->slots[j].key) {
+        m->slots[j].key = malloc(klen ? klen : 1);
+        if (!m->slots[j].key) return -1;
+        memcpy(m->slots[j].key, key, klen);
+        m->slots[j].klen = klen;
+        m->n++;
+    }
+    m->slots[j].val = val;
+    return 0;
+}
+
+static int strmap_get(const StrMap *m, const char *key, size_t klen, int64_t *out)
+{
+    if (!m->cap) return 0;
+    size_t j = strhash(key, klen) & (m->cap - 1);
+    while (m->slots[j].key) {
+        if (m->slots[j].klen == klen && !memcmp(m->slots[j].key, key, klen)) {
+            *out = m->slots[j].val;
+            return 1;
+        }
+        j = (j + 1) & (m->cap - 1);
+    }
+    return 0;
+}
+
+/* ---------------------------------------------------------------- */
+/* registries                                                        */
+/* ---------------------------------------------------------------- */
+
+typedef struct {
+    PyObject *obj;          /* Element (strong ref) */
+    PyObject *name;         /* element name str (strong) */
+    char undefined, has_struct, omit_close, has_map;
+    int stype;              /* structure.type or -1 */
+    int initial;            /* state idx, -1 = None, -2 = unresolved */
+    int final_;             /* state idx, -1 = None, -2 = unresolved */
+} CElem;
+
+typedef struct {
+    PyObject *obj;          /* State (strong ref) */
+} CState;
+
+/* tag memo entry, packed into StrMap val:
+ * bits 0-1: kind (1 = 'b', 2 = 'e'); bit 2: empty_el; bit 3: conref;
+ * bits 8+: elem idx */
+#define TAG_KIND(v)   ((int)((v) & 3))
+#define TAG_EMPTY(v)  ((int)(((v) >> 2) & 1))
+#define TAG_CONREF(v) ((int)(((v) >> 3) & 1))
+#define TAG_EIDX(v)   ((int)((v) >> 8))
+
+typedef struct {
+    PyObject *s;            /* replacement text (strong) */
+    int kind;               /* 0 numeric, 1 one-char, 2 EC_CDATA text */
+    int is_blank;           /* kind 0/1: is_blank_char(s) */
+} CEntity;
+
+typedef struct {
+    PyObject_HEAD
+    /* constants (from Python at init) */
+    int S_PCDATA, S_CDATA, S_RCDATA;
+    int SP_STRICT, SP_SGML, SP_DEFAULT, SP_REMOVE, SP_PRESERVE;
+    int C_EMPTY, C_CDATA, C_RCDATA, C_ANY;
+    /* callbacks (strong refs) */
+    PyObject *make_dtd_transition, *same_state, *find_omitted_path,
+             *make_state_engine, *omit_gen_list, *env_class,
+             *cdata_element;
+    PyObject *dtd;          /* owning DTD (strong) */
+    long gen;               /* registered OMIT_GEN value */
+    /* registries */
+    CElem *elems; size_t n_elems, cap_elems;
+    CState *states; size_t n_states, cap_states;
+    U64Map elem_ids;        /* id(Element) -> idx */
+    U64Map state_ids;       /* id(State) -> idx */
+    U64Map trans;           /* (sidx<<24|eidx) -> sidx | -1 (None) */
+    U64Map same;            /* (sidx<<24|final_sidx) -> 0/1 */
+    U64Map omit;            /* (sidx<<24|eidx) -> 0/1 (path non-empty) */
+    StrMap tags;            /* decl bytes -> packed tag entry */
+    StrMap ents;            /* name bytes -> index into ent_vals */
+    CEntity *ent_vals; size_t n_ents, cap_ents;
+    /* interned attr names */
+    PyObject *s_environments, *s_cdata, *s_line, *s_linepos, *s_charpos,
+        *s_blank_cdata, *s_cdata_must_be_empty, *s_first, *s_startloc,
+        *s_startcdata, *s_state, *s_cdata_state, *s_etag, *s_map,
+        *s_text_parts, *s_element, *s_space_mode, *s_cdata_memo,
+        *s_structure, *s_undefined, *s_type, *s_omit_close,
+        *s_initial_state, *s_final_state, *s_name, *s__tag_memo,
+        *s__ent_fast;
+} CtxObject;
+
+#define CDATA_EIDX 0        /* CDATA_ELEMENT is always element 0 */
+
+static void ctx_flush(CtxObject *c)
+{
+    for (size_t i = 0; i < c->n_elems; i++) {
+        Py_XDECREF(c->elems[i].obj);
+        Py_XDECREF(c->elems[i].name);
+    }
+    for (size_t i = 0; i < c->n_states; i++)
+        Py_XDECREF(c->states[i].obj);
+    for (size_t i = 0; i < c->n_ents; i++)
+        Py_XDECREF(c->ent_vals[i].s);
+    free(c->elems); c->elems = NULL; c->n_elems = c->cap_elems = 0;
+    free(c->states); c->states = NULL; c->n_states = c->cap_states = 0;
+    free(c->ent_vals); c->ent_vals = NULL; c->n_ents = c->cap_ents = 0;
+    u64map_free(&c->elem_ids);
+    u64map_free(&c->state_ids);
+    u64map_free(&c->trans);
+    u64map_free(&c->same);
+    u64map_free(&c->omit);
+    strmap_free(&c->tags);
+    strmap_free(&c->ents);
+}
+
+static void Ctx_dealloc(CtxObject *c)
+{
+    ctx_flush(c);
+    Py_XDECREF(c->make_dtd_transition);
+    Py_XDECREF(c->same_state);
+    Py_XDECREF(c->find_omitted_path);
+    Py_XDECREF(c->make_state_engine);
+    Py_XDECREF(c->omit_gen_list);
+    Py_XDECREF(c->env_class);
+    Py_XDECREF(c->cdata_element);
+    Py_XDECREF(c->dtd);
+    Py_XDECREF(c->s_environments); Py_XDECREF(c->s_cdata);
+    Py_XDECREF(c->s_line); Py_XDECREF(c->s_linepos); Py_XDECREF(c->s_charpos);
+    Py_XDECREF(c->s_blank_cdata); Py_XDECREF(c->s_cdata_must_be_empty);
+    Py_XDECREF(c->s_first); Py_XDECREF(c->s_startloc); Py_XDECREF(c->s_startcdata);
+    Py_XDECREF(c->s_state); Py_XDECREF(c->s_cdata_state); Py_XDECREF(c->s_etag);
+    Py_XDECREF(c->s_map); Py_XDECREF(c->s_text_parts); Py_XDECREF(c->s_element);
+    Py_XDECREF(c->s_space_mode); Py_XDECREF(c->s_cdata_memo);
+    Py_XDECREF(c->s_structure); Py_XDECREF(c->s_undefined); Py_XDECREF(c->s_type);
+    Py_XDECREF(c->s_omit_close); Py_XDECREF(c->s_initial_state);
+    Py_XDECREF(c->s_final_state); Py_XDECREF(c->s_name);
+    Py_XDECREF(c->s__tag_memo); Py_XDECREF(c->s__ent_fast);
+    PyObject_Del(c);
+}
+
+static PyTypeObject Ctx_Type = {
+    PyVarObject_HEAD_INIT(NULL, 0)
+    .tp_name = "_sgml_cspeed.Ctx",
+    .tp_basicsize = sizeof(CtxObject),
+    .tp_dealloc = (destructor)Ctx_dealloc,
+    .tp_flags = Py_TPFLAGS_DEFAULT,
+};
+
+/* register a State, return idx (or -1 on error) */
+static int reg_state(CtxObject *c, PyObject *st)
+{
+    int64_t idx;
+    if (u64map_get(&c->state_ids, (uint64_t)(uintptr_t)st, &idx))
+        return (int)idx;
+    if (c->n_states >= c->cap_states) {
+        size_t ncap = c->cap_states ? c->cap_states * 2 : 64;
+        CState *ns = realloc(c->states, ncap * sizeof(CState));
+        if (!ns) { PyErr_NoMemory(); return -1; }
+        c->states = ns; c->cap_states = ncap;
+    }
+    Py_INCREF(st);
+    c->states[c->n_states].obj = st;
+    if (u64map_put(&c->state_ids, (uint64_t)(uintptr_t)st,
+                   (int64_t)c->n_states) < 0) {
+        PyErr_NoMemory(); return -1;
+    }
+    return (int)c->n_states++;
+}
+
+/* refresh the cached flags of elems[idx] from the live object */
+static int elem_read_flags(CtxObject *c, int idx)
+{
+    CElem *ce = &c->elems[idx];
+    PyObject *e = ce->obj;
+    if (e == c->cdata_element) {          /* sentinel: fixed flags */
+        ce->undefined = 0; ce->has_struct = 0; ce->stype = -1;
+        ce->omit_close = 0; ce->has_map = 0;
+        ce->initial = -1; ce->final_ = -1;
+        return 0;
+    }
+    PyObject *u = PyObject_GetAttr(e, c->s_undefined);
+    if (!u) return -1;
+    ce->undefined = PyObject_IsTrue(u); Py_DECREF(u);
+    PyObject *st = PyObject_GetAttr(e, c->s_structure);
+    if (!st) return -1;
+    if (st == Py_None) {
+        ce->has_struct = 0; ce->stype = -1; ce->omit_close = 0;
+        ce->initial = -1; ce->final_ = -1;
+    } else {
+        ce->has_struct = 1;
+        PyObject *t = PyObject_GetAttr(st, c->s_type);
+        if (!t) { Py_DECREF(st); return -1; }
+        ce->stype = (int)PyLong_AsLong(t); Py_DECREF(t);
+        PyObject *oc = PyObject_GetAttr(st, c->s_omit_close);
+        if (!oc) { Py_DECREF(st); return -1; }
+        ce->omit_close = PyObject_IsTrue(oc); Py_DECREF(oc);
+        ce->initial = -2; ce->final_ = -2;   /* resolve lazily */
+    }
+    Py_DECREF(st);
+    PyObject *mp = PyObject_GetAttr(e, c->s_map);
+    if (!mp) return -1;
+    ce->has_map = (mp != Py_None); Py_DECREF(mp);
+    return 0;
+}
+
+static int reg_elem(CtxObject *c, PyObject *e)
+{
+    int64_t idx;
+    if (u64map_get(&c->elem_ids, (uint64_t)(uintptr_t)e, &idx))
+        return (int)idx;
+    if (c->n_elems >= c->cap_elems) {
+        size_t ncap = c->cap_elems ? c->cap_elems * 2 : 64;
+        CElem *ne = realloc(c->elems, ncap * sizeof(CElem));
+        if (!ne) { PyErr_NoMemory(); return -1; }
+        c->elems = ne; c->cap_elems = ncap;
+    }
+    int i = (int)c->n_elems;
+    memset(&c->elems[i], 0, sizeof(CElem));
+    Py_INCREF(e);
+    c->elems[i].obj = e;
+    if (e != c->cdata_element) {
+        PyObject *nm = PyObject_GetAttr(e, c->s_name);
+        if (!nm) { Py_DECREF(e); c->elems[i].obj = NULL; return -1; }
+        c->elems[i].name = nm;
+    }
+    c->n_elems++;
+    if (elem_read_flags(c, i) < 0) return -1;
+    if (u64map_put(&c->elem_ids, (uint64_t)(uintptr_t)e, i) < 0) {
+        PyErr_NoMemory(); return -1;
+    }
+    return i;
+}
+
+/* resolve initial/final state of a DEFINED element (cached).
+ * Returns 0 ok, -1 error.  For undefined elements callers must use
+ * elem_engine_live(). */
+static int elem_resolve_engine(CtxObject *c, int eidx)
+{
+    CElem *ce = &c->elems[eidx];
+    if (ce->initial != -2) return 0;
+    PyObject *init = PyObject_CallFunctionObjArgs(
+        c->make_state_engine, ce->obj, NULL);
+    if (!init) return -1;
+    if (init == Py_None) ce->initial = -1;
+    else {
+        ce->initial = reg_state(c, init);
+        if (ce->initial < 0) { Py_DECREF(init); return -1; }
+    }
+    Py_DECREF(init);
+    /* final_state read fresh after engine build */
+    PyObject *st = PyObject_GetAttr(ce->obj, c->s_structure);
+    if (!st) return -1;
+    if (st == Py_None) ce->final_ = -1;
+    else {
+        PyObject *f = PyObject_GetAttr(st, c->s_final_state);
+        if (!f) { Py_DECREF(st); return -1; }
+        if (f == Py_None) ce->final_ = -1;
+        else {
+            ce->final_ = reg_state(c, f);
+            if (ce->final_ < 0) { Py_DECREF(f); Py_DECREF(st); return -1; }
+        }
+        Py_DECREF(f);
+    }
+    Py_DECREF(st);
+    return 0;
+}
+
+#define TKEY(sidx, eidx) (((uint64_t)(sidx) << 24) | (uint64_t)(eidx))
+
+/* transition (state idx, elem idx) -> state idx, -1 = None, -9 = error */
+static int trans_get(CtxObject *c, int sidx, int eidx)
+{
+    int64_t v;
+    if (u64map_get(&c->trans, TKEY(sidx, eidx), &v)) return (int)v;
+    PyObject *r = PyObject_CallFunctionObjArgs(
+        c->make_dtd_transition, c->states[sidx].obj, c->elems[eidx].obj,
+        NULL);
+    if (!r) return -9;
+    int res;
+    if (r == Py_None) res = -1;
+    else {
+        res = reg_state(c, r);
+        if (res < 0) { Py_DECREF(r); return -9; }
+    }
+    Py_DECREF(r);
+    if (u64map_put(&c->trans, TKEY(sidx, eidx), res) < 0) {
+        PyErr_NoMemory(); return -9;
+    }
+    return res;
+}
+
+/* same_state(final, here) -> 0/1, -9 = error */
+static int same_get(CtxObject *c, int here, int final_)
+{
+    int64_t v;
+    if (u64map_get(&c->same, TKEY(here, final_), &v)) return (int)v;
+    PyObject *r = PyObject_CallFunctionObjArgs(
+        c->same_state, c->states[final_].obj, c->states[here].obj, NULL);
+    if (!r) return -9;
+    int res = PyObject_IsTrue(r);
+    Py_DECREF(r);
+    if (res < 0) return -9;
+    if (u64map_put(&c->same, TKEY(here, final_), res) < 0) {
+        PyErr_NoMemory(); return -9;
+    }
+    return res;
+}
+
+/* find_omitted_path(state, e) non-empty? -> 0/1, -9 = error */
+static int omit_get(CtxObject *c, int sidx, int eidx)
+{
+    int64_t v;
+    if (u64map_get(&c->omit, TKEY(sidx, eidx), &v)) return (int)v;
+    PyObject *r = PyObject_CallFunctionObjArgs(
+        c->find_omitted_path, c->states[sidx].obj, c->elems[eidx].obj,
+        NULL);
+    if (!r) return -9;
+    int res = (r != Py_None) && PyObject_IsTrue(r);
+    Py_DECREF(r);
+    if (u64map_put(&c->omit, TKEY(sidx, eidx), res) < 0) {
+        PyErr_NoMemory(); return -9;
+    }
+    return res;
+}
+
+/* probe dtd._tag_memo for a decl; register on hit.
+ * Returns 1 hit (entry in *out), 0 miss, -1 error. */
+static int tag_probe(CtxObject *c, const char *decl, Py_ssize_t dlen,
+                     int64_t *out)
+{
+    if (strmap_get(&c->tags, decl, dlen, out)) return *out != 0;
+    PyObject *memo = PyObject_GetAttr(c->dtd, c->s__tag_memo);
+    if (!memo) return -1;
+    if (memo == Py_None) { Py_DECREF(memo); return 0; }
+    PyObject *key = PyUnicode_DecodeLatin1(decl, dlen, NULL);
+    if (!key) { Py_DECREF(memo); return -1; }
+    PyObject *entry = PyDict_GetItemWithError(memo, key);  /* borrowed */
+    Py_DECREF(key);
+    Py_DECREF(memo);
+    if (!entry) {
+        if (PyErr_Occurred()) return -1;
+        /* negative-cache NOT stored: the general loop will fill the
+         * Python memo and we re-probe next time */
+        return 0;
+    }
+    /* entry: ('b', e, atts, empty, conref) | ('e', e) */
+    PyObject *k0 = PyTuple_GET_ITEM(entry, 0);
+    PyObject *eobj = PyTuple_GET_ITEM(entry, 1);
+    int kind = (PyUnicode_ReadChar(k0, 0) == 'b') ? 1 : 2;
+    int eidx = reg_elem(c, eobj);
+    if (eidx < 0) return -1;
+    int empty = 0, conref = 0;
+    if (kind == 1) {
+        empty = PyObject_IsTrue(PyTuple_GET_ITEM(entry, 3));
+        conref = PyObject_IsTrue(PyTuple_GET_ITEM(entry, 4));
+    }
+    int64_t packed = (int64_t)kind | ((int64_t)empty << 2) |
+                     ((int64_t)conref << 3) | ((int64_t)eidx << 8);
+    if (strmap_put(&c->tags, decl, dlen, packed) < 0) {
+        PyErr_NoMemory(); return -1;
+    }
+    *out = packed;
+    return 1;
+}
+
+/* probe dtd._ent_fast; returns index into ent_vals, -2 miss, -1 err */
+static int ent_probe(CtxObject *c, const char *name, Py_ssize_t nlen)
+{
+    int64_t v;
+    if (strmap_get(&c->ents, name, nlen, &v)) return (int)v;
+    PyObject *fast = PyObject_GetAttr(c->dtd, c->s__ent_fast);
+    if (!fast) return -1;
+    if (fast == Py_None) { Py_DECREF(fast); return -2; }
+    PyObject *key = PyUnicode_DecodeLatin1(name, nlen, NULL);
+    if (!key) { Py_DECREF(fast); return -1; }
+    PyObject *entry = PyDict_GetItemWithError(fast, key);
+    Py_DECREF(key);
+    Py_DECREF(fast);
+    if (!entry) {
+        if (PyErr_Occurred()) return -1;
+        return -2;
+    }
+    PyObject *s = PyTuple_GET_ITEM(entry, 0);
+    long kind = PyLong_AsLong(PyTuple_GET_ITEM(entry, 1));
+    if (c->n_ents >= c->cap_ents) {
+        size_t ncap = c->cap_ents ? c->cap_ents * 2 : 64;
+        CEntity *ne = realloc(c->ent_vals, ncap * sizeof(CEntity));
+        if (!ne) { PyErr_NoMemory(); return -1; }
+        c->ent_vals = ne; c->cap_ents = ncap;
+    }
+    int idx = (int)c->n_ents;
+    Py_INCREF(s);
+    c->ent_vals[idx].s = s;
+    c->ent_vals[idx].kind = (int)kind;
+    int isb = 0;
+    if (kind != 2 && PyUnicode_GET_LENGTH(s) == 1) {
+        Py_UCS4 ch = PyUnicode_ReadChar(s, 0);
+        /* is_blank_char: <=255 -> {9,10,13,32}; >255 -> isspace */
+        isb = (ch <= 255) ? (ch == 9 || ch == 10 || ch == 13 || ch == 32)
+                          : Py_UNICODE_ISSPACE(ch);
+    }
+    c->ent_vals[idx].is_blank = isb;
+    c->n_ents++;
+    if (strmap_put(&c->ents, name, nlen, idx) < 0) {
+        PyErr_NoMemory(); return -1;
+    }
+    return idx;
+}
+
+/* ---------------------------------------------------------------- */
+/* cdata buffer (UCS4)                                               */
+/* ---------------------------------------------------------------- */
+
+typedef struct {
+    Py_UCS4 *d;
+    size_t n, cap;
+    int maxchar_gt_ff;      /* any char > 0xFF present */
+    int maxchar_gt_7f;      /* any char > 0x7F present */
+} Buf;
+
+static int buf_reserve(Buf *b, size_t extra)
+{
+    if (b->n + extra <= b->cap) return 0;
+    size_t ncap = b->cap ? b->cap : 256;
+    while (ncap < b->n + extra) ncap *= 2;
+    Py_UCS4 *nd = realloc(b->d, ncap * sizeof(Py_UCS4));
+    if (!nd) { PyErr_NoMemory(); return -1; }
+    b->d = nd; b->cap = ncap;
+    return 0;
+}
+
+static inline int buf_push(Buf *b, Py_UCS4 ch)
+{
+    if (b->n >= b->cap && buf_reserve(b, 1) < 0) return -1;
+    b->d[b->n++] = ch;
+    if (ch > 0x7F) { b->maxchar_gt_7f = 1; if (ch > 0xFF) b->maxchar_gt_ff = 1; }
+    return 0;
+}
+
+static int buf_push_span(Buf *b, const Py_UCS1 *s, size_t n)
+{
+    if (buf_reserve(b, n) < 0) return -1;
+    for (size_t i = 0; i < n; i++) {
+        Py_UCS4 ch = s[i];
+        b->d[b->n + i] = ch;
+        if (ch > 0x7F) b->maxchar_gt_7f = 1;
+    }
+    b->n += n;
+    return 0;
+}
+
+/* ---------------------------------------------------------------- */
+/* emit helpers: space-mode transform of a UCS4 string               */
+/* ---------------------------------------------------------------- */
+
+static inline int is_blank4(Py_UCS4 ch)
+{
+    if (ch <= 255) return ch == 9 || ch == 10 || ch == 13 || ch == 32;
+    return Py_UNICODE_ISSPACE(ch) ? 1 : 0;
+}
+
+/* mirrors parser.collapse_blanks (parser.py:3305) on a UCS4 slice,
+ * in place into out (caller provides >= n capacity); returns new len */
+static size_t c_collapse(const Py_UCS4 *s, size_t n, int ascii_only,
+                         int trim, Py_UCS4 *out)
+{
+    size_t m = 0;
+    if (ascii_only) {
+        /* regex [ \t\r\n]+ -> ' ' (no trim here; strip after) */
+        size_t i = 0;
+        while (i < n) {
+            Py_UCS4 ch = s[i];
+            if (ch == ' ' || ch == '\t' || ch == '\r' || ch == '\n') {
+                out[m++] = ' ';
+                while (i < n && (s[i] == ' ' || s[i] == '\t' ||
+                                 s[i] == '\r' || s[i] == '\n'))
+                    i++;
+            } else {
+                out[m++] = ch;
+                i++;
+            }
+        }
+        if (trim) {
+            /* strip(' \t\r\n') — after collapse only ' ' remains of
+             * the run chars, but strip the full set for parity */
+            size_t a = 0, b = m;
+            while (a < b && (out[a] == ' ' || out[a] == '\t' ||
+                             out[a] == '\r' || out[a] == '\n')) a++;
+            while (b > a && (out[b-1] == ' ' || out[b-1] == '\t' ||
+                             out[b-1] == '\r' || out[b-1] == '\n')) b--;
+            memmove(out, out + a, (b - a) * sizeof(Py_UCS4));
+            m = b - a;
+        }
+        return m;
+    }
+    /* non-ascii path: per-char is_blank_char squeeze */
+    int run = 0;
+    for (size_t i = 0; i < n; i++) {
+        Py_UCS4 ch = s[i];
+        if (is_blank4(ch)) { run = 1; continue; }
+        if (run && m) out[m++] = ' ';
+        else if (run && !m && !trim) out[m++] = ' ';
+        run = 0;
+        out[m++] = ch;
+    }
+    if (run && !trim) out[m++] = ' ';
+    if (trim) {
+        /* out.strip(): full Unicode whitespace strip */
+        size_t a = 0, b = m;
+        while (a < b && Py_UNICODE_ISSPACE(out[a])) a++;
+        while (b > a && Py_UNICODE_ISSPACE(out[b-1])) b--;
+        memmove(out, out + a, (b - a) * sizeof(Py_UCS4));
+        m = b - a;
+    }
+    return m;
+}
+
+/* apply emit_cdata's space-mode transform (parser.py:2042-2063).
+ * Returns a NEW PyUnicode (or NULL+error), sets *empty if result "".
+ * scratch must hold n UCS4. */
+static PyObject *emit_transform(CtxObject *c, const Py_UCS4 *s, size_t n,
+                                int ascii_only, int sm, int first,
+                                int last, Py_UCS4 *scratch, int *empty)
+{
+    size_t a = 0, b = n;
+    if (sm == c->SP_SGML || sm == c->SP_DEFAULT) {
+        if (first) {
+            if (b > a && s[a] == '\r') a++;
+            if (b > a && s[a] == '\n') a++;
+        }
+        if (last && b > a) {
+            if (s[b-1] == '\n') b--;
+            if (b > a && s[b-1] == '\r') b--;
+        }
+        if (sm == c->SP_DEFAULT) {
+            size_t m = c_collapse(s + a, b - a, ascii_only, 0, scratch);
+            *empty = (m == 0);
+            return PyUnicode_FromKindAndData(PyUnicode_4BYTE_KIND,
+                                             scratch, (Py_ssize_t)m);
+        }
+        *empty = (b == a);
+        return PyUnicode_FromKindAndData(PyUnicode_4BYTE_KIND,
+                                         s + a, (Py_ssize_t)(b - a));
+    }
+    if (sm == c->SP_REMOVE) {
+        size_t m = c_collapse(s, n, ascii_only, 1, scratch);
+        *empty = (m == 0);
+        return PyUnicode_FromKindAndData(PyUnicode_4BYTE_KIND,
+                                         scratch, (Py_ssize_t)m);
+    }
+    /* SP_PRESERVE / SP_STRICT: verbatim */
+    *empty = (n == 0);
+    return PyUnicode_FromKindAndData(PyUnicode_4BYTE_KIND, s,
+                                     (Py_ssize_t)n);
+}
+
+/* ---------------------------------------------------------------- */
+/* session: mirrors of the parser's mutable state                    */
+/* ---------------------------------------------------------------- */
+
+#define MAX_DEPTH 192
+
+typedef struct {
+    int eidx;
+    int sidx;               /* -1 = None */
+    int space_mode;
+    PyObject *map;          /* borrowed (owner: py env/elem); NULL = None */
+    int cm_in, cm_out;      /* cdata_memo state idxs, -1 = None */
+    PyObject *py_env;       /* borrowed from envs list; NULL = C-created */
+    char dirty;             /* py env needs .state / .cdata_memo writeback */
+} CEnv;
+
+typedef struct {
+    CtxObject *c;
+    PyObject *parser;
+    PyObject *envs_list;    /* borrowed */
+    PyObject *text_parts;   /* borrowed */
+    CEnv env[MAX_DEPTH];
+    int depth;
+    int orig_depth;         /* python list len at entry */
+    int survive;            /* envs[0..survive) untouched prefix */
+    long line, linepos, charpos;
+    int first, blank_cdata, cmbe;
+    Buf cdata;
+    Py_UCS4 *scratch; size_t scratch_cap;
+    /* pending writeback values */
+    long startloc_l, startloc_p, startloc_c; int startloc_dirty;
+    long startcd_l, startcd_p, startcd_c; int startcd_dirty;
+} Sess;
+
+static int sess_scratch(Sess *S, size_t n)
+{
+    if (S->scratch_cap >= n) return 0;
+    size_t ncap = S->scratch_cap ? S->scratch_cap : 256;
+    while (ncap < n) ncap *= 2;
+    Py_UCS4 *ns = realloc(S->scratch, ncap * sizeof(Py_UCS4));
+    if (!ns) { PyErr_NoMemory(); return -1; }
+    S->scratch = ns; S->scratch_cap = ncap;
+    return 0;
+}
+
+static long get_long_attr(PyObject *o, PyObject *name, int *err)
+{
+    PyObject *v = PyObject_GetAttr(o, name);
+    if (!v) { *err = 1; return 0; }
+    long r = PyLong_AsLong(v);
+    Py_DECREF(v);
+    if (r == -1 && PyErr_Occurred()) { *err = 1; return 0; }
+    return r;
+}
+
+static int get_bool_attr(PyObject *o, PyObject *name, int *err)
+{
+    PyObject *v = PyObject_GetAttr(o, name);
+    if (!v) { *err = 1; return 0; }
+    int r = PyObject_IsTrue(v);
+    Py_DECREF(v);
+    if (r < 0) { *err = 1; return 0; }
+    return r;
+}
+
+/* returns 0 ok, 1 not-applicable (caller falls back), -1 error */
+static int sess_build(Sess *S, CtxObject *c, PyObject *parser)
+{
+    int err = 0;
+    S->c = c;
+    S->parser = parser;
+    S->cdata.d = NULL; S->cdata.n = 0; S->cdata.cap = 0;
+    S->cdata.maxchar_gt_ff = 0; S->cdata.maxchar_gt_7f = 0;
+    S->scratch = NULL; S->scratch_cap = 0;
+    S->startloc_dirty = 0; S->startcd_dirty = 0;
+
+    /* generation check */
+    PyObject *g = PyList_GetItem(c->omit_gen_list, 0);   /* borrowed */
+    if (!g) return -1;
+    long gen = PyLong_AsLong(g);
+    if (gen != c->gen) {
+        ctx_flush(c);
+        c->gen = gen;
+        /* re-register the CDATA sentinel as element 0 */
+        if (reg_elem(c, c->cdata_element) != CDATA_EIDX) return -1;
+    }
+
+    S->line = get_long_attr(parser, c->s_line, &err);
+    S->linepos = get_long_attr(parser, c->s_linepos, &err);
+    S->charpos = get_long_attr(parser, c->s_charpos, &err);
+    S->first = get_bool_attr(parser, c->s_first, &err);
+    S->blank_cdata = get_bool_attr(parser, c->s_blank_cdata, &err);
+    S->cmbe = get_bool_attr(parser, c->s_cdata_must_be_empty, &err);
+    if (err) return -1;
+
+    PyObject *envs = PyObject_GetAttr(parser, c->s_environments);
+    if (!envs) return -1;
+    Py_DECREF(envs);                    /* parser keeps it alive */
+    S->envs_list = envs;
+    Py_ssize_t nd = PyList_Size(envs);
+    if (nd < 0) return -1;
+    if (nd >= MAX_DEPTH) return 1;
+    S->depth = (int)nd;
+    S->orig_depth = (int)nd;
+    S->survive = (int)nd;
+    for (Py_ssize_t i = 0; i < nd; i++) {
+        PyObject *pe = PyList_GET_ITEM(envs, i);    /* borrowed */
+        CEnv *E = &S->env[i];
+        E->py_env = pe;
+        E->dirty = 0;
+        PyObject *el = PyObject_GetAttr(pe, c->s_element);
+        if (!el) return -1;
+        E->eidx = reg_elem(c, el);
+        Py_DECREF(el);
+        if (E->eidx < 0) return -1;
+        PyObject *st = PyObject_GetAttr(pe, c->s_state);
+        if (!st) return -1;
+        if (st == Py_None) E->sidx = -1;
+        else {
+            E->sidx = reg_state(c, st);
+            if (E->sidx < 0) { Py_DECREF(st); return -1; }
+        }
+        Py_DECREF(st);
+        E->space_mode = (int)get_long_attr(pe, c->s_space_mode, &err);
+        if (err) return -1;
+        PyObject *mp = PyObject_GetAttr(pe, c->s_map);
+        if (!mp) return -1;
+        E->map = (mp == Py_None) ? NULL : mp;
+        Py_DECREF(mp);                  /* borrowed via env */
+        PyObject *cm = PyObject_GetAttr(pe, c->s_cdata_memo);
+        if (!cm) return -1;
+        E->cm_in = E->cm_out = -1;
+        if (cm != Py_None) {
+            PyObject *a = PyTuple_GET_ITEM(cm, 0);
+            PyObject *b = PyTuple_GET_ITEM(cm, 1);
+            E->cm_in = reg_state(c, a);
+            E->cm_out = reg_state(c, b);
+            if (E->cm_in < 0 || E->cm_out < 0) { Py_DECREF(cm); return -1; }
+        }
+        Py_DECREF(cm);
+    }
+
+    /* cdata: list of single chars (invariant of all append sites) */
+    PyObject *cd = PyObject_GetAttr(parser, c->s_cdata);
+    if (!cd) return -1;
+    Py_DECREF(cd);
+    Py_ssize_t nc = PyList_Size(cd);
+    if (nc < 0) return -1;
+    if (nc && buf_reserve(&S->cdata, (size_t)nc) < 0) return -1;
+    for (Py_ssize_t i = 0; i < nc; i++) {
+        PyObject *it = PyList_GET_ITEM(cd, i);
+        if (!PyUnicode_Check(it) || PyUnicode_GET_LENGTH(it) != 1)
+            return 1;                   /* exotic buffer: fall back */
+        if (buf_push(&S->cdata, PyUnicode_ReadChar(it, 0)) < 0)
+            return -1;
+    }
+
+    PyObject *tp = PyObject_GetAttr(parser, c->s_text_parts);
+    if (!tp) return -1;
+    Py_DECREF(tp);
+    S->text_parts = tp;
+    return 0;
+}
+
+static int set_long_attr(PyObject *o, PyObject *name, long v)
+{
+    PyObject *pv = PyLong_FromLong(v);
+    if (!pv) return -1;
+    int r = PyObject_SetAttr(o, name, pv);
+    Py_DECREF(pv);
+    return r;
+}
+
+static int set_bool_attr(PyObject *o, PyObject *name, int v)
+{
+    return PyObject_SetAttr(o, name, v ? Py_True : Py_False);
+}
+
+/* write the session back into the parser.  extra_state: -1 = leave
+ * parser.state alone, else set state+cdata_state (CDATA switch),
+ * with etag = elems[etag_eidx].name.  new_map: map to install
+ * (NULL = set None only if map_dirty). */
+static int sess_writeback(Sess *S, int extra_state, int etag_eidx,
+                          PyObject *new_map, int map_dirty)
+{
+    CtxObject *c = S->c;
+    PyObject *p = S->parser;
+    if (set_long_attr(p, c->s_line, S->line) < 0) return -1;
+    if (set_long_attr(p, c->s_linepos, S->linepos) < 0) return -1;
+    if (set_long_attr(p, c->s_charpos, S->charpos) < 0) return -1;
+    if (set_bool_attr(p, c->s_first, S->first) < 0) return -1;
+    if (set_bool_attr(p, c->s_blank_cdata, S->blank_cdata) < 0) return -1;
+    if (set_bool_attr(p, c->s_cdata_must_be_empty, S->cmbe) < 0) return -1;
+    if (S->startloc_dirty) {
+        PyObject *t = Py_BuildValue("(lll)", S->startloc_l,
+                                    S->startloc_p, S->startloc_c);
+        if (!t) return -1;
+        int r = PyObject_SetAttr(p, c->s_startloc, t);
+        Py_DECREF(t);
+        if (r < 0) return -1;
+    }
+    if (S->startcd_dirty) {
+        PyObject *t = Py_BuildValue("(lll)", S->startcd_l,
+                                    S->startcd_p, S->startcd_c);
+        if (!t) return -1;
+        int r = PyObject_SetAttr(p, c->s_startcdata, t);
+        Py_DECREF(t);
+        if (r < 0) return -1;
+    }
+
+    /* env stack: truncate dead python envs, then append C-created */
+    if (S->survive < S->orig_depth) {
+        if (PyList_SetSlice(S->envs_list, S->survive, S->orig_depth,
+                            NULL) < 0)
+            return -1;
+    }
+    for (int i = 0; i < S->depth; i++) {
+        CEnv *E = &S->env[i];
+        if (E->py_env) {
+            if (E->dirty) {
+                PyObject *st = (E->sidx >= 0)
+                    ? c->states[E->sidx].obj : Py_None;
+                if (PyObject_SetAttr(E->py_env, c->s_state, st) < 0)
+                    return -1;
+                PyObject *cm;
+                if (E->cm_in >= 0) {
+                    cm = PyTuple_Pack(2, c->states[E->cm_in].obj,
+                                      c->states[E->cm_out].obj);
+                    if (!cm) return -1;
+                } else {
+                    cm = Py_None; Py_INCREF(cm);
+                }
+                int r = PyObject_SetAttr(E->py_env, c->s_cdata_memo, cm);
+                Py_DECREF(cm);
+                if (r < 0) return -1;
+            }
+            continue;
+        }
+        /* materialize a new Environment */
+        PyObject *env = PyObject_CallFunctionObjArgs(
+            c->env_class, c->elems[E->eidx].obj, NULL);
+        if (!env) return -1;
+        PyObject *st = (E->sidx >= 0) ? c->states[E->sidx].obj : Py_None;
+        if (PyObject_SetAttr(env, c->s_state, st) < 0 ||
+            set_long_attr(env, c->s_space_mode, E->space_mode) < 0 ||
+            PyObject_SetAttr(env, c->s_map,
+                             E->map ? E->map : Py_None) < 0) {
+            Py_DECREF(env);
+            return -1;
+        }
+        if (E->cm_in >= 0) {
+            PyObject *cm = PyTuple_Pack(2, c->states[E->cm_in].obj,
+                                        c->states[E->cm_out].obj);
+            if (!cm || PyObject_SetAttr(env, c->s_cdata_memo, cm) < 0) {
+                Py_XDECREF(cm); Py_DECREF(env); return -1;
+            }
+            Py_DECREF(cm);
+        }
+        int r = PyList_Append(S->envs_list, env);
+        Py_DECREF(env);
+        if (r < 0) return -1;
+        E->py_env = PyList_GET_ITEM(S->envs_list,
+                                    PyList_Size(S->envs_list) - 1);
+        E->dirty = 0;
+    }
+
+    /* cdata list: single-char strings */
+    PyObject *cd = PyList_New((Py_ssize_t)S->cdata.n);
+    if (!cd) return -1;
+    for (size_t i = 0; i < S->cdata.n; i++) {
+        PyObject *ch = PyUnicode_FromOrdinal((int)S->cdata.d[i]);
+        if (!ch) { Py_DECREF(cd); return -1; }
+        PyList_SET_ITEM(cd, (Py_ssize_t)i, ch);
+    }
+    int r = PyObject_SetAttr(p, c->s_cdata, cd);
+    Py_DECREF(cd);
+    if (r < 0) return -1;
+
+    if (map_dirty) {
+        if (PyObject_SetAttr(p, c->s_map,
+                             new_map ? new_map : Py_None) < 0)
+            return -1;
+    }
+    if (extra_state >= 0) {
+        if (set_long_attr(p, c->s_state, extra_state) < 0) return -1;
+        if (set_long_attr(p, c->s_cdata_state, extra_state) < 0)
+            return -1;
+        if (etag_eidx >= 0) {
+            if (PyObject_SetAttr(p, c->s_etag,
+                                 c->elems[etag_eidx].name) < 0)
+                return -1;
+        }
+    }
+    return 0;
+}
+
+static void sess_free(Sess *S)
+{
+    free(S->cdata.d);
+    free(S->scratch);
+}
+
+/* ---------------------------------------------------------------- */
+/* emit: flush the cdata buffer per emit_cdata-inline semantics.
+ * last: 1 for close-tag flush, 0 for open-tag flush.
+ * env may be NULL (no environments).
+ * Returns: 0 emitted-or-empty, 1 WOULD GRIPE (caller must bail
+ * without consuming), -1 error.
+ * On success the buffer is reset and blank/cmbe flags updated.
+ * commit==0 runs all checks but mutates nothing (dry run); in both
+ * modes *post_sidx (if non-NULL) receives the env state after the
+ * flush (the blank-#PCDATA branch advances it) — the end-tag
+ * validation runs against THIS state (parser.py:1187-1207 order). */
+static int emit_flush(Sess *S, CEnv *env, int last, int commit,
+                      int *post_sidx)
+{
+    if (post_sidx) *post_sidx = env ? env->sidx : -1;
+    CtxObject *c = S->c;
+    if (!S->cdata.n) return 0;
+    int sm = env ? env->space_mode : -1000;
+    int empty = 0;
+    PyObject *s = NULL;
+    if (env) {
+        if (sess_scratch(S, S->cdata.n) < 0) return -1;
+        s = emit_transform(c, S->cdata.d, S->cdata.n,
+                           !S->cdata.maxchar_gt_7f, sm, S->first, last,
+                           S->scratch, &empty);
+    } else {
+        empty = 0;
+        s = PyUnicode_FromKindAndData(PyUnicode_4BYTE_KIND, S->cdata.d,
+                                      (Py_ssize_t)S->cdata.n);
+    }
+    if (!s) return -1;
+    if (empty) {
+        Py_DECREF(s);
+        if (commit) {
+            S->cdata.n = 0;
+            S->cdata.maxchar_gt_7f = S->cdata.maxchar_gt_ff = 0;
+            S->blank_cdata = 1;
+            S->cmbe = 0;
+        }
+        return 0;
+    }
+    if (!S->blank_cdata) {
+        if (S->cmbe) { Py_DECREF(s); return 1; }    /* would gripe */
+        if (!commit) { Py_DECREF(s); return 0; }
+        int r = PyList_Append(S->text_parts, s);
+        Py_DECREF(s);
+        if (r < 0) return -1;
+    } else if (env) {
+        /* blank cdata becoming visible: needs a #PCDATA transition */
+        int bnew = (env->sidx >= 0)
+            ? trans_get(c, env->sidx, CDATA_EIDX) : -1;
+        if (bnew == -9) { Py_DECREF(s); return -1; }
+        if (bnew >= 0) {
+            if (post_sidx) *post_sidx = bnew;
+            if (!commit) { Py_DECREF(s); return 0; }
+            env->sidx = bnew;
+            env->dirty = env->py_env != NULL;
+            int r = PyList_Append(S->text_parts, s);
+            Py_DECREF(s);
+            if (r < 0) return -1;
+        } else {
+            CElem *ce = &c->elems[env->eidx];
+            if (ce->undefined &&
+                (env->space_mode == c->SP_PRESERVE ||
+                 env->space_mode == c->SP_STRICT)) {
+                if (!commit) { Py_DECREF(s); return 0; }
+                int r = PyList_Append(S->text_parts, s);
+                Py_DECREF(s);
+                if (r < 0) return -1;
+            } else {
+                Py_DECREF(s);       /* dropped silently (no event) */
+                if (!commit) return 0;
+            }
+        }
+    } else {
+        Py_DECREF(s);
+        if (!commit) return 0;
+    }
+    if (commit) {
+        S->cdata.n = 0;
+        S->cdata.maxchar_gt_7f = S->cdata.maxchar_gt_ff = 0;
+        S->blank_cdata = 1;
+        S->cmbe = 0;
+    }
+    return 0;
+}
+
+/* validation check of env against its element's final state.
+ * Returns 1 ok (complete), 0 would-gripe, -1 error. */
+static int check_complete(Sess *S, CEnv *env)
+{
+    CtxObject *c = S->c;
+    CElem *ce = &c->elems[env->eidx];
+    if (ce->undefined || !ce->has_struct || ce->stype == c->C_ANY)
+        return 1;
+    if (elem_resolve_engine(c, env->eidx) < 0) return -1;
+    if (ce->final_ < 0) return 1;       /* final None -> no check */
+    if (env->sidx < 0) return 0;
+    if (env->sidx == ce->final_) return 1;
+    int r = same_get(c, env->sidx, ce->final_);
+    if (r == -9) return -1;
+    return r;
+}
+
+/* ---------------------------------------------------------------- */
+/* the executor                                                      */
+/* ---------------------------------------------------------------- */
+
+/* pcdata_fast(ctx, parser, text, i, n, utf8) -> long new_i, or -1
+ * ("not applicable, run the Python executor") */
+static PyObject *pcdata_fast(PyObject *self, PyObject *args)
+{
+    (void)self;
+    CtxObject *c;
+    PyObject *parser, *text;
+    Py_ssize_t i, n;
+    int utf8;
+    if (!PyArg_ParseTuple(args, "O!OOnnp", &Ctx_Type, &c, &parser,
+                          &text, &i, &n, &utf8))
+        return NULL;
+    if (PyUnicode_READY(text) < 0) return NULL;
+    if (PyUnicode_KIND(text) != PyUnicode_1BYTE_KIND)
+        return PyLong_FromLong(-1);
+    const Py_UCS1 *T = PyUnicode_1BYTE_DATA(text);
+
+    Sess S;
+    int br = sess_build(&S, c, parser);
+    if (br != 0) {
+        sess_free(&S);
+        if (br < 0) return NULL;
+        return PyLong_FromLong(-1);
+    }
+
+#define BAIL_OUT() do { goto finish; } while (0)
+#define FAIL() do { rc = -1; goto finish; } while (0)
+
+    int rc = 0;
+    int switch_state = -1, switch_etag = -1;
+    PyObject *out_map = NULL;
+    int out_map_dirty = 0;
+    Py_ssize_t start_i = i;
+    (void)start_i;
+
+    while (i < n) {
+        Py_UCS1 ch = T[i];
+        if (ch == '<') {
+            /* ---- whole-tag match (mirrors _RE_FULLTAG) ---- */
+            Py_ssize_t j = i + 1;
+            if (j >= n) break;
+            Py_UCS1 c1 = T[j];
+            Py_ssize_t tag_end = -1;    /* index of '>' */
+            int ascii_ok = 1;
+            if (c1 == '/') {
+                j++;
+                if (j >= n) break;
+                Py_UCS1 c2 = T[j];
+                if (!((c2 >= 'A' && c2 <= 'Z') || (c2 >= 'a' && c2 <= 'z')))
+                    break;
+                j++;
+                while (j < n) {
+                    Py_UCS1 x = T[j];
+                    if (x == '>') { tag_end = j; break; }
+                    if (x == '"' || x == '\'' || x == '<') break;
+                    if (x >= 0x80) ascii_ok = 0;
+                    j++;
+                }
+            } else if ((c1 >= 'A' && c1 <= 'Z') || (c1 >= 'a' && c1 <= 'z')) {
+                j++;
+                while (j < n) {
+                    Py_UCS1 x = T[j];
+                    if (x == '>') { tag_end = j; break; }
+                    if (x == '<') break;
+                    if (x == '"' || x == '\'') {
+                        Py_UCS1 q = x;
+                        j++;
+                        while (j < n && T[j] != q && T[j] != '<') {
+                            if (T[j] >= 0x80) ascii_ok = 0;
+                            j++;
+                        }
+                        if (j >= n || T[j] != q) { tag_end = -1; break; }
+                        j++;
+                        continue;
+                    }
+                    if (x >= 0x80) ascii_ok = 0;
+                    j++;
+                }
+            }
+            if (tag_end < 0) break;             /* FSM handles '<' */
+            if (utf8 && !ascii_ok) break;
+            const char *decl = (const char *)T + i + 1;
+            Py_ssize_t dlen = tag_end - i - 1;
+            int64_t entry;
+            int hit = tag_probe(c, decl, dlen, &entry);
+            if (hit < 0) FAIL();
+            if (!hit) break;                    /* miss: general loop */
+
+            int kind = TAG_KIND(entry);
+            int eidx = TAG_EIDX(entry);
+            CElem *ce = &c->elems[eidx];
+
+            /* prepare_cdata complications — parser.py:873-889 runs
+             * this BEFORE the kind dispatch, so it guards END tags
+             * too (e.g. <img> <!----></img>: the end tag's prepare
+             * pops the C_EMPTY top first) -> bail pre-token */
+            if (S.cdata.n) {
+                if (S.depth) {
+                    CElem *tp = &c->elems[S.env[S.depth - 1].eidx];
+                    if (tp->has_struct && !tp->undefined &&
+                        tp->stype == c->C_EMPTY)
+                        break;                   /* need_full */
+                }
+                if (S.blank_cdata) {
+                    int allb = 1;
+                    for (size_t k2 = 0; k2 < S.cdata.n; k2++)
+                        if (!is_blank4(S.cdata.d[k2])) { allb = 0; break; }
+                    if (!allb) break;            /* need_full */
+                }
+            }
+
+            /* location over the tag (set startloc AFTER we know we
+             * will consume — all bail paths below are pre-commit) */
+            Py_ssize_t tl = tag_end + 1 - i;
+            long nl = 0; Py_ssize_t lastlf = -1;
+            for (Py_ssize_t k2 = i; k2 <= tag_end; k2++)
+                if (T[k2] == '\n') { nl++; lastlf = k2; }
+
+            if (kind == 1) {
+                /* ---------- begin tag ---------- */
+                if (TAG_EMPTY(entry)) break;     /* close_element: bail */
+                if (!S.depth) break;             /* open_element: bail */
+                if (S.depth + 1 >= MAX_DEPTH) break;   /* deep: bail */
+                CEnv *env = &S.env[S.depth - 1];
+                CElem *pe = &c->elems[env->eidx];
+                if (pe->undefined || !pe->has_struct ||
+                    pe->stype == c->C_ANY)
+                    break;                       /* open_element: bail */
+                /* inclusion/exclusion: bail if the DTD has any (the
+                 * env-stack walk + its gripes stay in Python) */
+                if (env->sidx < 0) break;
+                int new_s = trans_get(c, env->sidx, eidx);
+                if (new_s == -9) FAIL();
+                CEnv *penv = env;
+                int popped = 0;
+                if (new_s < 0) {
+                    /* one-level omitted-close walk */
+                    if (S.depth < 2 || !pe->omit_close) break;
+                    int op = omit_get(c, env->sidx, eidx);
+                    if (op == -9) FAIL();
+                    if (op) break;               /* path exists: bail */
+                    CEnv *env1 = &S.env[S.depth - 2];
+                    if (env1->sidx < 0) break;
+                    int new1 = trans_get(c, env1->sidx, eidx);
+                    if (new1 == -9) FAIL();
+                    if (new1 < 0) break;
+                    /* validate the element being closed (pre-flush
+                     * state: parser.py:936-958 runs validation
+                     * BEFORE the flush on this path) */
+                    int okc = check_complete(&S, env);
+                    if (okc < 0) FAIL();
+                    if (!okc) break;             /* would gripe: bail */
+                    /* flush cdata (last=True) — dry-run first */
+                    int er = emit_flush(&S, env, 1, 0, NULL);
+                    if (er < 0) FAIL();
+                    if (er == 1) break;          /* would gripe: bail */
+                    if (env1->map) break;        /* map restore: bail */
+                    /* ---- commit the one-level close ---- */
+                    er = emit_flush(&S, env, 1, 1, NULL);
+                    if (er != 0) FAIL();
+                    env1->sidx = new1;
+                    env1->dirty = env1->py_env != NULL;
+                    S.first = 0;
+                    S.depth--;
+                    if (S.depth < S.survive) S.survive = S.depth;
+                    penv = env1;
+                    new_s = new1;
+                    popped = 1;
+                    (void)popped;
+                } else {
+                    /* parser.py:1027-1056 order: env.state = new
+                     * FIRST, then the flush (whose blank-#PCDATA
+                     * transition starts from the NEW state) */
+                    int save = penv->sidx;
+                    penv->sidx = new_s;
+                    int er = emit_flush(&S, penv, 0, 0, NULL);
+                    if (er < 0) { penv->sidx = save; FAIL(); }
+                    if (er == 1) { penv->sidx = save; break; }
+                    er = emit_flush(&S, penv, 0, 1, NULL);
+                    if (er != 0) { penv->sidx = save; FAIL(); }
+                    penv->dirty = penv->py_env != NULL;
+                }
+                /* push the new element (depth-capped pre-token) */
+                /* startloc + location advance (committed now) */
+                S.startloc_l = S.line; S.startloc_p = S.linepos + 1;
+                S.startloc_c = S.charpos; S.startloc_dirty = 1;
+                S.charpos += tl;
+                if (nl) { S.line += nl; S.linepos = tag_end - lastlf; }
+                else S.linepos += tl;
+
+                CEnv *nenv = &S.env[S.depth++];
+                nenv->eidx = eidx;
+                nenv->py_env = NULL;
+                nenv->dirty = 0;
+                nenv->cm_in = nenv->cm_out = -1;
+                nenv->space_mode = penv->space_mode;
+                if (ce->undefined) {
+                    /* engine must be read live (allow_for mutates) */
+                    PyObject *init = PyObject_CallFunctionObjArgs(
+                        c->make_state_engine, ce->obj, NULL);
+                    if (!init) FAIL();
+                    if (init == Py_None) nenv->sidx = -1;
+                    else {
+                        nenv->sidx = reg_state(c, init);
+                        if (nenv->sidx < 0) { Py_DECREF(init); FAIL(); }
+                    }
+                    Py_DECREF(init);
+                } else {
+                    if (elem_resolve_engine(c, eidx) < 0) FAIL();
+                    nenv->sidx = ce->initial;
+                }
+                PyObject *nmap = NULL;
+                if (ce->has_map) {
+                    PyObject *m = PyObject_GetAttr(ce->obj, c->s_map);
+                    if (!m) FAIL();
+                    Py_DECREF(m);       /* borrowed via elem */
+                    nmap = (m == Py_None) ? NULL : m;
+                } else {
+                    nmap = penv->map;
+                }
+                nenv->map = nmap;
+                S.first = 1;
+                i = tag_end + 1;
+                if (ce->undefined) {
+                    /* live structure read for the CDATA/RCDATA check */
+                    PyObject *stc = PyObject_GetAttr(ce->obj,
+                                                     c->s_structure);
+                    if (!stc) FAIL();
+                    int t = -1;
+                    if (stc != Py_None) {
+                        PyObject *tt = PyObject_GetAttr(stc, c->s_type);
+                        if (!tt) { Py_DECREF(stc); FAIL(); }
+                        t = (int)PyLong_AsLong(tt);
+                        Py_DECREF(tt);
+                    }
+                    Py_DECREF(stc);
+                    if (t == c->C_CDATA || t == c->C_RCDATA) {
+                        switch_state = (t == c->C_CDATA)
+                            ? c->S_CDATA : c->S_RCDATA;
+                        switch_etag = eidx;
+                        S.startcd_l = S.line; S.startcd_p = S.linepos;
+                        S.startcd_c = S.charpos; S.startcd_dirty = 1;
+                        goto finish;
+                    }
+                } else if (ce->has_struct &&
+                           (ce->stype == c->C_CDATA ||
+                            ce->stype == c->C_RCDATA)) {
+                    switch_state = (ce->stype == c->C_CDATA)
+                        ? c->S_CDATA : c->S_RCDATA;
+                    switch_etag = eidx;
+                    S.startcd_l = S.line; S.startcd_p = S.linepos;
+                    S.startcd_c = S.charpos; S.startcd_dirty = 1;
+                    goto finish;
+                }
+                if (nmap) {             /* shortref map installed */
+                    out_map = nmap; out_map_dirty = 1;
+                    goto finish;
+                }
+                continue;
+            }
+
+            /* ---------- end tag ---------- */
+            if (!S.depth || S.env[S.depth - 1].eidx != eidx)
+                break;                  /* close_element walk: bail */
+            {
+                CEnv *env = &S.env[S.depth - 1];
+                /* parser.py:1135-1207 order: flush FIRST, then
+                 * validate against the POST-flush state */
+                int post = env->sidx;
+                int er = emit_flush(&S, env, 1, 0, &post);
+                if (er < 0) FAIL();
+                if (er == 1) break;     /* would gripe: bail */
+                int save = env->sidx;
+                env->sidx = post;
+                int okc = check_complete(&S, env);
+                env->sidx = save;
+                if (okc < 0) FAIL();
+                if (!okc) break;        /* would gripe: bail */
+                PyObject *pm = (S.depth >= 2)
+                    ? S.env[S.depth - 2].map : NULL;
+                er = emit_flush(&S, env, 1, 1, NULL);
+                if (er != 0) FAIL();
+                S.first = 0;
+                S.depth--;
+                if (S.depth < S.survive) S.survive = S.depth;
+                S.startloc_l = S.line; S.startloc_p = S.linepos + 1;
+                S.startloc_c = S.charpos; S.startloc_dirty = 1;
+                S.charpos += tl;
+                if (nl) { S.line += nl; S.linepos = tag_end - lastlf; }
+                else S.linepos += tl;
+                i = tag_end + 1;
+                if (pm) {
+                    out_map = pm; out_map_dirty = 1;
+                    goto finish;
+                }
+                continue;
+            }
+        }
+        if (ch == '&') {
+            /* ---- whole-entity match (mirrors _RE_FULLENT) ---- */
+            Py_ssize_t j = i + 1;
+            if (j < n && T[j] == '#') j++;
+            Py_ssize_t name_start = (T[i + 1] == '#') ? i + 1 : i + 1;
+            Py_ssize_t k2 = j;
+            while (k2 < n) {
+                Py_UCS1 x = T[k2];
+                if ((x >= 'A' && x <= 'Z') || (x >= 'a' && x <= 'z') ||
+                    (x >= '0' && x <= '9') || x == '.' || x == '_' ||
+                    x == ':' || x == '-')
+                    k2++;
+                else break;
+            }
+            if (k2 == j || k2 >= n || T[k2] != ';') break;
+            Py_ssize_t nlen = k2 - name_start;
+            int ei = ent_probe(c, (const char *)T + name_start, nlen);
+            if (ei == -1 && PyErr_Occurred()) FAIL();
+            if (ei < 0) break;          /* miss: process_entity full */
+            CEntity *fe = &c->ent_vals[ei];
+            Py_ssize_t ml = k2 + 1 - i;
+            if (fe->kind == 0) {
+                /* numeric: plain append, no blank handling */
+                S.startloc_l = S.line; S.startloc_p = S.linepos + 1;
+                S.startloc_c = S.charpos; S.startloc_dirty = 1;
+                S.charpos += ml; S.linepos += ml;
+                if (!S.cdata.n) {
+                    /* NOTE: executor does NOT set startcdata for
+                     * entity appends (mirrors parser.py:1248-1296
+                     * where no startcdata write occurs) */
+                }
+                if (buf_push(&S.cdata, PyUnicode_ReadChar(fe->s, 0)) < 0)
+                    FAIL();
+                i += ml;
+                continue;
+            }
+            Py_ssize_t slen = PyUnicode_GET_LENGTH(fe->s);
+            if (slen == 0) {
+                S.startloc_l = S.line; S.startloc_p = S.linepos + 1;
+                S.startloc_c = S.charpos; S.startloc_dirty = 1;
+                S.charpos += ml; S.linepos += ml;
+                i += ml;
+                continue;
+            }
+            if (S.blank_cdata && (fe->kind == 2 || !fe->is_blank)) {
+                CEnv *env = S.depth ? &S.env[S.depth - 1] : NULL;
+                int handled = 0;
+                if (env && env->cm_in >= 0 && env->cm_in == env->sidx) {
+                    env->sidx = env->cm_out;
+                    env->dirty = env->py_env != NULL;
+                    S.cmbe = 0;
+                    handled = 1;
+                }
+                if (!handled) break;    /* open_element: bail */
+                S.blank_cdata = 0;
+            }
+            S.startloc_l = S.line; S.startloc_p = S.linepos + 1;
+            S.startloc_c = S.charpos; S.startloc_dirty = 1;
+            S.charpos += ml; S.linepos += ml;
+            if (fe->kind == 1) {
+                if (buf_push(&S.cdata, PyUnicode_ReadChar(fe->s, 0)) < 0)
+                    FAIL();
+            } else {
+                for (Py_ssize_t q = 0; q < slen; q++)
+                    if (buf_push(&S.cdata,
+                                 PyUnicode_ReadChar(fe->s, q)) < 0)
+                        FAIL();
+            }
+            i += ml;
+            continue;
+        }
+        if (ch == '\r') {
+            /* putchar CR inline (parser.py:1576+ S_PCDATA +
+             * add_cdata: CR is blank, no LF dance for CR itself,
+             * map is None) */
+            S.charpos += 1;
+            S.linepos = 0;
+            if (!S.cdata.n) {
+                S.startcd_l = S.line; S.startcd_p = 0;
+                S.startcd_c = S.charpos; S.startcd_dirty = 1;
+            }
+            if (buf_push(&S.cdata, '\r') < 0) FAIL();
+            i++;
+            continue;
+        }
+        /* ---- PCDATA span: up to '<' '&' '\r' (or >=0x80 if utf8) -- */
+        {
+            Py_ssize_t j = i;
+            if (utf8) {
+                while (j < n) {
+                    Py_UCS1 x = T[j];
+                    if (x == '<' || x == '&' || x == '\r' || x >= 0x80)
+                        break;
+                    j++;
+                }
+            } else {
+                while (j < n) {
+                    Py_UCS1 x = T[j];
+                    if (x == '<' || x == '&' || x == '\r') break;
+                    j++;
+                }
+            }
+            if (j == i) break;          /* multibyte lead: FSM */
+            Py_ssize_t ns = j - i;
+            Py_ssize_t k = 0;
+            if (S.blank_cdata) {
+                /* leading blanks (span has no CR): ' ' '\t' '\n' */
+                while (k < ns) {
+                    Py_UCS1 x = T[i + k];
+                    if (x == ' ' || x == '\t' || x == '\n') k++;
+                    else break;
+                }
+                if (k < ns) {
+                    /* non-blank present: need the #PCDATA open */
+                    CEnv *env = S.depth ? &S.env[S.depth - 1] : NULL;
+                    int handled = 0;
+                    if (env) {
+                        if (env->cm_in >= 0 && env->cm_in == env->sidx) {
+                            env->sidx = env->cm_out;
+                            env->dirty = env->py_env != NULL;
+                            S.cmbe = 0;
+                            handled = 1;
+                        } else {
+                            CElem *pe = &c->elems[env->eidx];
+                            if (!pe->undefined && pe->has_struct &&
+                                pe->stype != c->C_ANY &&
+                                env->sidx >= 0) {
+                                int new_s = trans_get(c, env->sidx,
+                                                      CDATA_EIDX);
+                                if (new_s == -9) FAIL();
+                                if (new_s >= 0) {
+                                    env->cm_in = env->sidx;
+                                    env->cm_out = new_s;
+                                    env->sidx = new_s;
+                                    env->dirty = env->py_env != NULL;
+                                    S.cmbe = 0;
+                                    handled = 1;
+                                }
+                            }
+                        }
+                    }
+                    if (!handled) break;    /* open_element: bail */
+                    S.blank_cdata = 0;
+                }
+                /* append blank prefix */
+                if (k) {
+                    if (!S.cdata.n) {
+                        S.startcd_l = S.line;
+                        S.startcd_p = S.linepos + 1;
+                        S.startcd_c = S.charpos;
+                        S.startcd_dirty = 1;
+                    } else if (T[i] == '\n' &&
+                               S.cdata.d[S.cdata.n - 1] == '\r' &&
+                               S.depth &&
+                               S.env[S.depth - 1].space_mode !=
+                                   c->SP_STRICT) {
+                        S.cdata.n--;
+                    }
+                    if (buf_push_span(&S.cdata, T + i, (size_t)k) < 0)
+                        FAIL();
+                }
+                if (k < ns) {
+                    const Py_UCS1 *rest = T + i + k;
+                    if (!S.cdata.n) {
+                        /* location of the rest's first char */
+                        long rl = S.line, rp = S.linepos, rcp = S.charpos;
+                        for (Py_ssize_t q = 0; q < k; q++) {
+                            rcp++;
+                            if (T[i + q] == '\n') { rl++; rp = 0; }
+                            else rp++;
+                        }
+                        S.startcd_l = rl; S.startcd_p = rp + 1;
+                        S.startcd_c = rcp; S.startcd_dirty = 1;
+                    } else if (rest[0] == '\n' &&
+                               S.cdata.d[S.cdata.n - 1] == '\r' &&
+                               S.depth &&
+                               S.env[S.depth - 1].space_mode !=
+                                   c->SP_STRICT) {
+                        S.cdata.n--;
+                    }
+                    if (buf_push_span(&S.cdata, rest,
+                                      (size_t)(ns - k)) < 0)
+                        FAIL();
+                }
+            } else {
+                if (!S.cdata.n) {
+                    S.startcd_l = S.line; S.startcd_p = S.linepos + 1;
+                    S.startcd_c = S.charpos; S.startcd_dirty = 1;
+                } else if (T[i] == '\n' &&
+                           S.cdata.d[S.cdata.n - 1] == '\r' &&
+                           S.depth &&
+                           S.env[S.depth - 1].space_mode !=
+                               c->SP_STRICT) {
+                    S.cdata.n--;
+                }
+                if (buf_push_span(&S.cdata, T + i, (size_t)ns) < 0)
+                    FAIL();
+            }
+            /* location over the span */
+            long nl2 = 0; Py_ssize_t lastlf2 = -1;
+            for (Py_ssize_t q = i; q < j; q++)
+                if (T[q] == '\n') { nl2++; lastlf2 = q; }
+            S.charpos += ns;
+            if (nl2) { S.line += nl2; S.linepos = j - lastlf2 - 1; }
+            else S.linepos += ns;
+            i = j;
+            continue;
+        }
+    }
+
+finish:
+    if (rc == 0) {
+        if (sess_writeback(&S, switch_state, switch_etag, out_map,
+                           out_map_dirty) < 0)
+            rc = -1;
+    }
+    sess_free(&S);
+    if (rc < 0) return NULL;
+    return PyLong_FromSsize_t(i);
+}
+
+/* ---------------------------------------------------------------- */
+/* make_ctx(dtd, consts_dict, callbacks_dict) -> Ctx                 */
+/* ---------------------------------------------------------------- */
+
+static int grab_const(PyObject *d, const char *name, int *out)
+{
+    PyObject *v = PyDict_GetItemString(d, name);
+    if (!v) {
+        PyErr_Format(PyExc_KeyError, "cspeed const %s", name);
+        return -1;
+    }
+    *out = (int)PyLong_AsLong(v);
+    return PyErr_Occurred() ? -1 : 0;
+}
+
+static PyObject *grab_cb(PyObject *d, const char *name)
+{
+    PyObject *v = PyDict_GetItemString(d, name);
+    if (!v) {
+        PyErr_Format(PyExc_KeyError, "cspeed callback %s", name);
+        return NULL;
+    }
+    Py_INCREF(v);
+    return v;
+}
+
+static PyObject *make_ctx(PyObject *self, PyObject *args)
+{
+    (void)self;
+    PyObject *dtd, *consts, *cbs;
+    if (!PyArg_ParseTuple(args, "OOO", &dtd, &consts, &cbs))
+        return NULL;
+    CtxObject *c = PyObject_New(CtxObject, &Ctx_Type);
+    if (!c) return NULL;
+    memset(((char *)c) + sizeof(PyObject), 0,
+           sizeof(CtxObject) - sizeof(PyObject));
+    Py_INCREF(dtd);
+    c->dtd = dtd;
+    c->gen = -1;            /* forces flush+reseed on first session */
+    if (grab_const(consts, "S_PCDATA", &c->S_PCDATA) < 0 ||
+        grab_const(consts, "S_CDATA", &c->S_CDATA) < 0 ||
+        grab_const(consts, "S_RCDATA", &c->S_RCDATA) < 0 ||
+        grab_const(consts, "SP_STRICT", &c->SP_STRICT) < 0 ||
+        grab_const(consts, "SP_SGML", &c->SP_SGML) < 0 ||
+        grab_const(consts, "SP_DEFAULT", &c->SP_DEFAULT) < 0 ||
+        grab_const(consts, "SP_REMOVE", &c->SP_REMOVE) < 0 ||
+        grab_const(consts, "SP_PRESERVE", &c->SP_PRESERVE) < 0 ||
+        grab_const(consts, "C_EMPTY", &c->C_EMPTY) < 0 ||
+        grab_const(consts, "C_CDATA", &c->C_CDATA) < 0 ||
+        grab_const(consts, "C_RCDATA", &c->C_RCDATA) < 0 ||
+        grab_const(consts, "C_ANY", &c->C_ANY) < 0)
+        goto fail;
+    if (!(c->make_dtd_transition = grab_cb(cbs, "make_dtd_transition")) ||
+        !(c->same_state = grab_cb(cbs, "same_state")) ||
+        !(c->find_omitted_path = grab_cb(cbs, "find_omitted_path")) ||
+        !(c->make_state_engine = grab_cb(cbs, "make_state_engine")) ||
+        !(c->omit_gen_list = grab_cb(cbs, "omit_gen")) ||
+        !(c->env_class = grab_cb(cbs, "environment")) ||
+        !(c->cdata_element = grab_cb(cbs, "cdata_element")))
+        goto fail;
+#define INTERN(field, s) \
+    if (!(c->field = PyUnicode_InternFromString(s))) goto fail
+    INTERN(s_environments, "environments");
+    INTERN(s_cdata, "cdata");
+    INTERN(s_line, "line");
+    INTERN(s_linepos, "linepos");
+    INTERN(s_charpos, "charpos");
+    INTERN(s_blank_cdata, "blank_cdata");
+    INTERN(s_cdata_must_be_empty, "cdata_must_be_empty");
+    INTERN(s_first, "first");
+    INTERN(s_startloc, "startloc");
+    INTERN(s_startcdata, "startcdata");
+    INTERN(s_state, "state");
+    INTERN(s_cdata_state, "cdata_state");
+    INTERN(s_etag, "etag");
+    INTERN(s_map, "map");
+    INTERN(s_text_parts, "text_parts");
+    INTERN(s_element, "element");
+    INTERN(s_space_mode, "space_mode");
+    INTERN(s_cdata_memo, "cdata_memo");
+    INTERN(s_structure, "structure");
+    INTERN(s_undefined, "undefined");
+    INTERN(s_type, "type");
+    INTERN(s_omit_close, "omit_close");
+    INTERN(s_initial_state, "initial_state");
+    INTERN(s_final_state, "final_state");
+    INTERN(s_name, "name");
+    INTERN(s__tag_memo, "_tag_memo");
+    INTERN(s__ent_fast, "_ent_fast");
+#undef INTERN
+    return (PyObject *)c;
+fail:
+    Py_DECREF(c);
+    return NULL;
+}
+
+static PyMethodDef methods[] = {
+    {"make_ctx", make_ctx, METH_VARARGS,
+     "make_ctx(dtd, consts, callbacks) -> Ctx"},
+    {"pcdata_fast", pcdata_fast, METH_VARARGS,
+     "pcdata_fast(ctx, parser, text, i, n, utf8) -> new_i or -1"},
+    {NULL, NULL, 0, NULL},
+};
+
+static struct PyModuleDef moduledef = {
+    PyModuleDef_HEAD_INIT, "_sgml_cspeed",
+    "compiled steady-state PCDATA executor", -1, methods,
+    NULL, NULL, NULL, NULL,
+};
+
+PyMODINIT_FUNC PyInit__sgml_cspeed(void)
+{
+    if (PyType_Ready(&Ctx_Type) < 0) return NULL;
+    return PyModule_Create(&moduledef);
+}

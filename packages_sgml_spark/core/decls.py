@@ -880,6 +880,13 @@ class DeclMixin:
         return end
 
     def process_usemap_declaration(self, s):
+        # USEMAP attaches shortref maps to Element objects
+        # (element.map), which the compiled executor caches per
+        # element — bump the shared cache generation so its registry
+        # refreshes (the pure-Python paths read .map live and don't
+        # need this; flushing is merely a cheap over-invalidation)
+        from . import model as _M
+        _M.OMIT_GEN[0] += 1
         s = self.expand_pentities(s)
         if s is None:
             return

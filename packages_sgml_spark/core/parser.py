@@ -92,6 +92,24 @@ _RE_PCFAST_U = _re_mod.compile(r'[<&\r\x80-\xff]')
 # round-2 token-at-a-time branches handle everything
 FAST_PCDATA = True
 
+# compiled executor (core/_cspeed.c via core/cspeed.py): loaded
+# lazily on the first _pcdata_fast call; None = unavailable or
+# disabled (SGML_FAST_C=0), in which case the pure-Python executor
+# below runs — it is the permanent fallback and differential oracle.
+_CSPEED = None
+_CSPEED_TRIED = False
+
+
+def _load_cspeed():
+    global _CSPEED, _CSPEED_TRIED
+    _CSPEED_TRIED = True
+    try:
+        from . import cspeed as _cs
+        if _cs.MOD is not None:
+            _CSPEED = _cs
+    except Exception:           # noqa: BLE001 - pure Python fallback
+        _CSPEED = None
+
 
 class StopParse(Exception):
     """Raised internally when max_errors is exceeded
@@ -809,7 +827,29 @@ class SGMLParser(DeclMixin):
         perturbation recheck: the inline code knows exactly which
         fields it touched.  ']' is ordinary data here (no open marked
         section), so the span regex drops it from the stop set.
+
+        When the compiled executor (core/_cspeed.c) is available it
+        takes over for the text-only profile (begin/end noop + direct
+        data sink), non-XML non-inex dialects, and unbounded buffers;
+        it implements exactly this method's PURE paths and returns to
+        this loop at every impure token, so output is byte-identical
+        (enforced by tests/test_cspeed.py differential suite;
+        SGML_FAST_C=0 disables it).
         """
+        if not _CSPEED_TRIED:
+            _load_cspeed()
+        if (_CSPEED is not None and self._FAST_DATA_DIRECT and
+                self._FAST_BEGIN_NOOP and self._FAST_END_NOOP and
+                self.options.max_memory is None and
+                not self.dtd.has_inex and
+                self.dtd.dialect not in D.XML_DIALECTS):
+            j = _CSPEED.MOD.pcdata_fast(
+                _CSPEED.ctx_for(self.dtd), self, text, i, n,
+                self.utf8_decode)
+            if j >= 0:
+                return j
+            # -1: session not applicable (deep stack, exotic cdata,
+            # non-UCS1 text) — run the Python executor below
         dtd = self.dtd
         memo = dtd._tag_memo
         fastent = dtd._ent_fast

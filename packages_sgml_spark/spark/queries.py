@@ -40,7 +40,7 @@ def ensure_workers(spark):
         with zipfile.ZipFile(zip_path, "w") as z:
             for dirpath, _dirs, files in os.walk(pkg_root):
                 for fn in files:
-                    if fn.endswith(".py"):
+                    if fn.endswith((".py", ".c")):
                         full = os.path.join(dirpath, fn)
                         rel = os.path.relpath(
                             full, os.path.dirname(pkg_root))

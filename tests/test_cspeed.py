@@ -1,0 +1,261 @@
+"""Differential tests for the COMPILED steady-state executor
+(core/_cspeed.c): with parser._CSPEED nulled, the pure-Python
+_pcdata_fast executor is the semantic oracle (itself differentially
+verified against the token-at-a-time loop in test_fast_pcdata.py).
+Output (text, error list incl. line numbers, final parser location)
+must be byte-identical on every input.
+"""
+
+import glob
+import random
+
+import pytest
+
+import packages_sgml_spark.core.parser as P
+from packages_sgml_spark.core.parser import (
+    ParserOptions, SGMLParser, TextOnlyParser)
+
+# force the lazy load so P._CSPEED reflects availability
+P._load_cspeed()
+
+pytestmark = pytest.mark.skipif(
+    P._CSPEED is None, reason="compiled executor unavailable")
+
+
+def _run(docs, dialect="html5", encoding="utf-8", cls=TextOnlyParser):
+    out = []
+    for d in docs:
+        p = cls(ParserOptions(dialect=dialect, encoding=encoding,
+                              max_errors=-1))
+        p.parse(d)
+        out.append((p.text() if hasattr(p, "text") else None,
+                    [(e.severity, e.line, e.message) for e in p.errors],
+                    p.line, p.linepos, p.charpos,
+                    len(p.environments)))
+    return out
+
+
+def _diff_c(docs, dialect="html5", encoding="utf-8", cls=TextOnlyParser):
+    """C-on vs C-off parity after a shared-DTD warm-up pass (the HTML
+    DTD learns; see test_fast_pcdata._differential)."""
+    saved = P._CSPEED
+    assert saved is not None
+    try:
+        _run(docs, dialect, encoding, cls)          # warm shared DTD
+        with_c = _run(docs, dialect, encoding, cls)
+        P._CSPEED = None
+        no_c = _run(docs, dialect, encoding, cls)
+    finally:
+        P._CSPEED = saved
+    for i, (a, b) in enumerate(zip(with_c, no_c)):
+        assert a == b, (i, repr(docs[i][:200]), a, b)
+
+
+WORDS = ["alpha", "beta", " ", "\n", "\t\n ", "x&y", "a<b", "]]>", "]",
+         "&amp;", "&lt;", "&#65;", "&#x42;", "&undefined;", "&amp",
+         "caf\xe9", " pad", "line\r\nbreak", "line\rcr", "tail\n",
+         "\r", "\r\n\r\n", "&#10;", "&#13;", "&nbsp;"]
+TAGS = ["p", "b", "i", "ul", "li", "a", "div", "span", "h1", "table",
+        "tr", "td", "em", "title", "head", "body", "html", "script",
+        "style", "br", "hr", "img", "nosuchtag", "weird-tag", "pre"]
+
+
+def _soup(rng, n_tokens=60):
+    parts = []
+    for _ in range(n_tokens):
+        r = rng.random()
+        if r < 0.35:
+            parts.append(rng.choice(WORDS))
+        elif r < 0.6:
+            t = rng.choice(TAGS)
+            if rng.random() < 0.3:
+                parts.append('<%s class="c%d" id=\'i\'>' %
+                             (t, rng.randrange(9)))
+            else:
+                parts.append("<%s>" % t)
+        elif r < 0.8:
+            parts.append("</%s>" % rng.choice(TAGS))
+        elif r < 0.85:
+            parts.append("<!-- comment -->")
+        elif r < 0.9:
+            parts.append("<![CDATA[ raw < & ]]>")
+        else:
+            parts.append(rng.choice(
+                ["<?pi data?>", "<>", "< notatag", "&#0;", "&;",
+                 "<b", "</>", "<a href=x>", "\x00", "<p", "&#xD;"]))
+    return "".join(parts)
+
+
+def test_cspeed_soup_differential():
+    rng = random.Random(20260817)
+    docs = [_soup(rng) for _ in range(150)]
+    _diff_c(docs)
+
+
+def test_cspeed_soup_html_dialect():
+    """html (HTML4 DTD) HAS inclusion/exclusion exceptions, so the
+    gate must route to the Python executor — parity is trivial but
+    the gate itself is what's under test."""
+    rng = random.Random(99887766)
+    docs = [_soup(rng, 40) for _ in range(40)]
+    _diff_c(docs, dialect="html")
+
+
+def test_cspeed_structured_cases():
+    docs = [
+        "hello <b>world</b>",
+        "   \n\t  <p>blank prefix</p>",
+        "&amp; entity before any tag",
+        "&#65;&#66; numeric at start",
+        "<p><br>after empty<hr>more",
+        "<ul><li>one<li>two<li>three</ul>",
+        "<p>first<p>second<p>third",
+        "<table><tr><td>a<td>b<tr><td>c</table>",
+        "<p>x</p><script>if (a < b && c > d) {}</script><p>y</p>",
+        "<style>a > b { color: red }</style>tail",
+        "<p>&amp;</p>",
+        "<p> &amp;leading blank</p>",
+        "<p>&#10;newline entity</p>",
+        "<p>&nbsp;&copy;&eacute;</p>",
+        "<p>line1\r\nline2</p>\r\n<p>line3\rline4</p>",
+        "<p>trail\r</p>",
+        "<pre>  keep   runs  </pre>",
+        "<pre>\npreformatted\n</pre>",
+        "a<![INCLUDE[inside]]>b",
+        "a<![IGNORE[gone]]>b",
+        "<div>" * 40 + "deep" + "</div>" * 40,
+        # deeper than the C session cap (192): must fall back cleanly
+        "<div>" * 250 + "very deep" + "</div>" * 250,
+        "<a href=\"x>y\" title='q>r'>link</a>",
+        "", "&amp;", "<p></p>",
+        "<zzz><yyy>text</yyy></zzz>",
+        "<p>" + " " * 300 + "x</p>",
+        "<p>" + "\n" * 50 + "</p><p>next</p>",
+        # CR directly before tags/entities (inline CR handling)
+        "<p>a\r<b>x</b>\r&amp;\r</p>",
+        "\r\r\r<p>\r</p>",
+        # mismatched end tags (close_element walk bail)
+        "<div><p>text</div>",
+        "<b><i>cross</b></i>",
+        # utf-8 multibyte mid-span (executor must hand off to FSM)
+        "<p>caf\xc3\xa9 utf8</p>",
+        "<p>\xe2\x82\xac euro</p>",
+        # entities that stay uncached (undefined -> gripe each time)
+        "<p>&nosuch;&nosuch;</p>",
+        # blank-only content in strict-ish containers
+        "<table>   <tr><td>x</table>",
+        # title (RCDATA switch) mid-document
+        "<html><head><title>a &amp; b</title></head><body>t</body>",
+    ]
+    _diff_c(docs)
+
+
+def test_cspeed_reference_corpus():
+    """Every reference Test/ file, fed as raw bytes under the html5
+    text-only profile: C-on == C-off byte-for-byte (text + full error
+    list + final location).
+
+    Isolated on a fresh DTD cache: these files carry DOCTYPE subsets
+    whose declarations would otherwise teach the process-shared html5
+    DTD (pre-existing learning semantics, mode-independent) and leak
+    into later tests."""
+    files = sorted(glob.glob("/root/reference/Test/*.sgml") +
+                   glob.glob("/root/reference/Test/*.xml") +
+                   glob.glob("/root/reference/Test/*.html"))
+    if not files:
+        pytest.skip("reference corpus absent")
+    docs = []
+    for f in files:
+        with open(f, "rb") as fh:
+            docs.append(fh.read())
+    from packages_sgml_spark.core import htmldtd
+    saved = dict(htmldtd._CACHE)
+    htmldtd._CACHE.clear()
+    try:
+        _diff_c(docs)
+    finally:
+        htmldtd._CACHE.clear()
+        htmldtd._CACHE.update(saved)
+
+
+def test_cspeed_synthetic_corpus(spark):
+    """The bench corpus itself: full differential on 200 docs."""
+    from packages_sgml_spark.spark.pages import synthetic_pages
+    docs = [bytes(r.html)
+            for r in synthetic_pages(spark, 200, scale=12).collect()]
+    _diff_c(docs)
+
+
+def test_cspeed_chunked_feed():
+    """C engages per process_chars_toplevel call; chunk boundaries at
+    every offset must not change output."""
+    doc = ("<html><head><title>T</title></head><body><p>one &amp; "
+           "two\r\n<ul><li>a<li>b</ul><p>x<br>y</body></html>")
+    saved = P._CSPEED
+
+    def run_chunked(step):
+        p = TextOnlyParser(ParserOptions(dialect="html5",
+                                         encoding="utf-8"))
+        for k in range(0, len(doc), step):
+            p.feed(doc[k:k + step])
+        p.close()
+        return (p.text(), [(e.line, e.message) for e in p.errors])
+
+    try:
+        with_c = [run_chunked(s) for s in (1, 3, 7, 16, len(doc))]
+        P._CSPEED = None
+        no_c = [run_chunked(s) for s in (1, 3, 7, 16, len(doc))]
+    finally:
+        P._CSPEED = saved
+    assert with_c == no_c
+    assert len({t for t, _ in with_c}) == 1     # all splits agree
+
+
+def test_cspeed_gate_exclusions():
+    """Profiles the C executor must NOT claim: DOM parser (events
+    matter), max_memory set, XML dialects.  Parity must hold because
+    the gate routes them to Python — and for max_memory the guard
+    must actually fire."""
+    # DOM parser: _FAST flags are False -> python path; just parity
+    docs = ["<p>a<p>b</p>", "<ul><li>x<li>y</ul>"]
+    _diff_c(docs, cls=SGMLParser)
+    # max_memory: guard fires identically with C loaded
+    opts = ParserOptions(dialect="html5", encoding="utf-8")
+    opts.max_memory = 256
+    p = TextOnlyParser(opts)
+    p.parse("<p>" + "x" * 100000 + "</p>")
+    assert any("resource" in e.message.lower() for e in p.errors)
+
+
+try:
+    from hypothesis import given, settings, strategies as st
+    _HAVE_HYP = True
+except ImportError:                                 # pragma: no cover
+    _HAVE_HYP = False
+
+
+if _HAVE_HYP:
+    _token = st.one_of(
+        st.sampled_from(WORDS),
+        st.sampled_from(TAGS).map(lambda t: "<%s>" % t),
+        st.sampled_from(TAGS).map(lambda t: "</%s>" % t),
+        st.sampled_from(["<!-- c -->", "<![CDATA[x<y]]>", "<?pi?>",
+                         "&#x41;", "&amp;", "&nope;", "\r\n", "\r",
+                         "]]>", "]", "<", "&", "< ", "<1bad>",
+                         "<pre>", "</pre>", "<br>", "\r<p>\r"]),
+        st.text(alphabet="ab <>&;/\r\n\t\xe9", min_size=0,
+                max_size=12),
+    )
+
+    @settings(max_examples=80, deadline=None)
+    @given(st.lists(_token, min_size=0, max_size=40))
+    def test_cspeed_differential_hypothesis(tokens):
+        doc = "".join(tokens)
+        _diff_c([doc])
+
+
+def test_cspeed_default_on():
+    """The compiled path must be live in this environment (gcc is
+    available); if this fails the build broke."""
+    import packages_sgml_spark.core.cspeed as cs
+    assert cs.MOD is not None, cs._BUILD_ERR

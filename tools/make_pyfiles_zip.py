@@ -14,7 +14,7 @@ def build(out_path="packages_sgml_spark.zip"):
     with zipfile.ZipFile(out_path, "w", zipfile.ZIP_DEFLATED) as z:
         for dirpath, _dirs, files in os.walk(pkg):
             for fn in sorted(files):
-                if fn.endswith(".py"):
+                if fn.endswith((".py", ".c")):
                     full = os.path.join(dirpath, fn)
                     z.write(full, os.path.relpath(full, repo))
     return out_path
