@@ -244,3 +244,500 @@ def encode_png(px: np.ndarray) -> bytes:
     return (PNG_MAGIC + chunk(b"IHDR", ihdr) +
             chunk(b"IDAT", zlib.compress(raw, 6)) +
             chunk(b"IEND", b""))
+
+
+# ---------------------------------------------------------------------
+# JPEG: baseline sequential decoder (pure stdlib + numpy)
+# ---------------------------------------------------------------------
+#
+# Scope (the overwhelming majority of web JPEGs): SOF0 baseline DCT,
+# 8-bit samples, huffman entropy coding, 1 (grayscale) or 3 (YCbCr)
+# components, any sampling factors up to 2x2 (4:4:4 / 4:2:2 / 4:2:0),
+# restart markers.  Progressive (SOF2), arithmetic coding, 12-bit and
+# hierarchical modes raise MediaDecodeError — the honest-stub rule:
+# decode is real or refused, never faked.
+#
+# Entropy decode is a per-bit Python loop (~the PNG-Paeth speed
+# class): fine for the sampled feature-extraction tier; exhaustive
+# 100 TB decode swaps in PIL/libjpeg, as documented for PNG.
+
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63]
+
+# 8x8 DCT-II basis matrix: IDCT(block) = B.T @ coeffs @ B
+_DCT_B = None
+
+
+def _dct_basis():
+    global _DCT_B
+    if _DCT_B is None:
+        k = np.arange(8)
+        B = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16)
+        B[0, :] = 1 / np.sqrt(2)
+        _DCT_B = (B * 0.5).astype(np.float64)
+    return _DCT_B
+
+
+class _HuffTable:
+    """Canonical JPEG huffman table: (length, code) -> symbol."""
+
+    __slots__ = ("lookup", "max_len")
+
+    def __init__(self, counts, symbols):
+        self.lookup = {}
+        code = 0
+        idx = 0
+        self.max_len = 0
+        for ln in range(1, 17):
+            for _ in range(counts[ln - 1]):
+                self.lookup[(ln, code)] = symbols[idx]
+                idx += 1
+                code += 1
+                self.max_len = ln
+            code <<= 1
+
+
+class _BitReader:
+    """Entropy-coded segment reader: 0xFF00 unstuffing, stops at any
+    other marker (caller handles RST)."""
+
+    __slots__ = ("data", "pos", "acc", "nbits")
+
+    def __init__(self, data, pos):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self):
+        d = self.data
+        n = len(d)
+        p = self.pos
+        if p >= n:
+            raise MediaDecodeError("JPEG entropy data truncated")
+        b = d[p]
+        if b == 0xFF:
+            if p + 1 < n and d[p + 1] == 0x00:
+                self.pos = p + 2        # stuffed FF
+            else:
+                # marker inside entropy data: pad with 1-bits (the
+                # spec's defined behavior at segment end)
+                self.acc = (self.acc << 8) | 0xFF
+                self.nbits += 8
+                return
+        else:
+            self.pos = p + 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def bit(self):
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n):
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def huff(self, table):
+        ln = 0
+        code = 0
+        lookup = table.lookup
+        while ln < 16:
+            code = (code << 1) | self.bit()
+            ln += 1
+            sym = lookup.get((ln, code))
+            if sym is not None:
+                return sym
+        raise MediaDecodeError("bad JPEG huffman code")
+
+    def align_to_marker(self):
+        """Drop buffered bits and consume an RST marker if present."""
+        self.acc = 0
+        self.nbits = 0
+        d = self.data
+        p = self.pos
+        while p + 1 < len(d) and d[p] == 0xFF and \
+                0xD0 <= d[p + 1] <= 0xD7:
+            p += 2
+            self.pos = p
+            return
+
+
+def _extend(v, n):
+    """JPEG F.2.2.1 EXTEND: map n-bit magnitude to signed value."""
+    if n == 0:
+        return 0
+    return v if v >= (1 << (n - 1)) else v - (1 << n) + 1
+
+
+def decode_jpeg(payload: bytes):
+    """payload -> (width, height, channels, uint8 ndarray
+    [height, width, channels]).  Baseline sequential only; see the
+    module comment for the supported envelope."""
+    d = payload
+    if len(d) < 4 or d[0] != 0xFF or d[1] != 0xD8:
+        raise MediaDecodeError("not a JPEG (bad SOI)")
+    pos = 2
+    qt = {}             # id -> 64 ints (natural order)
+    huff_dc = {}
+    huff_ac = {}
+    comps = None        # list of (cid, h, v, tq)
+    width = height = None
+    restart_interval = 0
+    n = len(d)
+    while pos + 4 <= n:
+        if d[pos] != 0xFF:
+            raise MediaDecodeError("JPEG marker sync lost")
+        marker = d[pos + 1]
+        pos += 2
+        if marker == 0xD8:
+            continue
+        if marker == 0xD9:      # EOI before scan
+            raise MediaDecodeError("JPEG has no scan")
+        seglen = struct.unpack(">H", d[pos:pos + 2])[0]
+        seg = d[pos + 2:pos + seglen]
+        if len(seg) != seglen - 2:
+            raise MediaDecodeError("JPEG segment truncated")
+        if marker == 0xDB:      # DQT
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 15
+                i += 1
+                if pq == 0:
+                    table = list(seg[i:i + 64])
+                    i += 64
+                else:
+                    table = [struct.unpack(
+                        ">H", seg[i + 2 * k:i + 2 * k + 2])[0]
+                        for k in range(64)]
+                    i += 128
+                nat = [0] * 64
+                for k in range(64):
+                    nat[_ZIGZAG[k]] = table[k]
+                qt[tq] = nat
+        elif marker == 0xC4:    # DHT
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 15
+                counts = list(seg[i + 1:i + 17])
+                total = sum(counts)
+                syms = list(seg[i + 17:i + 17 + total])
+                (huff_dc if tc == 0 else huff_ac)[th] = \
+                    _HuffTable(counts, syms)
+                i += 17 + total
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            if seg[0] != 8:
+                raise MediaDecodeError("JPEG precision %d unsupported"
+                                       % seg[0])
+            height, width = struct.unpack(">HH", seg[1:5])
+            nc = seg[5]
+            if nc not in (1, 3):
+                raise MediaDecodeError("JPEG %d components unsupported"
+                                       % nc)
+            comps = []
+            for k in range(nc):
+                cid = seg[6 + 3 * k]
+                hv = seg[7 + 3 * k]
+                comps.append((cid, hv >> 4, hv & 15, seg[8 + 3 * k]))
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise MediaDecodeError(
+                "JPEG SOF%d (non-baseline) unsupported" % (marker - 0xC0))
+        elif marker == 0xDD:    # DRI
+            restart_interval = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xDA:    # SOS
+            if comps is None:
+                raise MediaDecodeError("JPEG SOS before SOF")
+            ns = seg[0]
+            scomp = []
+            for k in range(ns):
+                cs = seg[1 + 2 * k]
+                tdta = seg[2 + 2 * k]
+                match = [c for c in comps if c[0] == cs]
+                if not match:
+                    raise MediaDecodeError("JPEG scan names unknown "
+                                           "component")
+                scomp.append((match[0], tdta >> 4, tdta & 15))
+            if len(scomp) != len(comps):
+                raise MediaDecodeError(
+                    "JPEG non-interleaved scan unsupported")
+            return _decode_scan(d, pos + seglen, width, height, scomp,
+                                qt, huff_dc, huff_ac, restart_interval)
+        # APPn / COM / others: skip
+        pos += seglen
+    raise MediaDecodeError("JPEG truncated before SOS")
+
+
+def _decode_scan(d, pos, width, height, scomp, qt, huff_dc, huff_ac,
+                 restart_interval):
+    hmax = max(c[0][1] for c in scomp)
+    vmax = max(c[0][2] for c in scomp)
+    if hmax > 2 or vmax > 2:
+        raise MediaDecodeError("JPEG sampling factors > 2 unsupported")
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+    B = _dct_basis()
+    planes = []
+    for (cid, h, v, tq), td, ta in scomp:
+        planes.append(np.zeros((mcuy * v * 8, mcux * h * 8),
+                               dtype=np.float64))
+    r = _BitReader(d, pos)
+    pred = [0] * len(scomp)
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and \
+                    mcu_count % restart_interval == 0:
+                r.align_to_marker()
+                pred = [0] * len(scomp)
+            mcu_count += 1
+            for ci, ((cid, h, v, tq), td, ta) in enumerate(scomp):
+                dct = huff_dc.get(td)
+                act = huff_ac.get(ta)
+                q = qt.get(tq)
+                if dct is None or act is None or q is None:
+                    raise MediaDecodeError("JPEG missing table")
+                for by in range(v):
+                    for bx in range(h):
+                        coeffs = [0.0] * 64
+                        t = r.huff(dct)
+                        diff = _extend(r.bits(t), t)
+                        pred[ci] += diff
+                        coeffs[0] = pred[ci] * q[0]
+                        k = 1
+                        while k < 64:
+                            rs = r.huff(act)
+                            rr, ss = rs >> 4, rs & 15
+                            if ss == 0:
+                                if rr == 15:
+                                    k += 16     # ZRL
+                                    continue
+                                break           # EOB
+                            k += rr
+                            if k > 63:
+                                raise MediaDecodeError(
+                                    "JPEG AC index overflow")
+                            z = _ZIGZAG[k]
+                            coeffs[z] = _extend(r.bits(ss), ss) * q[z]
+                            k += 1
+                        blk = np.array(coeffs,
+                                       dtype=np.float64).reshape(8, 8)
+                        px = B.T @ blk @ B + 128.0
+                        y0 = (my * v + by) * 8
+                        x0 = (mx * h + bx) * 8
+                        planes[ci][y0:y0 + 8, x0:x0 + 8] = px
+    # crop + upsample to full resolution
+    out_planes = []
+    for ci, ((cid, h, v, tq), td, ta) in enumerate(scomp):
+        p = planes[ci]
+        if h != hmax or v != vmax:
+            p = np.repeat(np.repeat(p, vmax // v, axis=0),
+                          hmax // h, axis=1)
+        out_planes.append(p[:height, :width])
+    if len(out_planes) == 1:
+        px = np.clip(out_planes[0], 0, 255).astype(np.uint8)
+        return width, height, 1, px[:, :, None]
+    Y, Cb, Cr = out_planes
+    r_ = Y + 1.402 * (Cr - 128.0)
+    g_ = Y - 0.344136 * (Cb - 128.0) - 0.714136 * (Cr - 128.0)
+    b_ = Y + 1.772 * (Cb - 128.0)
+    px = np.clip(np.stack([r_, g_, b_], axis=2), 0, 255) \
+        .astype(np.uint8)
+    return width, height, 3, px
+
+
+# -- minimal baseline encoder (test support / round-trip oracle) -----
+
+_STD_QT_LUMA = [
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113,
+    92, 49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100,
+    103, 99]
+
+# Annex K.3 standard DC/AC luminance huffman specs
+_STD_DC_COUNTS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_STD_DC_SYMS = list(range(12))
+_STD_AC_COUNTS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_STD_AC_SYMS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA]
+
+
+def _huff_encode_table(counts, syms):
+    """symbol -> (code, length) for the encoder."""
+    enc = {}
+    code = 0
+    idx = 0
+    for ln in range(1, 17):
+        for _ in range(counts[ln - 1]):
+            enc[syms[idx]] = (code, ln)
+            idx += 1
+            code += 1
+        code <<= 1
+    return enc
+
+
+class _BitWriter:
+    __slots__ = ("out", "acc", "nbits")
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code, ln):
+        self.acc = (self.acc << ln) | code
+        self.nbits += ln
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)   # byte stuffing
+
+    def flush(self):
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)
+
+
+def _encode_block(bw, tile, pred, nat, dc_enc, ac_enc, B):
+    """FDCT + quantize + huffman-encode one 8x8 tile; returns the new
+    DC predictor."""
+    blk = np.zeros((8, 8), dtype=np.float64)
+    blk[:tile.shape[0], :tile.shape[1]] = tile
+    # edge-replicate padding (keeps edge blocks smooth)
+    if tile.shape[0] < 8:
+        blk[tile.shape[0]:, :] = blk[tile.shape[0] - 1, :]
+    if tile.shape[1] < 8:
+        blk[:, tile.shape[1]:] = blk[:, tile.shape[1] - 1][:, None]
+    coeffs = B @ (blk - 128.0) @ B.T
+    zz = [int(round(coeffs.flat[_ZIGZAG[k]] / nat[_ZIGZAG[k]]))
+          for k in range(64)]
+    diff = zz[0] - pred
+    t = abs(diff).bit_length()
+    bw.put(*dc_enc[t])
+    if t:
+        bw.put(diff if diff > 0 else diff + (1 << t) - 1, t)
+    run = 0
+    last_nz = 0
+    for k in range(1, 64):
+        if zz[k]:
+            last_nz = k
+    for k in range(1, last_nz + 1):
+        if zz[k] == 0:
+            run += 1
+            continue
+        while run > 15:
+            bw.put(*ac_enc[0xF0])   # ZRL
+            run -= 16
+        v = zz[k]
+        s = abs(v).bit_length()
+        bw.put(*ac_enc[(run << 4) | s])
+        bw.put(v if v > 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last_nz < 63:
+        bw.put(*ac_enc[0x00])       # EOB
+    return zz[0]
+
+
+def _jpeg_seg(marker, body):
+    return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) \
+        + body
+
+
+def _jpeg_tables_prefix(q, ncomp, h, w):
+    dqt = _jpeg_seg(0xDB, bytes([0x00]) + bytes(q))
+    comp_spec = b"".join(bytes([cid, 0x11, 0])
+                         for cid in range(1, ncomp + 1))
+    sof = _jpeg_seg(0xC0, bytes([8]) + struct.pack(">HH", h, w) +
+                    bytes([ncomp]) + comp_spec)
+    dht = (_jpeg_seg(0xC4, bytes([0x00]) + bytes(_STD_DC_COUNTS) +
+                     bytes(_STD_DC_SYMS)) +
+           _jpeg_seg(0xC4, bytes([0x10]) + bytes(_STD_AC_COUNTS) +
+                     bytes(_STD_AC_SYMS)))
+    scan_spec = b"".join(bytes([cid, 0x00])
+                         for cid in range(1, ncomp + 1))
+    sos = _jpeg_seg(0xDA, bytes([ncomp]) + scan_spec +
+                    bytes([0, 63, 0]))
+    return b"\xFF\xD8" + dqt + sof + dht + sos
+
+
+def _std_nat_qt():
+    nat = [0] * 64
+    for k in range(64):
+        nat[_ZIGZAG[k]] = _STD_QT_LUMA[k]
+    return nat
+
+
+def encode_jpeg_gray(px: np.ndarray) -> bytes:
+    """Minimal baseline encoder: grayscale, standard Annex-K
+    luminance tables.  Test support: round-trips the decoder against
+    known pixels (lossy — tests assert approximate pixel equality
+    plus exact dims)."""
+    if px.ndim == 3:
+        px = px[:, :, 0]
+    h, w = px.shape
+    B = _dct_basis()
+    nat = _std_nat_qt()
+    dc_enc = _huff_encode_table(_STD_DC_COUNTS, _STD_DC_SYMS)
+    ac_enc = _huff_encode_table(_STD_AC_COUNTS, _STD_AC_SYMS)
+    bw = _BitWriter()
+    pred = 0
+    for y0 in range(0, h, 8):
+        for x0 in range(0, w, 8):
+            tile = px[y0:y0 + 8, x0:x0 + 8].astype(np.float64)
+            pred = _encode_block(bw, tile, pred, nat, dc_enc, ac_enc,
+                                 B)
+    bw.flush()
+    return _jpeg_tables_prefix(_STD_QT_LUMA, 1, h, w) + \
+        bytes(bw.out) + b"\xFF\xD9"
+
+
+def encode_jpeg_rgb(px: np.ndarray) -> bytes:
+    """Minimal baseline COLOR encoder: RGB -> YCbCr, 4:4:4 (all
+    components 1x1), shared Annex-K luminance tables — exercises the
+    decoder's 3-component interleaved-MCU + color-conversion path."""
+    h, w, _ = px.shape
+    f = px.astype(np.float64)
+    r_, g_, b_ = f[:, :, 0], f[:, :, 1], f[:, :, 2]
+    Y = 0.299 * r_ + 0.587 * g_ + 0.114 * b_
+    Cb = -0.168736 * r_ - 0.331264 * g_ + 0.5 * b_ + 128.0
+    Cr = 0.5 * r_ - 0.418688 * g_ - 0.081312 * b_ + 128.0
+    B = _dct_basis()
+    nat = _std_nat_qt()
+    dc_enc = _huff_encode_table(_STD_DC_COUNTS, _STD_DC_SYMS)
+    ac_enc = _huff_encode_table(_STD_AC_COUNTS, _STD_AC_SYMS)
+    bw = _BitWriter()
+    preds = [0, 0, 0]
+    planes = [Y, Cb, Cr]
+    for y0 in range(0, h, 8):
+        for x0 in range(0, w, 8):
+            for ci in range(3):
+                tile = planes[ci][y0:y0 + 8, x0:x0 + 8]
+                preds[ci] = _encode_block(bw, tile, preds[ci], nat,
+                                          dc_enc, ac_enc, B)
+    bw.flush()
+    return _jpeg_tables_prefix(_STD_QT_LUMA, 3, h, w) + \
+        bytes(bw.out) + b"\xFF\xD9"

@@ -50,12 +50,17 @@ def _decode_impl(payload: bytes, fake: bool):
 
     fake=True: deterministic pseudo-decode (oracle-replicable byte
     arithmetic) for the driver-gated registry queries.
-    fake=False: REAL PNG decode via core/media.py; raises
-    MediaDecodeError for non-PNG payloads (mapped to
+    fake=False: REAL decode via core/media.py — PNG (magic sniff) or
+    baseline-sequential JPEG (r4: pure-stdlib SOF0 decoder); raises
+    MediaDecodeError for other payloads (mapped to
     status=decode_error by the caller)."""
     if not fake:
-        from ..core.media import decode_png, image_grid_features
-        width, height, _ch, px = decode_png(payload)
+        from ..core.media import (PNG_MAGIC, decode_jpeg, decode_png,
+                                  image_grid_features)
+        if payload.startswith(PNG_MAGIC):
+            width, height, _ch, px = decode_png(payload)
+        else:
+            width, height, _ch, px = decode_jpeg(payload)
         return width, height, image_grid_features(px)
     h = np.frombuffer(payload[:64].ljust(64, b"\0"), dtype=np.uint8)
     width = int(64 + (int(h[0]) * 7) % 1920)

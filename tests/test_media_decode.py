@@ -184,19 +184,76 @@ def test_wav_rejects_garbage():
         decode_wav(b"RIFFgarbage")
 
 
+def test_jpeg_roundtrip_gray():
+    """r4: pure-stdlib baseline JPEG — encoder/decoder round-trip on
+    grayscale (lossy: exact dims + approximate pixels)."""
+    from packages_sgml_spark.core.media import (
+        decode_jpeg, encode_jpeg_gray)
+    rng = np.random.default_rng(7)
+    px = (np.linspace(0, 255, 24 * 16).reshape(24, 16) +
+          rng.integers(0, 30, (24, 16))).clip(0, 255).astype(np.uint8)
+    w, h, ch, out = decode_jpeg(encode_jpeg_gray(px))
+    assert (w, h, ch) == (16, 24, 1)
+    assert np.abs(out[:, :, 0].astype(float) -
+                  px.astype(float)).mean() < 10.0
+
+
+def test_jpeg_roundtrip_color():
+    """3-component interleaved MCUs + YCbCr->RGB conversion."""
+    from packages_sgml_spark.core.media import (
+        decode_jpeg, encode_jpeg_rgb)
+    rgb = np.zeros((20, 30, 3), np.uint8)
+    rgb[:, :, 0] = np.linspace(0, 255, 30)[None, :]
+    rgb[:, :, 1] = np.linspace(255, 0, 20)[:, None]
+    rgb[:, :, 2] = 90
+    w, h, ch, out = decode_jpeg(encode_jpeg_rgb(rgb))
+    assert (w, h, ch) == (30, 20, 3)
+    assert np.abs(out.astype(float) - rgb.astype(float)).mean() < 6.0
+
+
+def test_jpeg_flat_block_exact_dc():
+    """A flat 8x8 block survives the DCT round-trip almost exactly
+    (only DC, quant step 16 -> within one step)."""
+    from packages_sgml_spark.core.media import (
+        decode_jpeg, encode_jpeg_gray)
+    px = np.full((8, 8), 200, np.uint8)
+    _w, _h, _c, out = decode_jpeg(encode_jpeg_gray(px))
+    assert np.abs(out[:, :, 0].astype(int) - 200).max() <= 8
+
+
+def test_jpeg_rejects_unsupported():
+    from packages_sgml_spark.core.media import (
+        decode_jpeg, encode_jpeg_gray)
+    with pytest.raises(MediaDecodeError):
+        decode_jpeg(b"\xff\xd8\xff\xd9")            # no scan
+    with pytest.raises(MediaDecodeError):
+        decode_jpeg(b"not a jpeg at all")
+    good = encode_jpeg_gray(np.full((8, 8), 100, np.uint8))
+    # flip SOF0 -> SOF2 (progressive): must refuse, not mis-decode
+    prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(MediaDecodeError):
+        decode_jpeg(prog)
+    # truncated entropy segment
+    with pytest.raises(MediaDecodeError):
+        decode_jpeg(good[:len(good) - (len(good) - good.find(b"\xff\xda")) // 2][:-2])
+
+
 def test_spark_real_decode_paths(spark):
-    """fake=False end to end: real PNG rows decode, garbage rows
-    isolate to decode_error, WAV rows produce real durations."""
+    """fake=False end to end: real PNG and JPEG rows decode, garbage
+    rows isolate to decode_error, WAV rows produce real durations."""
+    from packages_sgml_spark.core.media import encode_jpeg_rgb
     from packages_sgml_spark.spark.multimodal import (
         audio_features, image_features)
     from packages_sgml_spark.spark.queries import ensure_workers
     ensure_workers(spark)
     png = encode_png(_pixels(h=10, w=12, ch=3))
+    jpg = encode_jpeg_rgb(_pixels(h=16, w=24, ch=3))
     wavb = _wav_bytes(rate=16000, n=1600, nch=1)
     rows = [("m1", "image", bytearray(png), "image/png"),
             ("m2", "image", bytearray(b"JPEG-ish garbage"), "image/jpeg"),
             ("m3", "audio", bytearray(wavb), "audio/wav"),
-            ("m4", "audio", bytearray(b"noise"), "audio/wav")]
+            ("m4", "audio", bytearray(b"noise"), "audio/wav"),
+            ("m5", "image", bytearray(jpg), "image/jpeg")]
     media = spark.createDataFrame(
         rows, "media_id string, kind string, payload binary, mime string")
     img = {r.media_id: r for r in
@@ -206,6 +263,9 @@ def test_spark_real_decode_paths(spark):
     assert len(img["m1"].features) == 16
     assert img["m2"].status == "decode_error"
     assert img["m3"].status == "skipped"
+    assert img["m5"].status == "ok"
+    assert (img["m5"].width, img["m5"].height) == (24, 16)
+    assert len(img["m5"].features) == 16
     aud = {r.media_id: r for r in
            audio_features(media, fake=False).collect()}
     assert aud["m3"].status == "ok"
