@@ -433,6 +433,49 @@ WHERE %s >= 0.2""" % (_lsh_bucket_expr("emb"),
                       _COS.format(a="a.emb", b="b.emb"),
                       _COS.format(a="a.emb", b="b.emb"))
 
+ORACLES["embedding_dup_recall"] = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+           FROM embeddings),
+s AS (SELECT vec_id, emb, %(bucket)s AS bucket FROM e),
+exact AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+          FROM e a JOIN e b ON a.vec_id < b.vec_id
+          WHERE %(cosab)s >= 0.2),
+lsh AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM s a JOIN s b
+          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE %(cosab)s >= 0.2),
+pr AS (SELECT vec_id, emb, bucket FROM s
+       UNION ALL SELECT vec_id, emb, xor(bucket, 1) FROM s
+       UNION ALL SELECT vec_id, emb, xor(bucket, 2) FROM s
+       UNION ALL SELECT vec_id, emb, xor(bucket, 4) FROM s),
+probed AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+           FROM pr a JOIN s b
+             ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+           WHERE %(cosab)s >= 0.2),
+hit_l AS (SELECT x.vec_a FROM exact x
+          JOIN lsh l ON x.vec_a = l.vec_a AND x.vec_b = l.vec_b),
+hit_p AS (SELECT x.vec_a FROM exact x
+          JOIN probed p ON x.vec_a = p.vec_a AND x.vec_b = p.vec_b),
+ne AS (SELECT count(*) AS n FROM exact)
+SELECT 'lsh' AS method,
+       CAST((SELECT n FROM ne) AS BIGINT) AS n_exact,
+       CAST((SELECT count(*) FROM lsh) AS BIGINT) AS n_pairs,
+       CAST((SELECT count(*) FROM hit_l) AS BIGINT) AS n_hit,
+       CASE WHEN (SELECT n FROM ne) = 0 THEN 0.0
+            ELSE round(CAST((SELECT count(*) FROM hit_l) AS DOUBLE) /
+                       (SELECT n FROM ne), 6) END AS recall
+UNION ALL
+SELECT 'lsh_probed',
+       CAST((SELECT n FROM ne) AS BIGINT),
+       CAST((SELECT count(*) FROM probed) AS BIGINT),
+       CAST((SELECT count(*) FROM hit_p) AS BIGINT),
+       CASE WHEN (SELECT n FROM ne) = 0 THEN 0.0
+            ELSE round(CAST((SELECT count(*) FROM hit_p) AS DOUBLE) /
+                       (SELECT n FROM ne), 6) END""" % {
+    "bucket": _lsh_bucket_expr("emb"),
+    "cosab": _COS.format(a="a.emb", b="b.emb"),
+}
+
 ORACLES["knn_lsh"] = """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
            FROM embeddings),

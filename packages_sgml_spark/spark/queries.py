@@ -814,3 +814,16 @@ def q_lsh_bucket_stats(spark, sf_dir):
 
 
 QUERIES["lsh_bucket_stats"] = q_lsh_bucket_stats
+
+
+def q_embedding_dup_recall(spark, sf_dir):
+    """LSH near-dup recall vs the exact pair set (r4): same threshold
+    and hyperplanes as the registered embedding_dups query."""
+    emb = _t(spark, sf_dir, "embeddings")
+    emb = emb.withColumn("embedding",
+                         F.col("embedding").cast("array<double>"))
+    return similarity.embedding_dup_recall(emb, threshold=0.2,
+                                           dim=64, n_planes=6)
+
+
+QUERIES["embedding_dup_recall"] = q_embedding_dup_recall

@@ -100,14 +100,19 @@ def knn_lsh(emb: DataFrame, query_ids, dim, k=5, n_planes=6) -> DataFrame:
 
 
 def embedding_near_dups(emb: DataFrame, threshold=0.95,
-                        use_lsh=False, dim=64, n_planes=6) -> DataFrame:
+                        use_lsh=False, dim=64, n_planes=6,
+                        n_probes=0) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (vec_a < vec_b,
     cos >= threshold).
 
     use_lsh=False: exact all-pairs (the verification/oracle path —
     quadratic, fine for gate-scale).  use_lsh=True: candidate pairs
     only within LSH buckets (the 100 TB path; recall < 1, cost drops
-    from n^2 to sum of bucket^2)."""
+    from n^2 to sum of bucket^2).  n_probes=k additionally probes the
+    k Hamming-distance-1 neighbor buckets (flip plane bit i for
+    i < k) on the left side — the standard multi-probe recall lever
+    ((k+1)x candidate cost); embedding_dup_recall() measures what it
+    buys on this corpus."""
     a = emb.select(F.col("vec_id").alias("vec_a"),
                    F.col("embedding").alias("emb_a"))
     b = emb.select(F.col("vec_id").alias("vec_b"),
@@ -117,17 +122,70 @@ def embedding_near_dups(emb: DataFrame, threshold=0.95,
         a = sig.select(F.col("vec_id").alias("vec_a"),
                        F.col("embedding").alias("emb_a"),
                        F.col("bucket").alias("bucket_a"))
+        if n_probes:
+            probes = F.array(
+                F.col("bucket_a"),
+                *[F.col("bucket_a").bitwiseXOR(1 << i)
+                  for i in range(n_probes)])
+            a = a.select("vec_a", "emb_a",
+                         F.explode(probes).alias("bucket_a"))
         b = sig.select(F.col("vec_id").alias("vec_b"),
                        F.col("embedding").alias("emb_b"),
                        F.col("bucket").alias("bucket_b"))
         joined = a.join(b, (F.col("bucket_a") == F.col("bucket_b")) &
                         (F.col("vec_a") < F.col("vec_b")))
+        if n_probes:
+            # a probed pair can match through several buckets AND in
+            # both flip directions: dedup before scoring
+            joined = (joined.select("vec_a", "emb_a", "vec_b", "emb_b")
+                      .dropDuplicates(["vec_a", "vec_b"]))
     else:
         joined = a.join(b, F.col("vec_a") < F.col("vec_b"))
     scored = joined.select(
         "vec_a", "vec_b",
         F.round(cosine("emb_a", "emb_b"), 6).alias("cos"))
     return scored.filter(F.col("cos") >= threshold)
+
+
+def embedding_dup_recall(emb: DataFrame, threshold=0.95, dim=64,
+                         n_planes=6, n_probes=3) -> DataFrame:
+    """Recall of the LSH-bucketed near-dup paths against the exact
+    all-pairs baseline (r4, the no-silent-caps rule for ANN): one row
+    per method — 'lsh' (primary buckets only) and 'lsh_probed'
+    (+ Hamming-1 multi-probe on the first n_probes planes) — with
+    (n_exact, n_pairs, n_hit, recall).
+
+    The exact side is quadratic — at 100 TB this metric runs on a
+    SAMPLED slice (the standard ANN-recall protocol, same as
+    ann_recall for the kNN paths); the LSH sides are the production
+    plans being audited."""
+    exact = embedding_near_dups(emb, threshold, use_lsh=False) \
+        .select("vec_a", "vec_b")
+
+    def row(method, pairs):
+        hit = exact.join(pairs, ["vec_a", "vec_b"], "leftsemi")
+        return (exact.agg(F.count("*").alias("n_exact"))
+                .crossJoin(pairs.agg(F.count("*").alias("n_pairs")))
+                .crossJoin(hit.agg(F.count("*").alias("n_hit")))
+                .select(F.lit(method).alias("method"),
+                        F.col("n_exact").cast("bigint")
+                        .alias("n_exact"),
+                        F.col("n_pairs").cast("bigint")
+                        .alias("n_pairs"),
+                        F.col("n_hit").cast("bigint").alias("n_hit"),
+                        F.when(F.col("n_exact") == 0, F.lit(0.0))
+                        .otherwise(F.round(
+                            F.col("n_hit").cast("double") /
+                            F.col("n_exact"), 6)).alias("recall")))
+
+    lsh = embedding_near_dups(emb, threshold, use_lsh=True, dim=dim,
+                              n_planes=n_planes) \
+        .select("vec_a", "vec_b")
+    probed = embedding_near_dups(emb, threshold, use_lsh=True,
+                                 dim=dim, n_planes=n_planes,
+                                 n_probes=n_probes) \
+        .select("vec_a", "vec_b")
+    return row("lsh", lsh).unionByName(row("lsh_probed", probed))
 
 
 def ivf_centroids(emb: DataFrame, k=16, iterations=0,

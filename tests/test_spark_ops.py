@@ -576,6 +576,30 @@ def test_pii_scrub_planted(spark):
     assert "bob@" not in r.scrubbed and "192.168" not in r.scrubbed
 
 
+def test_embedding_multiprobe_recall_monotone(spark):
+    """r4: Hamming-1 multi-probe must produce a SUPERSET of the
+    primary-bucket pairs (recall monotone in probes), and the recall
+    query reports both methods consistently."""
+    from pyspark.sql import functions as F
+    from packages_sgml_spark.spark import similarity
+    import random
+    rng = random.Random(5)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(64)])
+            for i in range(60)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>")
+    plain = {(r.vec_a, r.vec_b) for r in similarity.embedding_near_dups(
+        emb, threshold=0.2, use_lsh=True).collect()}
+    probed = {(r.vec_a, r.vec_b) for r in similarity.embedding_near_dups(
+        emb, threshold=0.2, use_lsh=True, n_probes=3).collect()}
+    assert plain <= probed
+    rec = {r.method: r for r in similarity.embedding_dup_recall(
+        emb, threshold=0.2).collect()}
+    assert rec["lsh_probed"].recall >= rec["lsh"].recall
+    assert rec["lsh"].n_hit == len(plain)
+    assert rec["lsh_probed"].n_hit == len(probed)
+
+
 def test_registry_oracle_reconciliation():
     """Every registered query has an oracle except the documented
     rows-only set, and no oracle is orphaned (round-3 review: the
