@@ -16,19 +16,14 @@ Scale design:
 
 from pyspark.sql import DataFrame, functions as F
 
-from .dedup import norm_words
+from .dedup import norm_words, word_ngram_arr
 
 CONTAM_N = 5          # words per contamination shingle
 BENCH_MOD = 97        # doc_id % BENCH_MOD == 0 -> benchmark member
 
-
-def _word_ngrams(words_col, n):
-    """Array of n-word shingles of a words array (SQL-only)."""
-    cnt = F.size(words_col)
-    return F.when(cnt >= n, F.transform(
-        F.sequence(F.lit(0), cnt - n),
-        lambda i: F.concat_ws(" ", F.slice(words_col, i + 1, n)),
-    )).otherwise(F.array())
+# n-gram construction shares dedup.word_ngram_arr (linear zip_with
+# over a MATERIALIZED words column — see its docstring for the
+# quadratic captured-lambda trap the r4 soak exposed)
 
 
 def contamination(docs: DataFrame, n=CONTAM_N,
@@ -45,7 +40,6 @@ def contamination(docs: DataFrame, n=CONTAM_N,
     absent-means-clean convention."""
     from .util import spread
     docs = spread(docs, "doc_id")
-    words = norm_words(F.col("text"))
 
     def grams_of(df, outer=False):
         # outer=True keeps gram-less (short) docs as one NULL-gram row
@@ -53,9 +47,11 @@ def contamination(docs: DataFrame, n=CONTAM_N,
         # universe join (a NULL gram matches no benchmark gram, so the
         # doc aggregates to n_contaminated = 0)
         ex = F.explode_outer if outer else F.explode
-        return df.select(
+        wd = df.select("doc_id",
+                       norm_words(F.col("text")).alias("w"))
+        return wd.select(
             "doc_id",
-            ex(F.array_distinct(_word_ngrams(words, n)))
+            ex(F.array_distinct(word_ngram_arr(F.col("w"), n)))
             .alias("gram"))
 
     # benchmark n-gram set: computed ONCE and materialized (it is
@@ -89,9 +85,12 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
     Empty docs report zeros."""
     from .util import spread
     docs = spread(docs, "doc_id")
-    words = norm_words(F.col("text"))
-    lines = F.split(F.col("text"), "\n")
-    grams = _word_ngrams(words, 3)
+    wd = docs.select(
+        "doc_id",
+        norm_words(F.col("text")).alias("w"),
+        F.split(F.col("text"), "\n").alias("lines"))
+    words = F.col("w")
+    grams = word_ngram_arr(words, 3)
 
     def dup_frac(arr):
         n = F.size(arr)
@@ -99,11 +98,11 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
             1.0 - F.size(F.array_distinct(arr)) / n, 6)) \
             .otherwise(F.lit(0.0))
 
-    return docs.select(
+    return wd.select(
         "doc_id",
         F.size(words).cast("bigint").alias("n_words"),
         dup_frac(words).alias("dup_word_frac"),
-        dup_frac(lines).alias("dup_line_frac"),
+        dup_frac(F.col("lines")).alias("dup_line_frac"),
         dup_frac(grams).alias("dup_3gram_frac"))
 
 

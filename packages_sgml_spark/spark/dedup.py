@@ -26,6 +26,32 @@ def norm_words(col):
                    " ")
 
 
+def word_ngram_arr(w, n):
+    """Array of n-word shingles of a MATERIALIZED words-array column
+    (space-joined), as O(len) zip_with over n shifted slices.
+
+    Two traps this shape avoids (r4 soak finding — the old
+    transform(sequence, i -> concat_ws(slice(words, i+1, n))) form
+    was ~25x slower on crawl-sized docs):
+    - never capture a COMPUTED array expression inside a lambda:
+      interpreted higher-order functions re-evaluate it per element,
+      turning norm_words' regexp+split quadratic per document.  `w`
+      must be a plain column reference from a previous projection
+      (multi-reference keeps CollapseProject from inlining it).
+    - per-element F.slice of the captured array pays array access
+      through the lambda env; zip_with walks the slices linearly.
+
+    Docs with fewer than n words yield an empty array (callers add
+    their own short-doc fallback)."""
+    cnt = F.size(w)
+    m = cnt - n + 1
+    cur = F.slice(w, 1, m)
+    for j in range(1, n):
+        cur = F.zip_with(cur, F.slice(w, j + 1, m),
+                         lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.when(cnt >= n, cur).otherwise(F.array())
+
+
 def exact_dedup(docs: DataFrame) -> DataFrame:
     """Exact dedup on normalized text hash; keeps min doc_id per
     group (hash-groupBy, single shuffle)."""
@@ -44,13 +70,12 @@ def shingles(docs: DataFrame, w=SHINGLE_W) -> DataFrame:
     hashing is the CPU-heavy stage of the dedup pipeline."""
     from .util import spread
     docs = spread(docs, "doc_id")
-    words = norm_words(F.col("text"))
-    n = F.size(words)
-    sh = F.when(n >= w, F.array_distinct(F.transform(
-        F.sequence(F.lit(0), n - w),
-        lambda i: F.concat_ws(" ", F.slice(words, i + 1, w)),
-    ))).otherwise(F.array(F.concat_ws(" ", words)))
-    return docs.select("doc_id", F.explode(sh).alias("shingle"))
+    wd = docs.select("doc_id", norm_words(F.col("text")).alias("w"))
+    wcol = F.col("w")
+    sh = F.when(F.size(wcol) >= w,
+                F.array_distinct(word_ngram_arr(wcol, w))) \
+        .otherwise(F.array(F.concat_ws(" ", wcol)))
+    return wd.select("doc_id", F.explode(sh).alias("shingle"))
 
 
 def minhash_signatures(docs: DataFrame, k=N_HASHES) -> DataFrame:
@@ -74,15 +99,18 @@ def minhash_signatures(docs: DataFrame, k=N_HASHES) -> DataFrame:
     # signature row h_i = md5('i:') for NULL and empty text alike).
     # No filter here — the row set must not change.
     docs = spread(docs, "doc_id")
-    words = norm_words(F.col("text"))
-    n = F.size(words)
-    sh = F.when(n >= SHINGLE_W, F.transform(
-        F.sequence(F.lit(0), n - SHINGLE_W),
-        lambda i: F.concat_ws(" ", F.slice(words, i + 1, SHINGLE_W)),
-    )).otherwise(F.array(F.concat_ws(" ", words)))
+    # words materialized in their OWN projection, shingles built with
+    # the linear zip_with shape — see word_ngram_arr's trap notes
+    # (r4: the captured-lambda form re-ran norm_words per shingle,
+    # ~25x slower on crawl-sized docs)
+    wd = docs.select("doc_id", norm_words(F.col("text")).alias("w"))
+    wcol = F.col("w")
+    sh = F.when(F.size(wcol) >= SHINGLE_W,
+                word_ngram_arr(wcol, SHINGLE_W)) \
+        .otherwise(F.array(F.concat_ws(" ", wcol)))
     # materialize the shingle array once; the k min-hash projections
     # below all read the same column (not k recomputations)
-    based = docs.select("doc_id", sh.alias("sh"))
+    based = wd.select("doc_id", sh.alias("sh"))
     mins = [F.array_min(F.transform(
         F.col("sh"),
         lambda s: F.md5(F.encode(F.concat(F.lit(str(i) + ":"), s),
