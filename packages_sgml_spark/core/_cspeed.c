@@ -184,11 +184,14 @@ typedef struct {
 
 /* tag memo entry, packed into StrMap val:
  * bits 0-1: kind (1 = 'b', 2 = 'e'); bit 2: empty_el; bit 3: conref;
- * bits 8+: elem idx */
+ * bits 8-11: update_space_mode outcome + 2 (0 = bail, 1 = no-op,
+ * 2+ = space mode value + 2 — see cspeed._space_flag);
+ * bits 16+: elem idx */
 #define TAG_KIND(v)   ((int)((v) & 3))
 #define TAG_EMPTY(v)  ((int)(((v) >> 2) & 1))
 #define TAG_CONREF(v) ((int)(((v) >> 3) & 1))
-#define TAG_EIDX(v)   ((int)((v) >> 8))
+#define TAG_SPACE(v)  ((int)(((v) >> 8) & 15) - 2)
+#define TAG_EIDX(v)   ((int)((v) >> 16))
 
 typedef struct {
     PyObject *s;            /* replacement text (strong) */
@@ -205,7 +208,7 @@ typedef struct {
     /* callbacks (strong refs) */
     PyObject *make_dtd_transition, *same_state, *find_omitted_path,
              *make_state_engine, *omit_gen_list, *env_class,
-             *cdata_element;
+             *cdata_element, *space_flag;
     PyObject *dtd;          /* owning DTD (strong) */
     long gen;               /* registered OMIT_GEN value */
     /* registries */
@@ -263,6 +266,7 @@ static void Ctx_dealloc(CtxObject *c)
     Py_XDECREF(c->omit_gen_list);
     Py_XDECREF(c->env_class);
     Py_XDECREF(c->cdata_element);
+    Py_XDECREF(c->space_flag);
     Py_XDECREF(c->dtd);
     Py_XDECREF(c->s_environments); Py_XDECREF(c->s_cdata);
     Py_XDECREF(c->s_line); Py_XDECREF(c->s_linepos); Py_XDECREF(c->s_charpos);
@@ -489,13 +493,21 @@ static int tag_probe(CtxObject *c, const char *decl, Py_ssize_t dlen,
     int kind = (PyUnicode_ReadChar(k0, 0) == 'b') ? 1 : 2;
     int eidx = reg_elem(c, eobj);
     if (eidx < 0) return -1;
-    int empty = 0, conref = 0;
+    int empty = 0, conref = 0, sflag = -1;
     if (kind == 1) {
         empty = PyObject_IsTrue(PyTuple_GET_ITEM(entry, 3));
         conref = PyObject_IsTrue(PyTuple_GET_ITEM(entry, 4));
+        PyObject *sf = PyObject_CallFunctionObjArgs(
+            c->space_flag, entry, NULL);
+        if (!sf) return -1;
+        sflag = (int)PyLong_AsLong(sf);
+        Py_DECREF(sf);
+        if (sflag == -1 && PyErr_Occurred()) return -1;
     }
     int64_t packed = (int64_t)kind | ((int64_t)empty << 2) |
-                     ((int64_t)conref << 3) | ((int64_t)eidx << 8);
+                     ((int64_t)conref << 3) |
+                     ((int64_t)(sflag + 2) << 8) |
+                     ((int64_t)eidx << 16);
     if (strmap_put(&c->tags, decl, dlen, packed) < 0) {
         PyErr_NoMemory(); return -1;
     }
@@ -1104,17 +1116,17 @@ static int check_complete(Sess *S, CEnv *env)
 /* the executor                                                      */
 /* ---------------------------------------------------------------- */
 
-/* pcdata_fast(ctx, parser, text, i, n, utf8) -> long new_i, or -1
- * ("not applicable, run the Python executor") */
+/* pcdata_fast(ctx, parser, text, i, n, utf8, is_xml) -> long new_i,
+ * or -1 ("not applicable, run the Python executor") */
 static PyObject *pcdata_fast(PyObject *self, PyObject *args)
 {
     (void)self;
     CtxObject *c;
     PyObject *parser, *text;
     Py_ssize_t i, n;
-    int utf8;
-    if (!PyArg_ParseTuple(args, "O!OOnnp", &Ctx_Type, &c, &parser,
-                          &text, &i, &n, &utf8))
+    int utf8, is_xml;
+    if (!PyArg_ParseTuple(args, "O!OOnnpp", &Ctx_Type, &c, &parser,
+                          &text, &i, &n, &utf8, &is_xml))
         return NULL;
     if (PyUnicode_READY(text) < 0) return NULL;
     if (PyUnicode_KIND(text) != PyUnicode_1BYTE_KIND)
@@ -1227,6 +1239,9 @@ static PyObject *pcdata_fast(PyObject *self, PyObject *args)
                 if (TAG_EMPTY(entry)) break;     /* close_element: bail */
                 if (!S.depth) break;             /* open_element: bail */
                 if (S.depth + 1 >= MAX_DEPTH) break;   /* deep: bail */
+                int sflag = TAG_SPACE(entry);
+                if (is_xml && sflag == -2)
+                    break;      /* invalid xml:space -> gripe: bail */
                 CEnv *env = &S.env[S.depth - 1];
                 CElem *pe = &c->elems[env->eidx];
                 if (pe->undefined || !pe->has_struct ||
@@ -1326,6 +1341,10 @@ static PyObject *pcdata_fast(PyObject *self, PyObject *args)
                 }
                 nenv->map = nmap;
                 S.first = 1;
+                /* update_space_mode (XML dialects only; parser.py
+                 * 1112-1116): outcome precomputed per memo entry */
+                if (is_xml && sflag >= 0)
+                    nenv->space_mode = sflag;
                 i = tag_end + 1;
                 if (ce->undefined) {
                     /* live structure read for the CDATA/RCDATA check */
@@ -1681,7 +1700,8 @@ static PyObject *make_ctx(PyObject *self, PyObject *args)
         !(c->make_state_engine = grab_cb(cbs, "make_state_engine")) ||
         !(c->omit_gen_list = grab_cb(cbs, "omit_gen")) ||
         !(c->env_class = grab_cb(cbs, "environment")) ||
-        !(c->cdata_element = grab_cb(cbs, "cdata_element")))
+        !(c->cdata_element = grab_cb(cbs, "cdata_element")) ||
+        !(c->space_flag = grab_cb(cbs, "space_flag")))
         goto fail;
 #define INTERN(field, s) \
     if (!(c->field = PyUnicode_InternFromString(s))) goto fail

@@ -101,6 +101,30 @@ if FAST_C:
 _CTX = {}      # id(dtd) -> (dtd, ctx)  (dtd kept alive deliberately)
 
 
+def _space_flag(entry):
+    """Precompute update_space_mode's outcome for a memoized begin
+    tag (parser.update_space_mode is deterministic per entry: the
+    atts list and the element's declared space mode are fixed until
+    the next declaration, which bumps OMIT_GEN and flushes the C
+    registries).  Returns:
+      -1  no-op (no xml:space attr, element inherits space)
+      -2  must bail to Python (invalid xml:space value -> gripe)
+      >=0 the space mode to install on the pushed environment
+    """
+    if entry[0] != "b":
+        return -1
+    _k, e, atts, _empty, _conref = entry
+    from . import dtd as D
+    for a, v in atts:
+        if (a.name == "xml:space" and a.type == D.AT_CDATA and
+                isinstance(v, str)):
+            m = D.SPACE_MODE_NAMES.get(v)
+            return -2 if m is None else m
+    if e.space_mode != D.SP_INHERIT:
+        return e.space_mode
+    return -1
+
+
 def ctx_for(dtd):
     """Per-DTD executor context (registries + callback table)."""
     key = id(dtd)
@@ -126,6 +150,7 @@ def ctx_for(dtd):
         "omit_gen": M.OMIT_GEN,
         "environment": Environment,
         "cdata_element": M.CDATA_ELEMENT,
+        "space_flag": _space_flag,
     }
     ctx = MOD.make_ctx(dtd, consts, cbs)
     _CTX[key] = (dtd, ctx)

@@ -198,6 +198,12 @@ class DTD:
         if e.structure is None:
             e.structure = ElementDef()
             e.undefined = True
+            # the undefined flip (and the fresh structure) invalidate
+            # the compiled executor's cached element flags; it happens
+            # once per element lifetime, so the flush is a warm-up
+            # cost only (core/cspeed.py gen-guard)
+            from . import model as _M
+            _M.OMIT_GEN[0] += 1
         return e
 
 

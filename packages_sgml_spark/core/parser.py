@@ -842,10 +842,14 @@ class SGMLParser(DeclMixin):
                 self._FAST_BEGIN_NOOP and self._FAST_END_NOOP and
                 self.options.max_memory is None and
                 not self.dtd.has_inex and
-                self.dtd.dialect not in D.XML_DIALECTS):
+                self.dtd.dialect != D.DL_XMLNS):
+            # XML dialects (not xmlns): the per-begin
+            # update_space_mode outcome is precomputed per memo
+            # entry (cspeed._space_flag) and applied C-side
             j = _CSPEED.MOD.pcdata_fast(
                 _CSPEED.ctx_for(self.dtd), self, text, i, n,
-                self.utf8_decode)
+                self.utf8_decode,
+                self.dtd.dialect in D.XML_DIALECTS)
             if j >= 0:
                 return j
             # -1: session not applicable (deep stack, exotic cdata,
@@ -2408,6 +2412,9 @@ class SGMLParser(DeclMixin):
             e.structure = D.ElementDef()
             e.structure.type = M.C_EMPTY
             e.undefined = True
+            # undefined flip: flush the compiled executor's cached
+            # element flags (once per element; see dtd.def_element)
+            M.OMIT_GEN[0] += 1
         self.open_element(e, True)
 
         atts = []

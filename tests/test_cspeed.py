@@ -254,6 +254,57 @@ if _HAVE_HYP:
         _diff_c([doc])
 
 
+def test_cspeed_xml_dialects():
+    """r4 extension: XML dialects (not xmlns) ride the compiled
+    executor too, with update_space_mode precomputed per memo entry.
+    Differential over xml:space switching, self-closed elements,
+    CDATA sections, predefined entities, malformed input."""
+    docs = [
+        '<?xml version="1.0"?><doc><a>text</a><b/></doc>',
+        '<doc><pre xml:space="preserve">  kept  </pre>'
+        '<p xml:space="default">  collapsed  </p></doc>',
+        '<doc><p xml:space="bogus"> gripes </p></doc>',
+        '<doc>&lt;tag&gt; &amp; &quot;q&quot; &apos;a&apos;</doc>',
+        '<doc><![CDATA[raw < & > stuff]]></doc>',
+        '<doc><a href="x">link</a><empty/><s attr="v"/></doc>',
+        '<doc>\n  <indented>\n    text\n  </indented>\n</doc>',
+        '<doc><bad</doc>', '<doc>unclosed', '<doc>a]]>b</doc>',
+        '<doc>&undefined;</doc>', '<doc att="&amp;ent">t</doc>',
+        '<a><b><c><d>deep</d></c></b></a>',
+        '<doc>line1\r\nline2\rline3</doc>',
+        '<doc><x xml:space="preserve"><y>nested  inherits</y></x></doc>',
+    ]
+    for dialect in ("xml", "xhtml", "xhtml5"):
+        _diff_c(docs, dialect=dialect)
+
+
+def test_cspeed_xml_soup():
+    rng = random.Random(24680)
+    docs = []
+    for _ in range(60):
+        parts = []
+        for _ in range(40):
+            r = rng.random()
+            if r < 0.4:
+                parts.append(rng.choice(
+                    ["text", " ", "\n", "&amp;", "&#65;", "x&y",
+                     "caf\xe9", "]]>", "a<b", "\r\n"]))
+            elif r < 0.65:
+                t = rng.choice(["a", "b", "item", "Mixed", "UPPER"])
+                parts.append(rng.choice(
+                    ["<%s>" % t, "<%s/>" % t,
+                     '<%s k="v" xml:space="preserve">' % t,
+                     '<%s xml:space="default">' % t]))
+            elif r < 0.9:
+                parts.append("</%s>" % rng.choice(
+                    ["a", "b", "item", "Mixed", "UPPER"]))
+            else:
+                parts.append(rng.choice(
+                    ["<!-- c -->", "<![CDATA[x]]>", "<?pi?>"]))
+        docs.append("".join(parts))
+    _diff_c(docs, dialect="xml")
+
+
 def test_cspeed_default_on():
     """The compiled path must be live in this environment (gcc is
     available); if this fails the build broke."""
