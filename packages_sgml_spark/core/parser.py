@@ -185,6 +185,11 @@ class SGMLParser(DeclMixin):
     # set this True; the plain parser keeps push parsing O(1)-memory.
     _retain_feed = False
 
+    # compiled-executor adaptivity: consecutive no-progress C calls;
+    # >= 8 disables the C executor for this parser instance (see
+    # _pcdata_fast) — class default 0, instance-assigned on use
+    _cspeed_noprog = 0
+
     def __init__(self, options: ParserOptions = None, dtd=None):
         opts = options or ParserOptions()
         self.options = opts
@@ -840,6 +845,7 @@ class SGMLParser(DeclMixin):
             _load_cspeed()
         if (_CSPEED is not None and self._FAST_DATA_DIRECT and
                 self._FAST_BEGIN_NOOP and self._FAST_END_NOOP and
+                self._cspeed_noprog < 8 and
                 self.options.max_memory is None and
                 not self.dtd.has_inex and
                 self.dtd.dialect != D.DL_XMLNS):
@@ -850,10 +856,25 @@ class SGMLParser(DeclMixin):
                 _CSPEED.ctx_for(self.dtd), self, text, i, n,
                 self.utf8_decode,
                 self.dtd.dialect in D.XML_DIALECTS)
-            if j >= 0:
+            if j > i:
+                self._cspeed_noprog = 0
                 return j
-            # -1: session not applicable (deep stack, exotic cdata,
-            # non-UCS1 text) — run the Python executor below
+            if j == i:
+                # C blocked on the very first token (memo miss,
+                # depth-0 push, comment, multi-level close...): let
+                # the GENERAL loop handle exactly one token and
+                # retry C — NOT the Python executor, which would run
+                # the whole following region at Python speed (r4
+                # regression: 4x).  But a corpus where C blocks on
+                # EVERY token (DTD-less XML: all elements undefined)
+                # would thrash C session builds one token at a time
+                # (measured 0.4x), so 8 consecutive no-progress
+                # calls disable C for this parser instance and the
+                # Python executor takes over.
+                self._cspeed_noprog += 1
+                return i
+            # j == -1: session not applicable (deep stack, exotic
+            # cdata, non-UCS1 text) — run the Python executor below
         dtd = self.dtd
         memo = dtd._tag_memo
         fastent = dtd._ent_fast
