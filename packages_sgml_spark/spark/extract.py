@@ -253,6 +253,49 @@ def extract_tag_counts(pages: DataFrame,
     return src.mapInPandas(fn, schema="name string, n long")
 
 
+def extract_name_count(pages: DataFrame, name="a",
+                       dialect="html5", repartition="auto") -> DataFrame:
+    """Per-document count of one element name: pages(url, html) ->
+    (url, n) with n >= 1 — the count_links shape (r5, mirroring the
+    r4 element_histogram counting path).  A TagCountParser counts
+    begin events in the worker (explicit + implied begins == element
+    nodes, pytest parity), so the query never materializes or ships
+    node structs: the plan is a narrow map emitting one (url, long)
+    row per matching document instead of one struct per DOM node.
+    Docs with zero matches are omitted (the node-table path's
+    filter-then-groupBy has the same semantics); empty/oversized/
+    failed rows contribute nothing, mirroring extract()."""
+    from .util import spread
+    src = pages.select("url", "html")
+    if repartition == "auto":
+        src = spread(src, F.xxhash64("url"))
+    elif repartition:
+        src = src.repartition(repartition, F.xxhash64("url"))
+
+    def fn(batches):
+        from ..core.parser import ParserOptions, TagCountParser
+        for pdf in batches:
+            urls, counts = [], []
+            for url, html in zip(pdf["url"].tolist(),
+                                 pdf["html"].tolist()):
+                if html is None or len(html) == 0 or \
+                        len(html) > MAX_HTML_BYTES:
+                    continue
+                p = TagCountParser(ParserOptions(
+                    dialect=dialect, encoding="utf-8", max_errors=-1))
+                try:
+                    p.parse(bytes(html))
+                except Exception:   # noqa: BLE001 - per-row isolation
+                    continue
+                c = p.counts.get(name, 0)
+                if c:
+                    urls.append(url)
+                    counts.append(c)
+            yield pd.DataFrame({"url": urls, "n": counts})
+
+    return src.mapInPandas(fn, schema="url string, n long")
+
+
 def _page_sink(pages: DataFrame, col_name, fn_one,
                repartition="auto") -> DataFrame:
     """Shared shape for per-page text sinks (first-element text,

@@ -83,17 +83,19 @@ def q_extract_title(spark, sf_dir):
 
 
 def q_count_links(spark, sf_dir):
+    """r5: counting path — extract_name_count counts <a> begins in
+    the worker (no node-struct materialization; same parity argument
+    as element_histogram's r4 TagCountParser move), emitting one
+    (url, long) row per linked document.  Output identical to the
+    node-table filter-then-groupBy (A/B-equal pytest + same oracle)."""
     ensure_workers(spark)
+    from .extract import extract_name_count
     docs = _t(spark, sf_dir, "documents")
     pages = docs_as_pages(docs, links=True)
-    ex = extract(pages, dialect="html5", nodes=True)
-    nodes = explode_nodes(ex)
-    links = (nodes.filter((F.col("kind") == "element") &
-                          (F.col("name") == "a"))
-             .groupBy("url").agg(F.count("*").alias("n_links")))
+    links = extract_name_count(pages, name="a", dialect="html5")
     return links.select(
         F.substring("url", 7, 32).cast("bigint").alias("doc_id"),
-        "n_links")
+        F.col("n").alias("n_links"))
 
 
 def q_element_histogram(spark, sf_dir):

@@ -743,3 +743,43 @@ def test_url_dedup_planted(spark):
     out = url_dedup(docs).collect()
     assert len(out) == 1
     assert out[0].n_aliases == 2 and out[0].keep_doc_id == 7
+
+
+def test_count_links_counting_path_matches_node_table(spark):
+    """r5: extract_name_count (in-worker <a> begin counting, no node
+    structs) must equal the node-table filter-then-groupBy row for
+    row on the synthesized linked corpus — including the absent-row
+    semantics for documents with zero links."""
+    from packages_sgml_spark.spark.pages import docs_as_pages
+    from packages_sgml_spark.spark.extract import (
+        extract, extract_name_count)
+    from packages_sgml_spark.spark.nodes import explode_nodes
+
+    docs = spark.read.parquet(SF + "/documents.parquet").limit(80)
+    pages = docs_as_pages(docs, links=True)
+
+    nodes = explode_nodes(extract(pages, dialect="html5", nodes=True))
+    want = {(r.url, r.n) for r in
+            nodes.filter((F.col("kind") == "element") &
+                         (F.col("name") == "a"))
+            .groupBy("url").agg(F.count("*").alias("n")).collect()}
+    got = {(r.url, r.n) for r in
+           extract_name_count(pages, name="a",
+                              dialect="html5").collect()}
+    assert got == want and len(got) == 80   # every doc gets >=1 link
+
+
+def test_extract_name_count_guards(spark):
+    """Empty / oversized / unparseable rows contribute nothing; docs
+    without the target name are omitted."""
+    from packages_sgml_spark.spark.extract import (
+        MAX_HTML_BYTES, extract_name_count)
+    rows = [("u1", b"<p><a href=x>1</a><a href=y>2</a>"),
+            ("u2", b"<p>no links here"),
+            ("u3", b""),
+            ("u4", None),
+            ("u5", b"x" * (MAX_HTML_BYTES + 1))]
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    got = {(r.url, r.n) for r in
+           extract_name_count(pages, name="a").collect()}
+    assert got == {("u1", 2)}
