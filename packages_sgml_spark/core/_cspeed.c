@@ -186,12 +186,14 @@ typedef struct {
  * bits 0-1: kind (1 = 'b', 2 = 'e'); bit 2: empty_el; bit 3: conref;
  * bits 8-11: update_space_mode outcome + 2 (0 = bail, 1 = no-op,
  * 2+ = space mode value + 2 — see cspeed._space_flag);
- * bits 16+: elem idx */
+ * bits 16-39: elem idx; bits 40+: tag_objs idx + 1 (0 = none —
+ * the memo entry tuple itself, kept for tape-mode begin events) */
 #define TAG_KIND(v)   ((int)((v) & 3))
 #define TAG_EMPTY(v)  ((int)(((v) >> 2) & 1))
 #define TAG_CONREF(v) ((int)(((v) >> 3) & 1))
 #define TAG_SPACE(v)  ((int)(((v) >> 8) & 15) - 2)
-#define TAG_EIDX(v)   ((int)((v) >> 16))
+#define TAG_EIDX(v)   ((int)(((v) >> 16) & 0xFFFFFF))
+#define TAG_TIDX(v)   ((int)((v) >> 40))
 
 typedef struct {
     PyObject *s;            /* replacement text (strong) */
@@ -222,6 +224,8 @@ typedef struct {
     StrMap tags;            /* decl bytes -> packed tag entry */
     StrMap ents;            /* name bytes -> index into ent_vals */
     CEntity *ent_vals; size_t n_ents, cap_ents;
+    PyObject **tag_objs;    /* memo entry tuples (strong), tape mode */
+    size_t n_tag_objs, cap_tag_objs;
     /* interned attr names */
     PyObject *s_environments, *s_cdata, *s_line, *s_linepos, *s_charpos,
         *s_blank_cdata, *s_cdata_must_be_empty, *s_first, *s_startloc,
@@ -229,7 +233,7 @@ typedef struct {
         *s_text_parts, *s_element, *s_space_mode, *s_cdata_memo,
         *s_structure, *s_undefined, *s_type, *s_omit_close,
         *s_initial_state, *s_final_state, *s_name, *s__tag_memo,
-        *s__ent_fast;
+        *s__ent_fast, *s__c_tape;
 } CtxObject;
 
 #define CDATA_EIDX 0        /* CDATA_ELEMENT is always element 0 */
@@ -244,6 +248,10 @@ static void ctx_flush(CtxObject *c)
         Py_XDECREF(c->states[i].obj);
     for (size_t i = 0; i < c->n_ents; i++)
         Py_XDECREF(c->ent_vals[i].s);
+    for (size_t i = 0; i < c->n_tag_objs; i++)
+        Py_XDECREF(c->tag_objs[i]);
+    free(c->tag_objs); c->tag_objs = NULL;
+    c->n_tag_objs = c->cap_tag_objs = 0;
     free(c->elems); c->elems = NULL; c->n_elems = c->cap_elems = 0;
     free(c->states); c->states = NULL; c->n_states = c->cap_states = 0;
     free(c->ent_vals); c->ent_vals = NULL; c->n_ents = c->cap_ents = 0;
@@ -279,6 +287,7 @@ static void Ctx_dealloc(CtxObject *c)
     Py_XDECREF(c->s_omit_close); Py_XDECREF(c->s_initial_state);
     Py_XDECREF(c->s_final_state); Py_XDECREF(c->s_name);
     Py_XDECREF(c->s__tag_memo); Py_XDECREF(c->s__ent_fast);
+    Py_XDECREF(c->s__c_tape);
     PyObject_Del(c);
 }
 
@@ -494,6 +503,7 @@ static int tag_probe(CtxObject *c, const char *decl, Py_ssize_t dlen,
     int eidx = reg_elem(c, eobj);
     if (eidx < 0) return -1;
     int empty = 0, conref = 0, sflag = -1;
+    size_t tidx1 = 0;       /* tag_objs idx + 1; 0 = none */
     if (kind == 1) {
         empty = PyObject_IsTrue(PyTuple_GET_ITEM(entry, 3));
         conref = PyObject_IsTrue(PyTuple_GET_ITEM(entry, 4));
@@ -503,11 +513,26 @@ static int tag_probe(CtxObject *c, const char *decl, Py_ssize_t dlen,
         sflag = (int)PyLong_AsLong(sf);
         Py_DECREF(sf);
         if (sflag == -1 && PyErr_Occurred()) return -1;
+        /* keep the memo entry itself: tape-mode begin events hand
+         * (e, atts) back to Python's _emit_begin */
+        if (c->n_tag_objs >= c->cap_tag_objs) {
+            size_t ncap = c->cap_tag_objs ? c->cap_tag_objs * 2 : 64;
+            PyObject **nt = realloc(c->tag_objs,
+                                    ncap * sizeof(PyObject *));
+            if (!nt) { PyErr_NoMemory(); return -1; }
+            c->tag_objs = nt; c->cap_tag_objs = ncap;
+        }
+        Py_INCREF(entry);
+        c->tag_objs[c->n_tag_objs] = entry;
+        tidx1 = ++c->n_tag_objs;
     }
+    if (eidx > 0xFFFFFF || tidx1 > 0x3FFFFF)
+        return 0;           /* unpackable (never in practice): miss */
     int64_t packed = (int64_t)kind | ((int64_t)empty << 2) |
                      ((int64_t)conref << 3) |
                      ((int64_t)(sflag + 2) << 8) |
-                     ((int64_t)eidx << 16);
+                     ((int64_t)eidx << 16) |
+                     ((int64_t)tidx1 << 40);
     if (strmap_put(&c->tags, decl, dlen, packed) < 0) {
         PyErr_NoMemory(); return -1;
     }
@@ -726,7 +751,8 @@ typedef struct {
     CtxObject *c;
     PyObject *parser;
     PyObject *envs_list;    /* borrowed */
-    PyObject *text_parts;   /* borrowed */
+    PyObject *text_parts;   /* borrowed; NULL in tape mode */
+    PyObject *tape;         /* borrowed event list; NULL in sink mode */
     CEnv env[MAX_DEPTH];
     int depth;
     int orig_depth;         /* python list len at entry */
@@ -738,6 +764,10 @@ typedef struct {
     /* pending writeback values */
     long startloc_l, startloc_p, startloc_c; int startloc_dirty;
     long startcd_l, startcd_p, startcd_c; int startcd_dirty;
+    /* tape mode: the positions Python's executor would expose at the
+     * event sinks for the CURRENT tag token — startloc points at the
+     * '<', charpos is already past the '>' (parser.py:925-937) */
+    long ev_sl_l, ev_sl_p, ev_sl_c, ev_cp;
 } Sess;
 
 static int sess_scratch(Sess *S, size_t n)
@@ -772,11 +802,13 @@ static int get_bool_attr(PyObject *o, PyObject *name, int *err)
 }
 
 /* returns 0 ok, 1 not-applicable (caller falls back), -1 error */
-static int sess_build(Sess *S, CtxObject *c, PyObject *parser)
+static int sess_build(Sess *S, CtxObject *c, PyObject *parser,
+                      int tape_mode)
 {
     int err = 0;
     S->c = c;
     S->parser = parser;
+    S->tape = NULL;
     S->cdata.d = NULL; S->cdata.n = 0; S->cdata.cap = 0;
     S->cdata.maxchar_gt_ff = 0; S->cdata.maxchar_gt_7f = 0;
     S->scratch = NULL; S->scratch_cap = 0;
@@ -863,11 +895,78 @@ static int sess_build(Sess *S, CtxObject *c, PyObject *parser)
             return -1;
     }
 
-    PyObject *tp = PyObject_GetAttr(parser, c->s_text_parts);
-    if (!tp) return -1;
-    Py_DECREF(tp);
-    S->text_parts = tp;
+    if (tape_mode) {
+        S->text_parts = NULL;
+        PyObject *tl = PyObject_GetAttr(parser, c->s__c_tape);
+        if (!tl) return -1;
+        Py_DECREF(tl);                  /* parser keeps it alive */
+        S->tape = tl;
+        /* startcdata must stay event-accurate for tape data events
+         * (ev_data spans, parser.py:399-409): seed from the parser
+         * and let the append sites maintain it exactly as Python
+         * does.  Sink mode never reads it (data_spans unread). */
+        PyObject *scd = PyObject_GetAttr(parser, c->s_startcdata);
+        if (!scd) return -1;
+        if (!PyTuple_Check(scd) || PyTuple_GET_SIZE(scd) != 3) {
+            Py_DECREF(scd);
+            return 1;
+        }
+        S->startcd_l = PyLong_AsLong(PyTuple_GET_ITEM(scd, 0));
+        S->startcd_p = PyLong_AsLong(PyTuple_GET_ITEM(scd, 1));
+        S->startcd_c = PyLong_AsLong(PyTuple_GET_ITEM(scd, 2));
+        Py_DECREF(scd);
+        if (PyErr_Occurred()) return -1;
+    } else {
+        PyObject *tp = PyObject_GetAttr(parser, c->s_text_parts);
+        if (!tp) return -1;
+        Py_DECREF(tp);
+        S->text_parts = tp;
+    }
     return 0;
+}
+
+/* tape-mode data event sink (else: direct text_parts append).
+ * Mirrors the values Python's fast executor would expose at its
+ * self.ev_data("cdata", s) call: startcdata as maintained by the
+ * append sites, startloc/charpos of the current tag token. */
+static int sink_emit(Sess *S, PyObject *s)
+{
+    if (!S->tape)
+        return PyList_Append(S->text_parts, s);
+    PyObject *ev = Py_BuildValue(
+        "(sO(lll)(lll)l)", "d", s,
+        S->startcd_l, S->startcd_p, S->startcd_c,
+        S->ev_sl_l, S->ev_sl_p, S->ev_sl_c, S->ev_cp);
+    if (!ev) return -1;
+    int r = PyList_Append(S->tape, ev);
+    Py_DECREF(ev);
+    return r;
+}
+
+/* tape begin event: the memo entry carries (e, atts) for Python's
+ * _emit_begin; positions are the current tag's (parser.py:2502-2519
+ * reads self.startloc / self.charpos for elem_spans + positions) */
+static int tape_begin(Sess *S, PyObject *entry)
+{
+    if (!S->tape) return 0;
+    PyObject *ev = Py_BuildValue("(sO(lll)l)", "b", entry,
+                                 S->ev_sl_l, S->ev_sl_p, S->ev_sl_c,
+                                 S->ev_cp);
+    if (!ev) return -1;
+    int r = PyList_Append(S->tape, ev);
+    Py_DECREF(ev);
+    return r;
+}
+
+/* tape end event: ev_end(name) reads no positions */
+static int tape_end(Sess *S, PyObject *name)
+{
+    if (!S->tape) return 0;
+    PyObject *ev = Py_BuildValue("(sO)", "e", name);
+    if (!ev) return -1;
+    int r = PyList_Append(S->tape, ev);
+    Py_DECREF(ev);
+    return r;
 }
 
 static int set_long_attr(PyObject *o, PyObject *name, long v)
@@ -1052,7 +1151,7 @@ static int emit_flush(Sess *S, CEnv *env, int last, int commit,
     if (!S->blank_cdata) {
         if (S->cmbe) { Py_DECREF(s); return 1; }    /* would gripe */
         if (!commit) { Py_DECREF(s); return 0; }
-        int r = PyList_Append(S->text_parts, s);
+        int r = sink_emit(S, s);
         Py_DECREF(s);
         if (r < 0) return -1;
     } else if (env) {
@@ -1065,7 +1164,7 @@ static int emit_flush(Sess *S, CEnv *env, int last, int commit,
             if (!commit) { Py_DECREF(s); return 0; }
             env->sidx = bnew;
             env->dirty = env->py_env != NULL;
-            int r = PyList_Append(S->text_parts, s);
+            int r = sink_emit(S, s);
             Py_DECREF(s);
             if (r < 0) return -1;
         } else {
@@ -1074,7 +1173,7 @@ static int emit_flush(Sess *S, CEnv *env, int last, int commit,
                 (env->space_mode == c->SP_PRESERVE ||
                  env->space_mode == c->SP_STRICT)) {
                 if (!commit) { Py_DECREF(s); return 0; }
-                int r = PyList_Append(S->text_parts, s);
+                int r = sink_emit(S, s);
                 Py_DECREF(s);
                 if (r < 0) return -1;
             } else {
@@ -1116,17 +1215,21 @@ static int check_complete(Sess *S, CEnv *env)
 /* the executor                                                      */
 /* ---------------------------------------------------------------- */
 
-/* pcdata_fast(ctx, parser, text, i, n, utf8, is_xml) -> long new_i,
- * or -1 ("not applicable, run the Python executor") */
+/* pcdata_fast(ctx, parser, text, i, n, utf8, is_xml[, tape]) ->
+ * long new_i, or -1 ("not applicable, run the Python executor").
+ * tape != 0: record begin/end/data events into parser._c_tape for
+ * the Python drain instead of requiring no-op sinks (DOM builders,
+ * counters, ESIS — any parser whose sinks don't feed back into
+ * tokenization). */
 static PyObject *pcdata_fast(PyObject *self, PyObject *args)
 {
     (void)self;
     CtxObject *c;
     PyObject *parser, *text;
     Py_ssize_t i, n;
-    int utf8, is_xml;
-    if (!PyArg_ParseTuple(args, "O!OOnnpp", &Ctx_Type, &c, &parser,
-                          &text, &i, &n, &utf8, &is_xml))
+    int utf8, is_xml, tape_mode = 0;
+    if (!PyArg_ParseTuple(args, "O!OOnnpp|p", &Ctx_Type, &c, &parser,
+                          &text, &i, &n, &utf8, &is_xml, &tape_mode))
         return NULL;
     if (PyUnicode_READY(text) < 0) return NULL;
     if (PyUnicode_KIND(text) != PyUnicode_1BYTE_KIND)
@@ -1134,7 +1237,7 @@ static PyObject *pcdata_fast(PyObject *self, PyObject *args)
     const Py_UCS1 *T = PyUnicode_1BYTE_DATA(text);
 
     Sess S;
-    int br = sess_build(&S, c, parser);
+    int br = sess_build(&S, c, parser, tape_mode);
     if (br != 0) {
         sess_free(&S);
         if (br < 0) return NULL;
@@ -1233,6 +1336,12 @@ static PyObject *pcdata_fast(PyObject *self, PyObject *args)
             long nl = 0; Py_ssize_t lastlf = -1;
             for (Py_ssize_t k2 = i; k2 <= tag_end; k2++)
                 if (T[k2] == '\n') { nl++; lastlf = k2; }
+            /* tape events for this tag see startloc = tag start and
+             * charpos = past the '>', exactly what Python's executor
+             * writes back before the replay (parser.py:925-937) */
+            S.ev_sl_l = S.line; S.ev_sl_p = S.linepos + 1;
+            S.ev_sl_c = S.charpos;
+            S.ev_cp = S.charpos + (long)tl;
 
             if (kind == 1) {
                 /* ---------- begin tag ---------- */
@@ -1279,6 +1388,9 @@ static PyObject *pcdata_fast(PyObject *self, PyObject *args)
                     /* ---- commit the one-level close ---- */
                     er = emit_flush(&S, env, 1, 1, NULL);
                     if (er != 0) FAIL();
+                    /* Python order: flush, first=False, ev_end, pop
+                     * (parser.py:1080-1090) */
+                    if (tape_end(&S, pe->name) < 0) FAIL();
                     env1->sidx = new1;
                     env1->dirty = env1->py_env != NULL;
                     S.first = 0;
@@ -1345,6 +1457,14 @@ static PyObject *pcdata_fast(PyObject *self, PyObject *args)
                  * 1112-1116): outcome precomputed per memo entry */
                 if (is_xml && sflag >= 0)
                     nenv->space_mode = sflag;
+                /* Python replay order: open_element, update_space_
+                 * mode, then _emit_begin (parser.py:2388-2392) */
+                {
+                    int ti = TAG_TIDX(entry);
+                    if (ti &&
+                        tape_begin(&S, c->tag_objs[ti - 1]) < 0)
+                        FAIL();
+                }
                 i = tag_end + 1;
                 if (ce->undefined) {
                     /* live structure read for the CDATA/RCDATA check */
@@ -1405,6 +1525,9 @@ static PyObject *pcdata_fast(PyObject *self, PyObject *args)
                     ? S.env[S.depth - 2].map : NULL;
                 er = emit_flush(&S, env, 1, 1, NULL);
                 if (er != 0) FAIL();
+                /* Python order: flush, ev_end(e.name), pop
+                 * (parser.py:1270-1280) */
+                if (tape_end(&S, c->elems[eidx].name) < 0) FAIL();
                 S.first = 0;
                 S.depth--;
                 if (S.depth < S.survive) S.survive = S.depth;
@@ -1495,13 +1618,14 @@ static PyObject *pcdata_fast(PyObject *self, PyObject *args)
         if (ch == '\r') {
             /* putchar CR inline (parser.py:1576+ S_PCDATA +
              * add_cdata: CR is blank, no LF dance for CR itself,
-             * map is None) */
-            S.charpos += 1;
-            S.linepos = 0;
+             * map is None).  startcdata uses the pre-char rule like
+             * every span site (r5: putchar itself was aligned). */
             if (!S.cdata.n) {
-                S.startcd_l = S.line; S.startcd_p = 0;
+                S.startcd_l = S.line; S.startcd_p = S.linepos + 1;
                 S.startcd_c = S.charpos; S.startcd_dirty = 1;
             }
+            S.charpos += 1;
+            S.linepos = 0;
             if (buf_push(&S.cdata, '\r') < 0) FAIL();
             i++;
             continue;
@@ -1732,6 +1856,7 @@ static PyObject *make_ctx(PyObject *self, PyObject *args)
     INTERN(s_name, "name");
     INTERN(s__tag_memo, "_tag_memo");
     INTERN(s__ent_fast, "_ent_fast");
+    INTERN(s__c_tape, "_c_tape");
 #undef INTERN
     return (PyObject *)c;
 fail:

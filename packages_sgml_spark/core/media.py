@@ -741,3 +741,237 @@ def encode_jpeg_rgb(px: np.ndarray) -> bytes:
     bw.flush()
     return _jpeg_tables_prefix(_STD_QT_LUMA, 3, h, w) + \
         bytes(bw.out) + b"\xFF\xD9"
+
+
+# ---------------------------------------------------------------------
+# mp4 / ISO BMFF sampling metadata (r5)
+# ---------------------------------------------------------------------
+# A pure-stdlib box walk of the ISO base media file format: enough of
+# moov to produce the REAL per-sample table a frame-sampling pipeline
+# needs — timestamps (stts), sizes (stsz), file offsets (stsc+stco/
+# co64), keyframe flags (stss), dimensions (tkhd / the stsd video
+# sample entry) — without any codec work.  Actual pixel decode of the
+# sampled frames still requires a codec (ffmpeg) and is refused with
+# MediaDecodeError by decode path callers; at the 100 TB exhaustive
+# tier the documented swap-in applies.  Truncated/malformed boxes
+# raise MediaDecodeError (same policy as PNG/JPEG).
+
+MP4_BRANDS = (b"isom", b"iso2", b"mp41", b"mp42", b"avc1", b"M4V ",
+              b"dash", b"qt  ")
+
+
+def _boxes(buf, start, end):
+    """Yield (type, body_start, body_end) for the boxes in buf[start:
+    end]; handles 64-bit largesize and size==0 (to end-of-enclosure)."""
+    off = start
+    while off + 8 <= end:
+        size = int.from_bytes(buf[off:off + 4], "big")
+        btype = bytes(buf[off + 4:off + 8])
+        body = off + 8
+        if size == 1:
+            if off + 16 > end:
+                raise MediaDecodeError("mp4: truncated largesize box")
+            size = int.from_bytes(buf[off + 8:off + 16], "big")
+            body = off + 16
+            if size < 16:
+                raise MediaDecodeError("mp4: bad largesize")
+        elif size == 0:
+            size = end - off
+        elif size < 8:
+            raise MediaDecodeError("mp4: bad box size %d" % size)
+        if off + size > end:
+            raise MediaDecodeError("mp4: box overruns enclosure")
+        yield btype, body, off + size
+        off += size
+
+
+def _find(buf, start, end, btype):
+    for t, b, e in _boxes(buf, start, end):
+        if t == btype:
+            return b, e
+    return None
+
+
+def _u32s(buf, off, n):
+    return struct.unpack_from(">%dI" % n, buf, off)
+
+
+def is_mp4(payload) -> bool:
+    return (len(payload) >= 12 and payload[4:8] == b"ftyp")
+
+
+def parse_mp4(payload):
+    """payload -> {width, height, duration_ms, timescale, n_samples,
+    samples: [(idx, ts_ms, offset, size, keyframe), ...]} for the
+    first VIDEO track (hdlr 'vide').  ISO/IEC 14496-12 box layout;
+    the sample table math is the normative stsc/stco/stsz join."""
+    buf = memoryview(bytes(payload))
+    n = len(buf)
+    if not is_mp4(buf):
+        raise MediaDecodeError("mp4: no ftyp")
+    moov = _find(buf, 0, n, b"moov")
+    if moov is None:
+        raise MediaDecodeError("mp4: no moov")
+    mv = _find(buf, moov[0], moov[1], b"mvhd")
+    movie_timescale = movie_duration = None
+    if mv is not None:
+        ver = buf[mv[0]]
+        if ver == 1:
+            movie_timescale = int.from_bytes(buf[mv[0] + 20:mv[0] + 24],
+                                             "big")
+            movie_duration = int.from_bytes(buf[mv[0] + 24:mv[0] + 32],
+                                            "big")
+        else:
+            movie_timescale, movie_duration = _u32s(buf, mv[0] + 12, 2)
+
+    for t, tb, te in _boxes(buf, moov[0], moov[1]):
+        if t != b"trak":
+            continue
+        mdia = _find(buf, tb, te, b"mdia")
+        if mdia is None:
+            continue
+        hdlr = _find(buf, mdia[0], mdia[1], b"hdlr")
+        if hdlr is None or bytes(buf[hdlr[0] + 8:hdlr[0] + 12]) != \
+                b"vide":
+            continue
+        # track found: dimensions from tkhd (16.16 fixed, end of box)
+        width = height = None
+        tk = _find(buf, tb, te, b"tkhd")
+        if tk is not None:
+            ver = buf[tk[0]]
+            wh_off = tk[0] + (96 if ver == 1 else 84)
+            if wh_off + 8 <= tk[1]:
+                w_fx, h_fx = _u32s(buf, wh_off, 2)
+                width, height = w_fx >> 16, h_fx >> 16
+        mdhd = _find(buf, mdia[0], mdia[1], b"mdhd")
+        if mdhd is None:
+            raise MediaDecodeError("mp4: video track without mdhd")
+        ver = buf[mdhd[0]]
+        timescale = int.from_bytes(
+            buf[mdhd[0] + (20 if ver == 1 else 12):
+                mdhd[0] + (24 if ver == 1 else 16)], "big")
+        if not timescale:
+            raise MediaDecodeError("mp4: zero mdhd timescale")
+        minf = _find(buf, mdia[0], mdia[1], b"minf")
+        stbl = minf and _find(buf, minf[0], minf[1], b"stbl")
+        if not stbl:
+            raise MediaDecodeError("mp4: video track without stbl")
+        sb, se = stbl
+
+        # stsd video sample entry can refine dimensions
+        sd = _find(buf, sb, se, b"stsd")
+        if sd is not None:
+            for _et, eb, _ee in _boxes(buf, sd[0] + 8, sd[1]):
+                if _ee - eb >= 70:      # VisualSampleEntry
+                    w2, h2 = struct.unpack_from(">HH", buf, eb + 24)
+                    if w2 and h2:
+                        width, height = w2, h2
+                break
+
+        stts = _find(buf, sb, se, b"stts")
+        stsz = _find(buf, sb, se, b"stsz")
+        stsc = _find(buf, sb, se, b"stsc")
+        stco = _find(buf, sb, se, b"stco")
+        co64 = None if stco else _find(buf, sb, se, b"co64")
+        if not (stts and stsz and stsc and (stco or co64)):
+            raise MediaDecodeError("mp4: incomplete sample table")
+
+        # sizes
+        uniform, count = _u32s(buf, stsz[0] + 4, 2)
+        sizes = ([uniform] * count if uniform
+                 else list(_u32s(buf, stsz[0] + 12, count)))
+
+        # decode timestamps
+        (n_ent,) = _u32s(buf, stts[0] + 4, 1)
+        ts = []
+        t_acc = 0
+        for k in range(n_ent):
+            cnt, delta = _u32s(buf, stts[0] + 8 + 8 * k, 2)
+            for _ in range(min(cnt, count - len(ts))):
+                ts.append(t_acc)
+                t_acc += delta
+        if len(ts) < count:
+            raise MediaDecodeError("mp4: stts covers %d of %d samples"
+                                   % (len(ts), count))
+
+        # keyframes
+        stss = _find(buf, sb, se, b"stss")
+        if stss is None:
+            keyset = None          # all samples are sync points
+        else:
+            (kn,) = _u32s(buf, stss[0] + 4, 1)
+            keyset = set(_u32s(buf, stss[0] + 8, kn))
+
+        # chunk offsets
+        if stco:
+            (cn,) = _u32s(buf, stco[0] + 4, 1)
+            offsets = list(_u32s(buf, stco[0] + 8, cn))
+        else:
+            (cn,) = _u32s(buf, co64[0] + 4, 1)
+            offsets = list(struct.unpack_from(">%dQ" % cn, buf,
+                                              co64[0] + 8))
+
+        # sample -> chunk runs
+        (scn,) = _u32s(buf, stsc[0] + 4, 1)
+        runs = [(_u32s(buf, stsc[0] + 8 + 12 * k, 3))
+                for k in range(scn)]
+        samples = []
+        si = 0
+        for k, (first_chunk, per_chunk, _desc) in enumerate(runs):
+            last_chunk = (runs[k + 1][0] - 1 if k + 1 < len(runs)
+                          else len(offsets))
+            for chunk in range(first_chunk, last_chunk + 1):
+                if chunk - 1 >= len(offsets) or si >= count:
+                    break
+                off = offsets[chunk - 1]
+                for _ in range(per_chunk):
+                    if si >= count:
+                        break
+                    samples.append((
+                        si,
+                        ts[si] * 1000 // timescale,
+                        off,
+                        sizes[si],
+                        keyset is None or (si + 1) in keyset))
+                    off += sizes[si]
+                    si += 1
+        if si < count:
+            raise MediaDecodeError("mp4: stsc/stco cover %d of %d "
+                                   "samples" % (si, count))
+        dur_ms = (movie_duration * 1000 // movie_timescale
+                  if movie_timescale else
+                  (ts[-1] * 1000 // timescale if ts else 0))
+        return {"width": width, "height": height,
+                "duration_ms": dur_ms, "timescale": timescale,
+                "n_samples": count, "samples": samples}
+    raise MediaDecodeError("mp4: no video track")
+
+
+def mp4_frame_samples(payload, every_ms=1000, max_frames=8):
+    """Keyframe-seek sampling plan: for target timestamps 0, every_ms,
+    2*every_ms, ... pick the nearest keyframe AT OR BEFORE the target
+    (standard sync-sample seek), deduplicated.  Returns rows
+    (frame_idx, ts_ms, offset, size, keyframe=True) — the exact reads
+    a decoding tier would issue."""
+    info = parse_mp4(payload)
+    keys = [s for s in info["samples"] if s[4]]
+    if not keys:
+        return info, []
+    picked = []
+    seen = set()
+    for k in range(max_frames):
+        target = k * every_ms
+        best = None
+        for s in keys:
+            if s[1] <= target:
+                best = s
+            else:
+                break
+        if best is None:
+            best = keys[0]
+        if best[0] not in seen:
+            seen.add(best[0])
+            picked.append(best)
+        if target > info["samples"][-1][1]:
+            break
+    return info, picked

@@ -180,6 +180,19 @@ class SGMLParser(DeclMixin):
     _FAST_END_NOOP = False
     _FAST_DATA_DIRECT = False
 
+    # compiled-executor tape mode (r5): parsers whose event sinks are
+    # pure consumers — they may read startloc/startcdata/charpos and
+    # their own attributes, but never feed back into tokenization
+    # (no re-entrant parse_content, no live env-stack reads) — let
+    # the C executor run the text-only token paths and RECORD the
+    # begin/end/data events; _drain_tape then delivers them to the
+    # real sinks in order.  DOM building (plain SGMLParser), counting
+    # and ESIS sinks qualify; SAX callback parsers (user handlers may
+    # re-enter the parser: sax.py parse_content) and early-stop
+    # parsers (FirstElementTextParser's StopParse inside ev_end would
+    # lose its before-the-stop resume position) must opt out.
+    _TAPE_SINKS = True
+
     # feed() buffer retention: subclasses exposing the synchronous
     # re-entrant parse_content() from push parsing (CallbackParser)
     # set this True; the plain parser keeps push parsing O(1)-memory.
@@ -313,6 +326,8 @@ class SGMLParser(DeclMixin):
                                     # entity expansion (sax.py)
         self._emitting_empty = False  # p->empty_element analog
         self._url_cache = []        # MRU url->canonical (URL_CACHE=4)
+        self._c_tape = []           # compiled-executor event tape
+                                    # (drained by _drain_tape)
 
     # ------------------------------------------------------------------
     # dialect / encoding (parser.c:1256-1298, 3807-3849)
@@ -807,6 +822,48 @@ class SGMLParser(DeclMixin):
             putchar(text[i])
             i += 1
 
+    def _drain_tape(self):
+        """Deliver the events the compiled executor recorded
+        (tape mode) to the real event sinks, in document order.
+
+        Each entry carries the positions Python's own executor would
+        have exposed at the equivalent sink call, so _emit_begin's
+        elem_spans/position attr and ev_data's data_spans come out
+        identical (differential-tested in tests/test_cspeed.py).
+        startloc/startcdata/charpos are restored afterwards: the C
+        writeback already left the parser at the region's end state.
+
+        Entries: ("b", memo_entry, startloc, charpos) — begin, with
+        memo_entry = ('b', e, atts, empty, conref) and empty always
+        False (the C path bails on empty elements);
+        ("e", name) — end; ("d", s, startcdata, startloc, charpos).
+        """
+        tape = self._c_tape
+        save_sl = self.startloc
+        save_scd = self.startcdata
+        save_cp = self.charpos
+        try:
+            for ev in tape:
+                k = ev[0]
+                if k == "d":
+                    _k, s, scd, sl, cp = ev
+                    self.startcdata = scd
+                    self.startloc = sl
+                    self.charpos = cp
+                    self.ev_data("cdata", s)
+                elif k == "b":
+                    _k, entry, sl, cp = ev
+                    self.startloc = sl
+                    self.charpos = cp
+                    self._emit_begin(entry[1], entry[2])
+                else:
+                    self.ev_end(ev[1])
+        finally:
+            del tape[:]
+            self.startloc = save_sl
+            self.startcdata = save_scd
+            self.charpos = save_cp
+
     def _pcdata_fast(self, text, i, n):
         """Steady-state PCDATA token executor.
 
@@ -843,21 +900,38 @@ class SGMLParser(DeclMixin):
         """
         if not _CSPEED_TRIED:
             _load_cspeed()
-        if (_CSPEED is not None and self._FAST_DATA_DIRECT and
-                self._FAST_BEGIN_NOOP and self._FAST_END_NOOP and
+        if (_CSPEED is not None and
                 self._cspeed_noprog < 8 and
                 self.options.max_memory is None and
                 not self.dtd.has_inex and
                 self.dtd.dialect != D.DL_XMLNS):
+            # sink mode: no-op begin/end + direct text sink (the
+            # text-only profile).  tape mode (r5): any parser whose
+            # sinks are pure consumers (_TAPE_SINKS) — C records the
+            # events, _drain_tape replays them after the region.
+            # stop_at parses are excluded from tape mode: C consumes
+            # input past the point where ev_end would stop the
+            # tokenizer, which breaks sub-document resume positions.
+            sink_mode = (self._FAST_DATA_DIRECT and
+                         self._FAST_BEGIN_NOOP and self._FAST_END_NOOP)
+            tape_mode = (not sink_mode and self._TAPE_SINKS and
+                         self.options.stop_at is None and
+                         not self._pending_skip)
+        else:
+            sink_mode = tape_mode = False
+        if sink_mode or tape_mode:
             # XML dialects (not xmlns): the per-begin
             # update_space_mode outcome is precomputed per memo
             # entry (cspeed._space_flag) and applied C-side
             j = _CSPEED.MOD.pcdata_fast(
                 _CSPEED.ctx_for(self.dtd), self, text, i, n,
                 self.utf8_decode,
-                self.dtd.dialect in D.XML_DIALECTS)
+                self.dtd.dialect in D.XML_DIALECTS,
+                tape_mode)
             if j > i:
                 self._cspeed_noprog = 0
+                if tape_mode and self._c_tape:
+                    self._drain_tape()
                 return j
             if j == i:
                 # C blocked on the very first token (memo miss,
@@ -1708,7 +1782,34 @@ class SGMLParser(DeclMixin):
                     self.process_net()
                     return
                 if not self.cdata:
-                    self.startcdata = (self.line, self.linepos, self.charpos)
+                    # pre-char rule, same as the executors' span path
+                    # (start_pos = position OF the run's first char;
+                    # the old post-increment value made a run started
+                    # here begin one char late — r5, found by the
+                    # tape-mode differential)
+                    self.startcdata = (line, lpos + 1, self.charpos - 1)
+                if (self.blank_cdata and self.mark_state == MS_INCLUDE
+                        and not is_blank_char(chr_)):
+                    # run the #PCDATA open with pre-char positions,
+                    # mirroring the executors' span path: implied-tag
+                    # events (and their elem_spans / position attrs)
+                    # see the position OF the triggering char, not
+                    # one past it (r5, same differential)
+                    pl, pp, pc = self.line, self.linepos, self.charpos
+                    self.line, self.linepos, self.charpos = \
+                        line, lpos, pc - 1
+                    try:
+                        self.cdata_must_be_empty = not self.open_element(
+                            M.CDATA_ELEMENT, False)
+                    finally:
+                        self.line, self.linepos, self.charpos = pl, pp, pc
+                    self.blank_cdata = False
+                    if not self.cdata:
+                        # implied tags flushed the blank buffer: this
+                        # char starts a fresh run (executor 'rest'
+                        # rule, parser.py span path)
+                        self.startcdata = (line, lpos + 1,
+                                           self.charpos - 1)
                 self.add_cdata(chr_)
                 return
 
@@ -3662,6 +3763,178 @@ class TagCountParser(TextOnlyParser):
         pass
 
 
+class NodeTableParser(SGMLParser):
+    """Node-table extraction fast path (r5): builds the FLAT node
+    rows `dom.flatten_nodes` would produce — pre-order node_id,
+    parent/ord, subtree_end, spans — directly in the event sinks,
+    skipping both the Element-object DOM and the post-hoc recursive
+    flatten (which profiled at ~45% of a nodes=True parse).  Row
+    shape and values are identical to SGMLParser + flatten_nodes
+    (pytest parity in tests/test_tape_mode.py); with the compiled
+    executor's tape mode this takes the nodes=True extract path from
+    ~8 to ~25+ MB/s per core.  Used by extract() when nodes=True and
+    dom_json is not requested (dom_json still needs the tree)."""
+
+    def __init__(self, options=None, dtd=None):
+        super().__init__(options, dtd)
+        self.rows = []
+        self.text_parts = []
+        self._open = []         # (row, child_counter) mirror stack
+        self._root_ord = 0      # ord counter for top-level content
+
+    # positions for begin rows are read directly at event time: the
+    # values equal what _emit_begin appends to elem_spans (it runs
+    # right before ev_begin with the same attrs)
+    def ev_begin(self, name, attrs):
+        rows = self.rows
+        open_ = self._open
+        if open_:
+            top = open_[-1]
+            parent_id = top[0]["node_id"]
+            ord_ = top[1]
+            top[1] += 1
+        else:
+            parent_id = -1
+            ord_ = self._root_ord
+            self._root_ord += 1
+        row = {
+            "node_id": len(rows), "parent_id": parent_id, "ord": ord_,
+            "kind": "element",
+            "name": name if isinstance(name, str) else str(name),
+            "attrs": {(k if isinstance(k, str) else str(k)):
+                      (" ".join(str(x) for x in v)
+                       if isinstance(v, list) else str(v))
+                      for k, v in attrs},
+            "text": None, "subtree_end": None,
+            "start_pos": self.startloc[2], "end_pos": self.charpos,
+        }
+        rows.append(row)
+        open_.append([row, 0])
+
+    def ev_end(self, name):
+        if self._open:
+            self._open.pop()[0]["subtree_end"] = len(self.rows)
+
+    def _data_row(self, kind, text):
+        rows = self.rows
+        open_ = self._open
+        if open_:
+            top = open_[-1]
+            parent_id = top[0]["node_id"]
+            ord_ = top[1]
+            top[1] += 1
+        else:
+            parent_id = -1
+            ord_ = self._root_ord
+            self._root_ord += 1
+        start = self.startcdata[2]
+        end = self.startloc[2] if self.startloc[2] > start \
+            else self.charpos
+        rows.append({"node_id": len(rows), "parent_id": parent_id,
+                     "ord": ord_, "kind": kind, "name": None,
+                     "attrs": None, "subtree_end": None,
+                     "start_pos": start, "end_pos": end, "text": text})
+
+    def ev_data(self, kind, text):
+        self._data_row("text" if kind == "cdata" else kind, text)
+        self.text_parts.append(text)
+
+    def ev_pi(self, text):
+        rows = self.rows
+        open_ = self._open
+        if open_:
+            top = open_[-1]
+            parent_id = top[0]["node_id"]
+            ord_ = top[1]
+            top[1] += 1
+        else:
+            parent_id = -1
+            ord_ = self._root_ord
+            self._root_ord += 1
+        rows.append({"node_id": len(rows), "parent_id": parent_id,
+                     "ord": ord_, "kind": "pi", "name": None,
+                     "attrs": None, "subtree_end": None,
+                     "start_pos": None, "end_pos": None, "text": text})
+
+    def _drain_tape(self):
+        """Tape drain specialised to row building: one tight loop,
+        positions read straight from the tape tuples — no per-event
+        method dispatch or startloc/startcdata save-restore.  Falls
+        back to the generic drain when the positions option is on
+        (the position attr needs base_file plumbing)."""
+        if self.options.positions and self.base_file:
+            return super()._drain_tape()
+        tape = self._c_tape
+        rows = self.rows
+        open_ = self._open
+        text_parts = self.text_parts
+        try:
+            for ev in tape:
+                k = ev[0]
+                if k == "d":
+                    _k, s, scd, sl, cp = ev
+                    start = scd[2]
+                    if open_:
+                        top = open_[-1]
+                        parent_id = top[0]["node_id"]
+                        ord_ = top[1]
+                        top[1] += 1
+                    else:
+                        parent_id = -1
+                        ord_ = self._root_ord
+                        self._root_ord += 1
+                    rows.append({
+                        "node_id": len(rows), "parent_id": parent_id,
+                        "ord": ord_, "kind": "text", "name": None,
+                        "attrs": None, "subtree_end": None,
+                        "start_pos": start,
+                        "end_pos": sl[2] if sl[2] > start else cp,
+                        "text": s})
+                    text_parts.append(s)
+                elif k == "b":
+                    _k, entry, sl, cp = ev
+                    e = entry[1]
+                    if open_:
+                        top = open_[-1]
+                        parent_id = top[0]["node_id"]
+                        ord_ = top[1]
+                        top[1] += 1
+                    else:
+                        parent_id = -1
+                        ord_ = self._root_ord
+                        self._root_ord += 1
+                    row = {
+                        "node_id": len(rows), "parent_id": parent_id,
+                        "ord": ord_, "kind": "element", "name": e.name,
+                        "attrs": {a: (" ".join(str(x) for x in v)
+                                      if isinstance(v, list) else str(v))
+                                  for a, v in
+                                  self.convert_attributes(entry[2])},
+                        "text": None, "subtree_end": None,
+                        "start_pos": sl[2], "end_pos": cp,
+                    }
+                    rows.append(row)
+                    open_.append([row, 0])
+                else:
+                    if open_:
+                        open_.pop()[0]["subtree_end"] = len(rows)
+        finally:
+            del tape[:]
+
+    def finish_rows(self):
+        """Close any still-open elements (EOF soup): flatten_nodes
+        gives every element a subtree_end."""
+        while self._open:
+            self._open.pop()[0]["subtree_end"] = len(self.rows)
+        return self.rows
+
+    def text(self):
+        """extract_text equivalent: all character data in document
+        order (text + sdata + ndata rows, exactly what the DOM walk
+        concatenates)."""
+        return "".join(self.text_parts)
+
+
 class FirstElementTextParser(TextOnlyParser):
     """Selective extraction: character data of the FIRST <target>
     element only, then stop the tokenizer — the SA_* stop-condition
@@ -3674,6 +3947,10 @@ class FirstElementTextParser(TextOnlyParser):
     _FAST_BEGIN_NOOP = False     # _emit_begin / ev_end / ev_data are
     _FAST_END_NOOP = False       # meaningful again in this subclass
     _FAST_DATA_DIRECT = False
+    _TAPE_SINKS = False          # the whole point is the ev_end
+                                 # StopParse abandoning the stream
+                                 # early; tape mode would tokenize
+                                 # past it in C first
 
     def __init__(self, options=None, dtd=None, target="title"):
         super().__init__(options, dtd)

@@ -33,6 +33,10 @@ class CallbackParser(SGMLParser):
 
     _retain_feed = True     # keep fed text so parse_content() works
                             # from push parsing (see SGMLParser.feed)
+    _TAPE_SINKS = False     # user callbacks may re-enter the parser
+                            # (capture_content / parse_content), so
+                            # events must fire at tokenization time —
+                            # no compiled-executor tape mode here
 
     def __init__(self, options=None, on_begin=None, on_end=None,
                  on_data=None, on_pi=None):

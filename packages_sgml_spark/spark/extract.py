@@ -74,6 +74,16 @@ def _parse_one(html, dialect, want_dom_json, want_nodes):
         errs = [{"severity": e.severity, "line": e.line,
                  "message": e.message} for e in errors]
         return p.text(), None, None, errs
+    if want_nodes and not want_dom_json:
+        # node-table fast path (r5): flat rows built in the event
+        # sinks — no Element DOM, no recursive flatten; identical
+        # rows (NodeTableParser docstring + tape-mode parity tests)
+        from ..core.parser import NodeTableParser
+        p = NodeTableParser(opts)
+        _dom, errors = p.parse(html)
+        errs = [{"severity": e.severity, "line": e.line,
+                 "message": e.message} for e in errors]
+        return p.text(), None, p.finish_rows(), errs
     p = SGMLParser(opts)
     dom, errors = p.parse(html)
     text = extract_text(dom)

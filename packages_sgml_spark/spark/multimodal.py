@@ -162,12 +162,20 @@ AUDIO_SCHEMA = StructType([
 def video_frame_sample(media: DataFrame, every_ms=1000,
                        max_frames=8, fake=True) -> DataFrame:
     """Frame sampling over video binaries: one output row per sampled
-    frame (explode-style mapInPandas).  Decode STUBBED (no ffmpeg in
-    this container): fake=True derives deterministic frame tokens
-    from the payload; the row-explosion/batching/schema plumbing is
-    the real deliverable."""
+    frame (explode-style mapInPandas).
+
+    fake=False (r5): mp4/ISO-BMFF containers get a REAL sampling plan
+    from the pure-stdlib box walk (core.media.parse_mp4): keyframe-
+    seek timestamps from stts/stss and the exact byte ranges
+    (stsc/stco/stsz join) a decode tier would read, as
+    'mp4:<offset>:<size>' frame tokens — pixel decode itself still
+    needs a codec and non-mp4 payloads report decoder_unavailable
+    (documented environmental limit).  fake=True keeps the
+    deterministic token path for plumbing tests and the oracle."""
 
     def fn(batches):
+        from ..core.media import (MediaDecodeError, is_mp4,
+                                  mp4_frame_samples)
         for pdf in batches:
             rows = {k: [] for k in ("media_id", "frame_idx", "ts_ms",
                                     "frame", "status")}
@@ -183,11 +191,32 @@ def video_frame_sample(media: DataFrame, every_ms=1000,
                     rows["status"].append("empty")
                     continue
                 if not fake:
+                    pl = bytes(payload)
+                    if is_mp4(pl):
+                        try:
+                            _info, picked = mp4_frame_samples(
+                                pl, every_ms=every_ms,
+                                max_frames=max_frames)
+                            for fi, (sidx, ts, off, size, _kf) in \
+                                    enumerate(picked):
+                                rows["media_id"].append(mid)
+                                rows["frame_idx"].append(fi)
+                                rows["ts_ms"].append(int(ts))
+                                rows["frame"].append(
+                                    "mp4:%d:%d" % (off, size))
+                                rows["status"].append("ok")
+                            if picked:
+                                continue
+                            status = "no_keyframes"
+                        except MediaDecodeError as ex:
+                            status = "decode_error: %s" % ex
+                    else:
+                        status = "decoder_unavailable"
                     rows["media_id"].append(mid)
                     rows["frame_idx"].append(0)
                     rows["ts_ms"].append(0)
                     rows["frame"].append(None)
-                    rows["status"].append("decoder_unavailable")
+                    rows["status"].append(status)
                     continue
                 n = min(max_frames, 1 + len(payload) % max_frames)
                 for i in range(n):

@@ -148,17 +148,27 @@ def embedding_near_dups(emb: DataFrame, threshold=0.95,
 
 
 def embedding_dup_recall(emb: DataFrame, threshold=0.95, dim=64,
-                         n_planes=6, n_probes=3) -> DataFrame:
+                         n_planes=6, n_probes=3,
+                         sample_frac=1.0) -> DataFrame:
     """Recall of the LSH-bucketed near-dup paths against the exact
     all-pairs baseline (r4, the no-silent-caps rule for ANN): one row
     per method — 'lsh' (primary buckets only) and 'lsh_probed'
     (+ Hamming-1 multi-probe on the first n_probes planes) — with
     (n_exact, n_pairs, n_hit, recall).
 
-    The exact side is quadratic — at 100 TB this metric runs on a
-    SAMPLED slice (the standard ANN-recall protocol, same as
-    ann_recall for the kNN paths); the LSH sides are the production
-    plans being audited."""
+    The exact side is quadratic, so at 100 TB the metric itself must
+    be runnable on a slice: sample_frac < 1 (r5) restricts BOTH the
+    exact baseline and the LSH sides to the same deterministic
+    hash-sample of vec_ids (pmod(xxhash64(vec_id), 10^6) < frac*10^6
+    — reproducible across runs and engines, no Spark sample() RNG),
+    which is the standard sampled ANN-recall protocol.  The recall
+    estimate is unbiased for the sampled population; the production
+    LSH plan being audited is unchanged.  sample_frac=1 (the oracled
+    registry default) is exact."""
+    if sample_frac < 1.0:
+        emb = emb.filter(
+            F.pmod(F.xxhash64(F.col("vec_id")), F.lit(1000000)) <
+            F.lit(int(sample_frac * 1000000)))
     exact = embedding_near_dups(emb, threshold, use_lsh=False) \
         .select("vec_a", "vec_b")
 
@@ -186,6 +196,22 @@ def embedding_dup_recall(emb: DataFrame, threshold=0.95, dim=64,
                                  n_probes=n_probes) \
         .select("vec_a", "vec_b")
     return row("lsh", lsh).unionByName(row("lsh_probed", probed))
+
+
+def embedding_bucket_stats(emb: DataFrame, dim=64,
+                           n_planes=6) -> DataFrame:
+    """Observability for the embedding LSH buckets (r5; the
+    lsh_bucket_stats analog for the ANN path — no-silent-caps rule):
+    per bucket-size histogram row (bucket_size, n_buckets, n_vecs).
+    Candidate cost of the bucketed join is sum(bucket_size^2), so a
+    skewed histogram here is the early warning that n_planes is too
+    small for the corpus."""
+    sizes = (lsh_signature(emb, dim, n_planes)
+             .groupBy("bucket").agg(F.count("*").alias("bucket_size")))
+    return (sizes.groupBy("bucket_size")
+            .agg(F.count("*").alias("n_buckets"),
+                 F.sum("bucket_size").alias("n_vecs"))
+            .orderBy(F.col("bucket_size").desc()))
 
 
 def ivf_centroids(emb: DataFrame, k=16, iterations=0,

@@ -783,3 +783,58 @@ def test_extract_name_count_guards(spark):
     got = {(r.url, r.n) for r in
            extract_name_count(pages, name="a").collect()}
     assert got == {("u1", 2)}
+
+
+def test_embedding_dup_recall_sampled(spark):
+    """r5: sample_frac restricts exact AND LSH sides to the same
+    deterministic slice — planted duplicate pairs inside the sample
+    are found, recall stays defined, and frac=1 equals the unsampled
+    run exactly."""
+    import random
+    from packages_sgml_spark.spark.similarity import (
+        embedding_dup_recall)
+    rng = random.Random(11)
+    rows = []
+    for i in range(80):
+        v = [rng.uniform(-1, 1) for _ in range(32)]
+        rows.append((i, v))
+        rows.append((i + 1000, list(v)))   # exact dup partner
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>")
+    full = {r.method: r for r in embedding_dup_recall(
+        emb, threshold=0.99, dim=32).collect()}
+    frac1 = {r.method: r for r in embedding_dup_recall(
+        emb, threshold=0.99, dim=32, sample_frac=1.0).collect()}
+    assert {m: (r.n_exact, r.n_pairs, r.n_hit)
+            for m, r in full.items()} == \
+        {m: (r.n_exact, r.n_pairs, r.n_hit) for m, r in frac1.items()}
+    samp = {r.method: r for r in embedding_dup_recall(
+        emb, threshold=0.99, dim=32, sample_frac=0.5).collect()}
+    # the sampled slice is smaller but non-trivial, and identical
+    # vectors bucket together -> recall 1.0 for surviving dup pairs
+    assert 0 < samp["lsh"].n_exact < full["lsh"].n_exact
+    assert samp["lsh"].recall == 1.0
+    # deterministic: same call twice -> same numbers
+    samp2 = {r.method: r for r in embedding_dup_recall(
+        emb, threshold=0.99, dim=32, sample_frac=0.5).collect()}
+    assert {m: tuple(r) for m, r in samp.items()} == \
+        {m: tuple(r) for m, r in samp2.items()}
+
+
+def test_embedding_bucket_stats(spark):
+    """Histogram invariants: sum(n_vecs) == corpus size; bucket count
+    consistency; identical vectors share a bucket."""
+    import random
+    from packages_sgml_spark.spark.similarity import (
+        embedding_bucket_stats)
+    rng = random.Random(3)
+    base = [rng.uniform(-1, 1) for _ in range(32)]
+    rows = [(i, list(base)) for i in range(10)] + \
+        [(100 + i, [rng.uniform(-1, 1) for _ in range(32)])
+         for i in range(50)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>")
+    hist = embedding_bucket_stats(emb, dim=32).collect()
+    assert sum(r.n_vecs for r in hist) == 60
+    assert sum(r.bucket_size * r.n_buckets for r in hist) == 60
+    assert max(r.bucket_size for r in hist) >= 10   # the planted clump

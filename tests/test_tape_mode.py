@@ -1,0 +1,261 @@
+"""Differential tests for the compiled executor's TAPE MODE (r5):
+DOM-building (plain SGMLParser), counting (TagCountParser) and ESIS
+(ESISParser) parses ride the C tokenizer, which records begin/end/
+data events for _drain_tape.  With parser._CSPEED nulled the pure
+Python executor is the semantic oracle; output — DOM JSON, node
+table INCLUDING elem/data spans, error list, final location — must
+be identical on every input."""
+
+import glob
+import random
+
+import pytest
+
+import packages_sgml_spark.core.parser as P
+from packages_sgml_spark.core.dom import (
+    dom_to_json, extract_text, flatten_nodes)
+from packages_sgml_spark.core.parser import (
+    ParserOptions, SGMLParser, TagCountParser)
+
+from test_cspeed import WORDS, TAGS, _soup  # noqa: F401 (shared corpus)
+
+P._load_cspeed()
+
+pytestmark = pytest.mark.skipif(
+    P._CSPEED is None, reason="compiled executor unavailable")
+
+
+def _run_dom(docs, dialect="html5", encoding="utf-8"):
+    out = []
+    for d in docs:
+        p = SGMLParser(ParserOptions(dialect=dialect, encoding=encoding,
+                                     max_errors=-1))
+        dom, errors = p.parse(d)
+        out.append((extract_text(dom), dom_to_json(dom),
+                    flatten_nodes(dom, p.elem_spans, p.data_spans),
+                    [(e.severity, e.line, e.message) for e in errors],
+                    p.line, p.linepos, p.charpos,
+                    len(p.environments)))
+    return out
+
+
+def _diff_dom(docs, dialect="html5", encoding="utf-8"):
+    saved = P._CSPEED
+    assert saved is not None
+    try:
+        _run_dom(docs, dialect, encoding)        # warm shared DTD
+        with_c = _run_dom(docs, dialect, encoding)
+        P._CSPEED = None
+        no_c = _run_dom(docs, dialect, encoding)
+    finally:
+        P._CSPEED = saved
+    for i, (a, b) in enumerate(zip(with_c, no_c)):
+        assert a == b, (i, repr(docs[i][:200]))
+
+
+def test_tape_soup_differential():
+    rng = random.Random(50607080)
+    docs = [_soup(rng) for _ in range(150)]
+    _diff_dom(docs)
+
+
+def test_tape_structured_cases():
+    docs = [
+        "hello <b>world</b>",
+        "   \n\t  <p>blank prefix</p>",
+        "&amp; entity before any tag",
+        "<p><br>after empty<hr>more",
+        "<ul><li>one<li>two</ul>",
+        "<table><tr><td>a<td>b<tr><td>c</table>",
+        "<p>a\r\nb\rc\nd</p>",
+        "<title>T</title><p>body",
+        "<div>" * 50 + "deep" + "</div>" * 50,
+        "<p>&#65;&amp;x&nbsp;y</p>",
+        "<pre>  kept  \n spacing </pre>",
+        "<script>1 < 2 && x</script>tail",
+        "<p clAss=MiXed id='q'>attrs</p>",
+        "<zzz><yyy>undefined soup</zzz>tail",
+        "<p>one<p>two<p>three",
+        "a<em>b<i>c</em>d",          # mis-nesting recovery
+        "<img src=x alt='y'>solo",
+        "text only, no tags at all",
+        "<body bgcolor=white><p>body attr</body>",
+    ]
+    _diff_dom(docs)
+
+
+def test_tape_reference_corpus():
+    files = sorted(glob.glob("/root/reference/Test/*.sgml") +
+                   glob.glob("/root/reference/Test/*.xml") +
+                   glob.glob("/root/reference/Test/*.html"))
+    if not files:
+        pytest.skip("reference corpus absent")
+    docs = []
+    for f in files:
+        with open(f, "rb") as fh:
+            docs.append(fh.read())
+    from packages_sgml_spark.core import htmldtd
+    saved = dict(htmldtd._CACHE)
+    htmldtd._CACHE.clear()
+    try:
+        _diff_dom(docs)
+    finally:
+        htmldtd._CACHE.clear()
+        htmldtd._CACHE.update(saved)
+
+
+def test_tape_xml_dialects():
+    docs = [
+        "<root><a x='1'>t</a><b/>tail</root>",
+        "<r xml:space='preserve'>  kept  <i>  in  </i></r>",
+        "<r xml:space='default'>  collapsed  </r>",
+        "<doc><p>one</p>\n<p>two</p>\n</doc>",
+        "<a><b><c>deep</c></b></a>",
+    ]
+    _diff_dom(docs, dialect="xml")
+
+
+def test_tape_counting_parser_rides_c():
+    """TagCountParser engages tape mode (BEGIN not noop) and its
+    counts equal the pure-Python run AND the node table's."""
+    import collections
+    rng = random.Random(31415)
+    docs = [_soup(rng, 80) for _ in range(40)]
+    saved = P._CSPEED
+
+    def counts(doc):
+        p = TagCountParser(ParserOptions(dialect="html5",
+                                         encoding="utf-8",
+                                         max_errors=-1))
+        p.parse(doc)
+        return p.counts
+
+    try:
+        with_c = [counts(d) for d in docs]
+        P._CSPEED = None
+        no_c = [counts(d) for d in docs]
+    finally:
+        P._CSPEED = saved
+    assert with_c == no_c
+    # and against the node table (C on)
+    for d in docs[:10]:
+        ps = SGMLParser(ParserOptions(dialect="html5",
+                                      encoding="utf-8", max_errors=-1))
+        dom, _ = ps.parse(d)
+        nodes = flatten_nodes(dom, ps.elem_spans, ps.data_spans)
+        want = collections.Counter(
+            nd["name"] for nd in nodes if nd["kind"] == "element")
+        assert counts(d) == want
+
+
+def test_tape_esis_differential():
+    from packages_sgml_spark.core.esis import esis_dump
+    rng = random.Random(777)
+    docs = [_soup(rng, 60) for _ in range(30)]
+    saved = P._CSPEED
+    try:
+        with_c = [esis_dump(d, dialect="html5", encoding="utf-8",
+                            quiet=True, max_errors=-1) for d in docs]
+        P._CSPEED = None
+        no_c = [esis_dump(d, dialect="html5", encoding="utf-8",
+                          quiet=True, max_errors=-1) for d in docs]
+    finally:
+        P._CSPEED = saved
+    assert with_c == no_c
+
+
+def test_tape_chunked_feed():
+    """Tape drains per process_chars_toplevel call; chunk boundaries
+    at every offset must not change the DOM or spans."""
+    doc = ("<html><head><title>T</title></head><body><p>one &amp; "
+           "two\r\n<ul><li>a<li>b</ul><p>x<br>y</body></html>")
+
+    def run_chunked(step):
+        p = SGMLParser(ParserOptions(dialect="html5",
+                                     encoding="utf-8"))
+        for k in range(0, len(doc), step):
+            p.feed(doc[k:k + step])
+        dom, errors = p.close()
+        return (dom_to_json(dom),
+                flatten_nodes(dom, p.elem_spans, p.data_spans),
+                [(e.severity, e.line, e.message) for e in errors])
+
+    want = run_chunked(len(doc))
+    for step in range(1, 40):
+        assert run_chunked(step) == want, step
+
+
+def test_tape_stop_at_excluded():
+    """stop_at parses must NOT engage tape mode (C would consume
+    past the stop point): parse(element) output and the re-entrant
+    content parse stay correct with C loaded."""
+    p = SGMLParser(ParserOptions(dialect="html5", encoding="utf-8",
+                                 max_errors=-1, stop_at="element"))
+    dom, _ = p.parse("<p>first</p><p>second</p>")
+    assert extract_text(dom) == "first"
+
+
+def _rows_via_dom(doc, dialect="html5"):
+    p = SGMLParser(ParserOptions(dialect=dialect, encoding="utf-8",
+                                 max_errors=-1))
+    dom, errors = p.parse(doc)
+    return (extract_text(dom),
+            flatten_nodes(dom, p.elem_spans, p.data_spans),
+            [(e.severity, e.line, e.message) for e in errors])
+
+
+def _rows_via_table(doc, dialect="html5"):
+    from packages_sgml_spark.core.parser import NodeTableParser
+    p = NodeTableParser(ParserOptions(dialect=dialect, encoding="utf-8",
+                                      max_errors=-1))
+    p.parse(doc)
+    return (p.text(), p.finish_rows(),
+            [(e.severity, e.line, e.message) for e in p.errors])
+
+
+def test_node_table_parser_matches_flatten():
+    """NodeTableParser's direct rows == SGMLParser + flatten_nodes
+    on soup, reference-ish structure, PIs, CDATA elements and EOF
+    soup — with the C executor live AND disabled."""
+    rng = random.Random(909090)
+    docs = [_soup(rng, 80) for _ in range(60)] + [
+        "<html><head><title>T</title></head><body><p>x<p>y</body>",
+        "<?pi at top?><p>a<?pi inner?>b</p>",
+        "<table><tr><td>a<td>b<tr><td>c</table>",
+        "<p>unclosed <b>soup",
+        "<script>1 < 2 && x</script>after",
+        "text only",
+        "",
+    ]
+    saved = P._CSPEED
+    for c_on in (True, False):
+        if not c_on:
+            P._CSPEED = None
+        try:
+            for d in docs:
+                assert _rows_via_table(d) == _rows_via_dom(d), \
+                    (c_on, repr(d[:120]))
+        finally:
+            P._CSPEED = saved
+
+
+def test_node_table_parser_reference_corpus():
+    files = sorted(glob.glob("/root/reference/Test/*.sgml") +
+                   glob.glob("/root/reference/Test/*.xml"))
+    if not files:
+        pytest.skip("reference corpus absent")
+    from packages_sgml_spark.core import htmldtd
+    saved = dict(htmldtd._CACHE)
+    htmldtd._CACHE.clear()
+    try:
+        for f in files:
+            with open(f, "rb") as fh:
+                d = fh.read()
+            # warm the shared DTD first: DOCTYPE subsets teach it,
+            # and redefinition warnings depend on what it already
+            # knows (same discipline as _diff_c)
+            _rows_via_dom(d)
+            assert _rows_via_table(d) == _rows_via_dom(d), f
+    finally:
+        htmldtd._CACHE.clear()
+        htmldtd._CACHE.update(saved)
