@@ -199,7 +199,12 @@ def bench_scaling(n_lo=None, n_hi=None):
     # Round 4: the compiled executor is ~5x faster again, so the
     # scaling corpus grows to 120k docs (~0.9 GB) to keep local[8]
     # in steady state for several seconds.
-    n_docs = int(os.environ.get("BENCH_SCALE_DOCS", "120000"))
+    # Round 5: at 120k the local[8] leg finishes in ~3.5 s and the
+    # JVM/Arrow ramp variance produced the r4 0.72-0.84 spread; at
+    # 240k (~1.8 GB, local[8] ~6-7 s) consecutive quiet runs measure
+    # 0.82-1.00 (BENCH.md r5) — most of the r4 "memory-bus" deficit
+    # was actually fixed-cost dilution on a too-small corpus.
+    n_docs = int(os.environ.get("BENCH_SCALE_DOCS", "240000"))
     for cpus in (n_lo, n_hi, n_lo, n_hi):
         spark = get_spark(app="bench-scaling-%d" % cpus, cpus=cpus)
         spark.sparkContext.setLogLevel("ERROR")

@@ -3762,6 +3762,17 @@ class TagCountParser(TextOnlyParser):
     def ev_data(self, kind, text):
         pass
 
+    def _drain_tape(self):
+        """Counting drain: begins only, no position bookkeeping."""
+        tape = self._c_tape
+        counts = self.counts
+        try:
+            for ev in tape:
+                if ev[0] == "b":
+                    counts[ev[1][1].name] += 1
+        finally:
+            del tape[:]
+
 
 class NodeTableParser(SGMLParser):
     """Node-table extraction fast path (r5): builds the FLAT node
