@@ -325,6 +325,8 @@ class SGMLParser(DeclMixin):
                                     # for re-entrant parse inside
                                     # entity expansion (sax.py)
         self._emitting_empty = False  # p->empty_element analog
+        self._decl_gripe = False    # tokenizer griped in current
+                                    # token (blocks memoization)
         self._url_cache = []        # MRU url->canonical (URL_CACHE=4)
         self._c_tape = []           # compiled-executor event tape
                                     # (drained by _drain_tape)
@@ -440,6 +442,13 @@ class SGMLParser(DeclMixin):
 
     def _set_startloc(self, line, lpos):
         self.startloc = (line, lpos, self.charpos - 1)
+        # tokenizer-level gripes for the CURRENT token (e.g. the
+        # S_DECL unquoted-attribute-in-XML warning) fire before
+        # process_begin_element captures its err0 guard; this flag
+        # carries them into the memo guard so a griping tag parse is
+        # never memoized (r5: replay was silently dropping the
+        # warning on repeat parses — found by the tape differential)
+        self._decl_gripe = False
 
     def push_location(self):
         self._locstack.append(
@@ -919,6 +928,7 @@ class SGMLParser(DeclMixin):
                          not self._pending_skip)
         else:
             sink_mode = tape_mode = False
+        one_span = False
         if sink_mode or tape_mode:
             # XML dialects (not xmlns): the per-begin
             # update_space_mode outcome is precomputed per memo
@@ -946,7 +956,21 @@ class SGMLParser(DeclMixin):
                 # calls disable C for this parser instance and the
                 # Python executor takes over.
                 self._cspeed_noprog += 1
-                return i
+                c0 = text[i]
+                if c0 != '<' and c0 != '&' and c0 != '\r':
+                    # C blocked on a DATA span that needs the full
+                    # open_element path (blank_cdata + no #PCDATA
+                    # transition).  The general loop's putchar would
+                    # process it char-at-a-time with putchar position
+                    # conventions; the pure-Python executor opens at
+                    # the SPAN START — so run the executor body below
+                    # for exactly ONE span (r5: third position
+                    # differential fix), then C retries.  noprog was
+                    # counted above: a corpus where every span bails
+                    # still disables C.
+                    one_span = True
+                else:
+                    return i
             # j == -1: session not applicable (deep stack, exotic
             # cdata, non-UCS1 text) — run the Python executor below
         dtd = self.dtd
@@ -1592,6 +1616,9 @@ class SGMLParser(DeclMixin):
                     raise StopParse()
                 check_at = len(cdata) + (1 << 16)
             i = j
+            if one_span:
+                break       # C-bail single-span mode: hand back so
+                            # the compiled executor retries at i
         self.line = line
         self.linepos = linepos
         self.charpos = charpos
@@ -2087,6 +2114,8 @@ class SGMLParser(DeclMixin):
                 self._val0 = True
                 return None
             if dtd.dialect in D.XML_DIALECTS:
+                self._decl_gripe = True     # block memoization: the
+                                            # gripe precedes err0
                 self.gripe(*Gripes.syntax_warning(
                     "Unquoted attribute in XML is not allowed",
                     ''.join(self.buffer)))
@@ -2573,6 +2602,7 @@ class SGMLParser(DeclMixin):
         memo = dtd._tag_memo
         if (memo_key is not None and memo is not None and
                 err0 == (self.error_count, len(self.errors)) and
+                not self._decl_gripe and
                 len(memo) < 8192):
             memo[memo_key] = ('b', e, atts, empty_element is not None,
                               conref)

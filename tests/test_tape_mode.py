@@ -259,3 +259,90 @@ def test_node_table_parser_reference_corpus():
     finally:
         htmldtd._CACHE.clear()
         htmldtd._CACHE.update(saved)
+
+
+def test_tape_xml_soup():
+    """XML-dialect tag soup through the tape-mode DOM path (mirrors
+    test_cspeed_xml_soup at the node-table level)."""
+    rng = random.Random(13579)
+    docs = []
+    for _ in range(60):
+        parts = []
+        for _ in range(40):
+            r = rng.random()
+            if r < 0.4:
+                parts.append(rng.choice(
+                    ["text", " ", "\n", "&amp;", "&#65;", "x&y",
+                     "caf\xe9", "]]>", "a<b", "\r\n"]))
+            elif r < 0.65:
+                t = rng.choice(["a", "b", "item", "Mixed", "UPPER"])
+                parts.append(rng.choice(
+                    ["<%s>" % t, "<%s/>" % t,
+                     '<%s k="v" xml:space="preserve">' % t,
+                     '<%s xml:space="default">' % t]))
+            elif r < 0.9:
+                parts.append("</%s>" % rng.choice(
+                    ["a", "b", "item", "Mixed", "UPPER"]))
+            else:
+                parts.append(rng.choice(
+                    ["<!-- c -->", "<![CDATA[x]]>", "<?pi?>"]))
+        docs.append("".join(parts))
+    _diff_dom(docs, dialect="xml")
+
+
+def test_tape_multi_dialect_sweep():
+    """Per-dialect differential soup sweep for the DOM path (html5 /
+    html / sgml / xml / xhtml5)."""
+    for dialect, seed in (("html5", 1), ("html", 2), ("sgml", 3),
+                          ("xml", 4), ("xhtml5", 5)):
+        rng = random.Random(867000 + seed)
+        docs = [_soup(rng, 50) for _ in range(40)]
+        _diff_dom(docs, dialect=dialect)
+
+
+try:
+    from hypothesis import given, settings, strategies as st
+    _HAVE_HYP = True
+except ImportError:                                 # pragma: no cover
+    _HAVE_HYP = False
+
+
+if _HAVE_HYP:
+    _token = st.one_of(
+        st.sampled_from(WORDS),
+        st.sampled_from(TAGS).map(lambda t: "<%s>" % t),
+        st.sampled_from(TAGS).map(lambda t: "</%s>" % t),
+        st.sampled_from(["<!-- c -->", "<![CDATA[x<y]]>", "<?pi?>",
+                         "&#x41;", "&amp;", "&nope;", "\r\n", "\r",
+                         "]]>", "]", "<", "&", "< ", "<1bad>",
+                         "<pre>", "</pre>", "<br>", "\r<p>\r"]),
+        st.text(alphabet="ab <>&;/\r\n\t\xe9", min_size=0,
+                max_size=12),
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(_token, min_size=0, max_size=40))
+    def test_tape_differential_hypothesis(tokens):
+        doc = "".join(tokens)
+        _diff_dom([doc])
+
+
+def test_unquoted_attr_gripe_not_memoized():
+    """r5 regression: the S_DECL unquoted-attribute-in-XML warning
+    fires before process_begin_element's err0 capture; the tag must
+    NOT be memoized (replay used to silently drop the warning from
+    the second parse on), and C/PY must agree on every parse."""
+    doc = "<a href=x><tr>text</tr></a>"
+
+    def errs(c_on):
+        p = SGMLParser(ParserOptions(dialect="xhtml5",
+                                     encoding="utf-8", max_errors=-1))
+        if not c_on:
+            p._cspeed_noprog = 999
+        p.parse(doc)
+        return [e.message for e in p.errors]
+
+    for _ in range(3):
+        a, b = errs(True), errs(False)
+        assert a == b
+        assert any("Unquoted attribute" in m for m in a)
