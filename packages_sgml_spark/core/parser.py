@@ -3909,6 +3909,12 @@ class NodeTableParser(SGMLParser):
         rows = self.rows
         open_ = self._open
         text_parts = self.text_parts
+        dtd = self.dtd
+        amap_cache = getattr(dtd, "_attr_row_cache", None)
+        if amap_cache is None or len(amap_cache) > 16384:
+            # bound across memo generations (declarations clear
+            # _tag_memo; dead entries would otherwise pin here)
+            amap_cache = dtd._attr_row_cache = {}
         try:
             for ev in tape:
                 k = ev[0]
@@ -3934,7 +3940,21 @@ class NodeTableParser(SGMLParser):
                     text_parts.append(s)
                 elif k == "b":
                     _k, entry, sl, cp = ev
-                    e = entry[1]
+                    hit = amap_cache.get(id(entry))
+                    if hit is None:
+                        # converted attrs are deterministic per memo
+                        # entry (atts + attr defs are frozen in it;
+                        # number_mode_integer is a DTD property) —
+                        # build the map once and SHARE it across
+                        # occurrences.  The cached strong ref keeps
+                        # id(entry) from being reused.
+                        e = entry[1]
+                        amap = {a: (" ".join(str(x) for x in v)
+                                    if isinstance(v, list) else str(v))
+                                for a, v in
+                                self.convert_attributes(entry[2])}
+                        hit = (entry, e.name, amap)
+                        amap_cache[id(entry)] = hit
                     if open_:
                         top = open_[-1]
                         parent_id = top[0]["node_id"]
@@ -3946,11 +3966,8 @@ class NodeTableParser(SGMLParser):
                         self._root_ord += 1
                     row = {
                         "node_id": len(rows), "parent_id": parent_id,
-                        "ord": ord_, "kind": "element", "name": e.name,
-                        "attrs": {a: (" ".join(str(x) for x in v)
-                                      if isinstance(v, list) else str(v))
-                                  for a, v in
-                                  self.convert_attributes(entry[2])},
+                        "ord": ord_, "kind": "element",
+                        "name": hit[1], "attrs": hit[2],
                         "text": None, "subtree_end": None,
                         "start_pos": sl[2], "end_pos": cp,
                     }

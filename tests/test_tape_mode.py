@@ -346,3 +346,38 @@ def test_unquoted_attr_gripe_not_memoized():
         a, b = errs(True), errs(False)
         assert a == b
         assert any("Unquoted attribute" in m for m in a)
+
+
+def test_tape_chunked_feed_random_multidialect():
+    """Randomized chunk boundaries over soup docs, html5 and xml:
+    feed()-driven tape parses must equal the whole-doc parse AND the
+    C-off run (DOM + spans + errors)."""
+    rng = random.Random(4242)
+
+    def run_doc(doc, dialect, chunks, c_on):
+        p = SGMLParser(ParserOptions(dialect=dialect,
+                                     encoding="utf-8", max_errors=-1))
+        if not c_on:
+            p._cspeed_noprog = 999
+        if chunks is None:
+            dom, errors = p.parse(doc)
+        else:
+            for ch in chunks:
+                p.feed(ch)
+            dom, errors = p.close()
+        return (dom_to_json(dom),
+                flatten_nodes(dom, p.elem_spans, p.data_spans),
+                [(e.severity, e.line, e.message) for e in errors])
+
+    for dialect in ("html5", "xml"):
+        for _ in range(12):
+            doc = _soup(rng, 40).encode("utf-8")
+            cuts = sorted(rng.sample(range(len(doc) + 1),
+                                     min(6, len(doc))))
+            chunks = [doc[a:b] for a, b in
+                      zip([0] + cuts, cuts + [len(doc)])]
+            whole = run_doc(doc, dialect, None, True)
+            assert run_doc(doc, dialect, chunks, True) == whole, \
+                (dialect, repr(doc[:120]), cuts)
+            assert run_doc(doc, dialect, chunks, False) == whole, \
+                (dialect, repr(doc[:120]), cuts)
