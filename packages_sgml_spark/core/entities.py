@@ -15,10 +15,14 @@ from .chars import is_name_char
 
 
 def safe_chr(v: int) -> str:
-    """chr() with out-of-range codepoints clamped to U+FFFD (the
-    reference stores them in wide chars unchecked; Python str
-    cannot)."""
-    if 0 <= v <= 0x10FFFF:
+    """chr() with out-of-range AND surrogate codepoints clamped to
+    U+FFFD.  The reference stores raw wide chars unchecked; Python
+    str admits lone surrogates (chr(0xD800) works) but they are not
+    Unicode scalar values \u2014 any later UTF-8 encode (Arrow batches,
+    parquet sinks) throws, so ONE poison document (a CESU-8-style
+    ED-xx-xx byte sequence or a &#xD800; char ref) would fail the
+    whole Spark task (r5, found by the garbage-input soak)."""
+    if 0 <= v <= 0x10FFFF and not (0xD800 <= v <= 0xDFFF):
         return chr(v)
     return "\ufffd"
 

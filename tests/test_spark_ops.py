@@ -838,3 +838,45 @@ def test_embedding_bucket_stats(spark):
     assert sum(r.n_vecs for r in hist) == 60
     assert sum(r.bucket_size * r.n_buckets for r in hist) == 60
     assert max(r.bucket_size for r in hist) >= 10   # the planted clump
+
+
+def test_extract_survives_poison_documents(spark):
+    """r5: adversarial binaries through the FULL Spark extract path —
+    random bytes, bogus UTF-16, lone-surrogate char refs (&#xD800;),
+    CESU-8-style ED-xx-xx sequences, 3000-deep nesting, entity
+    storms, NUL prefixes.  Every row must come back classified; a
+    single surrogate leaking into text_extracted used to kill the
+    whole Arrow task (safe_chr now clamps surrogates to U+FFFD)."""
+    import random
+    rng = random.Random(31337)
+    rows = []
+    for i in range(60):
+        r = rng.random()
+        if r < 0.2:
+            payload = bytes(rng.randrange(256)
+                            for _ in range(rng.randrange(0, 300)))
+        elif r < 0.35:
+            payload = b"\xff\xfe" + bytes(rng.randrange(256)
+                                          for _ in range(101))
+        elif r < 0.5:
+            payload = b"<div>" * 3000 + b"deep"
+        elif r < 0.65:
+            payload = b"<p>" + b"&#xD800;&#xDF4D;" * 50
+        elif r < 0.8:
+            payload = b"<![CDATA[" + bytes(rng.randrange(256)
+                                           for _ in range(150)) + \
+                b"<p>\xed\xbd\x8d tail"
+        else:
+            payload = b"\x00" * 50 + b"<p>nul prefix"
+        rows.append(("garbage://%d" % i, bytearray(payload)))
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    from packages_sgml_spark.spark.queries import ensure_workers
+    from packages_sgml_spark.spark.extract import extract
+    ensure_workers(spark)
+    for nodes in (False, True):
+        out = extract(pages, dialect="html5", nodes=nodes)
+        assert out.count() == 60
+        # and the strings actually are valid unicode scalar values
+        for row in out.select("text_extracted").collect():
+            if row.text_extracted is not None:
+                row.text_extracted.encode("utf-8")
