@@ -107,3 +107,16 @@ def test_knn_ivf_single_centroid_subtree(spark):
         p.count("TakeOrderedAndProject") == 0, p
     # the checkpointed centroids appear as scans of an existing RDD
     assert "Scan ExistingRDD" in p or "LocalTableScan" in p, p
+
+
+def test_count_links_counting_plan(spark):
+    """r5: count_links is one narrow MapInPandas emitting (url, n)
+    rows — no node-struct explode, no groupBy shuffle; the only
+    exchange is the deliberate url-hash spread."""
+    from packages_sgml_spark.spark.queries import QUERIES
+    p = _plan(QUERIES["count_links"](spark, SF))
+    assert "MapInPandas" in p
+    assert p.count("Exchange") == 1
+    assert "REPARTITION_BY_NUM" in p
+    assert "Generate" not in p           # no explode of node arrays
+    assert "HashAggregate" not in p      # counting done in-worker
