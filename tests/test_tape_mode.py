@@ -381,3 +381,41 @@ def test_tape_chunked_feed_random_multidialect():
                 (dialect, repr(doc[:120]), cuts)
             assert run_doc(doc, dialect, chunks, False) == whole, \
                 (dialect, repr(doc[:120]), cuts)
+
+
+def test_golden_corpus_chunked_feed():
+    """The reference Test corpus fed in random chunks (C on and off)
+    must equal the whole-document parse — DOM JSON, extracted text
+    and error lists.  One random chunking per file per mode keeps the
+    runtime small; the seed is fixed so failures reproduce."""
+    files = sorted(glob.glob("/root/reference/Test/*.sgml") +
+                   glob.glob("/root/reference/Test/*.xml"))
+    if not files:
+        pytest.skip("reference corpus absent")
+    rng = random.Random(2026)
+    for f in files:
+        with open(f, "rb") as fh:
+            data = fh.read()
+        dialect = "sgml" if f.endswith(".sgml") else "xml"
+        for c_on in (True, False):
+            p0 = SGMLParser(ParserOptions(dialect=dialect,
+                                          encoding="utf-8"))
+            if not c_on:
+                p0._cspeed_noprog = 999
+            dom0, err0 = p0.parse(data)
+            want = (dom_to_json(dom0), extract_text(dom0),
+                    [(e.severity, e.line, e.message) for e in err0])
+            cuts = sorted(rng.sample(range(len(data) + 1),
+                                     min(8, len(data))))
+            chunks = [data[a:b] for a, b in
+                      zip([0] + cuts, cuts + [len(data)])]
+            p = SGMLParser(ParserOptions(dialect=dialect,
+                                         encoding="utf-8"))
+            if not c_on:
+                p._cspeed_noprog = 999
+            for ch in chunks:
+                p.feed(ch)
+            dom, err = p.close()
+            got = (dom_to_json(dom), extract_text(dom),
+                   [(e.severity, e.line, e.message) for e in err])
+            assert got == want, (f, c_on, cuts)
