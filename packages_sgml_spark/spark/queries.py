@@ -451,12 +451,16 @@ QUERIES["embedding_dups"] = q_embedding_dups
 
 def q_subtree_text(spark, sf_dir):
     """//body descendant text via the pre-order range join
-    (nodes.named_subtree_text)."""
+    (nodes.named_subtree_text).  r5: the node table comes from
+    extract_nodes_rows — flat per-node rows built columnar in the
+    worker; identical rows to the old explode path (A/B pytest +
+    same oracle) without Arrow's per-struct conversion or the
+    Generate node."""
     ensure_workers(spark)
+    from .extract import extract_nodes_rows
     from .nodes import named_subtree_text
     docs = _t(spark, sf_dir, "documents")
-    ex = extract(docs_as_pages(docs), dialect="html5", nodes=True)
-    nodes = explode_nodes(ex)
+    nodes = extract_nodes_rows(docs_as_pages(docs), dialect="html5")
     st = named_subtree_text(nodes, "body")
     return st.select(
         F.substring("url", 7, 32).cast("bigint").alias("doc_id"),
@@ -530,9 +534,9 @@ def q_text_spans(spark, sf_dir):
     table's start_pos/end_pos map exactly into the source html bytes
     (north-star 'extracted text/spans')."""
     ensure_workers(spark)
+    from .extract import extract_nodes_rows
     docs = _t(spark, sf_dir, "documents")
-    ex = extract(docs_as_pages(docs), dialect="html5", nodes=True)
-    nodes = explode_nodes(ex)
+    nodes = extract_nodes_rows(docs_as_pages(docs), dialect="html5")
     ps = (nodes.filter((F.col("kind") == "element") &
                        (F.col("name") == "p"))
           .select("url", F.col("node_id").alias("p_id")))
@@ -591,8 +595,8 @@ def q_sitemap_parse(spark, sf_dir):
         F.concat(F.lit("map://"), F.col("doc_id").cast("string"))
         .alias("url"),
         F.encode(xml, "utf-8").alias("html"))
-    ex = extract(pages, dialect="xml", nodes=True)
-    nodes = explode_nodes(ex)
+    from .extract import extract_nodes_rows
+    nodes = extract_nodes_rows(pages, dialect="xml")
     locs = (nodes.filter((F.col("kind") == "element") &
                          (F.col("name") == "loc"))
             .select("url", "node_id"))

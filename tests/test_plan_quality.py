@@ -120,3 +120,13 @@ def test_count_links_counting_plan(spark):
     assert "REPARTITION_BY_NUM" in p
     assert "Generate" not in p           # no explode of node arrays
     assert "HashAggregate" not in p      # counting done in-worker
+
+
+def test_subtree_text_no_generate(spark):
+    """r5: node-table queries read flat node rows from the worker —
+    the plan must not contain a Generate (explode) node."""
+    from packages_sgml_spark.spark.queries import QUERIES
+    for q in ("subtree_text", "text_spans", "sitemap_parse"):
+        p = _plan(QUERIES[q](spark, SF))
+        assert "Generate" not in p, q
+        assert "MapInPandas" in p, q

@@ -880,3 +880,34 @@ def test_extract_survives_poison_documents(spark):
         for row in out.select("text_extracted").collect():
             if row.text_extracted is not None:
                 row.text_extracted.encode("utf-8")
+
+
+def test_extract_nodes_rows_matches_explode(spark):
+    """r5: the columnar flat-node-row extraction must equal
+    explode_nodes(extract(nodes=True)) row for row, including attrs
+    maps, spans and absent-row semantics for failed docs."""
+    from packages_sgml_spark.spark.pages import docs_as_pages
+    from packages_sgml_spark.spark.extract import (
+        MAX_HTML_BYTES, extract, extract_nodes_rows)
+    from packages_sgml_spark.spark.nodes import explode_nodes
+
+    docs = spark.read.parquet(SF + "/documents.parquet").limit(60)
+    pages = docs_as_pages(docs, links=True)
+    # plus guard rows
+    extra = spark.createDataFrame(
+        [("u-empty", b""), ("u-null", None),
+         ("u-big", b"x" * (MAX_HTML_BYTES + 1)),
+         ("u-soup", b"<zzz><p>a<p>b &#x42; <a href=q>l</a>")],
+        "url string, html binary")
+    pages = pages.select("url", "html").unionByName(extra)
+
+    def key(r):
+        return (r.url, r.node_id, r.parent_id, r.ord, r.kind, r.name,
+                tuple(sorted((r.attrs or {}).items())), r.text,
+                r.subtree_end, r.start_pos, r.end_pos)
+
+    want = sorted(map(key, explode_nodes(
+        extract(pages, dialect="html5", nodes=True)).collect()))
+    got = sorted(map(key, extract_nodes_rows(
+        pages, dialect="html5").collect()))
+    assert got == want and len(got) > 500
