@@ -496,10 +496,19 @@ static int tag_probe(CtxObject *c, const char *decl, Py_ssize_t dlen,
          * Python memo and we re-probe next time */
         return 0;
     }
-    /* entry: ('b', e, atts, empty, conref) | ('e', e) */
+    /* entry: ('b', e, atts, empty, conref) | ('e', e).  Guarded
+     * begin entries (6-tuples carrying griped implicit attrs; see
+     * parser.process_begin_element) need a per-replay attr-presence
+     * check the executor doesn't do — treat them as a miss (no
+     * negative cache: the guard outcome is per-document). */
     PyObject *k0 = PyTuple_GET_ITEM(entry, 0);
     PyObject *eobj = PyTuple_GET_ITEM(entry, 1);
-    int kind = (PyUnicode_ReadChar(k0, 0) == 'b') ? 1 : 2;
+    Py_ssize_t esz = PyTuple_GET_SIZE(entry);
+    Py_UCS4 kc = PyUnicode_ReadChar(k0, 0);
+    int kind;
+    if (kc == 'b' && esz == 5) kind = 1;
+    else if (kc == 'e' && esz == 2) kind = 2;
+    else return 0;
     int eidx = reg_elem(c, eobj);
     if (eidx < 0) return -1;
     int empty = 0, conref = 0, sflag = -1;

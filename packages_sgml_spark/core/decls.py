@@ -41,6 +41,11 @@ class DeclMixin:
         fast = dtd._ent_fast
         if fast:
             fast.clear()
+        if dtd._cow is not None:
+            # DTD-level declaration inside a shared-DTD parse: caches
+            # rebuilt after this point may embed the doc-local
+            # declarations, so the rollback clears them again
+            dtd._cow.dict_level = True
         from . import model as _M
         _M.OMIT_GEN[0] += 1
 
@@ -431,6 +436,8 @@ class DeclMixin:
                 if e.structure.type != M.C_EMPTY:
                     self.gripe(*Gripes.syntax_warning("Redefined element",
                                                       s[i:]))
+            if self.dtd._cow is not None:
+                self.dtd._cow.structure(e)
             e.structure = edef
             e.undefined = False
         # omitted-tag flags
@@ -576,6 +583,11 @@ class DeclMixin:
                     return
             for nm in names:
                 e = self.dtd.def_element(nm)
+                if self.dtd._cow is not None:
+                    # ATTLIST in a doc-local subset: dict_level (set
+                    # by _invalidate_replay_caches) already forces a
+                    # full cache clear at rollback
+                    self.dtd._cow.attrs(e)
                 self._add_attribute(e, at)
 
     def _attlist_default(self, at, s, i):
@@ -740,9 +752,14 @@ class DeclMixin:
                 self.gripe(*Gripes.syntax_error(
                     "Unexpected end of declaraction", s[i:]))
 
+        cow = self.dtd._cow
         if isparam:
+            if cow is not None:
+                cow.dict_write(self.dtd.pentities, name)
             self.dtd.pentities[name] = e
         else:
+            if cow is not None:
+                cow.dict_write(self.dtd.entities, name)
             self.dtd.entities[name] = e
         if isdef:
             self.dtd.default_entity = e
@@ -816,6 +833,8 @@ class DeclMixin:
             self.gripe(*Gripes.syntax_error(
                 "Unexpected end of declaraction", s[i:]))
             return
+        if self.dtd._cow is not None:
+            self.dtd._cow.dict_write(self.dtd.notations, name)
         self.dtd.notations[name] = D.Notation(name, system, public)
 
     # ------------------------------------------------------------------
@@ -834,6 +853,11 @@ class DeclMixin:
         sr = self.dtd.shortrefs.get(name)
         if sr is None:
             sr = D.ShortRef(name)
+            if self.dtd._cow is not None:
+                # rollback pops the created map; a pre-existing
+                # build-time map filled in place is not restored
+                # (no shortrefs in the shared HTML DTDs)
+                self.dtd._cow.dict_write(self.dtd.shortrefs, name)
             self.dtd.shortrefs[name] = sr
         if sr.defined:
             self.gripe(*Gripes.redefined("shortref", name))
@@ -908,6 +932,8 @@ class DeclMixin:
             map_ = self.dtd.shortrefs.get(name)
             if map_ is None:
                 map_ = D.ShortRef(name)
+                if self.dtd._cow is not None:
+                    self.dtd._cow.dict_write(self.dtd.shortrefs, name)
                 self.dtd.shortrefs[name] = map_
         if i < len(s) and s[i] == '(':
             made = self.make_model(s, i)
@@ -917,6 +943,8 @@ class DeclMixin:
 
             def walk(mm):
                 if mm.type == M.MT_ELEMENT:
+                    if self.dtd._cow is not None:
+                        self.dtd._cow.elem_map(mm.element)
                     mm.element.map = map_
                 else:
                     for sub in mm.group:
@@ -927,7 +955,10 @@ class DeclMixin:
             r = self.itake_name(s, i)
             if r is not None:
                 ename, i = r
-                self.dtd.find_element(ename).map = map_
+                e = self.dtd.find_element(ename)
+                if self.dtd._cow is not None:
+                    self.dtd._cow.elem_map(e)
+                e.map = map_
             elif self.environments:
                 if not map_.defined:
                     self.gripe(*Gripes.existence("map", name))

@@ -153,10 +153,176 @@ class ShortRef:
                 self.ends.add(last)
 
 
+_COW_MISSING = object()
+
+
+class DtdCow:
+    """Per-parse copy-on-write journal for a *shared* DTD.
+
+    The reference shares one mutable DTD per dialect within a session
+    (dtd_cache; parser.c:2851-2890 allow_for mutates it in place), so
+    parse output depends on what the process parsed before — wrong for
+    a distributed engine where reused workers, retries and speculative
+    tasks must be reproducible.  When ``dtd.shared`` is set, the parser
+    activates this journal for the duration of one document parse and
+    rolls every DTD mutation back at parse end, so each document sees
+    the pristine dialect DTD.
+
+    Elements auto-interned by find_element are deliberately *kept* in
+    ``dtd.elements`` (only their state is reset): the model-layer memos
+    (State.memo / State.same_memo) key by ``id(element)``, so keeping
+    the objects alive keeps those ids stable and the memoized ``None``
+    transitions exact, with no per-document memo growth.
+    """
+
+    _SCALARS = (
+        "doctype", "implicit", "dialect", "case_sensitive",
+        "att_case_sensitive", "att_case_preserving",
+        "ent_case_sensitive", "space_mode", "shorttag",
+        "system_entities", "number_mode_integer", "keep_prefix",
+        "has_inex", "_inex_members", "encoding", "default_entity",
+        "_setup_done",
+    )
+
+    __slots__ = ("journal", "elems", "edefs", "flipped", "attr_objs",
+                 "dict_level", "scalars")
+
+    def __init__(self, dtd):
+        self.journal = []
+        self.elems = set()       # ids of structurally-touched Elements
+                                 # whose tag-memo entries must be
+                                 # purged (redeclared / map-attached)
+        self.edefs = set()       # ids of allow_for-snapshotted edefs
+        self.flipped = set()     # ids of elements undefined-flipped
+                                 # THIS parse (benign: begin tags of
+                                 # undefined elements never memoize,
+                                 # so no stale replay can exist and no
+                                 # cache flush is needed for them)
+        self.attr_objs = set()   # ids of implicit Attrs whose creation
+                                 # griped THIS parse: tags carrying
+                                 # them must not memoize (a replay
+                                 # would suppress the next document's
+                                 # cold-state gripe)
+        self.dict_level = False  # DTD-level declaration seen
+        self.scalars = tuple(getattr(dtd, n) for n in self._SCALARS)
+
+    # -- journal writers (no-ops unless installed as dtd._cow) -------
+
+    def structure(self, e):
+        """Element.structure/.undefined about to change (undefined
+        flip, <!ELEMENT> declaration)."""
+        if e.structure is None:
+            # flip of a never-declared element: rollback restores it
+            # wholesale and nothing memoizable references it
+            self.flipped.add(id(e))
+        else:
+            self.elems.add(id(e))
+        self.journal.append(("stru", e, e.structure, e.undefined))
+
+    def edef(self, e, edef):
+        """allow_for about to mutate edef.type/.content/.group."""
+        if id(e) in self.flipped:
+            # this-parse flip-created edef: the "stru" rollback
+            # discards it wholesale, nothing to snapshot
+            return
+        if id(edef) in self.edefs:
+            return
+        self.edefs.add(id(edef))
+        self.elems.add(id(e))
+        group = list(edef.content.group) if edef.content is not None \
+            else None
+        self.journal.append(("edef", edef, edef.type, edef.content,
+                             group))
+
+    def attrs(self, e, griping_attr=None):
+        """e.attributes about to grow (implicit or declared attr).
+
+        Appends are value-equivalent on replay (implicit attrs are
+        AT_IMPLIED CDATA: no defaults, no shorthand, no space-mode
+        effect), so rollback only truncates the list — no cache flush.
+        The one observable difference is the no_attribute gripe:
+        a memoized later tag carrying the same attr would suppress
+        the next document's cold-state gripe on replay, so when the
+        append gripes, `griping_attr` records the Attr and the tag
+        memo refuses entries carrying it (parser.process_begin_element
+        guard)."""
+        if griping_attr is not None:
+            self.attr_objs.add(id(griping_attr))
+        self.journal.append(("attrs", e, len(e.attributes),
+                             e.space_mode))
+
+    def elem_map(self, e):
+        self.elems.add(id(e))
+        self.journal.append(("map", e, e.map))
+
+    def dict_write(self, d, key):
+        self.dict_level = True
+        self.journal.append(("dict", d, key, d.get(key, _COW_MISSING)))
+
+    def rollback(self, dtd):
+        for rec in reversed(self.journal):
+            kind = rec[0]
+            if kind == "stru":
+                _k, e, stru, undef = rec
+                e.structure = stru
+                e.undefined = undef
+            elif kind == "edef":
+                _k, edef, typ, content, group = rec
+                edef.type = typ
+                edef.content = content
+                if content is not None and group is not None:
+                    content.group[:] = group
+            elif kind == "attrs":
+                _k, e, n, space = rec
+                del e.attributes[n:]
+                e.space_mode = space
+            elif kind == "map":
+                rec[1].map = rec[2]
+            else:  # dict
+                _k, d, key, old = rec
+                if old is _COW_MISSING:
+                    d.pop(key, None)
+                else:
+                    d[key] = old
+        scalars_changed = False
+        for name, old in zip(self._SCALARS, self.scalars):
+            if getattr(dtd, name) is not old:
+                setattr(dtd, name, old)
+                scalars_changed = True
+        memo = dtd._tag_memo
+        if self.dict_level or scalars_changed:
+            # declarations / dialect switches can be baked into any
+            # cached replay — drop both caches wholesale (rare docs)
+            if memo is None or not isinstance(memo, dict):
+                dtd._tag_memo = {} if dtd.dialect != DL_XMLNS else None
+            else:
+                memo.clear()
+            dtd._ent_fast.clear()
+        elif self.elems and memo:
+            # surgical purge: replaying a memoized tag whose element
+            # was rolled back would skip the undefined flip/gripes
+            # (_replay_tag falls back to open_element, never to
+            # process_begin_element)
+            elems = self.elems
+            stale = [k for k, entry in memo.items()
+                     if id(entry[1]) in elems]
+            for k in stale:
+                del memo[k]
+        if self.elems or self.dict_level or scalars_changed:
+            # flush gen-stamped omit memos + the compiled executor's
+            # registries (they hold rolled-back structure refs).
+            # attrs-only journals skip this: their replays are
+            # value-equivalent (see attrs()), so the warm registries
+            # stay valid across documents.
+            M.OMIT_GEN[0] += 1
+
+
 class DTD:
     """dtd (dtd.h:444-469)."""
 
     def __init__(self, doctype=None):
+        self.shared = False      # cached per-dialect DTD (htmldtd)
+        self._cow = None         # active DtdCow during a shared parse
         self.doctype = doctype
         self.implicit = True
         self.dialect = DL_SGML
@@ -196,14 +362,21 @@ class DTD:
     def def_element(self, name) -> Element:
         e = self.find_element(name)
         if e.structure is None:
+            if self._cow is not None:
+                # journaled flip: rollback restores the element and
+                # begin tags of undefined elements never memoize, so
+                # no cached state can go stale — skip the flush (it
+                # would otherwise cold-start the compiled executor's
+                # registries on every soup document)
+                self._cow.structure(e)
+            else:
+                # unjournaled flip (private DTD): invalidate the
+                # compiled executor's cached element flags; happens
+                # once per element lifetime (core/cspeed.py gen-guard)
+                from . import model as _M
+                _M.OMIT_GEN[0] += 1
             e.structure = ElementDef()
             e.undefined = True
-            # the undefined flip (and the fresh structure) invalidate
-            # the compiled executor's cached element flags; it happens
-            # once per element lifetime, so the flush is a warm-up
-            # cost only (core/cspeed.py gen-guard)
-            from . import model as _M
-            _M.OMIT_GEN[0] += 1
         return e
 
 

@@ -95,6 +95,22 @@ HTML4_EXTRA_DTD_TEXT = """
 <!ELEMENT applet - - ({flow}|param)*>
 """.replace("{inline}", _INLINE).replace("{flow}", _FLOW)
 
+# HTML5 global attributes (spec §3.2.6) + HTML4 %coreattrs/%i18n/
+# %events + the most common event handlers; declared on every element
+# by build_html_dtd.  aria-*/data-* are wildcard families handled by
+# prefix exemption in parser.process_attributes instead.
+GLOBAL_ATTRS = (
+    "class", "id", "style", "title", "lang", "dir", "role", "hidden",
+    "tabindex", "accesskey", "draggable", "spellcheck", "translate",
+    "contenteditable", "autocapitalize", "autofocus", "enterkeyhint",
+    "inputmode", "is", "itemid", "itemprop", "itemref", "itemscope",
+    "itemtype", "nonce", "part", "slot", "align",
+    "onclick", "ondblclick", "onmousedown", "onmouseup", "onmouseover",
+    "onmousemove", "onmouseout", "onkeypress", "onkeydown", "onkeyup",
+    "onload", "onerror", "onsubmit", "onchange", "onfocus", "onblur",
+    "oninput",
+)
+
 _CACHE = {}
 
 
@@ -105,6 +121,13 @@ def get_html_dtd(dialect_name):
     dtd = _CACHE.get(key)
     if dtd is None:
         dtd = build_html_dtd(key)
+        # parser-side copy-on-write: every document parse against this
+        # cached DTD journals its mutations (allow_for, undefined
+        # flips, implicit attrs, internal-subset decls) and rolls them
+        # back at parse end, so output never depends on worker history
+        # (dtd.DtdCow; the reference's dtd_cache shares mutable state
+        # instead, parser.c:2851-2890)
+        dtd.shared = True
         _CACHE[key] = dtd
     return dtd
 
@@ -141,5 +164,23 @@ def build_html_dtd(key):
                 e.content = D.EC_CDATA
                 e.value = chr(cp)
                 dtd.entities[nm] = e
+    # Global attributes: the HTML5 spec makes these valid on EVERY
+    # element (HTML4's %coreattrs/%i18n/%events are the same idea), so
+    # declare them on every element instead of letting each first use
+    # take the implicit-creation path with a no_attribute gripe.
+    # Besides being spec-faithful, this keeps real-crawl pages (class/
+    # id/style on most tags) on the unguarded tag-memo fast path now
+    # that DtdCow rolls implicit attrs back per document.  Truly
+    # unknown attributes (typos, framework attrs) still gripe, like
+    # the reference (parser.c:3310-3326).
+    for name in dtd.elements:
+        e = dtd.elements[name]
+        have = {a.name for a in e.attributes}
+        for nm in GLOBAL_ATTRS:
+            if nm not in have:
+                a = D.Attr(nm)
+                a.type = D.AT_CDATA
+                a.def_ = D.AT_IMPLIED
+                e.attributes.append(a)
     dtd.doctype = "html"     # suppress external-DTD lookups
     return dtd

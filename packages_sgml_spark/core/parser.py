@@ -78,6 +78,18 @@ _RE_FULLTAG = _re_mod.compile(
 _RE_FULLENT = _re_mod.compile(r"&(#?[A-Za-z0-9._:\-]+);")
 
 
+def _guard_ok(entry):
+    """Guarded tag-memo entry check (6-tuple form): replay is exact
+    only while every implicit attr whose creation griped at memo time
+    is present on the element — after a DtdCow rollback the attrs are
+    gone and the document must re-gripe via the full path."""
+    find = entry[1].find_attribute
+    for ga in entry[5]:
+        if find(ga.name) is None:
+            return False
+    return True
+
+
 _MEMO_MISS = object()    # transition-memo probe sentinel (memoized
                          # results legitimately include None)
 
@@ -330,6 +342,8 @@ class SGMLParser(DeclMixin):
         self._url_cache = []        # MRU url->canonical (URL_CACHE=4)
         self._c_tape = []           # compiled-executor event tape
                                     # (drained by _drain_tape)
+        self._cow_obj = None        # this parse's DtdCow on a shared
+                                    # DTD (dtd.py; rollback at end)
 
     # ------------------------------------------------------------------
     # dialect / encoding (parser.c:1256-1298, 3807-3849)
@@ -477,6 +491,32 @@ class SGMLParser(DeclMixin):
     # entry points
     # ------------------------------------------------------------------
 
+    def _begin_dtd_cow(self):
+        """Activate per-parse copy-on-write on a shared (cached
+        per-dialect) DTD so this parse's tag-soup adaptations and
+        internal-subset declarations roll back at parse end — output
+        must not depend on what this worker parsed before (the
+        reference shares dtd_cache state instead; see dtd.DtdCow)."""
+        dtd = self.dtd
+        if not dtd.shared:
+            return
+        cow = dtd._cow
+        if cow is not None:
+            if cow is self._cow_obj:
+                return              # continuing an incremental feed()
+            # abandoned by a dropped parser (feed() without close()):
+            # restore the pristine DTD before journaling our parse
+            dtd._cow = None
+            cow.rollback(dtd)
+        self._cow_obj = dtd._cow = D.DtdCow(dtd)
+
+    def _end_dtd_cow(self):
+        cow = self.dtd._cow
+        if cow is not None and cow is self._cow_obj:
+            self.dtd._cow = None
+            cow.rollback(self.dtd)
+        self._cow_obj = None
+
     def feed(self, data):
         """Incremental push-parse (reference push API analog,
         parser.c:4682-4718 begin/putchar/end lifecycle): feed any
@@ -487,6 +527,7 @@ class SGMLParser(DeclMixin):
             # retention-mode feed would keep growing _doc_text (and
             # re-griping) after the max_memory stop
             return self
+        self._begin_dtd_cow()
         if isinstance(data, (bytes, bytearray)):
             data = bytes(data)
             if self._stream_encoding is not None:
@@ -576,6 +617,8 @@ class SGMLParser(DeclMixin):
                 self.end_document()
         except StopParse:
             pass
+        finally:
+            self._end_dtd_cow()
         return self.dom, self.errors
 
     def parse(self, data):
@@ -633,6 +676,7 @@ class SGMLParser(DeclMixin):
             text = text + CR
         self._doc_text = text
         self._doc_base = self.charpos
+        self._begin_dtd_cow()
         try:
             self.process_chars_toplevel(text)
             if not self.stopped:
@@ -641,6 +685,8 @@ class SGMLParser(DeclMixin):
                 self.end_document()
         except StopParse:
             pass
+        finally:
+            self._end_dtd_cow()
         return self.dom, self.errors
 
     def process_chars_toplevel(self, text):
@@ -725,7 +771,7 @@ class SGMLParser(DeclMixin):
                                 entry = (memo.get(decl)
                                          if memo is not None else None)
                                 if entry is not None:
-                                    self._replay_tag(entry)
+                                    self._replay_tag(entry, decl)
                                 else:
                                     self.process_declaration(decl)
                                 i = m.end()
@@ -1019,6 +1065,9 @@ class SGMLParser(DeclMixin):
                 entry = memo.get(tag[1:-1])
                 if entry is None:
                     break       # miss: general loop redoes this tag
+                if len(entry) == 6 and not _guard_ok(entry):
+                    break       # guarded entry, attrs rolled back:
+                                # general loop re-runs the full path
                 # location over the tag (outer-loop tag branch mirror)
                 self.startloc = (line, linepos + 1, charpos)
                 tl = len(tag)
@@ -1052,7 +1101,7 @@ class SGMLParser(DeclMixin):
                         pure = False
                 # _replay_tag inline
                 if entry[0] == 'b':
-                    _k, e, atts, empty_el, conref = entry
+                    e, atts, empty_el, conref = entry[1:5]
                     done = False
                     switched = False
                     nmap = None
@@ -2404,7 +2453,7 @@ class SGMLParser(DeclMixin):
             if memo is not None:
                 entry = memo.get(decl)
                 if entry is not None:
-                    return self._replay_tag(entry)
+                    return self._replay_tag(entry, decl)
             if decl.startswith('/'):
                 return self.process_end_element(decl[1:], memo_key=decl)
             if decl and is_name_char(decl[0]):
@@ -2441,12 +2490,20 @@ class SGMLParser(DeclMixin):
     # begin / end element (parser.c:3499-3641)
     # ------------------------------------------------------------------
 
-    def _replay_tag(self, entry):
+    def _replay_tag(self, entry, decl=None):
         """Replay a memoized gripe-free tag parse (same event
         sequence as the full path; attr values are doc-independent
-        so sharing the parsed list is exact)."""
+        so sharing the parsed list is exact).  `decl` is the raw tag
+        body, needed only when a guarded entry (6-tuple) fails its
+        attr-presence check and the full path must re-run."""
         if entry[0] == 'b':
-            _k, e, atts, empty_el, conref = entry
+            e, atts, empty_el, conref = entry[1:5]
+            if len(entry) == 6 and not _guard_ok(entry):
+                # guarded entry (see process_begin_element): valid
+                # only while every griped implicit attr exists on the
+                # element; otherwise re-run the full path so this
+                # document gets its own cold-state gripe + append
+                return self.process_begin_element(decl, None)
             # steady-state specialization of open_element: parent
             # defined, no inclusion/exclusion hit, content model has a
             # direct transition at the top environment -- exactly the
@@ -2560,12 +2617,18 @@ class SGMLParser(DeclMixin):
         name, i = r
         e = dtd.find_element(name)
         if e.structure is None:
+            if dtd._cow is not None:
+                # journaled flip: no flush needed (rollback restores
+                # the element; undefined begin tags never memoize —
+                # see dtd.DtdCow / dtd.def_element)
+                dtd._cow.structure(e)
+            else:
+                # undefined flip on a private DTD: flush the compiled
+                # executor's cached element flags (once per element)
+                M.OMIT_GEN[0] += 1
             e.structure = D.ElementDef()
             e.structure.type = M.C_EMPTY
             e.undefined = True
-            # undefined flip: flush the compiled executor's cached
-            # element flags (once per element; see dtd.def_element)
-            M.OMIT_GEN[0] += 1
         self.open_element(e, True)
 
         atts = []
@@ -2603,9 +2666,32 @@ class SGMLParser(DeclMixin):
         if (memo_key is not None and memo is not None and
                 err0 == (self.error_count, len(self.errors)) and
                 not self._decl_gripe and
+                not e.undefined and
                 len(memo) < 8192):
-            memo[memo_key] = ('b', e, atts, empty_element is not None,
-                              conref)
+            # `not e.undefined`: a replay would skip the undefined
+            # flip (falling back to open_element, never to
+            # process_begin_element), which matters once the DtdCow
+            # rollback resets the element between documents — and it
+            # lets flip-only documents keep every warm cache
+            cow = dtd._cow
+            guards = None
+            if cow is not None and cow.attr_objs:
+                # attrs whose implicit creation griped this parse:
+                # replaying this entry in a document where the attr
+                # has not (yet) been re-created would suppress that
+                # document's cold-state gripe.  Store them as a guard:
+                # _replay_tag falls back to the full path unless every
+                # guard attr is present on the element (the compiled
+                # executor skips guarded entries via a size gate).
+                guards = tuple(a for a, _v in atts
+                               if id(a) in cow.attr_objs)
+            if guards:
+                memo[memo_key] = ('b', e, atts,
+                                  empty_element is not None, conref,
+                                  guards)
+            else:
+                memo[memo_key] = ('b', e, atts,
+                                  empty_element is not None, conref)
         self._emitting_empty = empty_element is not None
         self._emit_begin(e, atts)
         self._emitting_empty = False
@@ -2750,6 +2836,9 @@ class SGMLParser(DeclMixin):
         """Tag-soup adaptation of undefined elements
         (parser.c:2851-2890)."""
         edef = in_e.structure
+        cow = self.dtd._cow
+        if cow is not None:
+            cow.edef(in_e, edef)
         if edef.type == M.C_EMPTY:
             edef.type = M.C_PCDATA
             edef.content = M.Model(M.MT_OR, M.MC_REP)
@@ -2969,13 +3058,20 @@ class SGMLParser(DeclMixin):
                     a = D.Attr(nm)
                     a.type = D.AT_CDATA
                     a.def_ = D.AT_IMPLIED
-                    self._add_attribute(e, a)
-                    if not e.undefined and not (
+                    # data-* per the reference (parser.c:3324-3325);
+                    # aria-* added: the same spec-blessed wildcard
+                    # family (ARIA applies to every HTML5 element)
+                    gripes = not e.undefined and not (
                             dtd.dialect in D.XML_DIALECTS and
                             (nm == "xmlns" or nm.startswith("xmlns:"))
                     ) and not (
                             dtd.dialect in D.HTML5_DIALECTS and
-                            nm.startswith("data-")):
+                            nm.startswith(("data-", "aria-")))
+                    if dtd._cow is not None:
+                        dtd._cow.attrs(
+                            e, griping_attr=a if gripes else None)
+                    self._add_attribute(e, a)
+                    if gripes:
                         self.gripe(*Gripes.no_attribute(e.name, nm))
                 r2 = self.get_attribute_value(decl, i, a)
                 if r2 is None:

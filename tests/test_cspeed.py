@@ -36,12 +36,11 @@ def _run(docs, dialect="html5", encoding="utf-8", cls=TextOnlyParser):
 
 
 def _diff_c(docs, dialect="html5", encoding="utf-8", cls=TextOnlyParser):
-    """C-on vs C-off parity after a shared-DTD warm-up pass (the HTML
-    DTD learns; see test_fast_pcdata._differential)."""
+    """C-on vs C-off parity.  No warm-up pass: per-parse copy-on-write
+    (dtd.DtdCow) keeps the shared HTML DTD pristine between parses."""
     saved = P._CSPEED
     assert saved is not None
     try:
-        _run(docs, dialect, encoding, cls)          # warm shared DTD
         with_c = _run(docs, dialect, encoding, cls)
         P._CSPEED = None
         no_c = _run(docs, dialect, encoding, cls)

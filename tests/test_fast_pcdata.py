@@ -28,17 +28,11 @@ def _parse_all(cls, docs, dialect="html5", **kw):
 def _differential(docs, cls=TextOnlyParser, dialect="html5", **kw):
     """fast-vs-slow parity on identical DTD state.
 
-    The shared HTML DTD deliberately *learns* across parses
-    (undeclared attributes get defined after the first gripe,
-    gripe-free tags get memoized), so the first pass over a corpus
-    sees colder state than the second regardless of mode.  A full
-    warm-up pass first makes the shared state a fixed point; the two
-    collected passes then compare like for like.  (Fresh-process runs
-    of each mode are byte-identical without this — verified when the
-    executor landed.)"""
+    No warm-up pass: per-parse copy-on-write (dtd.DtdCow) rolls every
+    shared-DTD mutation back at parse end, so each parse — in either
+    mode — sees the pristine dialect DTD."""
     try:
         P.FAST_PCDATA = True
-        _parse_all(cls, docs, dialect, **kw)        # warm shared DTD
         fast = _parse_all(cls, docs, dialect, **kw)
         P.FAST_PCDATA = False
         slow = _parse_all(cls, docs, dialect, **kw)
@@ -197,7 +191,7 @@ def test_fast_pcdata_utf8_modes(encoding):
             "<p>plain ascii</p>",
             "<p>t\xe9l\xe9</p>"]
     out = []
-    for flag in (True, True, False):    # first pass warms shared DTD
+    for flag in (True, False):
         P.FAST_PCDATA = flag
         res = []
         for d in docs:
@@ -208,7 +202,7 @@ def test_fast_pcdata_utf8_modes(encoding):
                         [(e.line, e.message) for e in p.errors]))
         out.append(res)
     P.FAST_PCDATA = True
-    assert out[1] == out[2]
+    assert out[0] == out[1]
 
 
 def test_entity_width_bomb_hits_memory_guard():

@@ -43,7 +43,6 @@ def _diff_dom(docs, dialect="html5", encoding="utf-8"):
     saved = P._CSPEED
     assert saved is not None
     try:
-        _run_dom(docs, dialect, encoding)        # warm shared DTD
         with_c = _run_dom(docs, dialect, encoding)
         P._CSPEED = None
         no_c = _run_dom(docs, dialect, encoding)
@@ -251,10 +250,8 @@ def test_node_table_parser_reference_corpus():
         for f in files:
             with open(f, "rb") as fh:
                 d = fh.read()
-            # warm the shared DTD first: DOCTYPE subsets teach it,
-            # and redefinition warnings depend on what it already
-            # knows (same discipline as _diff_c)
-            _rows_via_dom(d)
+            # no warm-up pass: per-parse DTD copy-on-write (dtd.DtdCow)
+            # makes every parse see the pristine shared DTD
             assert _rows_via_table(d) == _rows_via_dom(d), f
     finally:
         htmldtd._CACHE.clear()
