@@ -800,11 +800,31 @@ def is_mp4(payload) -> bool:
     return (len(payload) >= 12 and payload[4:8] == b"ftyp")
 
 
+def _check_table(box, hdr, n, entry_size, name):
+    """A sample-table count field is attacker-controlled: before
+    unpacking n entries, require them to fit in the box body, so a
+    corrupt/truncated mp4 fails as MediaDecodeError instead of a
+    struct.error (or an unbounded allocation) escaping the Spark
+    task."""
+    if n < 0 or box[0] + hdr + n * entry_size > box[1]:
+        raise MediaDecodeError(
+            "mp4: %s count %d overruns box" % (name, n))
+
+
 def parse_mp4(payload):
     """payload -> {width, height, duration_ms, timescale, n_samples,
     samples: [(idx, ts_ms, offset, size, keyframe), ...]} for the
     first VIDEO track (hdlr 'vide').  ISO/IEC 14496-12 box layout;
     the sample table math is the normative stsc/stco/stsz join."""
+    try:
+        return _parse_mp4(payload)
+    except struct.error as ex:
+        # backstop: any unpack past a validated region is still a
+        # decode error, never a poison-document task failure
+        raise MediaDecodeError("mp4: truncated structure (%s)" % ex)
+
+
+def _parse_mp4(payload):
     buf = memoryview(bytes(payload))
     n = len(buf)
     if not is_mp4(buf):
@@ -834,12 +854,15 @@ def parse_mp4(payload):
         if hdlr is None or bytes(buf[hdlr[0] + 8:hdlr[0] + 12]) != \
                 b"vide":
             continue
-        # track found: dimensions from tkhd (16.16 fixed, end of box)
+        # track found: dimensions from tkhd (16.16 fixed; ISO
+        # 14496-12 §8.3.2 puts width at body offset 76 (v0) / 88 (v1):
+        # fullbox(4) + times/track_ID/reserved/duration (20 or 32) +
+        # reserved(8) + layer/alt/volume/reserved(8) + matrix(36))
         width = height = None
         tk = _find(buf, tb, te, b"tkhd")
         if tk is not None:
             ver = buf[tk[0]]
-            wh_off = tk[0] + (96 if ver == 1 else 84)
+            wh_off = tk[0] + (88 if ver == 1 else 76)
             if wh_off + 8 <= tk[1]:
                 w_fx, h_fx = _u32s(buf, wh_off, 2)
                 width, height = w_fx >> 16, h_fx >> 16
@@ -878,11 +901,20 @@ def parse_mp4(payload):
 
         # sizes
         uniform, count = _u32s(buf, stsz[0] + 4, 2)
+        if uniform:
+            # entries are implicit: bound the allocation by the file
+            # size (every sample occupies >= 1 byte of this payload)
+            if count > n:
+                raise MediaDecodeError(
+                    "mp4: stsz count %d exceeds file size" % count)
+        else:
+            _check_table(stsz, 12, count, 4, "stsz")
         sizes = ([uniform] * count if uniform
                  else list(_u32s(buf, stsz[0] + 12, count)))
 
         # decode timestamps
         (n_ent,) = _u32s(buf, stts[0] + 4, 1)
+        _check_table(stts, 8, n_ent, 8, "stts")
         ts = []
         t_acc = 0
         for k in range(n_ent):
@@ -900,19 +932,23 @@ def parse_mp4(payload):
             keyset = None          # all samples are sync points
         else:
             (kn,) = _u32s(buf, stss[0] + 4, 1)
+            _check_table(stss, 8, kn, 4, "stss")
             keyset = set(_u32s(buf, stss[0] + 8, kn))
 
         # chunk offsets
         if stco:
             (cn,) = _u32s(buf, stco[0] + 4, 1)
+            _check_table(stco, 8, cn, 4, "stco")
             offsets = list(_u32s(buf, stco[0] + 8, cn))
         else:
             (cn,) = _u32s(buf, co64[0] + 4, 1)
+            _check_table(co64, 8, cn, 8, "co64")
             offsets = list(struct.unpack_from(">%dQ" % cn, buf,
                                               co64[0] + 8))
 
         # sample -> chunk runs
         (scn,) = _u32s(buf, stsc[0] + 4, 1)
+        _check_table(stsc, 8, scn, 12, "stsc")
         runs = [(_u32s(buf, stsc[0] + 8 + 12 * k, 3))
                 for k in range(scn)]
         samples = []

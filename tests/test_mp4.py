@@ -121,6 +121,72 @@ def test_mp4_malformed_typed_errors():
         parse_mp4(pl[:len(pl) - 30])
 
 
+def test_mp4_poison_table_counts_are_decode_errors():
+    """Corrupt sample-table counts must fail as MediaDecodeError, not
+    struct.error (one poison mp4 must never kill a Spark task) and
+    must not allocate unbounded lists (huge uniform stsz)."""
+    pl, *_ = build_mp4()
+    for table in (b"stsz", b"stts", b"stss", b"stco", b"stsc"):
+        idx = pl.index(table)
+        # the count field: stsz has it at +8 (after uniform), the
+        # rest at +4 (after version/flags)
+        off = idx + 4 + (8 if table == b"stsz" else 4)
+        poisoned = pl[:off] + struct.pack(">I", 0x7FFFFFFF) + \
+            pl[off + 4:]
+        with pytest.raises(MediaDecodeError):
+            parse_mp4(poisoned)
+    # huge count with uniform sizes: no per-entry array to overrun,
+    # so the guard is the file-size bound (no [x]*2**31 allocation)
+    idx = pl.index(b"stsz")
+    poisoned = (pl[:idx + 8] + struct.pack(">II", 64, 0x7FFFFFFF) +
+                pl[idx + 16:])
+    with pytest.raises(MediaDecodeError):
+        parse_mp4(poisoned)
+
+
+def test_mp4_tkhd_dimensions_without_stsd_refinement():
+    """tkhd's 16.16 width/height live at body offset 76 (v0); prove
+    they are read by shrinking the stsd sample entry below the
+    70-byte VisualSampleEntry threshold so no refinement happens."""
+    def small_entry_mp4():
+        n_samples, timescale, delta = 10, 1000, 200
+        sizes = [100 + 10 * i for i in range(n_samples)]
+        ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) +
+                   b"isomavc1")
+        mdat = box(b"mdat", b"".join(bytes([i]) * sizes[i]
+                                     for i in range(n_samples)))
+        c1 = len(ftyp) + 8
+        c2 = c1 + sum(sizes[:4])
+        mvhd = full(b"mvhd", 0, struct.pack(
+            ">II II", 0, 0, timescale, n_samples * delta) + b"\x00" * 80)
+        tkhd = full(b"tkhd", 0, struct.pack(">III", 0, 0, 1) +
+                    b"\x00" * 4 + struct.pack(">I", n_samples * delta) +
+                    b"\x00" * 8 + b"\x00" * 8 + b"\x00" * 36 +
+                    struct.pack(">II", 640 << 16, 360 << 16))
+        mdhd = full(b"mdhd", 0, struct.pack(
+            ">IIII", 0, 0, timescale, n_samples * delta) +
+            struct.pack(">HH", 0x55C4, 0))
+        hdlr = full(b"hdlr", 0, struct.pack(">I", 0) + b"vide" +
+                    b"\x00" * 12 + b"v\x00")
+        stsd = full(b"stsd", 0, struct.pack(">I", 1) +
+                    box(b"avc1", b"\x00" * 8))     # sub-70-byte entry
+        stts = full(b"stts", 0, struct.pack(">III", 1, n_samples,
+                                            delta))
+        stsz = full(b"stsz", 0, struct.pack(
+            ">II%dI" % n_samples, 0, n_samples, *sizes))
+        stsc = full(b"stsc", 0, struct.pack(
+            ">I III III", 2, 1, 4, 1, 2, n_samples - 4, 1))
+        stco = full(b"stco", 0, struct.pack(">III", 2, c1, c2))
+        stbl = box(b"stbl", stsd + stts + stsz + stsc + stco)
+        minf = box(b"minf", stbl)
+        mdia = box(b"mdia", mdhd + hdlr + minf)
+        trak = box(b"trak", tkhd + mdia)
+        return ftyp + mdat + box(b"moov", mvhd + trak)
+
+    info = parse_mp4(small_entry_mp4())
+    assert (info["width"], info["height"]) == (640, 360)
+
+
 def test_video_frame_sample_real_path(spark):
     pl, *_ = build_mp4()
     media = spark.createDataFrame(
