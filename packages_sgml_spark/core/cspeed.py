@@ -98,10 +98,15 @@ if FAST_C:
         MOD = None
 
 
-_CTX = {}      # id(dtd) -> (dtd, ctx)  (dtd kept alive deliberately)
+_CTX = {}      # id(dtd) -> (dtd, ctx)  (dtd kept alive deliberately;
+               # insertion-ordered for LRU eviction)
+_CTX_CAP = 8   # shared dialect DTDs stay hot; per-document DTDs
+               # (fresh xml/xmlns parses) must not accumulate one
+               # registry each across a long-lived worker's millions
+               # of documents
 
 
-def _space_flag(entry):
+def _space_flag(entry, dtd=None):
     """Precompute update_space_mode's outcome for a memoized begin
     tag (parser.update_space_mode is deterministic per entry: the
     atts list and the element's declared space mode are fixed until
@@ -110,11 +115,25 @@ def _space_flag(entry):
       -1  no-op (no xml:space attr, element inherits space)
       -2  must bail to Python (invalid xml:space value -> gripe)
       >=0 the space mode to install on the pushed environment
+
+    For the xmlns dialect (r6) the same -2 bail also gates namespace
+    safety: binding-carrying tags (xmlns attrs) must go through
+    Python so bindings land on real environments, and prefixed
+    names/attrs must go through Python because their resolution can
+    gripe or define implicit prefixes (xmlns.c:210-266) — the C
+    replay does neither.
     """
     if entry[0] != "b":
         return -1
-    _k, e, atts, _empty, _conref = entry
+    e, atts = entry[1], entry[2]
     from . import dtd as D
+    if dtd is not None and dtd.dialect == D.DL_XMLNS:
+        if ':' in e.name:
+            return -2
+        for a, _v in atts:
+            nm = a.name
+            if nm == "xmlns" or ':' in nm:
+                return -2
     for a, v in atts:
         if (a.name == "xml:space" and a.type == D.AT_CDATA and
                 isinstance(v, str)):
@@ -130,7 +149,15 @@ def ctx_for(dtd):
     key = id(dtd)
     hit = _CTX.get(key)
     if hit is not None and hit[0] is dtd:
+        # LRU touch (dict preserves insertion order)
+        del _CTX[key]
+        _CTX[key] = hit
         return hit[1]
+    if hit is not None:
+        # stale entry: a freed DTD's id was recycled
+        del _CTX[key]
+    while len(_CTX) >= _CTX_CAP:
+        del _CTX[next(iter(_CTX))]
     from . import dtd as D
     from . import model as M
     from .parser import (Environment, S_CDATA, S_PCDATA, S_RCDATA)
@@ -150,7 +177,8 @@ def ctx_for(dtd):
         "omit_gen": M.OMIT_GEN,
         "environment": Environment,
         "cdata_element": M.CDATA_ELEMENT,
-        "space_flag": _space_flag,
+        "space_flag": (lambda entry, _dtd=dtd: _space_flag(entry,
+                                                           _dtd)),
     }
     ctx = MOD.make_ctx(dtd, consts, cbs)
     _CTX[key] = (dtd, ctx)

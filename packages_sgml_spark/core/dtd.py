@@ -294,7 +294,7 @@ class DtdCow:
             # declarations / dialect switches can be baked into any
             # cached replay — drop both caches wholesale (rare docs)
             if memo is None or not isinstance(memo, dict):
-                dtd._tag_memo = {} if dtd.dialect != DL_XMLNS else None
+                dtd._tag_memo = {}
             else:
                 memo.clear()
             dtd._ent_fast.clear()

@@ -344,6 +344,11 @@ class SGMLParser(DeclMixin):
                                     # (drained by _drain_tape)
         self._cow_obj = None        # this parse's DtdCow on a shared
                                     # DTD (dtd.py; rollback at end)
+        self._ns_drain = None       # region-time xmlns frame stack
+                                    # while draining a C tape (r6):
+                                    # resolution reads this instead of
+                                    # self.environments, which is at
+                                    # the region's END state by then
 
     # ------------------------------------------------------------------
     # dialect / encoding (parser.c:1256-1298, 3807-3849)
@@ -359,8 +364,11 @@ class SGMLParser(DeclMixin):
             return
         dtd.dialect = dialect
         dtd._setup_done = True
-        # flags changed: cached parsed tags may embed dialect behaviour
-        dtd._tag_memo = {} if dialect != D.DL_XMLNS else None
+        # flags changed: cached parsed tags may embed dialect behaviour.
+        # xmlns included (r6): entries store UNRESOLVED (e, atts) —
+        # binding pushes and name resolution happen live per replay
+        # (update_xmlns + _emit_begin), so the memo is dialect-safe
+        dtd._tag_memo = {}
         dtd._ent_fast = {}
         if dialect in (D.DL_SGML, D.DL_HTML, D.DL_HTML5):
             if dialect == D.DL_HTML5:
@@ -877,7 +885,7 @@ class SGMLParser(DeclMixin):
             putchar(text[i])
             i += 1
 
-    def _drain_tape(self):
+    def _drain_tape(self, ns_snap=None):
         """Deliver the events the compiled executor recorded
         (tape mode) to the real event sinks, in document order.
 
@@ -892,11 +900,23 @@ class SGMLParser(DeclMixin):
         memo_entry = ('b', e, atts, empty, conref) and empty always
         False (the C path bails on empty elements);
         ("e", name) — end; ("d", s, startcdata, startloc, charpos).
+
+        ns_snap (xmlns tape regions only): the env-stack xmlns frames
+        as of region ENTRY.  _emit_begin's name resolution must see
+        region-time bindings, but the env stack is already at the
+        region's end state (C popped/pushed it) — so the drain walks a
+        replica: pre-region pops shrink it, in-region begins are
+        binding-neutral by the C gate (binding-carrying tags bail to
+        Python pre-commit), tracked only as a depth counter.
         """
         tape = self._c_tape
         save_sl = self.startloc
         save_scd = self.startcdata
         save_cp = self.charpos
+        if ns_snap is not None:
+            stack = list(ns_snap)
+            indepth = 0
+            self._ns_drain = stack
         try:
             for ev in tape:
                 k = ev[0]
@@ -911,9 +931,17 @@ class SGMLParser(DeclMixin):
                     self.startloc = sl
                     self.charpos = cp
                     self._emit_begin(entry[1], entry[2])
+                    if ns_snap is not None:
+                        indepth += 1
                 else:
+                    if ns_snap is not None:
+                        if indepth:
+                            indepth -= 1
+                        elif stack:
+                            stack.pop()
                     self.ev_end(ev[1])
         finally:
+            self._ns_drain = None
             del tape[:]
             self.startloc = save_sl
             self.startcdata = save_scd
@@ -959,7 +987,15 @@ class SGMLParser(DeclMixin):
                 self._cspeed_noprog < 8 and
                 self.options.max_memory is None and
                 not self.dtd.has_inex and
-                self.dtd.dialect != D.DL_XMLNS):
+                (self.dtd.dialect != D.DL_XMLNS or
+                 not self.options.qualify_attributes)):
+            # xmlns rides C too (r6): binding-carrying tags (xmlns
+            # attrs, prefixed names/attrs) are per-entry bailed to
+            # Python via cspeed._space_flag -2, so namespace state
+            # lives only on Python-pushed environments; drain-time
+            # name resolution reads a region-entry snapshot
+            # (_ns_drain).  qualify_attributes reads env.thisns live
+            # -> Python path.
             # sink mode: no-op begin/end + direct text sink (the
             # text-only profile).  tape mode (r5): any parser whose
             # sinks are pure consumers (_TAPE_SINKS) — C records the
@@ -976,9 +1012,16 @@ class SGMLParser(DeclMixin):
             sink_mode = tape_mode = False
         one_span = False
         if sink_mode or tape_mode:
-            # XML dialects (not xmlns): the per-begin
-            # update_space_mode outcome is precomputed per memo
-            # entry (cspeed._space_flag) and applied C-side
+            # XML dialects: the per-begin update_space_mode outcome is
+            # precomputed per memo entry (cspeed._space_flag) and
+            # applied C-side; for xmlns the same flag bails
+            # binding-carrying tags pre-commit
+            ns_snap = None
+            if tape_mode and self.dtd.dialect == D.DL_XMLNS:
+                # region-entry snapshot of the xmlns frames: C may pop
+                # binding-carrying ancestors mid-region, so drain-time
+                # resolution cannot read the live env stack
+                ns_snap = [env.xmlns for env in self.environments]
             j = _CSPEED.MOD.pcdata_fast(
                 _CSPEED.ctx_for(self.dtd), self, text, i, n,
                 self.utf8_decode,
@@ -987,7 +1030,7 @@ class SGMLParser(DeclMixin):
             if j > i:
                 self._cspeed_noprog = 0
                 if tape_mode and self._c_tape:
-                    self._drain_tape()
+                    self._drain_tape(ns_snap)
                 return j
             if j == i:
                 # C blocked on the very first token (memo miss,
@@ -1028,6 +1071,7 @@ class SGMLParser(DeclMixin):
         tag_match = _RE_FULLTAG.match
         ent_match = _RE_FULLENT.match
         is_xml = dtd.dialect in D.XML_DIALECTS
+        is_xmlns = dtd.dialect == D.DL_XMLNS
         has_inex = dtd.has_inex
         if has_inex and dtd._inex_members is None:
             # force the lazy member set so the per-tag pre-filter is a
@@ -1325,8 +1369,14 @@ class SGMLParser(DeclMixin):
                         # xml:space / element space-mode handling
                         # (_replay_tag mirror for XML dialects); only
                         # mutates env.space_mode or gripes
+                        if is_xmlns:
+                            self.update_xmlns(e, atts)
                         self.update_space_mode(e, atts)
-                    if not begin_noop:
+                    if not begin_noop or is_xmlns:
+                        # xmlns: even for noop-begin profiles the
+                        # _emit_begin resolution must run — it can
+                        # gripe (undefined prefix) and define
+                        # implicit bindings, which the full path does
                         self._emitting_empty = bool(empty_el)
                         self._emit_begin(e, atts)
                         self._emitting_empty = False
@@ -2574,6 +2624,8 @@ class SGMLParser(DeclMixin):
             if not done:
                 self.open_element(e, True)
             if self.dtd.dialect in D.XML_DIALECTS:
+                if self.dtd.dialect == D.DL_XMLNS:
+                    self.update_xmlns(e, atts)
                 self.update_space_mode(e, atts)
             self._emitting_empty = bool(empty_el)
             self._emit_begin(e, atts)
@@ -2666,13 +2718,16 @@ class SGMLParser(DeclMixin):
         if (memo_key is not None and memo is not None and
                 err0 == (self.error_count, len(self.errors)) and
                 not self._decl_gripe and
-                not e.undefined and
+                not (e.undefined and dtd._cow is not None) and
                 len(memo) < 8192):
-            # `not e.undefined`: a replay would skip the undefined
-            # flip (falling back to open_element, never to
-            # process_begin_element), which matters once the DtdCow
-            # rollback resets the element between documents — and it
-            # lets flip-only documents keep every warm cache
+            # undefined elements don't memoize on SHARED DTDs only: a
+            # replay would skip the undefined flip (falling back to
+            # open_element, never to process_begin_element), which
+            # matters once the DtdCow rollback resets the element
+            # between documents — and skipping lets flip-only
+            # documents keep every warm cache.  On private per-parse
+            # DTDs (DTD-less xml/xmlns) the flip is permanent for the
+            # memo's lifetime, so those tags memoize as before.
             cow = dtd._cow
             guards = None
             if cow is not None and cow.attr_objs:
@@ -3747,7 +3802,16 @@ def _xmlns_update(self, e, atts):
 
 def _xmlns_find(self, prefix):
     """(xmlns.c:79-98): innermost binding for prefix (None =
-    default ns)."""
+    default ns).  While draining a C tape, _ns_drain is the
+    region-time frame stack and replaces the env walk."""
+    frames = self._ns_drain
+    if frames is not None:
+        for lst in reversed(frames):
+            if lst:
+                for px, url in reversed(lst):
+                    if px == prefix:
+                        return url
+        return None
     for env in reversed(self.environments):
         if env.xmlns:
             for px, url in reversed(env.xmlns):
@@ -3759,9 +3823,13 @@ def _xmlns_find(self, prefix):
 def _xmlns_resolve_element(self, name):
     """Element name -> DOM name (sgml2pl.c:1014-1041 +
     xmlns.c:210-266).  Sets env.thisns for attribute defaults.
-    With keep_prefix(true) returns a QName (ns(P,U):L analog)."""
+    With keep_prefix(true) returns a QName (ns(P,U):L analog).
+    During a tape drain the env stack is post-region state, so env
+    mutations (thisns, implicit prefix defs) are skipped — the C
+    gate keeps mutating names (prefixed) off the tape."""
     from .dom import QName
-    env = self.environments[-1] if self.environments else None
+    env = (self.environments[-1]
+           if self._ns_drain is None and self.environments else None)
     kp = self.dtd.keep_prefix
     if ':' in name:
         prefix, local = name.split(':', 1)
@@ -3816,7 +3884,7 @@ def _xmlns_resolve_attr(self, name, qualify=False):
         if kp:
             return QName("", prefix, local)
         return "%s:%s" % (prefix, local)
-    if qualify and self.environments:
+    if qualify and self._ns_drain is None and self.environments:
         env = self.environments[-1]
         if env.thisns and env.thisns[1]:
             if kp:
@@ -3888,8 +3956,10 @@ class TagCountParser(TextOnlyParser):
     def ev_data(self, kind, text):
         pass
 
-    def _drain_tape(self):
-        """Counting drain: begins only, no position bookkeeping."""
+    def _drain_tape(self, ns_snap=None):
+        """Counting drain: begins only, no position bookkeeping.
+        ns_snap ignored: counts key on raw tag names in both modes
+        (this parser's _emit_begin never resolves either)."""
         tape = self._c_tape
         counts = self.counts
         try:
@@ -3993,14 +4063,17 @@ class NodeTableParser(SGMLParser):
                      "attrs": None, "subtree_end": None,
                      "start_pos": None, "end_pos": None, "text": text})
 
-    def _drain_tape(self):
+    def _drain_tape(self, ns_snap=None):
         """Tape drain specialised to row building: one tight loop,
         positions read straight from the tape tuples — no per-event
         method dispatch or startloc/startcdata save-restore.  Falls
         back to the generic drain when the positions option is on
-        (the position attr needs base_file plumbing)."""
-        if self.options.positions and self.base_file:
-            return super()._drain_tape()
+        (the position attr needs base_file plumbing) or on an xmlns
+        region (row names/attrs need drain-time ns resolution via
+        _emit_begin)."""
+        if (self.options.positions and self.base_file) or \
+                ns_snap is not None:
+            return super()._drain_tape(ns_snap)
         tape = self._c_tape
         rows = self.rows
         open_ = self._open

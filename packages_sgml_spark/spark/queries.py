@@ -20,7 +20,6 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from . import dedup, similarity, textops
 from .extract import extract
-from .nodes import count_named, explode_nodes
 from .pages import docs_as_pages
 
 _PYFILE_SENT = {}

@@ -309,3 +309,46 @@ def test_cspeed_default_on():
     available); if this fails the build broke."""
     import packages_sgml_spark.core.cspeed as cs
     assert cs.MOD is not None, cs._BUILD_ERR
+
+
+def test_ctx_cache_bounded():
+    """Per-document DTDs (fresh xml parses) must not leak one C
+    registry each in a long-lived worker: the per-DTD ctx cache
+    evicts LRU beyond its cap."""
+    import packages_sgml_spark.core.cspeed as cs
+    assert cs.MOD is not None
+    doc = "<r>" + "<x>t</x>" * 40 + "</r>"
+    for _ in range(3 * cs._CTX_CAP):
+        p = TextOnlyParser(ParserOptions(dialect="xml"))
+        p.parse(doc)
+    assert len(cs._CTX) <= cs._CTX_CAP
+
+
+def test_cspeed_xmlns_textonly():
+    """xmlns through the C sink mode (TextOnly profile): text, error
+    lists (undefined-prefix gripes included) and final location must
+    match the pure-Python path."""
+    rng = random.Random(86420)
+    docs = [
+        '<r><c xmlns="u1"><d>x</d></c><d>y</d></r>',
+        '<r><b:unb>q</b:unb><b:unb>q</b:unb></r>',
+        '<r xmlns:p="u"><p:e>1</p:e><p:e>2</p:e></r>',
+        '<r xmlns="u">' + '<d k="v">text</d>' * 40 + '</r>',
+    ]
+    for _ in range(40):
+        parts = ["<root>"]
+        for _ in range(40):
+            x = rng.random()
+            if x < .35:
+                parts.append(rng.choice(["txt", " ", "&amp;", "&#65;"]))
+            elif x < .6:
+                t = rng.choice(["e", "a:e", "item"])
+                parts.append(rng.choice(
+                    ["<%s>" % t, '<%s xmlns:a="ua">' % t,
+                     '<%s k="v">' % t, "<%s/>" % t]))
+            elif x < .85:
+                parts.append("</%s>" % rng.choice(["e", "a:e", "item"]))
+            else:
+                parts.append(rng.choice(["<!-- c -->", "<![CDATA[r]]>"]))
+        docs.append("".join(parts))
+    _diff_c(docs, dialect="xmlns")

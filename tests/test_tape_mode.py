@@ -416,3 +416,62 @@ def test_golden_corpus_chunked_feed():
             got = (dom_to_json(dom), extract_text(dom),
                    [(e.severity, e.line, e.message) for e in err])
             assert got == want, (f, c_on, cuts)
+
+
+def _xmlns_soup(rng, n_tokens=50):
+    parts = []
+    for _ in range(n_tokens):
+        r = rng.random()
+        if r < 0.35:
+            parts.append(rng.choice(
+                ["text", " ", "\n", "&amp;", "&#65;", "x&y",
+                 "caf\xe9", "\r\n"]))
+        elif r < 0.62:
+            t = rng.choice(["e", "item", "a:e", "q:z", "div", "span"])
+            parts.append(rng.choice(
+                ["<%s>" % t, "<%s/>" % t, '<%s k="v">' % t,
+                 '<%s xmlns="http://default/%d">' % (t,
+                                                     rng.randrange(3)),
+                 '<%s xmlns:a="http://a/%d">' % (t, rng.randrange(3)),
+                 '<%s a:attr="v">' % t,
+                 '<%s xml:space="preserve">' % t]))
+        elif r < 0.88:
+            parts.append("</%s>" % rng.choice(
+                ["e", "item", "a:e", "q:z", "div", "span"]))
+        else:
+            parts.append(rng.choice(
+                ["<!-- c -->", "<![CDATA[x]]>", "<?pi?>"]))
+    return "".join(parts)
+
+
+def test_tape_xmlns_structured():
+    """xmlns through the tape-mode DOM/node-table path: resolved
+    names and attr URIs must be identical C-on vs C-off, including
+    regions where C pops a binding-carrying ancestor before the
+    drain runs (the _ns_drain snapshot case)."""
+    docs = [
+        # default-ns scope closes mid-region, sibling outside it
+        '<r><c xmlns="u1"><d>x</d><d>y</d></c><d>z</d></r>',
+        # nested default-ns override + pop back
+        '<r xmlns="outer"><c xmlns="inner"><d>x</d></c><d>y</d></r>',
+        # prefixed names (C-bailed) interleaved with neutral tags
+        ('<root xmlns="http://d" xmlns:a="http://a">'
+         '<a:item k="1">x</a:item><plain>t</plain>'
+         '<a:item k="1">y</a:item><plain>t</plain></root>'),
+        # undefined prefix gripes, twice (per-occurrence)
+        '<r><b:unb>q</b:unb><b:unb>q</b:unb></r>',
+        # prefixed ATTRS on neutral names (bail via attr colon)
+        '<r xmlns:p="u"><e p:at="v">1</e><e p:at="v">2</e></r>',
+        # xml:space inside ns scopes
+        ('<r xmlns="u"><i xml:space="preserve">  s  </i>'
+         '<i xml:space="preserve">  s  </i></r>'),
+        # deep repeated neutral tags (the C replay hot path)
+        '<r xmlns="u">' + '<d k="v">t</d>' * 30 + '</r>',
+    ]
+    _diff_dom(docs, dialect="xmlns")
+
+
+def test_tape_xmlns_soup():
+    rng = random.Random(24681357)
+    docs = [_xmlns_soup(rng) for _ in range(80)]
+    _diff_dom(docs, dialect="xmlns")
