@@ -14,11 +14,22 @@ parse -> write -> parse -> write is a fixed point
 (test_sgml_write.pl:73-140 semantics).
 """
 
+import re as _re
+
 from .dom import Element, SData, NData, PI, Entity
 from .model import C_EMPTY as _C_EMPTY
 
 _ATTR_QUOTE = {"<": "&lt;", ">": "&gt;", "&": "&amp;", '"': "&quot;"}
 _CDATA_QUOTE = {"<": "&lt;", ">": "&gt;", "&": "&amp;"}
+
+# bulk paths: one C-speed scan decides whether any replacement is
+# needed at all; str.translate does the per-char mapping natively.
+# The char-loop only survives for capped encodings on non-ASCII
+# strings (entity fallback per out-of-range char).
+_RE_CDATA_SPECIAL = _re.compile(r'[<>&]')
+_RE_ATTR_SPECIAL = _re.compile(r'[<>&"]')
+_TT_CDATA = str.maketrans(_CDATA_QUOTE)
+_TT_ATTR = str.maketrans(_ATTR_QUOTE)
 
 # HTML5 void elements close with no end tag
 _VOID = frozenset("area base br col embed hr img input link meta source "
@@ -26,6 +37,10 @@ _VOID = frozenset("area base br col embed hr img input link meta source "
 
 
 def quote_attribute(s, max_char=0x10FFFF, entity_map=None):
+    if max_char >= 0x10FFFF or s.isascii():
+        if _RE_ATTR_SPECIAL.search(s) is None:
+            return s
+        return s.translate(_TT_ATTR)
     out = []
     for c in s:
         r = _ATTR_QUOTE.get(c)
@@ -39,6 +54,10 @@ def quote_attribute(s, max_char=0x10FFFF, entity_map=None):
 
 
 def quote_cdata(s, max_char=0x10FFFF, entity_map=None):
+    if max_char >= 0x10FFFF or s.isascii():
+        if _RE_CDATA_SPECIAL.search(s) is None:
+            return s
+        return s.translate(_TT_CDATA)
     out = []
     for c in s:
         r = _CDATA_QUOTE.get(c)
@@ -127,7 +146,7 @@ class _Writer:
     def write(self, s):
         if s:
             self.out.append(s)
-            self._bol = s.endswith("\n")
+            self._bol = s[-1] == "\n"
 
     def write_indent(self):
         if not self.layout:
@@ -163,11 +182,11 @@ class _Writer:
             self.emit(n)
 
     def emit(self, n):
-        if isinstance(n, Element):
-            self.emit_element(n)
-        elif isinstance(n, str):
+        if isinstance(n, str):          # text nodes dominate
             self.write(quote_cdata(n, self.max_char,
                                    self.entity_map))
+        elif isinstance(n, Element):
+            self.emit_element(n)
         elif isinstance(n, (SData, NData)):
             self.write(quote_cdata(n.text, self.max_char,
                                    self.entity_map))
@@ -178,19 +197,24 @@ class _Writer:
 
     def emit_element(self, el):
         attrs, saved_map = self._clean_attrs(el.attrs)
-        alen = sum(len(k) + len(_attr_value_str(v)) + 3
-                   for k, v in attrs)
-        self.write("<" + el.name)
-        if alen > 60 and self.layout:
+        alen = (sum(len(k) + len(_attr_value_str(v)) + 3
+                    for k, v in attrs)
+                if self.layout and attrs else 0)
+        if alen > 60:
+            self.write("<" + el.name)
             self.indent += 4
             for k, v in attrs:
                 self.write_indent()
                 self._attr(k, v)
             self.indent -= 4
+        elif attrs:
+            mc, em = self.max_char, self.entity_map
+            self.write("<" + el.name + "".join(
+                ' %s="%s"' % (k, quote_attribute(_attr_value_str(v),
+                                                 mc, em))
+                for k, v in attrs))
         else:
-            for k, v in attrs:
-                self.write(" ")
-                self._attr(k, v)
+            self.write("<" + el.name)
         self._content(el, attrs)
         self.nsmap = saved_map
 
@@ -226,14 +250,12 @@ class _Writer:
                 return
             if (el.name in ("script", "style") and
                     self.dialect in ("html", "html5")):
-                self.write(">")
-                self.write(text)              # verbatim element
-                self.write("</%s>" % el.name)
+                # verbatim element
+                self.write(">" + text + "</" + el.name + ">")
                 return
-            self.write(">")
-            self.write(quote_cdata(text, self.max_char,
-                                   self.entity_map))
-            self.write("</%s>" % el.name)
+            self.write(">" + quote_cdata(text, self.max_char,
+                                         self.entity_map) +
+                       "</" + el.name + ">")
             return
         preserve = any(k == "xml:space" and str(v) == "preserve"
                        for k, v in attrs)
