@@ -207,12 +207,16 @@ typedef struct {
     int S_PCDATA, S_CDATA, S_RCDATA;
     int SP_STRICT, SP_SGML, SP_DEFAULT, SP_REMOVE, SP_PRESERVE;
     int C_EMPTY, C_CDATA, C_RCDATA, C_ANY;
+    int MT_PCDATA, MT_ELEMENT;
     /* callbacks (strong refs) */
     PyObject *make_dtd_transition, *same_state, *find_omitted_path,
              *make_state_engine, *omit_gen_list, *env_class,
-             *cdata_element, *space_flag;
+             *cdata_element, *space_flag, *allow_gen_list;
     PyObject *dtd;          /* owning DTD (strong) */
     long gen;               /* registered OMIT_GEN value */
+    long allow_gen;         /* registered ALLOW_GEN value (flushes
+                             * only the allow map: DtdCow flip-only
+                             * rollbacks invalidate just it) */
     /* registries */
     CElem *elems; size_t n_elems, cap_elems;
     CState *states; size_t n_states, cap_states;
@@ -221,6 +225,10 @@ typedef struct {
     U64Map trans;           /* (sidx<<24|eidx) -> sidx | -1 (None) */
     U64Map same;            /* (sidx<<24|final_sidx) -> 0/1 */
     U64Map omit;            /* (sidx<<24|eidx) -> 0/1 (path non-empty) */
+    U64Map allow;           /* (p_eidx<<24|c_eidx) -> 1: child present
+                             * in undefined parent's allow_for group
+                             * (positives only; negatives flip after
+                             * Python handles the first occurrence) */
     StrMap tags;            /* decl bytes -> packed tag entry */
     StrMap ents;            /* name bytes -> index into ent_vals */
     CEntity *ent_vals; size_t n_ents, cap_ents;
@@ -233,7 +241,7 @@ typedef struct {
         *s_text_parts, *s_element, *s_space_mode, *s_cdata_memo,
         *s_structure, *s_undefined, *s_type, *s_omit_close,
         *s_initial_state, *s_final_state, *s_name, *s__tag_memo,
-        *s__ent_fast, *s__c_tape;
+        *s__ent_fast, *s__c_tape, *s_content, *s_group;
 } CtxObject;
 
 #define CDATA_EIDX 0        /* CDATA_ELEMENT is always element 0 */
@@ -260,6 +268,7 @@ static void ctx_flush(CtxObject *c)
     u64map_free(&c->trans);
     u64map_free(&c->same);
     u64map_free(&c->omit);
+    u64map_free(&c->allow);
     strmap_free(&c->tags);
     strmap_free(&c->ents);
 }
@@ -272,6 +281,7 @@ static void Ctx_dealloc(CtxObject *c)
     Py_XDECREF(c->find_omitted_path);
     Py_XDECREF(c->make_state_engine);
     Py_XDECREF(c->omit_gen_list);
+    Py_XDECREF(c->allow_gen_list);
     Py_XDECREF(c->env_class);
     Py_XDECREF(c->cdata_element);
     Py_XDECREF(c->space_flag);
@@ -288,6 +298,7 @@ static void Ctx_dealloc(CtxObject *c)
     Py_XDECREF(c->s_final_state); Py_XDECREF(c->s_name);
     Py_XDECREF(c->s__tag_memo); Py_XDECREF(c->s__ent_fast);
     Py_XDECREF(c->s__c_tape);
+    Py_XDECREF(c->s_content); Py_XDECREF(c->s_group);
     PyObject_Del(c);
 }
 
@@ -457,6 +468,56 @@ static int same_get(CtxObject *c, int here, int final_)
         PyErr_NoMemory(); return -9;
     }
     return res;
+}
+
+/* Is `child` (c_eidx; CDATA_EIDX for #PCDATA) already a member of
+ * the UNDEFINED parent's allow_for group (parser.c:2851-2890)?
+ * If so, open_element's undefined branch is a pure push with no
+ * state change and no gripes, so the executor may take it.  The
+ * FIRST occurrence of a (parent, child) pair always misses here and
+ * bails to Python, whose allow_for performs the append — only then
+ * do we cache the positive (membership never shrinks; declarations
+ * that replace the structure bump OMIT_GEN, which flushes this map
+ * with the rest of the registries).  Returns 1/0, -9 = error. */
+static int allow_member(CtxObject *c, int p_eidx, int c_eidx)
+{
+    int64_t v;
+    if (u64map_get(&c->allow, TKEY(p_eidx, c_eidx), &v)) return 1;
+    PyObject *st = PyObject_GetAttr(c->elems[p_eidx].obj,
+                                    c->s_structure);
+    if (!st) return -9;
+    if (st == Py_None) { Py_DECREF(st); return 0; }
+    PyObject *content = PyObject_GetAttr(st, c->s_content);
+    Py_DECREF(st);
+    if (!content) return -9;
+    if (content == Py_None) { Py_DECREF(content); return 0; }
+    PyObject *group = PyObject_GetAttr(content, c->s_group);
+    Py_DECREF(content);
+    if (!group) return -9;
+    if (!PyList_Check(group)) { Py_DECREF(group); return 0; }
+    PyObject *child = c->elems[c_eidx].obj;
+    int found = 0;
+    for (Py_ssize_t k = 0; k < PyList_GET_SIZE(group) && !found; k++) {
+        PyObject *m = PyList_GET_ITEM(group, k);    /* borrowed */
+        PyObject *t = PyObject_GetAttr(m, c->s_type);
+        if (!t) { Py_DECREF(group); return -9; }
+        long ty = PyLong_AsLong(t);
+        Py_DECREF(t);
+        if (ty == -1 && PyErr_Occurred()) { Py_DECREF(group); return -9; }
+        if (c_eidx == CDATA_EIDX) {
+            if (ty == c->MT_PCDATA) found = 1;
+        } else if (ty == c->MT_ELEMENT) {
+            PyObject *me = PyObject_GetAttr(m, c->s_element);
+            if (!me) { Py_DECREF(group); return -9; }
+            if (me == child) found = 1;
+            Py_DECREF(me);
+        }
+    }
+    Py_DECREF(group);
+    if (found && u64map_put(&c->allow, TKEY(p_eidx, c_eidx), 1) < 0) {
+        PyErr_NoMemory(); return -9;
+    }
+    return found;
 }
 
 /* find_omitted_path(state, e) non-empty? -> 0/1, -9 = error */
@@ -832,6 +893,13 @@ static int sess_build(Sess *S, CtxObject *c, PyObject *parser,
         c->gen = gen;
         /* re-register the CDATA sentinel as element 0 */
         if (reg_elem(c, c->cdata_element) != CDATA_EIDX) return -1;
+    }
+    g = PyList_GetItem(c->allow_gen_list, 0);            /* borrowed */
+    if (!g) return -1;
+    long agen = PyLong_AsLong(g);
+    if (agen != c->allow_gen) {
+        u64map_free(&c->allow);
+        c->allow_gen = agen;
     }
 
     S->line = get_long_attr(parser, c->s_line, &err);
@@ -1362,16 +1430,32 @@ static PyObject *pcdata_fast(PyObject *self, PyObject *args)
                     break;      /* invalid xml:space -> gripe: bail */
                 CEnv *env = &S.env[S.depth - 1];
                 CElem *pe = &c->elems[env->eidx];
-                if (pe->undefined || !pe->has_struct ||
-                    pe->stype == c->C_ANY)
+                if (!pe->has_struct || pe->stype == c->C_ANY)
                     break;                       /* open_element: bail */
+                CEnv *penv = env;
+                int popped = 0;
+                if (pe->undefined) {
+                    /* open_element's allow_for branch: a pure push
+                     * (no transition walk, no gripes, state kept)
+                     * once the child is known-allowed; the first
+                     * (parent, child) occurrence bails to Python */
+                    int am = allow_member(c, env->eidx, eidx);
+                    if (am == -9) FAIL();
+                    if (!am) break;
+                    /* push_element flushes with the CURRENT state
+                     * (parser.py:2815-2816) */
+                    int er = emit_flush(&S, env, 0, 0, NULL);
+                    if (er < 0) FAIL();
+                    if (er == 1) break;          /* would gripe: bail */
+                    er = emit_flush(&S, env, 0, 1, NULL);
+                    if (er != 0) FAIL();
+                    goto undef_push;
+                }
                 /* inclusion/exclusion: bail if the DTD has any (the
                  * env-stack walk + its gripes stay in Python) */
                 if (env->sidx < 0) break;
                 int new_s = trans_get(c, env->sidx, eidx);
                 if (new_s == -9) FAIL();
-                CEnv *penv = env;
-                int popped = 0;
                 if (new_s < 0) {
                     /* one-level omitted-close walk */
                     if (S.depth < 2 || !pe->omit_close) break;
@@ -1423,6 +1507,7 @@ static PyObject *pcdata_fast(PyObject *self, PyObject *args)
                     penv->dirty = penv->py_env != NULL;
                 }
                 /* push the new element (depth-capped pre-token) */
+undef_push:
                 /* startloc + location advance (committed now) */
                 S.startloc_l = S.line; S.startloc_p = S.linepos + 1;
                 S.startloc_c = S.charpos; S.startloc_dirty = 1;
@@ -1605,6 +1690,13 @@ static PyObject *pcdata_fast(PyObject *self, PyObject *args)
                     env->dirty = env->py_env != NULL;
                     S.cmbe = 0;
                     handled = 1;
+                } else if (env && c->elems[env->eidx].undefined &&
+                           c->elems[env->eidx].has_struct) {
+                    /* undefined parent: #PCDATA open is a no-op once
+                     * allowed (open_element's allow_for branch) */
+                    int am = allow_member(c, env->eidx, CDATA_EIDX);
+                    if (am == -9) FAIL();
+                    if (am) { S.cmbe = 0; handled = 1; }
                 }
                 if (!handled) break;    /* open_element: bail */
                 S.blank_cdata = 0;
@@ -1676,6 +1768,14 @@ static PyObject *pcdata_fast(PyObject *self, PyObject *args)
                             env->dirty = env->py_env != NULL;
                             S.cmbe = 0;
                             handled = 1;
+                        } else if (c->elems[env->eidx].undefined &&
+                                   c->elems[env->eidx].has_struct) {
+                            /* undefined parent: no-op open once
+                             * #PCDATA is in the allow_for group */
+                            int am = allow_member(c, env->eidx,
+                                                  CDATA_EIDX);
+                            if (am == -9) FAIL();
+                            if (am) { S.cmbe = 0; handled = 1; }
                         } else {
                             CElem *pe = &c->elems[env->eidx];
                             if (!pe->undefined && pe->has_struct &&
@@ -1825,13 +1925,16 @@ static PyObject *make_ctx(PyObject *self, PyObject *args)
         grab_const(consts, "C_EMPTY", &c->C_EMPTY) < 0 ||
         grab_const(consts, "C_CDATA", &c->C_CDATA) < 0 ||
         grab_const(consts, "C_RCDATA", &c->C_RCDATA) < 0 ||
-        grab_const(consts, "C_ANY", &c->C_ANY) < 0)
+        grab_const(consts, "C_ANY", &c->C_ANY) < 0 ||
+        grab_const(consts, "MT_PCDATA", &c->MT_PCDATA) < 0 ||
+        grab_const(consts, "MT_ELEMENT", &c->MT_ELEMENT) < 0)
         goto fail;
     if (!(c->make_dtd_transition = grab_cb(cbs, "make_dtd_transition")) ||
         !(c->same_state = grab_cb(cbs, "same_state")) ||
         !(c->find_omitted_path = grab_cb(cbs, "find_omitted_path")) ||
         !(c->make_state_engine = grab_cb(cbs, "make_state_engine")) ||
         !(c->omit_gen_list = grab_cb(cbs, "omit_gen")) ||
+        !(c->allow_gen_list = grab_cb(cbs, "allow_gen")) ||
         !(c->env_class = grab_cb(cbs, "environment")) ||
         !(c->cdata_element = grab_cb(cbs, "cdata_element")) ||
         !(c->space_flag = grab_cb(cbs, "space_flag")))
@@ -1865,6 +1968,8 @@ static PyObject *make_ctx(PyObject *self, PyObject *args)
     INTERN(s_name, "name");
     INTERN(s__tag_memo, "_tag_memo");
     INTERN(s__ent_fast, "_ent_fast");
+    INTERN(s_content, "content");
+    INTERN(s_group, "group");
     INTERN(s__c_tape, "_c_tape");
 #undef INTERN
     return (PyObject *)c;

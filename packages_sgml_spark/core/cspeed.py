@@ -168,6 +168,7 @@ def ctx_for(dtd):
         "SP_PRESERVE": D.SP_PRESERVE,
         "C_EMPTY": M.C_EMPTY, "C_CDATA": M.C_CDATA,
         "C_RCDATA": M.C_RCDATA, "C_ANY": M.C_ANY,
+        "MT_PCDATA": M.MT_PCDATA, "MT_ELEMENT": M.MT_ELEMENT,
     }
     cbs = {
         "make_dtd_transition": M.make_dtd_transition,
@@ -175,6 +176,7 @@ def ctx_for(dtd):
         "find_omitted_path": M.find_omitted_path,
         "make_state_engine": M.make_state_engine,
         "omit_gen": M.OMIT_GEN,
+        "allow_gen": M.ALLOW_GEN,
         "environment": Environment,
         "cdata_element": M.CDATA_ELEMENT,
         "space_flag": (lambda entry, _dtd=dtd: _space_flag(entry,

@@ -315,6 +315,12 @@ class DtdCow:
             # value-equivalent (see attrs()), so the warm registries
             # stay valid across documents.
             M.OMIT_GEN[0] += 1
+        elif self.flipped:
+            # flip-only rollback: the full registries stay warm, but
+            # the executor's allow_for-membership cache must not
+            # carry positives into the next parse's fresh flip
+            # (model.ALLOW_GEN rationale)
+            M.ALLOW_GEN[0] += 1
 
 
 class DTD:

@@ -44,6 +44,16 @@ MAXOMITTED = 32
 # memos are discarded lazily.
 OMIT_GEN = [0]
 
+# Bumped by DtdCow.rollback when undefined-element flips were rolled
+# back WITHOUT an OMIT_GEN bump (the cheap shared-DTD soup path): the
+# compiled executor's (parent, child) allow_for-membership cache is
+# the one registry whose entries those rollbacks invalidate — the
+# next parse re-flips the element with a FRESH empty ElementDef, so a
+# stale positive would skip allow_for and leave the new model empty
+# (observable through make_state_engine).  Everything else the
+# executor caches about flipped elements is rollback-stable.
+ALLOW_GEN = [0]
+
 
 class Model:
     __slots__ = ("type", "cardinality", "element", "group")

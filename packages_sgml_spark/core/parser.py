@@ -984,7 +984,7 @@ class SGMLParser(DeclMixin):
         if not _CSPEED_TRIED:
             _load_cspeed()
         if (_CSPEED is not None and
-                self._cspeed_noprog < 8 and
+                self._cspeed_noprog < 48 and
                 self.options.max_memory is None and
                 not self.dtd.has_inex and
                 (self.dtd.dialect != D.DL_XMLNS or
@@ -1361,6 +1361,25 @@ class SGMLParser(DeclMixin):
                                     else:
                                         self.cdata_state = S_PCDATA
                                 done = True
+                        elif pe.undefined and pedef is not None and \
+                                inex_normal:
+                            # undefined-parent push — open_element's
+                            # allow_for branch (parser.c:2851-2890):
+                            # no transition walk, no gripes.  This is
+                            # the steady state of DTD-less xml/xmlns
+                            # documents (every element undefined);
+                            # without it each begin left the tight
+                            # loop through the full open_element
+                            # path.  push_element keeps the flush,
+                            # map and CDATA-switch semantics.
+                            self.allow_for(pe, e)
+                            if cdata:
+                                pure = False
+                            self.push_element(e, False)
+                            cdata = self.cdata
+                            if self.state != S_PCDATA:
+                                switched = True
+                            done = True
                     if not done:
                         self.open_element(e, True)
                         cdata = self.cdata
@@ -2950,6 +2969,12 @@ class SGMLParser(DeclMixin):
             env = self.environments[-1]
             if env.element.undefined:
                 self.allow_for(env.element, e)
+                if e is M.CDATA_ELEMENT:
+                    # undefined parents accept #PCDATA with no state
+                    # change: memoize the no-op so every later data
+                    # span in this env is a dict probe, not an
+                    # allow_for walk (DTD-less xml steady state)
+                    env.cdata_memo = (env.state, env.state)
                 self.push_element(e, False)
                 return True
             if (env.element.structure is not None and

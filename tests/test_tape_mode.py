@@ -475,3 +475,26 @@ def test_tape_xmlns_soup():
     rng = random.Random(24681357)
     docs = [_xmlns_soup(rng) for _ in range(80)]
     _diff_dom(docs, dialect="xmlns")
+
+
+def test_tape_stale_allow_cache_across_rollbacks():
+    """r6 regression (found by the soup differential): the compiled
+    executor's (parent, child) allow_for-membership cache must not
+    carry positives across a DtdCow flip rollback — the next parse
+    re-flips the element with a FRESH empty model, and a stale
+    positive would skip allow_for, leaving the model without #PCDATA
+    so a later blank flush under that element drops text that pure
+    Python emits (model.ALLOW_GEN flush).  Three-parse shape: teach,
+    re-teach, then the EOF-blank probe document."""
+    docs = [
+        "<weird-tag><p>x</p>y</weird-tag>",          # teach: allow p + #PCDATA
+        "<weird-tag>z<p>q</p></weird-tag>",          # re-teach after rollback
+        # the probe: trailing blank under a fresh weird-tag whose
+        # engine visibility depends on allow_for having run this doc
+        '<td><weird-tag>a</weird-tag></td><weird-tag> ',
+    ]
+    _diff_dom(docs)
+    # and the original 150-doc corpus shape, twice in sequence
+    rng = random.Random(50607080)
+    corpus = [_soup(rng) for _ in range(150)]
+    _diff_dom(corpus[140:] + corpus[140:])
