@@ -201,6 +201,19 @@ typedef struct {
     int is_blank;           /* kind 0/1: is_blank_char(s) */
 } CEntity;
 
+/* value-independent begin-tag shape (dtd._shape_memo): same element
+ * + same attr names in the same order, values parsed per occurrence
+ * (parser.process_begin_element registers; only declared CDATA attrs
+ * qualify, so a verbatim quoted-value slice equals the full path) */
+typedef struct {
+    PyObject *e;            /* Element (strong) */
+    PyObject *attrs;        /* tuple of Attr objects (strong) */
+    PyObject *defaults;     /* tuple of (Attr, default) pairs (strong) */
+    int eidx;
+    int n_attrs;
+    int sflag;              /* update_space_mode outcome (never -2) */
+} CShape;
+
 typedef struct {
     PyObject_HEAD
     /* constants (from Python at init) */
@@ -231,6 +244,8 @@ typedef struct {
                              * Python handles the first occurrence) */
     StrMap tags;            /* decl bytes -> packed tag entry */
     StrMap ents;            /* name bytes -> index into ent_vals */
+    StrMap shapes;          /* "name\0attr\0attr" -> shape_vals idx */
+    CShape *shape_vals; size_t n_shapes, cap_shapes;
     CEntity *ent_vals; size_t n_ents, cap_ents;
     PyObject **tag_objs;    /* memo entry tuples (strong), tape mode */
     size_t n_tag_objs, cap_tag_objs;
@@ -241,7 +256,8 @@ typedef struct {
         *s_text_parts, *s_element, *s_space_mode, *s_cdata_memo,
         *s_structure, *s_undefined, *s_type, *s_omit_close,
         *s_initial_state, *s_final_state, *s_name, *s__tag_memo,
-        *s__ent_fast, *s__c_tape, *s_content, *s_group;
+        *s__ent_fast, *s__c_tape, *s_content, *s_group,
+        *s__shape_memo, *s_case_sensitive;
 } CtxObject;
 
 #define CDATA_EIDX 0        /* CDATA_ELEMENT is always element 0 */
@@ -256,6 +272,14 @@ static void ctx_flush(CtxObject *c)
         Py_XDECREF(c->states[i].obj);
     for (size_t i = 0; i < c->n_ents; i++)
         Py_XDECREF(c->ent_vals[i].s);
+    for (size_t i = 0; i < c->n_shapes; i++) {
+        Py_XDECREF(c->shape_vals[i].e);
+        Py_XDECREF(c->shape_vals[i].attrs);
+        Py_XDECREF(c->shape_vals[i].defaults);
+    }
+    free(c->shape_vals); c->shape_vals = NULL;
+    c->n_shapes = c->cap_shapes = 0;
+    strmap_free(&c->shapes);
     for (size_t i = 0; i < c->n_tag_objs; i++)
         Py_XDECREF(c->tag_objs[i]);
     free(c->tag_objs); c->tag_objs = NULL;
@@ -299,6 +323,7 @@ static void Ctx_dealloc(CtxObject *c)
     Py_XDECREF(c->s__tag_memo); Py_XDECREF(c->s__ent_fast);
     Py_XDECREF(c->s__c_tape);
     Py_XDECREF(c->s_content); Py_XDECREF(c->s_group);
+    Py_XDECREF(c->s__shape_memo); Py_XDECREF(c->s_case_sensitive);
     PyObject_Del(c);
 }
 
@@ -829,6 +854,7 @@ typedef struct {
     int survive;            /* envs[0..survive) untouched prefix */
     long line, linepos, charpos;
     int first, blank_cdata, cmbe;
+    int fold;               /* dtd.case_sensitive == False */
     Buf cdata;
     Py_UCS4 *scratch; size_t scratch_cap;
     /* pending writeback values */
@@ -908,6 +934,7 @@ static int sess_build(Sess *S, CtxObject *c, PyObject *parser,
     S->first = get_bool_attr(parser, c->s_first, &err);
     S->blank_cdata = get_bool_attr(parser, c->s_blank_cdata, &err);
     S->cmbe = get_bool_attr(parser, c->s_cdata_must_be_empty, &err);
+    S->fold = !get_bool_attr(c->dtd, c->s_case_sensitive, &err);
     if (err) return -1;
 
     PyObject *envs = PyObject_GetAttr(parser, c->s_environments);
@@ -1288,6 +1315,212 @@ static int check_complete(Sess *S, CEnv *env)
     return r;
 }
 
+/* ------------------------------------------------------------------
+ * Shape fast path: value-independent begin-tag replay.
+ *
+ * Tags whose attribute VALUES are unique per occurrence (every real
+ * <a href=...>) can never hit the string-keyed tag memo.  Python's
+ * full path registers their SHAPE (element name + attr names, in
+ * order) in dtd._shape_memo when every explicit attr is a declared
+ * CDATA attr; the executor then parses the values itself — for
+ * declared CDATA attrs a quoted value without [&<\t\r\n] or
+ * non-ASCII is the verbatim slice the full path would produce
+ * (expand_entities_attr fast path), so replay is exact.
+ * ---------------------------------------------------------------- */
+
+#define MAX_SHAPE_ATTRS 16
+#define SHAPE_KEY_MAX 512
+
+static int shape_namec(Py_UCS1 x)
+{
+    return ((x >= 'a' && x <= 'z') || (x >= 'A' && x <= 'Z') ||
+            (x >= '0' && x <= '9') || x == '-' || x == '.' ||
+            x == '_' || x == ':');
+}
+
+/* Scan decl; on a simple shape, build the folded key in kbuf and
+ * record value spans.  Returns n_attrs >= 1, or 0 (not simple). */
+static int shape_scan(const Py_UCS1 *d, Py_ssize_t dlen, int fold,
+                      char *kbuf, size_t *klen_out,
+                      Py_ssize_t *vstart, Py_ssize_t *vlen)
+{
+    size_t kn = 0;
+    Py_ssize_t p = 0;
+    if (p >= dlen) return 0;
+    Py_UCS1 x = d[p];
+    if (!((x >= 'a' && x <= 'z') || (x >= 'A' && x <= 'Z'))) return 0;
+    while (p < dlen && shape_namec(d[p])) {
+        if (kn >= SHAPE_KEY_MAX - 1) return 0;
+        Py_UCS1 ch = d[p++];
+        kbuf[kn++] = (char)(fold && ch >= 'A' && ch <= 'Z'
+                            ? ch + 32 : ch);
+    }
+    int na = 0;
+    for (;;) {
+        /* layout between attrs: blanks only (a '-' could open a
+         * --comment--: bail to Python) */
+        int sp = 0;
+        while (p < dlen && (d[p] == ' ' || d[p] == '\t' ||
+                            d[p] == '\r' || d[p] == '\n')) { p++; sp++; }
+        if (p >= dlen) break;
+        if (!sp) return 0;              /* junk directly after value */
+        x = d[p];
+        if (!((x >= 'a' && x <= 'z') || (x >= 'A' && x <= 'Z')))
+            return 0;                   /* '-', '/', digit-start... */
+        if (na >= MAX_SHAPE_ATTRS) return 0;
+        size_t name_start = kn;
+        if (kn >= SHAPE_KEY_MAX - 2) return 0;
+        kbuf[kn++] = '\0';
+        while (p < dlen && shape_namec(d[p])) {
+            if (kn >= SHAPE_KEY_MAX - 1) return 0;
+            Py_UCS1 ch = d[p++];
+            kbuf[kn++] = (char)(fold && ch >= 'A' && ch <= 'Z'
+                                ? ch + 32 : ch);
+        }
+        /* duplicate attr names: Python appends twice; bail */
+        {
+            size_t q = 0;
+            /* compare against earlier names (segments after '\0') */
+            size_t seg = 0;
+            while (seg < name_start) {
+                while (seg < name_start && kbuf[seg] != '\0') seg++;
+                if (seg >= name_start) break;
+                seg++;                       /* segment start */
+                size_t e0 = seg;
+                while (e0 < name_start && kbuf[e0] != '\0') e0++;
+                if (e0 - seg == kn - name_start - 1 &&
+                    memcmp(kbuf + seg, kbuf + name_start + 1,
+                           e0 - seg) == 0)
+                    return 0;
+                seg = e0;
+            }
+            (void)q;
+        }
+        while (p < dlen && (d[p] == ' ' || d[p] == '\t' ||
+                            d[p] == '\r' || d[p] == '\n')) p++;
+        if (p >= dlen || d[p] != '=') return 0;   /* shorthand: bail */
+        p++;
+        while (p < dlen && (d[p] == ' ' || d[p] == '\t' ||
+                            d[p] == '\r' || d[p] == '\n')) p++;
+        if (p >= dlen) return 0;
+        Py_UCS1 q = d[p];
+        if (q != '"' && q != '\'') return 0;      /* unquoted: bail */
+        p++;
+        Py_ssize_t vs = p;
+        while (p < dlen && d[p] != q) {
+            Py_UCS1 v = d[p];
+            if (v == '&' || v == '<' || v == '\t' || v == '\r' ||
+                v == '\n' || v >= 0x80)
+                return 0;       /* needs full value processing */
+            p++;
+        }
+        if (p >= dlen) return 0;
+        vstart[na] = vs;
+        vlen[na] = p - vs;
+        na++;
+        p++;                                      /* closing quote */
+    }
+    if (!na) return 0;          /* attr-less tags use the string memo */
+    *klen_out = kn;
+    return na;
+}
+
+/* Probe/register the shape registry for a scanned key.
+ * Returns shape idx, -2 miss, -1 error. */
+static int shape_probe(CtxObject *c, const char *key, size_t klen)
+{
+    int64_t v;
+    if (strmap_get(&c->shapes, key, (Py_ssize_t)klen, &v))
+        return (int)v;
+    PyObject *memo = PyObject_GetAttr(c->dtd, c->s__shape_memo);
+    if (!memo) return -1;
+    if (!PyDict_Check(memo)) { Py_DECREF(memo); return -2; }
+    PyObject *k = PyUnicode_DecodeLatin1(key, (Py_ssize_t)klen, NULL);
+    if (!k) { Py_DECREF(memo); return -1; }
+    PyObject *entry = PyDict_GetItemWithError(memo, k);  /* borrowed */
+    Py_DECREF(k);
+    Py_DECREF(memo);
+    if (!entry) {
+        if (PyErr_Occurred()) return -1;
+        return -2;      /* no negative cache: Python registers once */
+    }
+    if (!PyTuple_Check(entry) || PyTuple_GET_SIZE(entry) != 4)
+        return -2;
+    PyObject *e = PyTuple_GET_ITEM(entry, 0);
+    PyObject *attrs = PyTuple_GET_ITEM(entry, 1);
+    PyObject *defaults = PyTuple_GET_ITEM(entry, 2);
+    long sflag = PyLong_AsLong(PyTuple_GET_ITEM(entry, 3));
+    if (sflag == -1 && PyErr_Occurred()) return -1;
+    int eidx = reg_elem(c, e);
+    if (eidx < 0) return -1;
+    if (c->n_shapes >= c->cap_shapes) {
+        size_t ncap = c->cap_shapes ? c->cap_shapes * 2 : 32;
+        CShape *ns = realloc(c->shape_vals, ncap * sizeof(CShape));
+        if (!ns) { PyErr_NoMemory(); return -1; }
+        c->shape_vals = ns; c->cap_shapes = ncap;
+    }
+    CShape *sh = &c->shape_vals[c->n_shapes];
+    Py_INCREF(e); Py_INCREF(attrs); Py_INCREF(defaults);
+    sh->e = e; sh->attrs = attrs; sh->defaults = defaults;
+    sh->eidx = eidx;
+    sh->n_attrs = (int)PyTuple_GET_SIZE(attrs);
+    sh->sflag = (int)sflag;
+    int idx = (int)c->n_shapes++;
+    if (strmap_put(&c->shapes, key, (Py_ssize_t)klen, idx) < 0) {
+        PyErr_NoMemory(); return -1;
+    }
+    return idx;
+}
+
+/* Try the shape path for an unregistered begin tag.
+ * Returns 1 matched (*eidx_out/*sflag_out set; in tape mode
+ * *entry_out = new ('b', e, atts, False, False) ref), 0 not
+ * applicable, -1 error. */
+static int shape_try(CtxObject *c, Sess *S, const Py_UCS1 *decl,
+                     Py_ssize_t dlen, int tape_mode, int *eidx_out,
+                     int *sflag_out, PyObject **entry_out)
+{
+    char kbuf[SHAPE_KEY_MAX];
+    size_t klen = 0;
+    Py_ssize_t vstart[MAX_SHAPE_ATTRS], vlen[MAX_SHAPE_ATTRS];
+    int na = shape_scan(decl, dlen, S->fold, kbuf, &klen, vstart, vlen);
+    if (!na) return 0;
+    int si = shape_probe(c, kbuf, klen);
+    if (si == -1) return -1;
+    if (si == -2) return 0;
+    CShape *sh = &c->shape_vals[si];
+    if (sh->n_attrs != na) return 0;    /* defensive */
+    *eidx_out = sh->eidx;
+    *sflag_out = sh->sflag;
+    *entry_out = NULL;
+    if (tape_mode) {
+        Py_ssize_t nd = PyTuple_GET_SIZE(sh->defaults);
+        PyObject *atts = PyList_New(na + nd);
+        if (!atts) return -1;
+        for (int k = 0; k < na; k++) {
+            PyObject *val = PyUnicode_DecodeLatin1(
+                (const char *)decl + vstart[k], vlen[k], NULL);
+            if (!val) { Py_DECREF(atts); return -1; }
+            PyObject *pair = PyTuple_Pack(
+                2, PyTuple_GET_ITEM(sh->attrs, k), val);
+            Py_DECREF(val);
+            if (!pair) { Py_DECREF(atts); return -1; }
+            PyList_SET_ITEM(atts, k, pair);       /* steals */
+        }
+        for (Py_ssize_t k = 0; k < nd; k++) {
+            PyObject *pair = PyTuple_GET_ITEM(sh->defaults, k);
+            Py_INCREF(pair);
+            PyList_SET_ITEM(atts, na + k, pair);
+        }
+        PyObject *entry = Py_BuildValue("(sOOOO)", "b", sh->e, atts,
+                                        Py_False, Py_False);
+        Py_DECREF(atts);
+        if (!entry) return -1;
+        *entry_out = entry;
+    }
+    return 1;
+}
+
 /* ---------------------------------------------------------------- */
 /* the executor                                                      */
 /* ---------------------------------------------------------------- */
@@ -1328,6 +1561,10 @@ static PyObject *pcdata_fast(PyObject *self, PyObject *args)
     int switch_state = -1, switch_etag = -1;
     PyObject *out_map = NULL;
     int out_map_dirty = 0;
+    PyObject *shape_entry = NULL;   /* per-occurrence ('b', e, atts,
+                                     * False, False) for the tape;
+                                     * freed after the event commits
+                                     * or at finish on any bail */
     Py_ssize_t start_i = i;
     (void)start_i;
 
@@ -1379,13 +1616,24 @@ static PyObject *pcdata_fast(PyObject *self, PyObject *args)
             if (utf8 && !ascii_ok) break;
             const char *decl = (const char *)T + i + 1;
             Py_ssize_t dlen = tag_end - i - 1;
-            int64_t entry;
+            int64_t entry = 0;
             int hit = tag_probe(c, decl, dlen, &entry);
             if (hit < 0) FAIL();
-            if (!hit) break;                    /* miss: general loop */
-
-            int kind = TAG_KIND(entry);
-            int eidx = TAG_EIDX(entry);
+            int kind, eidx;
+            int sh_sflag = -1;
+            Py_XDECREF(shape_entry); shape_entry = NULL;
+            if (hit) {
+                kind = TAG_KIND(entry);
+                eidx = TAG_EIDX(entry);
+            } else {
+                if (c1 == '/')
+                    break;      /* end tags: string memo only */
+                int sr = shape_try(c, &S, T + i + 1, dlen, tape_mode,
+                                   &eidx, &sh_sflag, &shape_entry);
+                if (sr < 0) FAIL();
+                if (sr == 0) break;             /* miss: general loop */
+                kind = 1;
+            }
             CElem *ce = &c->elems[eidx];
 
             /* prepare_cdata complications — parser.py:873-889 runs
@@ -1422,10 +1670,10 @@ static PyObject *pcdata_fast(PyObject *self, PyObject *args)
 
             if (kind == 1) {
                 /* ---------- begin tag ---------- */
-                if (TAG_EMPTY(entry)) break;     /* close_element: bail */
+                if (hit && TAG_EMPTY(entry)) break;  /* close: bail */
                 if (!S.depth) break;             /* open_element: bail */
                 if (S.depth + 1 >= MAX_DEPTH) break;   /* deep: bail */
-                int sflag = TAG_SPACE(entry);
+                int sflag = hit ? TAG_SPACE(entry) : sh_sflag;
                 if (is_xml && sflag == -2)
                     break;      /* invalid xml:space -> gripe: bail */
                 CEnv *env = &S.env[S.depth - 1];
@@ -1553,7 +1801,11 @@ undef_push:
                     nenv->space_mode = sflag;
                 /* Python replay order: open_element, update_space_
                  * mode, then _emit_begin (parser.py:2388-2392) */
-                {
+                if (shape_entry) {
+                    if (tape_begin(&S, shape_entry) < 0) FAIL();
+                    Py_DECREF(shape_entry);
+                    shape_entry = NULL;
+                } else {
                     int ti = TAG_TIDX(entry);
                     if (ti &&
                         tape_begin(&S, c->tag_objs[ti - 1]) < 0)
@@ -1865,6 +2117,7 @@ undef_push:
     }
 
 finish:
+    Py_XDECREF(shape_entry);    /* bailed after a shape match */
     if (rc == 0) {
         if (sess_writeback(&S, switch_state, switch_etag, out_map,
                            out_map_dirty) < 0)
@@ -1970,6 +2223,8 @@ static PyObject *make_ctx(PyObject *self, PyObject *args)
     INTERN(s__ent_fast, "_ent_fast");
     INTERN(s_content, "content");
     INTERN(s_group, "group");
+    INTERN(s__shape_memo, "_shape_memo");
+    INTERN(s_case_sensitive, "case_sensitive");
     INTERN(s__c_tape, "_c_tape");
 #undef INTERN
     return (PyObject *)c;

@@ -106,6 +106,11 @@ _CTX_CAP = 8   # shared dialect DTDs stay hot; per-document DTDs
                # of documents
 
 
+from . import dtd as D   # module-level: _space_flag runs per C tag
+                         # registration (a local import there showed
+                         # up in unique-attr-corpus profiles)
+
+
 def _space_flag(entry, dtd=None):
     """Precompute update_space_mode's outcome for a memoized begin
     tag (parser.update_space_mode is deterministic per entry: the
@@ -126,7 +131,6 @@ def _space_flag(entry, dtd=None):
     if entry[0] != "b":
         return -1
     e, atts = entry[1], entry[2]
-    from . import dtd as D
     if dtd is not None and dtd.dialect == D.DL_XMLNS:
         if ':' in e.name:
             return -2

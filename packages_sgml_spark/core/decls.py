@@ -41,6 +41,8 @@ class DeclMixin:
         fast = dtd._ent_fast
         if fast:
             fast.clear()
+        if dtd._shape_memo:
+            dtd._shape_memo.clear()
         if dtd._cow is not None:
             # DTD-level declaration inside a shared-DTD parse: caches
             # rebuilt after this point may embed the doc-local
@@ -645,10 +647,9 @@ class DeclMixin:
 
     def _add_attribute(self, e, a):
         """(parser.c:2430-2451): first definition wins."""
-        for existing in e.attributes:
-            if existing.name == a.name:
-                self.gripe(*Gripes.redefined("attribute", a.name))
-                return
+        if e.find_attribute(a.name) is not None:
+            self.gripe(*Gripes.redefined("attribute", a.name))
+            return
         e.attributes.append(a)
         # xml:space element property (parser.c:2402-2426)
         if a.name == "xml:space" and a.def_ in (D.AT_FIXED, D.AT_DEFAULT) \

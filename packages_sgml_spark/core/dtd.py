@@ -64,7 +64,8 @@ class ElementDef:
 
 class Attr:
     """dtd_attr (dtd.h:371-388)."""
-    __slots__ = ("name", "type", "def_", "islist", "nameof", "default")
+    __slots__ = ("name", "type", "def_", "islist", "nameof", "default",
+                 "implicit")
 
     def __init__(self, name):
         self.name = name
@@ -73,12 +74,17 @@ class Attr:
         self.islist = False
         self.nameof: List[str] = []     # for AT_NAMEOF / AT_NOTATION
         self.default = None             # str | int | None
+        self.implicit = False           # created on first use in a
+                                        # document (not declared);
+                                        # DtdCow rolls these back, so
+                                        # shape entries must not
+                                        # reference them
 
 
 class Element:
     """dtd_element (dtd.h:416-432)."""
     __slots__ = ("name", "structure", "undefined", "attributes",
-                 "space_mode", "map")
+                 "space_mode", "map", "_attr_idx", "_def_attrs")
 
     def __init__(self, name):
         self.name = name
@@ -87,12 +93,34 @@ class Element:
         self.attributes: List[Attr] = []   # ordered, first wins
         self.space_mode = SP_INHERIT
         self.map = None                    # ShortRef
+        self._attr_idx = None    # {name: Attr} lazily rebuilt when
+                                 # len(attributes) changes (appends
+                                 # and DtdCow truncations only; dupes
+                                 # are refused, so length is exact)
+        self._def_attrs = None   # (len, [attrs with defaults]) cache
 
     def find_attribute(self, name) -> Optional[Attr]:
-        for a in self.attributes:
-            if a.name == name:
-                return a
-        return None
+        idx = self._attr_idx
+        attrs = self.attributes
+        if idx is None or len(idx) != len(attrs):
+            idx = {}
+            for a in attrs:
+                if a.name not in idx:      # first wins
+                    idx[a.name] = a
+            self._attr_idx = idx
+        return idx.get(name)
+
+    def default_attributes(self):
+        """Attrs with AT_DEFAULT/AT_FIXED defaults (cached; the
+        declared-global-attrs list made the per-tag linear scan ~45
+        long, and the common answer is 'none')."""
+        cached = self._def_attrs
+        attrs = self.attributes
+        if cached is not None and cached[0] == len(attrs):
+            return cached[1]
+        defs = [a for a in attrs if a.def_ in (AT_FIXED, AT_DEFAULT)]
+        self._def_attrs = (len(attrs), defs)
+        return defs
 
     def __repr__(self):
         return "<element %s>" % self.name
@@ -276,6 +304,11 @@ class DtdCow:
                 _k, e, n, space = rec
                 del e.attributes[n:]
                 e.space_mode = space
+                # the lazy lookup caches key on len(attributes): a
+                # later re-grow to the same length with NEW Attr
+                # objects would revive stale entries — drop them now
+                e._attr_idx = None
+                e._def_attrs = None
             elif kind == "map":
                 rec[1].map = rec[2]
             else:  # dict
@@ -292,22 +325,30 @@ class DtdCow:
         memo = dtd._tag_memo
         if self.dict_level or scalars_changed:
             # declarations / dialect switches can be baked into any
-            # cached replay — drop both caches wholesale (rare docs)
+            # cached replay — drop the caches wholesale (rare docs)
             if memo is None or not isinstance(memo, dict):
                 dtd._tag_memo = {}
             else:
                 memo.clear()
             dtd._ent_fast.clear()
-        elif self.elems and memo:
+            dtd._shape_memo.clear()
+        elif self.elems:
             # surgical purge: replaying a memoized tag whose element
             # was rolled back would skip the undefined flip/gripes
             # (_replay_tag falls back to open_element, never to
             # process_begin_element)
             elems = self.elems
-            stale = [k for k, entry in memo.items()
-                     if id(entry[1]) in elems]
-            for k in stale:
-                del memo[k]
+            if memo:
+                stale = [k for k, entry in memo.items()
+                         if id(entry[1]) in elems]
+                for k in stale:
+                    del memo[k]
+            shapes = dtd._shape_memo
+            if shapes:
+                stale = [k for k, v in shapes.items()
+                         if id(v[0]) in elems]
+                for k in stale:
+                    del shapes[k]
         if self.elems or self.dict_level or scalars_changed:
             # flush gen-stamped omit memos + the compiled executor's
             # registries (they hold rolled-back structure refs).
@@ -346,6 +387,14 @@ class DTD:
         self._tag_memo = {}      # decl-string -> parsed tag (parser.py)
         self._ent_fast = {}      # entity name -> (text, kind) replay
                                  # cache (parser.process_entity)
+        self._shape_memo = {}    # "name\0attr\0attr" -> (e, attrs,
+                                 # defaults, sflag): value-independent
+                                 # begin-tag replay for tags whose
+                                 # attr VALUES are unique per
+                                 # occurrence (every real <a href>) —
+                                 # the compiled executor parses the
+                                 # values itself (parser.py
+                                 # process_begin_element registers)
         self._setup_done = False  # set_dialect ran at least once
 
         self.encoding = "iso-8859-1"

@@ -369,6 +369,7 @@ class SGMLParser(DeclMixin):
         # binding pushes and name resolution happen live per replay
         # (update_xmlns + _emit_begin), so the memo is dialect-safe
         dtd._tag_memo = {}
+        dtd._shape_memo = {}
         dtd._ent_fast = {}
         if dialect in (D.DL_SGML, D.DL_HTML, D.DL_HTML5):
             if dialect == D.DL_HTML5:
@@ -2726,6 +2727,7 @@ class SGMLParser(DeclMixin):
                     empty = conref = True
         if i < len(decl):
             self.gripe(*Gripes.syntax_error("Bad attribute list", decl[i:]))
+        n_explicit = len(atts)
         if self.options.defaults:
             self.add_default_attributes(e, atts)
         if empty or (dtd.dialect == D.DL_SGML and e.structure is not None and
@@ -2766,6 +2768,47 @@ class SGMLParser(DeclMixin):
             else:
                 memo[memo_key] = ('b', e, atts,
                                   empty_element is not None, conref)
+        shape = dtd._shape_memo
+        if (shape is not None and memo_key is not None and
+                n_explicit and empty_element is None and not conref and
+                err0 == (self.error_count, len(self.errors)) and
+                not self._decl_gripe and not e.undefined and
+                dtd.dialect != D.DL_XMLNS and len(shape) < 4096):
+            # VALUE-INDEPENDENT shape entry: tags whose attr values
+            # are unique per occurrence (real <a href=...>) never hit
+            # the string-keyed memo, so the compiled executor replays
+            # them by (name, attr-name...) shape and parses the
+            # values itself.  Eligible only when every explicit attr
+            # is a DECLARED CDATA attr (verbatim values; stable
+            # across DtdCow rollbacks) and none is xml:space (the
+            # space flag is then the element's own mode).
+            ok = True
+            for a, _v in atts[:n_explicit]:
+                # AT_CURRENT is stateful (explicit occurrences update
+                # the carried value); AT_CONREF implies empty
+                if (a.type != D.AT_CDATA or a.implicit or
+                        a.def_ in (D.AT_CONREF, D.AT_CURRENT) or
+                        a.name == "xml:space"):
+                    ok = False
+                    break
+            if ok:
+                for a, _v in atts[n_explicit:]:
+                    # frozen default pairs are exact only for static
+                    # defaults (AT_CURRENT reads carried doc state)
+                    if a.def_ not in (D.AT_DEFAULT, D.AT_FIXED):
+                        ok = False
+                        break
+            if ok:
+                key = e.name + "\0" + "\0".join(
+                    a.name for a, _v in atts[:n_explicit])
+                if key not in shape:
+                    sflag = (e.space_mode
+                             if e.space_mode != D.SP_INHERIT else -1)
+                    shape[key] = (
+                        e,
+                        tuple(a for a, _v in atts[:n_explicit]),
+                        tuple(atts[n_explicit:]),
+                        sflag)
         self._emitting_empty = empty_element is not None
         self._emit_begin(e, atts)
         self._emitting_empty = False
@@ -3138,6 +3181,7 @@ class SGMLParser(DeclMixin):
                     a = D.Attr(nm)
                     a.type = D.AT_CDATA
                     a.def_ = D.AT_IMPLIED
+                    a.implicit = True
                     # data-* per the reference (parser.c:3324-3325);
                     # aria-* added: the same spec-blessed wildcard
                     # family (ARIA applies to every HTML5 element)
@@ -3292,9 +3336,7 @@ class SGMLParser(DeclMixin):
         """(parser.c:3385-3445)."""
         if e is M.CDATA_ELEMENT:
             return
-        for a in e.attributes:
-            if a.def_ not in (D.AT_FIXED, D.AT_DEFAULT):
-                continue
+        for a in e.default_attributes():
             if any(pa is a for pa, _v in atts):
                 continue
             atts.append((a, a.default))

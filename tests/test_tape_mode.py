@@ -498,3 +498,44 @@ def test_tape_stale_allow_cache_across_rollbacks():
     rng = random.Random(50607080)
     corpus = [_soup(rng) for _ in range(150)]
     _diff_dom(corpus[140:] + corpus[140:])
+
+
+def test_tape_shape_replay_unique_values():
+    """Shape fast path (r6): begin tags whose attr VALUES are unique
+    per occurrence replay by (name, attr-names) shape with C parsing
+    the values — DOM, node rows, errors identical to pure Python, and
+    per-occurrence values must not leak between occurrences."""
+    rng = random.Random(97531)
+    docs = []
+    for d in range(30):
+        parts = ["<html><body>"]
+        for j in range(40):
+            parts.append('<p class="c%d-%d">t%d</p>' % (d, j, j))
+            parts.append('<a href="https://h/%d/%d" title=\'T%d\'>x</a>'
+                         % (d, j, j))
+            if j % 7 == 0:
+                parts.append('<li class="k%d">item' % j)   # omitted close
+            if j % 11 == 0:
+                # value shapes C must NOT take: entities, unquoted,
+                # tabs in values, shorthand
+                parts.append('<p class="a&amp;b">e</p>')
+                parts.append('<p class=bare>u</p>')
+                parts.append('<p class="ta\tb">t</p>')
+        parts.append("</body></html>")
+        docs.append("".join(parts))
+    _diff_dom(docs, dialect="html5")
+    # node-table parity on the same corpus
+    for d in docs[:5]:
+        assert _rows_via_table(d) == _rows_via_dom(d)
+
+
+def test_tape_shape_replay_xml_dialect():
+    """Shapes apply to the xml dialect too (defined-or-undefined
+    elements; unique URL values like sitemap entries)."""
+    docs = []
+    for d in range(20):
+        items = "".join('<url loc="https://ex.com/%d/%d" pri="0.%d"/>'
+                        '<url loc="https://ex.com/%d/x">t</url>'
+                        % (d, j, j % 10, j) for j in range(30))
+        docs.append("<urlset>%s</urlset>" % items)
+    _diff_dom(docs, dialect="xml")
