@@ -2772,8 +2772,13 @@ class SGMLParser(DeclMixin):
         if (shape is not None and memo_key is not None and
                 n_explicit and empty_element is None and not conref and
                 err0 == (self.error_count, len(self.errors)) and
-                not self._decl_gripe and not e.undefined and
-                dtd.dialect != D.DL_XMLNS and len(shape) < 4096):
+                not self._decl_gripe and
+                not (e.undefined and dtd._cow is not None) and
+                (dtd.dialect != D.DL_XMLNS or
+                 (':' not in e.name and
+                  not any(a.name == "xmlns" or ':' in a.name
+                          for a, _v in atts[:n_explicit]))) and
+                len(shape) < 4096):
             # VALUE-INDEPENDENT shape entry: tags whose attr values
             # are unique per occurrence (real <a href=...>) never hit
             # the string-keyed memo, so the compiled executor replays
@@ -2785,8 +2790,13 @@ class SGMLParser(DeclMixin):
             ok = True
             for a, _v in atts[:n_explicit]:
                 # AT_CURRENT is stateful (explicit occurrences update
-                # the carried value); AT_CONREF implies empty
-                if (a.type != D.AT_CDATA or a.implicit or
+                # the carried value); AT_CONREF implies empty.
+                # Implicit attrs are excluded only on SHARED DTDs
+                # (DtdCow rolls them back between documents); on a
+                # private per-parse DTD they live as long as the
+                # shape memo itself
+                if (a.type != D.AT_CDATA or
+                        (a.implicit and dtd.shared) or
                         a.def_ in (D.AT_CONREF, D.AT_CURRENT) or
                         a.name == "xml:space"):
                     ok = False
