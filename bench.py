@@ -69,7 +69,7 @@ def run_queries(spark, sf_dir):
     return timings
 
 
-def parse_throughput(spark, n_docs=PARSE_DOCS):
+def parse_throughput(spark, n_docs=PARSE_DOCS, unique_links=False):
     """Synthetic Common-Crawl-style corpus -> extract() -> docs/sec,
     MB/sec.  Input is generated JVM-side and cached so the measured
     cost is the parse."""
@@ -79,7 +79,8 @@ def parse_throughput(spark, n_docs=PARSE_DOCS):
     from packages_sgml_spark.spark.queries import ensure_workers
 
     ensure_workers(spark)
-    pages = synthetic_pages(spark, n_docs, scale=12).cache()
+    pages = synthetic_pages(spark, n_docs, scale=12,
+                            unique_links=unique_links).cache()
     stats = pages.select(F.count("*").alias("n"),
                          F.sum(F.length("html")).alias("bytes")).collect()[0]
     # warm-up: one full pass touches every python worker (package
@@ -133,6 +134,10 @@ def bench_default():
     spark.sparkContext.setLogLevel("ERROR")
     timings = run_queries(spark, sf_dir)
     pt = parse_throughput(spark)
+    # real-crawl shape: every <a href> unique (shape-replay path, r6;
+    # half the docs keeps the added wall time modest)
+    ptu = parse_throughput(spark, n_docs=PARSE_DOCS // 2,
+                           unique_links=True)
     # headline value = sum of per-query best times + the timed parse
     # pass (run_queries executes each query twice and keeps the min,
     # so raw wall time would double-count)
@@ -148,6 +153,9 @@ def bench_default():
         "parse_docs_per_sec": pt["docs_per_sec"],
         "parse_mb_per_sec": pt["mb_per_sec"],
         "parse_corpus": {"n_docs": pt["n_docs"], "mb": pt["mb"]},
+        "parse_mb_per_sec_unique_links": ptu["mb_per_sec"],
+        "parse_corpus_unique_links": {"n_docs": ptu["n_docs"],
+                                      "mb": ptu["mb"]},
         "cpus": cpus,
         "box_load_before": load0,
         "box_load_after": _box_load(),

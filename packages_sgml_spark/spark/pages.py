@@ -23,11 +23,16 @@ TEST_DIR = "/root/reference/Test"
 
 
 def synthetic_pages(spark, n_docs=1000, n_hosts=1000, seed=42,
-                    scale=1) -> DataFrame:
+                    scale=1, unique_links=False) -> DataFrame:
     """Deterministic pages DF.  Zipf-ish hosts: host rank r taken as
     floor(u^3 * n_hosts) of a uniform hash -> mass concentrates on
     low ranks (hot hosts).  `scale` multiplies paragraph count
-    (document size; scale=12 gives crawl-like ~5-25 KB pages)."""
+    (document size; scale=12 gives crawl-like ~5-25 KB pages).
+
+    unique_links=True gives every <a href> a per-document,
+    per-paragraph URL — the real-crawl shape where attr values never
+    repeat, which exercises the shape-replay parse path instead of
+    the string-keyed tag memo (r6; BENCH.md)."""
     df = spark.range(n_docs).withColumnRenamed("id", "i")
     h = F.abs(F.xxhash64(F.col("i") + F.lit(seed)))
     u = (h % 1000000) / 1000000.0
@@ -43,19 +48,36 @@ def synthetic_pages(spark, n_docs=1000, n_hosts=1000, seed=42,
         (F.col("i") % 8 + 1).cast("int"))
 
     n_paras = ((h % 7 + 1) * scale).cast("int")
-    # deterministic filler sentence, repeated n_paras times
-    para = F.concat(
-        F.lit("<p>Paragraph about topic "), (h % 97).cast("string"),
-        F.lit(" with some &amp; entities, a <b>bold</b> claim, "
-              "and a link to <a href=\"https://"), host,
-        F.lit("/ref\">a reference</a>."),
-        # controlled tag-soup rate: ~1/3 of paragraphs leave <p> open
-        F.when(h % 3 == 0, F.lit("")).otherwise(F.lit("</p>")))
+    if unique_links:
+        # per-paragraph unique hrefs (JVM-side, still deterministic)
+        paras = F.array_join(F.transform(
+            F.sequence(F.lit(1), n_paras),
+            lambda j: F.concat(
+                F.lit("<p>Paragraph about topic "),
+                (h % 97).cast("string"),
+                F.lit(" with some &amp; entities, a <b>bold</b> "
+                      "claim, and a link to <a href=\"https://"),
+                host, F.lit("/ref/"), F.col("i").cast("string"),
+                F.lit("-"), j.cast("string"),
+                F.lit("\">a reference</a>."),
+                F.when(h % 3 == 0, F.lit("")).otherwise(
+                    F.lit("</p>")))), "")
+    else:
+        # deterministic filler sentence, repeated n_paras times
+        para = F.concat(
+            F.lit("<p>Paragraph about topic "), (h % 97).cast("string"),
+            F.lit(" with some &amp; entities, a <b>bold</b> claim, "
+                  "and a link to <a href=\"https://"), host,
+            F.lit("/ref\">a reference</a>."),
+            # controlled tag-soup rate: ~1/3 of paragraphs leave <p>
+            # open
+            F.when(h % 3 == 0, F.lit("")).otherwise(F.lit("</p>")))
+        paras = F.repeat(para, n_paras)
     items = F.concat(
         F.lit("<ul><li>item one<li>item two<li>item "),
         (h % 13).cast("string"), F.lit("</ul>"))
     body = F.concat(
-        F.repeat(para, n_paras), items,
+        paras, items,
         F.lit("<script>var x = 1 < 2 && 3 > 2;</script>"),
         F.lit("<!-- trailing comment -->"))
     html_str = F.concat(

@@ -67,9 +67,15 @@ def _soup(rng, n_tokens=60):
             parts.append(rng.choice(WORDS))
         elif r < 0.6:
             t = rng.choice(TAGS)
-            if rng.random() < 0.3:
+            rr = rng.random()
+            if rr < 0.25:
                 parts.append('<%s class="c%d" id=\'i\'>' %
                              (t, rng.randrange(9)))
+            elif rr < 0.45:
+                # unique attr values: the shape-replay path (r6)
+                parts.append('<%s href="https://u/%d" title=\'t%d\'>' %
+                             (t, rng.randrange(10 ** 9),
+                              rng.randrange(10 ** 6)))
             else:
                 parts.append("<%s>" % t)
         elif r < 0.8:
