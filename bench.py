@@ -134,10 +134,10 @@ def bench_default():
     spark.sparkContext.setLogLevel("ERROR")
     timings = run_queries(spark, sf_dir)
     pt = parse_throughput(spark)
-    # real-crawl shape: every <a href> unique (shape-replay path, r6;
-    # half the docs keeps the added wall time modest)
-    ptu = parse_throughput(spark, n_docs=PARSE_DOCS // 2,
-                           unique_links=True)
+    # real-crawl shape: every <a href> unique (shape-replay path, r6).
+    # Same doc count as the main corpus so the MB/s readings compare
+    # without fixed-cost dilution.
+    ptu = parse_throughput(spark, unique_links=True)
     # headline value = sum of per-query best times + the timed parse
     # pass (run_queries executes each query twice and keeps the min,
     # so raw wall time would double-count)
