@@ -911,3 +911,30 @@ def test_extract_nodes_rows_matches_explode(spark):
     got = sorted(map(key, extract_nodes_rows(
         pages, dialect="html5").collect()))
     assert got == want and len(got) > 500
+
+
+def test_synthetic_pages_unique_links_deterministic(spark):
+    """The unique-links bench corpus (r6): every <a href> distinct
+    within and across documents, deterministic across builds, and the
+    extract path parses it identically to a driver-local parse."""
+    from pyspark.sql import functions as F
+    from packages_sgml_spark.spark.pages import synthetic_pages
+    a = synthetic_pages(spark, 50, scale=2, unique_links=True)
+    b = synthetic_pages(spark, 50, scale=2, unique_links=True)
+    ra = sorted((r.url, bytes(r.html)) for r in a.collect())
+    rb = sorted((r.url, bytes(r.html)) for r in b.collect())
+    assert ra == rb
+    import re
+    hrefs = []
+    for _u, html in ra:
+        hrefs.extend(re.findall(rb'href="([^"]+)"', html))
+    assert len(hrefs) == len(set(hrefs)) > 100   # all distinct
+    # extract parity: Spark worker vs driver-local parse
+    from packages_sgml_spark.spark.extract import extract, _parse_one
+    from packages_sgml_spark.spark.queries import ensure_workers
+    ensure_workers(spark)
+    got = {r.url: r.text_extracted for r in
+           extract(a, dialect="html5", nodes=False).collect()}
+    for u, html in ra[:10]:
+        want = _parse_one(html, "html5", False, False)[0]
+        assert got[u] == want, u
