@@ -197,22 +197,26 @@ class _Writer:
 
     def emit_element(self, el):
         attrs, saved_map = self._clean_attrs(el.attrs)
-        alen = (sum(len(k) + len(_attr_value_str(v)) + 3
-                    for k, v in attrs)
-                if self.layout and attrs else 0)
+        if attrs:
+            vals = [_attr_value_str(v) for _k, v in attrs]
+            alen = (sum(len(k) + 3 for k, _v in attrs) +
+                    sum(map(len, vals)) if self.layout else 0)
+        else:
+            vals = None
+            alen = 0
         if alen > 60:
             self.write("<" + el.name)
             self.indent += 4
-            for k, v in attrs:
+            mc, em = self.max_char, self.entity_map
+            for (k, _v), s in zip(attrs, vals):
                 self.write_indent()
-                self._attr(k, v)
+                self.write('%s="%s"' % (k, quote_attribute(s, mc, em)))
             self.indent -= 4
         elif attrs:
             mc, em = self.max_char, self.entity_map
             self.write("<" + el.name + "".join(
-                ' %s="%s"' % (k, quote_attribute(_attr_value_str(v),
-                                                 mc, em))
-                for k, v in attrs))
+                ' %s="%s"' % (k, quote_attribute(s, mc, em))
+                for (k, _v), s in zip(attrs, vals)))
         else:
             self.write("<" + el.name)
         self._content(el, attrs)
