@@ -2791,12 +2791,19 @@ class SGMLParser(DeclMixin):
             for a, _v in atts[:n_explicit]:
                 # AT_CURRENT is stateful (explicit occurrences update
                 # the carried value); AT_CONREF implies empty.
-                # Implicit attrs are excluded only on SHARED DTDs
-                # (DtdCow rolls them back between documents); on a
-                # private per-parse DTD they live as long as the
-                # shape memo itself
+                # Implicit attrs are excluded on SHARED DTDs (DtdCow
+                # rolls them back between documents) EXCEPT the
+                # gripe-exempt wildcard families (html5 data-*/
+                # aria-*): their replay is value-equivalent even when
+                # the rolled-back Attr object is gone from
+                # e.attributes — nothing reads presence for an
+                # AT_IMPLIED CDATA attr and no cold-state gripe is
+                # suppressed.  On a private per-parse DTD implicit
+                # attrs live as long as the shape memo itself.
                 if (a.type != D.AT_CDATA or
-                        (a.implicit and dtd.shared) or
+                        (a.implicit and dtd.shared and
+                         not (dtd.dialect in D.HTML5_DIALECTS and
+                              a.name.startswith(("data-", "aria-")))) or
                         a.def_ in (D.AT_CONREF, D.AT_CURRENT) or
                         a.name == "xml:space"):
                     ok = False

@@ -539,3 +539,22 @@ def test_tape_shape_replay_xml_dialect():
                         % (d, j, j % 10, j) for j in range(30))
         docs.append("<urlset>%s</urlset>" % items)
     _diff_dom(docs, dialect="xml")
+
+
+def test_tape_shape_replay_data_attrs_shared_dtd():
+    """data-*/aria-* implicit attrs join the shape path on the shared
+    html5 DTD (r6): unique per-occurrence values across documents,
+    with DtdCow rolling the implicit Attr back between parses — the
+    replay must stay value-identical to pure Python."""
+    docs = []
+    for d in range(20):
+        parts = ["<html><body>"]
+        for j in range(30):
+            parts.append('<div data-testid="t-%d-%d" '
+                         'aria-label="L%d">x</div>' % (d, j, j))
+            parts.append('<span data-k="%d">y</span>' % (d * 100 + j))
+        parts.append("</body></html>")
+        docs.append("".join(parts))
+    _diff_dom(docs, dialect="html5")
+    for d in docs[:4]:
+        assert _rows_via_table(d) == _rows_via_dom(d)
