@@ -358,3 +358,58 @@ def test_cspeed_xmlns_textonly():
                 parts.append(rng.choice(["<!-- c -->", "<![CDATA[r]]>"]))
         docs.append("".join(parts))
     _diff_c(docs, dialect="xmlns")
+
+
+if _HAVE_HYP:
+    # attribute-soup fuzz for the shape-replay path (r6): names,
+    # quote styles, specials inside values, layout/comments between
+    # attrs, duplicates, shorthand, '=' and '>' in quoted values
+    _attr = st.one_of(
+        st.tuples(st.sampled_from(["href", "class", "id", "title",
+                                   "data-x", "aria-y", "xml:space",
+                                   "HREF", "q:n", "nosuchattr"]),
+                  st.sampled_from(['"v%d"', "'w%d'", '"a=b>%d"',
+                                   '"x &amp; %d"', '"ta\tb%d"',
+                                   '"caf\xe9%d"', '""', "bare%d",
+                                   '"pre served  %d"'])),
+    )
+
+    @settings(max_examples=80, deadline=None)
+    @given(st.lists(st.tuples(st.sampled_from(["a", "p", "div", "A",
+                                               "weird-tag"]),
+                              st.lists(_attr, min_size=0, max_size=4),
+                              st.integers(0, 999)),
+                    min_size=1, max_size=25))
+    def test_cspeed_shape_attr_soup_hypothesis(tags):
+        parts = []
+        for name, attrs, salt in tags:
+            a = " ".join("%s=%s" % (k, tpl % salt if "%d" in tpl
+                                    else tpl)
+                         for k, tpl in attrs)
+            parts.append("<%s%s>t</%s>" % (name,
+                                           " " + a if a else "", name))
+        doc = "".join(parts)
+        _diff_c([doc])
+        _diff_c([doc], dialect="xml")
+
+
+def test_cspeed_shape_chunked_feed():
+    """Unique-value tags split across feed() chunk boundaries: the
+    whole-tag matcher only fires when the tag is complete in the
+    current window, so partial tags fall to the FSM and output must
+    be chunk-invariant."""
+    doc = ('<html><body><a href="https://u/123456" data-k="z9">x</a>'
+           '<div data-testid="t-77" aria-label="L">y</div>'
+           '<p class="unique-c-42">z</p></body></html>')
+
+    def run_chunked(step):
+        p = TextOnlyParser(ParserOptions(dialect="html5",
+                                         encoding="utf-8"))
+        for k in range(0, len(doc), step):
+            p.feed(doc[k:k + step])
+        p.close()
+        return (p.text(), [(e.line, e.message) for e in p.errors])
+
+    want = run_chunked(len(doc))
+    for step in list(range(1, 30)) + [41, 67]:
+        assert run_chunked(step) == want, step
