@@ -927,6 +927,18 @@ static int sess_build(Sess *S, CtxObject *c, PyObject *parser,
         u64map_free(&c->allow);
         c->allow_gen = agen;
     }
+    /* bounded-growth guard: flip-created states (undefined-element
+     * engines, one-ish per soup document) are registered with strong
+     * refs but flip-only rollbacks deliberately do NOT bump OMIT_GEN
+     * — without a cap a long-lived worker accrues them forever
+     * (~380 B/doc measured).  A full flush every few thousand
+     * registrations amortizes to noise and every registry refills
+     * lazily. */
+    if (c->n_states > 4096 || c->n_tag_objs > 16384 ||
+        c->n_elems > 4096) {
+        ctx_flush(c);
+        if (reg_elem(c, c->cdata_element) != CDATA_EIDX) return -1;
+    }
 
     S->line = get_long_attr(parser, c->s_line, &err);
     S->linepos = get_long_attr(parser, c->s_linepos, &err);
@@ -2233,11 +2245,26 @@ fail:
     return NULL;
 }
 
+static PyObject *ctx_stats(PyObject *self, PyObject *args)
+{
+    (void)self;
+    CtxObject *c;
+    if (!PyArg_ParseTuple(args, "O!", &Ctx_Type, &c)) return NULL;
+    return Py_BuildValue("{s:n,s:n,s:n,s:n,s:n}",
+                         "n_elems", (Py_ssize_t)c->n_elems,
+                         "n_states", (Py_ssize_t)c->n_states,
+                         "n_tag_objs", (Py_ssize_t)c->n_tag_objs,
+                         "n_ents", (Py_ssize_t)c->n_ents,
+                         "n_shapes", (Py_ssize_t)c->n_shapes);
+}
+
 static PyMethodDef methods[] = {
     {"make_ctx", make_ctx, METH_VARARGS,
      "make_ctx(dtd, consts, callbacks) -> Ctx"},
     {"pcdata_fast", pcdata_fast, METH_VARARGS,
      "pcdata_fast(ctx, parser, text, i, n, utf8) -> new_i or -1"},
+    {"ctx_stats", ctx_stats, METH_VARARGS,
+     "ctx_stats(ctx) -> registry sizes (bounded-growth observability)"},
     {NULL, NULL, 0, NULL},
 };
 

@@ -413,3 +413,23 @@ def test_cspeed_shape_chunked_feed():
     want = run_chunked(len(doc))
     for step in list(range(1, 30)) + [41, 67]:
         assert run_chunked(step) == want, step
+
+
+def test_cspeed_registry_growth_bounded():
+    """Flip-created states (one-ish per soup document) are registered
+    with strong refs but flip-only rollbacks deliberately skip the
+    OMIT_GEN flush — the session-entry cap must keep a long-lived
+    worker's registries (and therefore RSS) bounded (r6: ~380 B/doc
+    leak before the cap)."""
+    import packages_sgml_spark.core.cspeed as cs
+    assert cs.MOD is not None
+    from packages_sgml_spark.core import htmldtd
+    dtd = htmldtd.get_html_dtd("html5")
+    for i in range(6000):
+        p = TextOnlyParser(ParserOptions(dialect="html5",
+                                         max_errors=-1))
+        p.parse('<div data-k="%d"><weird-%d>s</weird-%d>t</div>'
+                % (i, i % 5, i % 5))
+    stats = cs.MOD.ctx_stats(cs.ctx_for(dtd))
+    assert stats["n_states"] <= 4200, stats
+    assert stats["n_elems"] <= 4200, stats
