@@ -112,7 +112,60 @@ def dom_to_json(content: List[Node]) -> str:
                 dst.append({"entity": n.name})
             else:
                 dst.append(n)
-    return json.dumps(root, ensure_ascii=False, sort_keys=True)
+    try:
+        return json.dumps(root, ensure_ascii=False, sort_keys=True)
+    except RecursionError:
+        # freak-depth soup (json's C encoder recurses): the proven
+        # fully-iterative emitter, byte-identical by construction
+        return _dom_to_json_deep(content)
+
+
+def _dom_to_json_deep(content: List[Node]) -> str:
+    """Depth-proof emitter (pre-r6 implementation), kept as the
+    fallback for DOMs deeper than json.dumps can encode."""
+    out = []
+    stack = [("node_list", content)]
+    while stack:
+        kind, val = stack.pop()
+        if kind == "text":
+            out.append(val)
+            continue
+        if kind == "node_list":
+            out.append("[")
+            stack.append(("text", "]"))
+            items = []
+            for i, c in enumerate(val):
+                if i:
+                    items.append(("text", ", "))
+                items.append(("node", c))
+            stack.extend(reversed(items))
+            continue
+        n = val
+        if isinstance(n, Element):
+            attrs = sorted(
+                [[_k_str(k), to_canonical_value(v)] for k, v in n.attrs],
+                key=lambda kv: (kv[0], json.dumps(kv[1], sort_keys=True)))
+            out.append('{"a": %s, "c": '
+                       % json.dumps(attrs, ensure_ascii=False,
+                                    sort_keys=True))
+            stack.append(("text", ', "e": %s}' % json.dumps(
+                _k_str(n.name), ensure_ascii=False)))
+            stack.append(("node_list", n.content))
+        elif isinstance(n, SData):
+            out.append(json.dumps({"sdata": n.text}, ensure_ascii=False,
+                                  sort_keys=True))
+        elif isinstance(n, NData):
+            out.append(json.dumps({"ndata": n.text}, ensure_ascii=False,
+                                  sort_keys=True))
+        elif isinstance(n, PI):
+            out.append(json.dumps({"pi": n.text}, ensure_ascii=False,
+                                  sort_keys=True))
+        elif isinstance(n, Entity):
+            out.append(json.dumps({"entity": n.name},
+                                  ensure_ascii=False, sort_keys=True))
+        else:
+            out.append(json.dumps(n, ensure_ascii=False))
+    return "".join(out)
 
 
 def _k_str(k):
