@@ -31,6 +31,12 @@ def get_spark(app="packages-sgml-spark", cpus=None, shuffle_partitions=None,
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
+        # parquet scan partitions: html binary rows are ~20 KB-1 MB;
+        # with the default 128 MB split a task can hold a few hundred
+        # MB of row data + Arrow buffers in the Python worker at once.
+        # 64 MB keeps scan-task memory bounded at 100 TB-corpus scale
+        # (more, smaller tasks — AQE coalesces downstream stages).
+        .config("spark.sql.files.maxPartitionBytes", "64m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory",
                 os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
