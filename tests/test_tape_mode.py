@@ -558,3 +558,16 @@ def test_tape_shape_replay_data_attrs_shared_dtd():
     _diff_dom(docs, dialect="html5")
     for d in docs[:4]:
         assert _rows_via_table(d) == _rows_via_dom(d)
+
+
+def test_tape_xmlns_reference_xml_corpus():
+    """The reference Test/*.xml files re-parsed under the xmlns
+    dialect (namespace resolution live): C-on == C-off."""
+    files = sorted(glob.glob("/root/reference/Test/*.xml"))
+    if not files:
+        pytest.skip("reference corpus absent")
+    docs = []
+    for f in files:
+        with open(f, "rb") as fh:
+            docs.append(fh.read())
+    _diff_dom(docs, dialect="xmlns")
