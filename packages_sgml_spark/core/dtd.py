@@ -6,6 +6,8 @@ shortref maps.  Declaration *parsing* lives in parser.py (the reference
 parses declarations inside the parser FSM, parser.c:3941-3988).
 """
 
+import weakref
+
 from typing import Dict, List, Optional
 
 from . import model as M
@@ -213,9 +215,15 @@ class DtdCow:
     )
 
     __slots__ = ("journal", "elems", "edefs", "flipped", "attr_objs",
-                 "dict_level", "scalars")
+                 "dict_level", "scalars", "owner")
 
-    def __init__(self, dtd):
+    def __init__(self, dtd, owner=None):
+        # weakref to the parser this journal belongs to: a second
+        # parser beginning on the same shared DTD must not steal a
+        # journal whose owner is still mid-feed() (it would revert the
+        # owner's journaled adaptations under it); it only rolls back
+        # journals whose owner is dead or stopped
+        self.owner = weakref.ref(owner) if owner is not None else None
         self.journal = []
         self.elems = set()       # ids of structurally-touched Elements
                                  # whose tag-memo entries must be

@@ -95,21 +95,60 @@ HTML4_EXTRA_DTD_TEXT = """
 <!ELEMENT applet - - ({flow}|param)*>
 """.replace("{inline}", _INLINE).replace("{flow}", _FLOW)
 
-# HTML5 global attributes (spec §3.2.6) + HTML4 %coreattrs/%i18n/
-# %events + the most common event handlers; declared on every element
-# by build_html_dtd.  aria-*/data-* are wildcard families handled by
-# prefix exemption in parser.process_attributes instead.
+# HTML5 global attributes (spec §3.2.6; reference DTD/HTML5.dtd:25
+# %global declares the same families) + the most common event
+# handlers; declared on every element of the html5/xhtml5 builds by
+# build_html_dtd.  aria-*/data-* are wildcard families handled by
+# prefix exemption in parser.process_attributes instead.  NOT applied
+# to the HTML4 build (ADVICE r6): HTML4 declares only %coreattrs/
+# %i18n/%events, per element — see the HTML4_* tables below.
 GLOBAL_ATTRS = (
     "class", "id", "style", "title", "lang", "dir", "role", "hidden",
     "tabindex", "accesskey", "draggable", "spellcheck", "translate",
     "contenteditable", "autocapitalize", "autofocus", "enterkeyhint",
     "inputmode", "is", "itemid", "itemprop", "itemref", "itemscope",
-    "itemtype", "nonce", "part", "slot", "align",
+    "itemtype", "nonce", "part", "slot",
     "onclick", "ondblclick", "onmousedown", "onmouseup", "onmouseover",
     "onmousemove", "onmouseout", "onkeypress", "onkeydown", "onkeyup",
     "onload", "onerror", "onsubmit", "onchange", "onfocus", "onblur",
     "oninput",
 )
+
+# HTML 4.01 generic attribute entities (reference DTD/HTML4.dtd:
+# 185-210 %coreattrs/%i18n/%events, :224 %attrs) and the per-element
+# exceptions the spec DTD makes — elements that take only a subset of
+# %attrs, element-specific intrinsic events, and the transitional
+# %align attribute (DTD/HTML4.dtd:226).
+HTML4_CORE = ("id", "class", "style", "title")
+HTML4_I18N = ("lang", "dir")
+HTML4_EVENTS = (
+    "onclick", "ondblclick", "onmousedown", "onmouseup", "onmouseover",
+    "onmousemove", "onmouseout", "onkeypress", "onkeydown", "onkeyup")
+HTML4_ATTRS = HTML4_CORE + HTML4_I18N + HTML4_EVENTS
+HTML4_RESTRICTED = {
+    "html": HTML4_I18N, "head": HTML4_I18N, "title": HTML4_I18N,
+    "meta": HTML4_I18N, "style": HTML4_I18N,
+    "base": (), "script": (), "param": (), "basefont": (),
+    "br": HTML4_CORE, "applet": HTML4_CORE,
+    "frame": HTML4_CORE, "frameset": HTML4_CORE, "iframe": HTML4_CORE,
+    "font": HTML4_CORE + HTML4_I18N, "bdo": HTML4_CORE + HTML4_I18N,
+    "isindex": HTML4_CORE + HTML4_I18N,
+}
+HTML4_EXTRA_EVENTS = {
+    "body": ("onload", "onunload"),
+    "frameset": ("onload", "onunload"),
+    "form": ("onsubmit", "onreset"),
+    "label": ("onfocus", "onblur"), "a": ("onfocus", "onblur"),
+    "area": ("onfocus", "onblur"), "button": ("onfocus", "onblur"),
+    "input": ("onfocus", "onblur", "onselect", "onchange"),
+    "select": ("onfocus", "onblur", "onchange"),
+    "textarea": ("onfocus", "onblur", "onselect", "onchange"),
+}
+HTML4_ALIGN_ELEMENTS = frozenset((
+    "div", "p", "h1", "h2", "h3", "h4", "h5", "h6", "hr", "img",
+    "object", "input", "legend", "caption", "table", "col",
+    "colgroup", "thead", "tbody", "tfoot", "tr", "td", "th",
+    "iframe", "applet"))
 
 _CACHE = {}
 
@@ -128,7 +167,27 @@ def get_html_dtd(dialect_name):
         # (dtd.DtdCow; the reference's dtd_cache shares mutable state
         # instead, parser.c:2851-2890)
         dtd.shared = True
+        dtd._cache_key = key
         _CACHE[key] = dtd
+    return dtd
+
+
+def private_dtd_copy(shared):
+    """Fresh unshared copy of a cached dialect DTD, for a parser that
+    begins while another live parser is mid-feed() on the shared one
+    (parser._begin_dtd_cow must not roll the live journal back).
+    Returns None when the shared DTD has no rebuild recipe."""
+    key = getattr(shared, "_cache_key", None)
+    if key is None:
+        return None
+    from .dtd import DtdCow
+    dtd = build_html_dtd(key)
+    # carry over option-level scalars the owning parser may have set
+    # on the shared DTD at construction (space mode, shorttag, case
+    # flags, encoding, ...)
+    for name in DtdCow._SCALARS:
+        setattr(dtd, name, getattr(shared, name))
+    dtd.shared = False
     return dtd
 
 
@@ -164,19 +223,28 @@ def build_html_dtd(key):
                 e.content = D.EC_CDATA
                 e.value = chr(cp)
                 dtd.entities[nm] = e
-    # Global attributes: the HTML5 spec makes these valid on EVERY
-    # element (HTML4's %coreattrs/%i18n/%events are the same idea), so
-    # declare them on every element instead of letting each first use
-    # take the implicit-creation path with a no_attribute gripe.
-    # Besides being spec-faithful, this keeps real-crawl pages (class/
+    # Generic attributes, per dialect (ADVICE r6 split).  html5: the
+    # spec makes the global set valid on EVERY element (reference
+    # DTD/HTML5.dtd:25 %global), so declare it everywhere instead of
+    # letting each first use take the implicit-creation path with a
+    # no_attribute gripe — this also keeps real-crawl pages (class/
     # id/style on most tags) on the unguarded tag-memo fast path now
-    # that DtdCow rolls implicit attrs back per document.  Truly
-    # unknown attributes (typos, framework attrs) still gripe, like
-    # the reference (parser.c:3310-3326).
+    # that DtdCow rolls implicit attrs back per document.  html
+    # (HTML4): only %coreattrs/%i18n/%events, with the spec DTD's
+    # per-element restrictions, element-specific intrinsic events and
+    # the transitional %align — anything beyond that gripes, like the
+    # reference (parser.c:3310-3326).
     for name in dtd.elements:
         e = dtd.elements[name]
         have = {a.name for a in e.attributes}
-        for nm in GLOBAL_ATTRS:
+        if key == "html5":
+            wanted = GLOBAL_ATTRS
+        else:
+            wanted = (HTML4_RESTRICTED.get(name, HTML4_ATTRS) +
+                      HTML4_EXTRA_EVENTS.get(name, ()))
+            if name in HTML4_ALIGN_ELEMENTS:
+                wanted = wanted + ("align",)
+        for nm in wanted:
             if nm not in have:
                 a = D.Attr(nm)
                 a.type = D.AT_CDATA

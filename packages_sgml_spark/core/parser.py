@@ -507,17 +507,48 @@ class SGMLParser(DeclMixin):
         must not depend on what this worker parsed before (the
         reference shares dtd_cache state instead; see dtd.DtdCow)."""
         dtd = self.dtd
+        # tag/shape memo entries bake in the registering parser's
+        # options.defaults outcome (atts[n_explicit:] and the frozen
+        # default pairs in shape entries): a parser with a different
+        # defaults setting sharing this DTD must not replay them
+        # (ADVICE r6).  The memos are keyed to ONE defaults setting
+        # at a time; a mismatch flushes them (and the C registries
+        # via OMIT_GEN, which also derive begin entries from them).
+        if getattr(dtd, "_memo_defaults", True) != self.options.defaults:
+            if dtd._tag_memo is not None:
+                dtd._tag_memo = {}
+            if dtd._shape_memo is not None:
+                dtd._shape_memo = {}
+            M.OMIT_GEN[0] += 1
+            dtd._memo_defaults = self.options.defaults
         if not dtd.shared:
             return
         cow = dtd._cow
         if cow is not None:
             if cow is self._cow_obj:
                 return              # continuing an incremental feed()
-            # abandoned by a dropped parser (feed() without close()):
-            # restore the pristine DTD before journaling our parse
-            dtd._cow = None
-            cow.rollback(dtd)
-        self._cow_obj = dtd._cow = D.DtdCow(dtd)
+            owner = cow.owner() if cow.owner is not None else None
+            if owner is None or owner is self or owner.stopped:
+                # abandoned by a dropped/stopped parser (feed()
+                # without close()): restore the pristine DTD before
+                # journaling our parse
+                dtd._cow = None
+                cow.rollback(dtd)
+            else:
+                # another live parser is mid-feed() on this shared
+                # dialect DTD; stealing its journal would revert its
+                # adaptations under it mid-parse.  Give this parse a
+                # private unshared DTD copy instead.
+                from .htmldtd import private_dtd_copy
+                priv = private_dtd_copy(dtd)
+                if priv is not None:
+                    self.dtd = priv
+                    self._cow_obj = None
+                    return
+                # no copy recipe for this shared DTD: legacy steal
+                dtd._cow = None
+                cow.rollback(dtd)
+        self._cow_obj = dtd._cow = D.DtdCow(dtd, owner=self)
 
     def _end_dtd_cow(self):
         cow = self.dtd._cow

@@ -178,3 +178,51 @@ def test_golden_order_shuffled():
             _node_parse(U_SOUP)
         ok, detail = golden.run_one(base)
         assert ok, (base, detail)
+
+
+def test_interleaved_feed_not_stolen():
+    """r6 ADVICE (parser.py _begin_dtd_cow): parser A mid-feed() on a
+    shared DTD must keep its journal when parser B parses the same
+    dialect concurrently — B must not roll A's flips back under it.
+    Pre-fix, A lost its undefined-<zzz> flip and the child open griped
+    'Element wibble does not exist' instead of the soup adaptation."""
+    oneshot = _node_parse(b"<zzz><wibble>w</wibble></zzz>")
+
+    a = NodeTableParser(ParserOptions(dialect="html5", max_errors=-1))
+    a.feed(b"<zzz>")
+    # B runs a complete parse (its own begin/end cow cycle) while A is
+    # mid-feed on the same shared dialect DTD
+    _node_parse(U_SOUP)
+    a.feed(b"<wibble>w</wibble></zzz>")
+    a.close()
+    got = (a.rows, [(e.severity, e.line, e.message) for e in a.errors])
+    assert got == oneshot
+
+    # and the shared DTD is pristine afterwards
+    dtd = htmldtd.get_html_dtd("html5")
+    assert dtd._cow is None
+    z = dtd.elements.get("zzz")
+    assert z is not None and z.structure is None
+
+
+def test_interleaved_feeds_both_directions():
+    """Two parsers alternating feed() chunks on the same shared DTD:
+    each must produce exactly its one-shot output."""
+    doc_a = U_SOUP
+    doc_b = b"<qqq><p>x<p>y<a href=z>t</a>"
+    want_a = _node_parse(doc_a)
+    want_b = _node_parse(doc_b)
+    pa = NodeTableParser(ParserOptions(dialect="html5", max_errors=-1))
+    pb = NodeTableParser(ParserOptions(dialect="html5", max_errors=-1))
+    ia = ib = 0
+    step = 5
+    while ia < len(doc_a) or ib < len(doc_b):
+        if ia < len(doc_a):
+            pa.feed(doc_a[ia:ia + step]); ia += step
+        if ib < len(doc_b):
+            pb.feed(doc_b[ib:ib + step]); ib += step
+    pa.close(); pb.close()
+    got_a = (pa.rows, [(e.severity, e.line, e.message) for e in pa.errors])
+    got_b = (pb.rows, [(e.severity, e.line, e.message) for e in pb.errors])
+    assert got_a == want_a
+    assert got_b == want_b
