@@ -209,6 +209,17 @@ typedef struct {
     PyObject *e;            /* Element (strong) */
     PyObject *attrs;        /* tuple of Attr objects (strong) */
     PyObject *defaults;     /* tuple of (Attr, default) pairs (strong) */
+    PyObject *guards;       /* tuple of attr-NAME strings (strong):
+                             * implicit attrs on a shared DTD that
+                             * DtdCow rolls back per document; replay
+                             * only while e.find_attribute(name)
+                             * succeeds (string-memo _guard_ok
+                             * semantics) — else bail so the full
+                             * path re-creates + re-gripes cold */
+    unsigned long long guard_gen;   /* sess_counter of last
+                                     * successful guard validation
+                                     * (attrs never vanish mid-parse,
+                                     * so one check per session) */
     int eidx;
     int n_attrs;
     int sflag;              /* update_space_mode outcome (never -2) */
@@ -246,6 +257,10 @@ typedef struct {
     StrMap ents;            /* name bytes -> index into ent_vals */
     StrMap shapes;          /* "name\0attr\0attr" -> shape_vals idx */
     CShape *shape_vals; size_t n_shapes, cap_shapes;
+    unsigned long long sess_counter;    /* bumped per sess_build;
+                                         * keys shape guard caching */
+    PyObject *parse_error;  /* errors.ParseError class (strong) */
+    PyObject *sev_warning;  /* errors.WARNING value (strong) */
     CEntity *ent_vals; size_t n_ents, cap_ents;
     PyObject **tag_objs;    /* memo entry tuples (strong), tape mode */
     size_t n_tag_objs, cap_tag_objs;
@@ -257,7 +272,8 @@ typedef struct {
         *s_structure, *s_undefined, *s_type, *s_omit_close,
         *s_initial_state, *s_final_state, *s_name, *s__tag_memo,
         *s__ent_fast, *s__c_tape, *s_content, *s_group,
-        *s__shape_memo, *s_case_sensitive;
+        *s__shape_memo, *s_case_sensitive,
+        *s_find_attribute, *s_errors, *s_quiet, *s_shorttag;
 } CtxObject;
 
 #define CDATA_EIDX 0        /* CDATA_ELEMENT is always element 0 */
@@ -276,6 +292,7 @@ static void ctx_flush(CtxObject *c)
         Py_XDECREF(c->shape_vals[i].e);
         Py_XDECREF(c->shape_vals[i].attrs);
         Py_XDECREF(c->shape_vals[i].defaults);
+        Py_XDECREF(c->shape_vals[i].guards);
     }
     free(c->shape_vals); c->shape_vals = NULL;
     c->n_shapes = c->cap_shapes = 0;
@@ -324,6 +341,9 @@ static void Ctx_dealloc(CtxObject *c)
     Py_XDECREF(c->s__c_tape);
     Py_XDECREF(c->s_content); Py_XDECREF(c->s_group);
     Py_XDECREF(c->s__shape_memo); Py_XDECREF(c->s_case_sensitive);
+    Py_XDECREF(c->s_find_attribute); Py_XDECREF(c->s_errors);
+    Py_XDECREF(c->s_quiet); Py_XDECREF(c->s_shorttag);
+    Py_XDECREF(c->parse_error); Py_XDECREF(c->sev_warning);
     PyObject_Del(c);
 }
 
@@ -855,6 +875,8 @@ typedef struct {
     long line, linepos, charpos;
     int first, blank_cdata, cmbe;
     int fold;               /* dtd.case_sensitive == False */
+    int shorttag;           /* dtd.shorttag (unquoted '/' breaks) */
+    int quiet;              /* parser.quiet (gripes don't append) */
     Buf cdata;
     Py_UCS4 *scratch; size_t scratch_cap;
     /* pending writeback values */
@@ -947,7 +969,11 @@ static int sess_build(Sess *S, CtxObject *c, PyObject *parser,
     S->blank_cdata = get_bool_attr(parser, c->s_blank_cdata, &err);
     S->cmbe = get_bool_attr(parser, c->s_cdata_must_be_empty, &err);
     S->fold = !get_bool_attr(c->dtd, c->s_case_sensitive, &err);
+    S->shorttag = get_bool_attr(c->dtd, c->s_shorttag, &err);
+    S->quiet = get_bool_attr(parser, c->s_quiet, &err);
     if (err) return -1;
+    c->sess_counter++;      /* invalidates per-parse shape-guard
+                             * validations from earlier sessions */
 
     PyObject *envs = PyObject_GetAttr(parser, c->s_environments);
     if (!envs) return -1;
@@ -1351,10 +1377,23 @@ static int shape_namec(Py_UCS1 x)
 }
 
 /* Scan decl; on a simple shape, build the folded key in kbuf and
- * record value spans.  Returns n_attrs >= 1, or 0 (not simple). */
+ * record value spans.  Returns n_attrs >= 1, or 0 (not simple).
+ * allow_unquoted: non-XML dialects may take unquoted values
+ * (reference itake_unquoted, parser.c:1163-1198): chars up to blank
+ * or decl end, verbatim, no entity expansion.  A value that is not
+ * entirely ASCII name chars makes Python's get_attribute_value emit
+ * the per-occurrence "Attribute value requires quotes" warning —
+ * those values still scan, with the attr's bit set in *gripe_mask
+ * so the commit site replays the warning (parser._rq_gripes
+ * registration tolerance).  In XML dialects any unquoted value
+ * gripes at tokenization (S_VAL0) with different semantics, so the
+ * scanner bails there; under shorttag '/' terminates the value
+ * (and triggers NET at the tokenizer), so '/' bails too. */
 static int shape_scan(const Py_UCS1 *d, Py_ssize_t dlen, int fold,
+                      int allow_unquoted, int shorttag,
                       char *kbuf, size_t *klen_out,
-                      Py_ssize_t *vstart, Py_ssize_t *vlen)
+                      Py_ssize_t *vstart, Py_ssize_t *vlen,
+                      unsigned int *gripe_mask)
 {
     size_t kn = 0;
     Py_ssize_t p = 0;
@@ -1416,7 +1455,35 @@ static int shape_scan(const Py_UCS1 *d, Py_ssize_t dlen, int fold,
                             d[p] == '\r' || d[p] == '\n')) p++;
         if (p >= dlen) return 0;
         Py_UCS1 q = d[p];
-        if (q != '"' && q != '\'') return 0;      /* unquoted: bail */
+        if (q != '"' && q != '\'') {
+            /* unquoted value (itake_unquoted): consume to blank or
+             * decl end.  Quotes inside bail (the whole-tag matcher
+             * treats them as quote-region openers), >= 0x80 bails
+             * (utf8 decode), '/' bails under shorttag (NET).  A
+             * non-name-token value sets the gripe bit. */
+            if (!allow_unquoted) return 0;
+            Py_ssize_t vs = p;
+            int pure = 1;
+            while (p < dlen) {
+                Py_UCS1 v = d[p];
+                if (v == ' ' || v == '\t' || v == '\r' || v == '\n')
+                    break;
+                if (v >= 0x80 || v == '"' || v == '\'')
+                    return 0;
+                if (shorttag && v == '/')
+                    return 0;
+                if (!shape_namec(v))
+                    pure = 0;
+                p++;
+            }
+            if (p == vs) return 0;                /* empty / junk */
+            if (!pure)
+                *gripe_mask |= (1u << na);
+            vstart[na] = vs;
+            vlen[na] = p - vs;
+            na++;
+            continue;
+        }
         p++;
         Py_ssize_t vs = p;
         while (p < dlen && d[p] != q) {
@@ -1456,13 +1523,15 @@ static int shape_probe(CtxObject *c, const char *key, size_t klen)
         if (PyErr_Occurred()) return -1;
         return -2;      /* no negative cache: Python registers once */
     }
-    if (!PyTuple_Check(entry) || PyTuple_GET_SIZE(entry) != 4)
+    if (!PyTuple_Check(entry) || PyTuple_GET_SIZE(entry) != 5)
         return -2;
     PyObject *e = PyTuple_GET_ITEM(entry, 0);
     PyObject *attrs = PyTuple_GET_ITEM(entry, 1);
     PyObject *defaults = PyTuple_GET_ITEM(entry, 2);
     long sflag = PyLong_AsLong(PyTuple_GET_ITEM(entry, 3));
     if (sflag == -1 && PyErr_Occurred()) return -1;
+    PyObject *guards = PyTuple_GET_ITEM(entry, 4);
+    if (!PyTuple_Check(guards)) return -2;
     int eidx = reg_elem(c, e);
     if (eidx < 0) return -1;
     if (c->n_shapes >= c->cap_shapes) {
@@ -1473,7 +1542,10 @@ static int shape_probe(CtxObject *c, const char *key, size_t klen)
     }
     CShape *sh = &c->shape_vals[c->n_shapes];
     Py_INCREF(e); Py_INCREF(attrs); Py_INCREF(defaults);
+    Py_INCREF(guards);
     sh->e = e; sh->attrs = attrs; sh->defaults = defaults;
+    sh->guards = guards;
+    sh->guard_gen = 0;
     sh->eidx = eidx;
     sh->n_attrs = (int)PyTuple_GET_SIZE(attrs);
     sh->sflag = (int)sflag;
@@ -1486,22 +1558,58 @@ static int shape_probe(CtxObject *c, const char *key, size_t klen)
 
 /* Try the shape path for an unregistered begin tag.
  * Returns 1 matched (*eidx_out/*sflag_out set; in tape mode
- * *entry_out = new ('b', e, atts, False, False) ref), 0 not
- * applicable, -1 error. */
+ * *entry_out = new ('b', e, atts, False, False) ref; gq_* filled
+ * with the value spans of unquoted non-name-token values whose
+ * "Attribute value requires quotes" warning the commit site must
+ * replay), 0 not applicable, -1 error. */
 static int shape_try(CtxObject *c, Sess *S, const Py_UCS1 *decl,
-                     Py_ssize_t dlen, int tape_mode, int *eidx_out,
-                     int *sflag_out, PyObject **entry_out)
+                     Py_ssize_t dlen, int tape_mode, int is_xml,
+                     int *eidx_out,
+                     int *sflag_out, PyObject **entry_out,
+                     Py_ssize_t *gq_start, Py_ssize_t *gq_len,
+                     int *gq_n)
 {
     char kbuf[SHAPE_KEY_MAX];
     size_t klen = 0;
     Py_ssize_t vstart[MAX_SHAPE_ATTRS], vlen[MAX_SHAPE_ATTRS];
-    int na = shape_scan(decl, dlen, S->fold, kbuf, &klen, vstart, vlen);
+    unsigned int gmask = 0;
+    int na = shape_scan(decl, dlen, S->fold, !is_xml, S->shorttag,
+                        kbuf, &klen, vstart, vlen, &gmask);
     if (!na) return 0;
     int si = shape_probe(c, kbuf, klen);
     if (si == -1) return -1;
     if (si == -2) return 0;
     CShape *sh = &c->shape_vals[si];
     if (sh->n_attrs != na) return 0;    /* defensive */
+    if (PyTuple_GET_SIZE(sh->guards) > 0 &&
+        sh->guard_gen != c->sess_counter) {
+        /* implicit-attr guards: replay only while every guarded
+         * attr exists on the element THIS parse (an earlier tag
+         * took the full path, griped cold and created it); attrs
+         * never vanish mid-parse, so validate once per session */
+        PyObject *find = PyObject_GetAttr(sh->e, c->s_find_attribute);
+        if (!find) return -1;
+        Py_ssize_t ng = PyTuple_GET_SIZE(sh->guards);
+        for (Py_ssize_t k = 0; k < ng; k++) {
+            PyObject *r = PyObject_CallFunctionObjArgs(
+                find, PyTuple_GET_ITEM(sh->guards, k), NULL);
+            if (!r) { Py_DECREF(find); return -1; }
+            int absent = (r == Py_None);
+            Py_DECREF(r);
+            if (absent) { Py_DECREF(find); return 0; }
+        }
+        Py_DECREF(find);
+        sh->guard_gen = c->sess_counter;
+    }
+    *gq_n = 0;
+    if (gmask) {
+        for (int k = 0; k < na; k++)
+            if (gmask & (1u << k)) {
+                gq_start[*gq_n] = vstart[k];
+                gq_len[*gq_n] = vlen[k];
+                (*gq_n)++;
+            }
+    }
     *eidx_out = sh->eidx;
     *sflag_out = sh->sflag;
     *entry_out = NULL;
@@ -1531,6 +1639,56 @@ static int shape_try(CtxObject *c, Sess *S, const Py_UCS1 *decl,
         *entry_out = entry;
     }
     return 1;
+}
+
+/* Replay "Attribute value requires quotes" warnings for a committed
+ * shape tag: exact Gripes.syntax_warning text + str_summary(_, 25)
+ * truncation (errors.py:27-45), line = tag startloc line (gripe()
+ * reads self.startloc[0]).  WARNING severity never bumps
+ * error_count nor raises StopParse; quiet parsers append nothing
+ * (gripe()'s severity != STYLE and not quiet branch). */
+static int emit_rq_gripes(CtxObject *c, Sess *S, const Py_UCS1 *decl,
+                          const Py_ssize_t *gq_start,
+                          const Py_ssize_t *gq_len, int gq_n)
+{
+    static const char PREFIX[] =
+        "Attribute value requires quotes, found \"";
+    if (S->quiet) return 0;
+    PyObject *errors = PyObject_GetAttr(S->parser, c->s_errors);
+    if (!errors) return -1;
+    if (!PyList_Check(errors)) { Py_DECREF(errors); return 0; }
+    for (int k = 0; k < gq_n; k++) {
+        char buf[96];
+        const char *v = (const char *)decl + gq_start[k];
+        Py_ssize_t vl = gq_len[k];
+        size_t bn = sizeof(PREFIX) - 1;
+        memcpy(buf, PREFIX, bn);
+        /* str_summary: verbatim if <= 25 chars, else first 17 +
+         * "..." + last 5; unquoted values contain no CR/LF (blanks
+         * terminate the scan), so no newline mapping is needed */
+        if (vl <= 25) {
+            memcpy(buf + bn, v, (size_t)vl); bn += (size_t)vl;
+        } else {
+            memcpy(buf + bn, v, 17); bn += 17;
+            memcpy(buf + bn, "...", 3); bn += 3;
+            memcpy(buf + bn, v + vl - 5, 5); bn += 5;
+        }
+        buf[bn++] = '"';
+        PyObject *msg = PyUnicode_DecodeLatin1(buf, (Py_ssize_t)bn,
+                                               NULL);
+        if (!msg) { Py_DECREF(errors); return -1; }
+        PyObject *line = PyLong_FromLong(S->ev_sl_l);
+        if (!line) { Py_DECREF(msg); Py_DECREF(errors); return -1; }
+        PyObject *pe = PyObject_CallFunctionObjArgs(
+            c->parse_error, c->sev_warning, line, msg, NULL);
+        Py_DECREF(line); Py_DECREF(msg);
+        if (!pe) { Py_DECREF(errors); return -1; }
+        int ar = PyList_Append(errors, pe);
+        Py_DECREF(pe);
+        if (ar < 0) { Py_DECREF(errors); return -1; }
+    }
+    Py_DECREF(errors);
+    return 0;
 }
 
 /* ---------------------------------------------------------------- */
@@ -1633,6 +1791,9 @@ static PyObject *pcdata_fast(PyObject *self, PyObject *args)
             if (hit < 0) FAIL();
             int kind, eidx;
             int sh_sflag = -1;
+            Py_ssize_t gq_start[MAX_SHAPE_ATTRS],
+                       gq_len[MAX_SHAPE_ATTRS];
+            int gq_n = 0;
             Py_XDECREF(shape_entry); shape_entry = NULL;
             if (hit) {
                 kind = TAG_KIND(entry);
@@ -1641,7 +1802,9 @@ static PyObject *pcdata_fast(PyObject *self, PyObject *args)
                 if (c1 == '/')
                     break;      /* end tags: string memo only */
                 int sr = shape_try(c, &S, T + i + 1, dlen, tape_mode,
-                                   &eidx, &sh_sflag, &shape_entry);
+                                   is_xml, &eidx, &sh_sflag,
+                                   &shape_entry,
+                                   gq_start, gq_len, &gq_n);
                 if (sr < 0) FAIL();
                 if (sr == 0) break;             /* miss: general loop */
                 kind = 1;
@@ -1768,6 +1931,12 @@ static PyObject *pcdata_fast(PyObject *self, PyObject *args)
                 }
                 /* push the new element (depth-capped pre-token) */
 undef_push:
+                /* per-occurrence warning replay for unquoted
+                 * non-name-token values — at commit only, so a bail
+                 * never double-gripes (the full path would re-gripe) */
+                if (gq_n &&
+                    emit_rq_gripes(c, &S, T + i + 1, gq_start,
+                                   gq_len, gq_n) < 0) FAIL();
                 /* startloc + location advance (committed now) */
                 S.startloc_l = S.line; S.startloc_p = S.linepos + 1;
                 S.startloc_c = S.charpos; S.startloc_dirty = 1;
@@ -2202,7 +2371,9 @@ static PyObject *make_ctx(PyObject *self, PyObject *args)
         !(c->allow_gen_list = grab_cb(cbs, "allow_gen")) ||
         !(c->env_class = grab_cb(cbs, "environment")) ||
         !(c->cdata_element = grab_cb(cbs, "cdata_element")) ||
-        !(c->space_flag = grab_cb(cbs, "space_flag")))
+        !(c->space_flag = grab_cb(cbs, "space_flag")) ||
+        !(c->parse_error = grab_cb(cbs, "parse_error")) ||
+        !(c->sev_warning = grab_cb(cbs, "sev_warning")))
         goto fail;
 #define INTERN(field, s) \
     if (!(c->field = PyUnicode_InternFromString(s))) goto fail
@@ -2237,6 +2408,10 @@ static PyObject *make_ctx(PyObject *self, PyObject *args)
     INTERN(s_group, "group");
     INTERN(s__shape_memo, "_shape_memo");
     INTERN(s_case_sensitive, "case_sensitive");
+    INTERN(s_find_attribute, "find_attribute");
+    INTERN(s_errors, "errors");
+    INTERN(s_quiet, "quiet");
+    INTERN(s_shorttag, "shorttag");
     INTERN(s__c_tape, "_c_tape");
 #undef INTERN
     return (PyObject *)c;

@@ -107,6 +107,7 @@ _CTX_CAP = 8   # shared dialect DTDs stay hot; per-document DTDs
 
 
 from . import dtd as D   # module-level: _space_flag runs per C tag
+from . import errors as E  # ParseError/WARNING for C-side gripe replay
                          # registration (a local import there showed
                          # up in unique-attr-corpus profiles)
 
@@ -185,6 +186,8 @@ def ctx_for(dtd):
         "cdata_element": M.CDATA_ELEMENT,
         "space_flag": (lambda entry, _dtd=dtd: _space_flag(entry,
                                                            _dtd)),
+        "parse_error": E.ParseError,
+        "sev_warning": E.WARNING,
     }
     ctx = MOD.make_ctx(dtd, consts, cbs)
     _CTX[key] = (dtd, ctx)

@@ -396,7 +396,8 @@ class DTD:
         self._ent_fast = {}      # entity name -> (text, kind) replay
                                  # cache (parser.process_entity)
         self._shape_memo = {}    # "name\0attr\0attr" -> (e, attrs,
-                                 # defaults, sflag): value-independent
+                                 # defaults, sflag, guard_names):
+                                 # value-independent
                                  # begin-tag replay for tags whose
                                  # attr VALUES are unique per
                                  # occurrence (every real <a href>) —

@@ -339,6 +339,9 @@ class SGMLParser(DeclMixin):
         self._emitting_empty = False  # p->empty_element analog
         self._decl_gripe = False    # tokenizer griped in current
                                     # token (blocks memoization)
+        self._rq_gripes = 0         # requires-quotes warnings in the
+                                    # current begin tag (shape path
+                                    # replays them per occurrence)
         self._url_cache = []        # MRU url->canonical (URL_CACHE=4)
         self._c_tape = []           # compiled-executor event tape
                                     # (drained by _drain_tape)
@@ -2713,6 +2716,11 @@ class SGMLParser(DeclMixin):
     def process_begin_element(self, decl, memo_key=None):
         dtd = self.dtd
         err0 = (self.error_count, len(self.errors))
+        self._rq_gripes = 0     # "Attribute value requires quotes"
+                                # fired during THIS tag's attr parse:
+                                # the one warning the shape path can
+                                # replay per occurrence (the C scanner
+                                # re-derives it from the value chars)
         r = self.itake_name(decl, 0)
         if r is None:
             return self.gripe(*Gripes.syntax_error(
@@ -2800,9 +2808,22 @@ class SGMLParser(DeclMixin):
                 memo[memo_key] = ('b', e, atts,
                                   empty_element is not None, conref)
         shape = dtd._shape_memo
+        # the ONE per-occurrence warning the C shape path replays is
+        # "Attribute value requires quotes" (unquoted non-name-token
+        # values — real-crawl <a href=/path>): the C scanner
+        # re-derives it from the value chars per occurrence, so an
+        # occurrence that griped ONLY that way may still register the
+        # (value-independent) shape.  Everything else keeps the
+        # strict err0 gate.
+        rq_appended = 0 if self.quiet else self._rq_gripes
+        shape_err_ok = (
+            self.error_count == err0[0] and
+            len(self.errors) == err0[1] + rq_appended and
+            (self._rq_gripes == 0 or
+             dtd.dialect not in D.XML_DIALECTS))
         if (shape is not None and memo_key is not None and
                 n_explicit and empty_element is None and not conref and
-                err0 == (self.error_count, len(self.errors)) and
+                shape_err_ok and
                 not self._decl_gripe and
                 not (e.undefined and dtd._cow is not None) and
                 (dtd.dialect != D.DL_XMLNS or
@@ -2819,26 +2840,32 @@ class SGMLParser(DeclMixin):
             # across DtdCow rollbacks) and none is xml:space (the
             # space flag is then the element's own mode).
             ok = True
+            shape_guards = ()
             for a, _v in atts[:n_explicit]:
                 # AT_CURRENT is stateful (explicit occurrences update
                 # the carried value); AT_CONREF implies empty.
-                # Implicit attrs are excluded on SHARED DTDs (DtdCow
-                # rolls them back between documents) EXCEPT the
-                # gripe-exempt wildcard families (html5 data-*/
-                # aria-*): their replay is value-equivalent even when
-                # the rolled-back Attr object is gone from
-                # e.attributes — nothing reads presence for an
-                # AT_IMPLIED CDATA attr and no cold-state gripe is
-                # suppressed.  On a private per-parse DTD implicit
-                # attrs live as long as the shape memo itself.
                 if (a.type != D.AT_CDATA or
-                        (a.implicit and dtd.shared and
-                         not (dtd.dialect in D.HTML5_DIALECTS and
-                              a.name.startswith(("data-", "aria-")))) or
                         a.def_ in (D.AT_CONREF, D.AT_CURRENT) or
                         a.name == "xml:space"):
                     ok = False
                     break
+                # Implicit attrs on SHARED DTDs are rolled back
+                # between documents, so their cold-state no_attribute
+                # gripe must re-fire once per document.  The shape
+                # carries their names as GUARDS: the C executor
+                # replays only while find_attribute(name) succeeds
+                # (i.e. some earlier tag in THIS document already
+                # took the full path, griped, and created the attr —
+                # exactly the string-memo 6-tuple guard semantics,
+                # _guard_ok).  The gripe-exempt wildcard families
+                # (html5 data-*/aria-*) stay unguarded: their replay
+                # is value-equivalent even when the rolled-back Attr
+                # object is gone.  On a private per-parse DTD
+                # implicit attrs live as long as the shape memo.
+                if (a.implicit and dtd.shared and
+                        not (dtd.dialect in D.HTML5_DIALECTS and
+                             a.name.startswith(("data-", "aria-")))):
+                    shape_guards = shape_guards + (a.name,)
             if ok:
                 for a, _v in atts[n_explicit:]:
                     # frozen default pairs are exact only for static
@@ -2856,7 +2883,8 @@ class SGMLParser(DeclMixin):
                         e,
                         tuple(a for a, _v in atts[:n_explicit]),
                         tuple(atts[n_explicit:]),
-                        sflag)
+                        sflag,
+                        shape_guards)
         self._emitting_empty = empty_element is not None
         self._emit_begin(e, atts)
         self._emitting_empty = False
@@ -3314,6 +3342,7 @@ class SGMLParser(DeclMixin):
                     token |= (0 if c.isdigit()
                               else NAM_LATER if is_name_char(c) else ANY_OTHER)
             if token == 0 or (token & ANY_OTHER):
+                self._rq_gripes = getattr(self, "_rq_gripes", 0) + 1
                 self.gripe(*Gripes.syntax_warning(
                     "Attribute value requires quotes", buf))
             if not dtd.att_case_sensitive and a.type != D.AT_CDATA:
