@@ -3944,6 +3944,19 @@ def _xmlns_update(self, e, atts):
             env.xmlns.append((px or None, str(v)))
 
 
+def _ns_default_pre(stack):
+    """Innermost DEFAULT-namespace binding of a drain replica stack
+    -> the "url:" prefix unprefixed element names resolve to
+    (xmlns.c:79-98 with prefix=None + the no-hook put_url identity).
+    "" when unbound or bound to the empty url (xmlns='')."""
+    for frames in reversed(stack):
+        if frames:
+            for px, url in reversed(frames):
+                if px is None:
+                    return url + ":" if url else ""
+    return ""
+
+
 def _xmlns_find(self, prefix):
     """(xmlns.c:79-98): innermost binding for prefix (None =
     default ns).  While draining a C tape, _ns_drain is the
@@ -4212,17 +4225,41 @@ class NodeTableParser(SGMLParser):
         positions read straight from the tape tuples — no per-event
         method dispatch or startloc/startcdata save-restore.  Falls
         back to the generic drain when the positions option is on
-        (the position attr needs base_file plumbing) or on an xmlns
-        region (row names/attrs need drain-time ns resolution via
-        _emit_begin)."""
+        (the position attr needs base_file plumbing) or, on an xmlns
+        region, when keep_prefix/on_urlns make name resolution
+        object-producing or hook-dependent.
+
+        Plain xmlns regions (r7) ride the fast loop: tape begins are
+        binding-NEUTRAL by the C gate (binding-carrying tags —
+        xmlns attrs, prefixed names, prefixed attrs — bail to Python
+        pre-commit, cspeed._space_flag -2), so the only
+        ns-dependent row value is the element name's DEFAULT-ns
+        qualification (xmlns.c:210-266 with no prefix, no hook).
+        The drain tracks the region-entry replica exactly like the
+        generic drain (pre-region pops shrink it; in-region begins
+        count as depth) and recomputes the default-url prefix only
+        at replica pops — O(1) per event.  Unprefixed attrs never
+        resolve with qualify_attributes off (xmlns.c:151-202), so
+        the shared per-entry attr map stays valid."""
         if (self.options.positions and self.base_file) or \
-                ns_snap is not None:
+                (ns_snap is not None and
+                 (self.dtd.keep_prefix or
+                  self.options.on_urlns is not None or
+                  self.options.qualify_attributes)):
             return super()._drain_tape(ns_snap)
         tape = self._c_tape
         rows = self.rows
         open_ = self._open
         text_parts = self.text_parts
         dtd = self.dtd
+        if ns_snap is not None:
+            ns_stack = list(ns_snap)
+            indepth = 0
+            pre = _ns_default_pre(ns_stack)
+            self._ns_drain = ns_stack   # one-off cold resolutions
+        else:
+            ns_stack = None
+            pre = ""
         amap_cache = getattr(dtd, "_attr_row_cache", None)
         if amap_cache is None or len(amap_cache) > 16384:
             # bound across memo generations (declarations clear
@@ -4266,8 +4303,26 @@ class NodeTableParser(SGMLParser):
                                     if isinstance(v, list) else str(v))
                                 for a, v in
                                 self.convert_attributes(entry[2])}
-                        hit = (entry, e.name, amap)
-                        amap_cache[id(entry)] = hit
+                        # prefixed names CANNOT appear on the tape
+                        # (binding-carrying tags bail); if the gate
+                        # invariant ever breaks, resolve per
+                        # occurrence instead of caching wrong rows
+                        prefixed = ":" in e.name or \
+                            any(":" in k for k in amap)
+                        hit = (entry, e.name, amap, prefixed)
+                        if not (prefixed and ns_stack is not None):
+                            amap_cache[id(entry)] = hit
+                    if ns_stack is not None and hit[3]:
+                        # cold safety path (gate violation): live
+                        # resolution against the replica, per
+                        # occurrence, no caching
+                        name = str(self._xmlns_resolve_element(
+                            hit[1]))
+                        attrs = {str(self._xmlns_resolve_attr(k)): v
+                                 for k, v in hit[2].items()}
+                    else:
+                        name = pre + hit[1] if pre else hit[1]
+                        attrs = hit[2]
                     if open_:
                         top = open_[-1]
                         parent_id = top[0]["node_id"]
@@ -4280,16 +4335,25 @@ class NodeTableParser(SGMLParser):
                     row = {
                         "node_id": len(rows), "parent_id": parent_id,
                         "ord": ord_, "kind": "element",
-                        "name": hit[1], "attrs": hit[2],
+                        "name": name, "attrs": attrs,
                         "text": None, "subtree_end": None,
                         "start_pos": sl[2], "end_pos": cp,
                     }
                     rows.append(row)
                     open_.append([row, 0])
+                    if ns_stack is not None:
+                        indepth += 1
                 else:
+                    if ns_stack is not None:
+                        if indepth:
+                            indepth -= 1
+                        elif ns_stack:
+                            ns_stack.pop()
+                            pre = _ns_default_pre(ns_stack)
                     if open_:
                         open_.pop()[0]["subtree_end"] = len(rows)
         finally:
+            self._ns_drain = None
             del tape[:]
 
     def finish_rows(self):
