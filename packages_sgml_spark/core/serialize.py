@@ -141,28 +141,35 @@ class _Writer:
         self.empty = frozenset(empty_elements or ())
         self.entity_map = entity_map
         self.out = []
-        self._bol = True    # at beginning of line ('~N' semantics)
 
     def write(self, s):
         if s:
             self.out.append(s)
-            self._bol = s[-1] == "\n"
 
     def write_indent(self):
+        """'~N' + pad semantics: break the line unless already at one
+        (the out tail IS the line state — no side bookkeeping)."""
         if not self.layout:
             return
-        if not self._bol:
-            self.write("\n")
-        self.write("\t" * (self.indent // 8) + " " * (self.indent % 8))
+        out = self.out
+        if out and not out[-1].endswith("\n"):
+            out.append("\n")
+        pad = "\t" * (self.indent // 8) + " " * (self.indent % 8)
+        if pad:
+            out.append(pad)
 
     # -- namespace map (update_nsmap, sgml_write.pl:483-521) ----------
 
     def _clean_attrs(self, attrs):
         """Drop xmlns attributes already bound identically in scope;
-        update the scope map.  Returns (attrs_to_write, saved_map)."""
+        update the scope map.  Returns (attrs_to_write, saved_map);
+        saved_map is None when the map was not touched (no xmlns
+        attrs, or cleanns off) — the caller then skips the restore."""
+        if not (self.xml and self.cleanns) or not any(
+                k == "xmlns" or k.startswith("xmlns:")
+                for k, _v in attrs):
+            return attrs, None
         saved = list(self.nsmap)
-        if not (self.xml and self.cleanns):
-            return attrs, saved
         keep = []
         for k, v in attrs:
             if k == "xmlns" or k.startswith("xmlns:"):
@@ -177,108 +184,173 @@ class _Writer:
 
     # -- elements ------------------------------------------------------
 
-    def emit_content_list(self, content):
-        for n in content:
-            self.emit(n)
-
     def emit(self, n):
-        if isinstance(n, str):          # text nodes dominate
-            self.write(quote_cdata(n, self.max_char,
-                                   self.entity_map))
-        elif isinstance(n, Element):
-            self.emit_element(n)
-        elif isinstance(n, (SData, NData)):
-            self.write(quote_cdata(n.text, self.max_char,
-                                   self.entity_map))
-        elif isinstance(n, PI):
-            self.write("<?%s?>" % n.text)
-        elif isinstance(n, Entity):
-            self.write("&%s;" % n.name)
+        self.emit_content_list([n])
 
     def emit_element(self, el):
-        attrs, saved_map = self._clean_attrs(el.attrs)
-        if attrs:
-            vals = [_attr_value_str(v) for _k, v in attrs]
-            alen = (sum(len(k) + 3 for k, _v in attrs) +
-                    sum(map(len, vals)) if self.layout else 0)
-        else:
-            vals = None
-            alen = 0
-        if alen > 60:
-            self.write("<" + el.name)
-            self.indent += 4
-            mc, em = self.max_char, self.entity_map
-            for (k, _v), s in zip(attrs, vals):
-                self.write_indent()
-                self.write('%s="%s"' % (k, quote_attribute(s, mc, em)))
-            self.indent -= 4
-        elif attrs:
-            mc, em = self.max_char, self.entity_map
-            self.write("<" + el.name + "".join(
-                ' %s="%s"' % (k, quote_attribute(s, mc, em))
-                for (k, _v), s in zip(attrs, vals)))
-        else:
-            self.write("<" + el.name)
-        self._content(el, attrs)
-        self.nsmap = saved_map
+        self.emit_content_list([el])
 
-    def _attr(self, k, v):
-        self.write('%s="%s"' % (k, quote_attribute(
-            _attr_value_str(v), self.max_char,
-            self.entity_map)))
-
-    def _content(self, el, attrs):
-        content = el.content
-        if not content:
-            # empty element: XML />, SGML EMPTY <e>, SGML NET <e//
-            if self.net:
-                if self.xml:
-                    self.write("/>")
-                elif el.name in self.empty:
-                    self.write(">")
+    def emit_content_list(self, content):
+        """Explicit-stack emitter (sgml_write.pl:176-227 emit tree,
+        de-recursed): one dispatch loop, writes appended straight to
+        the out list.  Ops on the work stack: ("n", node) emit;
+        ("w", s) literal; ("i", None) line break + pad; ("+", d)
+        indent adjust; ("m", map) nsmap restore.  Depth-unbounded —
+        a 100k-deep soup DOM serializes without RecursionError."""
+        out = self.out
+        append = out.append
+        mc, em = self.max_char, self.entity_map
+        full = mc >= 0x10FFFF          # no encoding cap: quoting is
+        cd_search = _RE_CDATA_SPECIAL.search   # a scan + translate
+        at_search = _RE_ATTR_SPECIAL.search
+        tt_cdata = _TT_CDATA
+        tt_attr = _TT_ATTR
+        xml = self.xml
+        xmlclean = xml and self.cleanns
+        layout = self.layout
+        net = self.net
+        html = self.dialect in ("html", "html5")
+        empty = self.empty
+        end_tags = {}            # name -> "</name>" (names repeat)
+        pads = {}                # indent -> line pad
+        stack = [("n", c) for c in reversed(content)]
+        push = stack.append
+        while stack:
+            op, n = stack.pop()
+            if op == "n":
+                if n.__class__ is str:   # text nodes dominate
+                    if n:
+                        if full or n.isascii():
+                            append(n if cd_search(n) is None
+                                   else n.translate(tt_cdata))
+                        else:
+                            append(quote_cdata(n, mc, em))
+                    continue
+                if not isinstance(n, Element):
+                    if isinstance(n, (SData, NData)):
+                        if n.text:
+                            append(quote_cdata(n.text, mc, em))
+                    elif isinstance(n, PI):
+                        append("<?%s?>" % n.text)
+                    elif isinstance(n, Entity):
+                        append("&%s;" % n.name)
+                    elif isinstance(n, str):   # str subclass
+                        if n:
+                            append(quote_cdata(n, mc, em))
+                    continue
+                name = n.name
+                end = end_tags.get(name)
+                if end is None:
+                    end = end_tags[name] = "</%s>" % name
+                attrs = n.attrs
+                saved_map = None
+                if attrs:
+                    if xmlclean:
+                        attrs, saved_map = self._clean_attrs(attrs)
+                    # one pass: value strings + the layout length
+                    # (unquoted lengths, ' k="v"' accounting)
+                    alen = 0
+                    parts = []
+                    for k, v in attrs:
+                        s = v if v.__class__ is str else \
+                            _attr_value_str(v)
+                        alen += len(k) + 3 + len(s)
+                        if full or s.isascii():
+                            if at_search(s) is not None:
+                                s = s.translate(tt_attr)
+                        else:
+                            s = quote_attribute(s, mc, em)
+                        parts.append(f' {k}="{s}"')
+                    if layout and alen > 60:
+                        append("<" + name)
+                        self.indent += 4
+                        for p in parts:
+                            self.write_indent()
+                            append(p[1:])
+                        self.indent -= 4
+                    else:
+                        append("<" + name + "".join(parts))
                 else:
-                    self.write("//")
-            else:
-                self.write(">")
-                if not (not self.xml and el.name in self.empty):
-                    self.write("</%s>" % el.name)
-            return
-        if len(content) == 1 and isinstance(content[0], str):
-            text = content[0]
-            if (not self.xml and self.net and "/" not in text and
-                    len(text) < 20):
-                self.write("/")
-                self.write(quote_cdata(text, self.max_char,
-                                       self.entity_map))
-                self.write("/")
-                return
-            if (el.name in ("script", "style") and
-                    self.dialect in ("html", "html5")):
-                # verbatim element
-                self.write(">" + text + "</" + el.name + ">")
-                return
-            self.write(">" + quote_cdata(text, self.max_char,
-                                         self.entity_map) +
-                       "</" + el.name + ">")
-            return
-        preserve = any(k == "xml:space" and str(v) == "preserve"
-                       for k, v in attrs)
-        elems = self._element_content(content) \
-            if self.layout and not preserve else None
-        if elems is not None:
-            self.write(">")
-            self.indent += 2
-            for c in elems:
-                self.write_indent()
-                self.emit(c)
-            self.indent -= 2
-            self.write_indent()
-            self.write("</%s>" % el.name)
-        else:
-            self.write(">")
-            for c in content:
-                self.emit(c)
-            self.write("</%s>" % el.name)
+                    append("<" + name)
+                cont = n.content
+                if not cont:
+                    # empty: XML />, SGML EMPTY <e>, SGML NET <e//
+                    if net:
+                        if xml:
+                            append("/>")
+                        elif name in empty:
+                            append(">")
+                        else:
+                            append("//")
+                    else:
+                        append(">")
+                        if not (not xml and name in empty):
+                            append(end)
+                    if saved_map is not None:
+                        self.nsmap = saved_map
+                    continue
+                if len(cont) == 1 and cont[0].__class__ is str:
+                    text = cont[0]
+                    if (not xml and net and "/" not in text and
+                            len(text) < 20):
+                        append("/")
+                        if text:
+                            append(quote_cdata(text, mc, em))
+                        append("/")
+                    elif html and name in ("script", "style"):
+                        # verbatim element
+                        append(">" + text + end)
+                    elif full or text.isascii():
+                        append(">" + (text if cd_search(text) is None
+                                      else text.translate(tt_cdata))
+                               + end)
+                    else:
+                        append(">" + quote_cdata(text, mc, em) + end)
+                    if saved_map is not None:
+                        self.nsmap = saved_map
+                    continue
+                if layout:
+                    preserve = False
+                    for k, v in attrs:
+                        if k == "xml:space" and str(v) == "preserve":
+                            preserve = True
+                            break
+                    elems = None if preserve \
+                        else self._element_content(cont)
+                else:
+                    elems = None
+                append(">")
+                if saved_map is not None:
+                    push(("m", saved_map))
+                if elems is not None:
+                    push(("w", end))
+                    push(("i", None))
+                    push(("+", -2))
+                    for c in reversed(elems):
+                        push(("n", c))
+                        push(("i", None))
+                    push(("+", 2))
+                else:
+                    push(("w", end))
+                    for c in reversed(cont):
+                        push(("n", c))
+            elif op == "i":
+                if layout:
+                    if out and not out[-1].endswith("\n"):
+                        append("\n")
+                    ind = self.indent
+                    if ind:
+                        pad = pads.get(ind)
+                        if pad is None:
+                            pad = pads[ind] = ("\t" * (ind // 8) +
+                                               " " * (ind % 8))
+                        append(pad)
+            elif op == "w":
+                append(n)
+            elif op == "+":
+                self.indent += n
+            else:        # "m": leave the element's ns scope
+                self.nsmap = n
 
     @staticmethod
     def _element_content(content):

@@ -269,3 +269,16 @@ def test_fuzz_writer_roundtrip(data, layout):
         return out
 
     assert repr(strip(dom1)) == repr(strip(dom2)), s
+
+
+def test_deep_dom_serializer_iterative():
+    """The explicit-stack serializer emitter handles depth far past
+    the interpreter recursion limit (r7: de-recursed emit tree)."""
+    from packages_sgml_spark.core.serialize import xml_write, html_write
+    dom, _ = parse_document(b'<d>' * 20000 + b'x', dialect='html5',
+                            max_errors=-1)
+    s = xml_write(dom, header=False, layout=False, net=True)
+    assert s.startswith("<d><d>") and s.endswith("</d>")
+    assert s.count("<d>") == 20000 and s.count("</d>") == 20000
+    s2 = html_write(dom)   # layout path exercises the indent ops
+    assert s2.count("<d>") == 20000
