@@ -69,7 +69,8 @@ def run_queries(spark, sf_dir):
     return timings
 
 
-def parse_throughput(spark, n_docs=PARSE_DOCS, unique_links=False):
+def parse_throughput(spark, n_docs=PARSE_DOCS, unique_links=False,
+                     unquoted_links=False):
     """Synthetic Common-Crawl-style corpus -> extract() -> docs/sec,
     MB/sec.  Input is generated JVM-side and cached so the measured
     cost is the parse."""
@@ -80,7 +81,8 @@ def parse_throughput(spark, n_docs=PARSE_DOCS, unique_links=False):
 
     ensure_workers(spark)
     pages = synthetic_pages(spark, n_docs, scale=12,
-                            unique_links=unique_links).cache()
+                            unique_links=unique_links,
+                            unquoted_links=unquoted_links).cache()
     stats = pages.select(F.count("*").alias("n"),
                          F.sum(F.length("html")).alias("bytes")).collect()[0]
     # warm-up: one full pass touches every python worker (package
@@ -138,6 +140,12 @@ def bench_default():
     # Same doc count as the main corpus so the MB/s readings compare
     # without fixed-cost dilution.
     ptu = parse_throughput(spark, unique_links=True)
+    # legacy-soup shape: same unique hrefs, UNQUOTED (<a href=url>) —
+    # the itake_unquoted path the r7 shape scanner accepts; done
+    # criterion (VERDICT r6 item 2) is this within ~20% of the quoted
+    # unique-links figure.
+    ptq = parse_throughput(spark, unique_links=True,
+                           unquoted_links=True)
     load1 = _box_load()
     # mid-run box collapse (r6: a co-tenant landing mid-loop inflated
     # every query uniformly +10-35% while the same file's parse
@@ -170,6 +178,9 @@ def bench_default():
         "parse_mb_per_sec_unique_links": ptu["mb_per_sec"],
         "parse_corpus_unique_links": {"n_docs": ptu["n_docs"],
                                       "mb": ptu["mb"]},
+        "parse_mb_per_sec_unique_unquoted": ptq["mb_per_sec"],
+        "parse_corpus_unique_unquoted": {"n_docs": ptq["n_docs"],
+                                         "mb": ptq["mb"]},
         "cpus": cpus,
         "box_load_before": load0,
         "box_load_after": load1,

@@ -23,7 +23,8 @@ TEST_DIR = "/root/reference/Test"
 
 
 def synthetic_pages(spark, n_docs=1000, n_hosts=1000, seed=42,
-                    scale=1, unique_links=False) -> DataFrame:
+                    scale=1, unique_links=False,
+                    unquoted_links=False) -> DataFrame:
     """Deterministic pages DF.  Zipf-ish hosts: host rank r taken as
     floor(u^3 * n_hosts) of a uniform hash -> mass concentrates on
     low ranks (hot hosts).  `scale` multiplies paragraph count
@@ -32,7 +33,13 @@ def synthetic_pages(spark, n_docs=1000, n_hosts=1000, seed=42,
     unique_links=True gives every <a href> a per-document,
     per-paragraph URL — the real-crawl shape where attr values never
     repeat, which exercises the shape-replay parse path instead of
-    the string-keyed tag memo (r6; BENCH.md)."""
+    the string-keyed tag memo (r6; BENCH.md).
+
+    unquoted_links=True (with unique_links) drops the quotes around
+    those hrefs — legacy-soup shape (`<a href=https://...>`), the
+    itake_unquoted path (reference parser.c:1163-1198) that r7's
+    shape scanner accepts; quotes-required warnings still fire
+    per-occurrence."""
     df = spark.range(n_docs).withColumnRenamed("id", "i")
     h = F.abs(F.xxhash64(F.col("i") + F.lit(seed)))
     u = (h % 1000000) / 1000000.0
@@ -50,16 +57,18 @@ def synthetic_pages(spark, n_docs=1000, n_hosts=1000, seed=42,
     n_paras = ((h % 7 + 1) * scale).cast("int")
     if unique_links:
         # per-paragraph unique hrefs (JVM-side, still deterministic)
+        oq, cq = ("", "") if unquoted_links else ("\"", "\"")
         paras = F.array_join(F.transform(
             F.sequence(F.lit(1), n_paras),
             lambda j: F.concat(
                 F.lit("<p>Paragraph about topic "),
                 (h % 97).cast("string"),
                 F.lit(" with some &amp; entities, a <b>bold</b> "
-                      "claim, and a link to <a href=\"https://"),
+                      "claim, and a link to <a href=" + oq +
+                      "https://"),
                 host, F.lit("/ref/"), F.col("i").cast("string"),
                 F.lit("-"), j.cast("string"),
-                F.lit("\">a reference</a>."),
+                F.lit(cq + ">a reference</a>."),
                 F.when(h % 3 == 0, F.lit("")).otherwise(
                     F.lit("</p>")))), "")
     else:
