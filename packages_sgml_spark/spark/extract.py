@@ -432,17 +432,25 @@ def esis_pages(pages: DataFrame, dialect="html5",
     return _page_sink(pages, "esis", one, repartition)
 
 
-def c14n_pages(pages: DataFrame, dialect="xml",
-               repartition="auto") -> DataFrame:
-    """Exclusive-canonical-XML sink (xml_write_canonical, byte-exact
-    vs the reference's -exc outputs) as a Spark operator."""
+def c14n_pages(pages: DataFrame, dialect="xml", method=None,
+               keep_prefix=False, repartition="auto") -> DataFrame:
+    """Canonical-XML sink (xml_write_canonical) as a Spark operator.
+
+    Default is the exclusive method (byte-exact vs the reference's 17
+    -exc outputs).  method=c14n.C14N selects the reference's plain
+    non-exclusive canonicalization (c14n2.pl:64-71 method option;
+    tests/test_c14n_plain.py) — for ns-bearing inputs pass
+    dialect="xmlns" and keep_prefix=True, the xml_write_canonical/3
+    input contract (c14n2.pl:58-63)."""
     def one(html):
-        from ..core.c14n import xml_write_canonical
+        from ..core.c14n import EXC_C14N, xml_write_canonical
         from ..core.parser import ParserOptions, SGMLParser
         p = SGMLParser(ParserOptions(dialect=dialect, encoding="utf-8",
+                                     keep_prefix=keep_prefix,
                                      quiet=True, max_errors=-1))
         dom, _errors = p.parse(html)
-        return xml_write_canonical(dom), "ok"
+        return xml_write_canonical(
+            dom, method=method if method is not None else EXC_C14N), "ok"
 
     return _page_sink(pages, "c14n", one, repartition)
 
