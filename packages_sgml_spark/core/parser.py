@@ -21,7 +21,7 @@ from . import dtd as D
 from . import model as M
 from .chars import is_blank_char, is_name_char, is_nmstart_char
 from .decls import DeclMixin
-from .dom import Element, SData, NData, PI
+from .dom import Element, SData, NData, PI, QName
 from .entities import (XML_ENTITY_DECLS, isee_character_entity, safe_chr)
 from .errors import Gripes, ParseError, ERROR, STYLE
 from .states import (
@@ -352,6 +352,12 @@ class SGMLParser(DeclMixin):
                                     # resolution reads this instead of
                                     # self.environments, which is at
                                     # the region's END state by then
+        self._ns_drain_names = None  # per-region element-name
+                                    # resolution memo (r7): bindings
+                                    # are constant between drain pops
+                                    # (in-region begins are binding-
+                                    # neutral by the C gate), so
+                                    # name -> QName/str resolves once
 
     # ------------------------------------------------------------------
     # dialect / encoding (parser.c:1256-1298, 3807-3849)
@@ -952,6 +958,8 @@ class SGMLParser(DeclMixin):
             stack = list(ns_snap)
             indepth = 0
             self._ns_drain = stack
+            names = {}
+            self._ns_drain_names = names
         try:
             for ev in tape:
                 k = ev[0]
@@ -974,9 +982,11 @@ class SGMLParser(DeclMixin):
                             indepth -= 1
                         elif stack:
                             stack.pop()
+                            names.clear()
                     self.ev_end(ev[1])
         finally:
             self._ns_drain = None
+            self._ns_drain_names = None
             del tape[:]
             self.startloc = save_sl
             self.startcdata = save_scd
@@ -2916,12 +2926,13 @@ class SGMLParser(DeclMixin):
         position=file:Start-End over the start-tag char span)."""
         if self.dtd.dialect == D.DL_XMLNS:
             name = self._xmlns_resolve_element(e.name)
-            conv = [(self._xmlns_resolve_attr(
-                        k, self.options.qualify_attributes), v)
-                    for k, v in self.convert_attributes(atts)]
+            conv = ([(self._xmlns_resolve_attr(
+                         k, self.options.qualify_attributes), v)
+                     for k, v in self.convert_attributes(atts)]
+                    if atts else [])
         else:
             name = e.name
-            conv = self.convert_attributes(atts)
+            conv = self.convert_attributes(atts) if atts else []
         if self.options.positions and self.base_file:
             conv = conv + [("position", "%s:%d-%d" % (
                 self.base_file, self.startloc[2], self.charpos))]
@@ -3983,8 +3994,19 @@ def _xmlns_resolve_element(self, name):
     With keep_prefix(true) returns a QName (ns(P,U):L analog).
     During a tape drain the env stack is post-region state, so env
     mutations (thisns, implicit prefix defs) are skipped — the C
-    gate keeps mutating names (prefixed) off the tape."""
-    from .dom import QName
+    gate keeps mutating names (prefixed) off the tape.
+
+    Drain fast path (r7): bindings are constant between drain pops
+    and tape begins are ':'-free (shape/memo xmlns gate), so the
+    resolved name memoizes in _ns_drain_names; _put_url already
+    dedups on_urlns hook calls (URL_CACHE mirror), and the only
+    griping branch (undefined prefix) is unreachable for ':'-free
+    names, so the memo is observation-equivalent."""
+    memo = self._ns_drain_names
+    if memo is not None:
+        r = memo.get(name)
+        if r is not None:
+            return r
     env = (self.environments[-1]
            if self._ns_drain is None and self.environments else None)
     kp = self.dtd.keep_prefix
@@ -4014,14 +4036,17 @@ def _xmlns_resolve_element(self, name):
     if env is not None:
         env.thisns = (None, url) if url else None
     if url:
-        return QName("", url, name) if kp else "%s:%s" % (url, name)
-    return name
+        r = QName("", url, name) if kp else "%s:%s" % (url, name)
+    else:
+        r = name
+    if memo is not None:
+        memo[name] = r
+    return r
 
 
 def _xmlns_resolve_attr(self, name, qualify=False):
     """(xmlns.c:151-202): prefixed attrs resolve; unprefixed only
     under qualify_attributes.  keep_prefix -> QName."""
-    from .dom import QName
     kp = self.dtd.keep_prefix
     if ':' in name:
         prefix, local = name.split(':', 1)
