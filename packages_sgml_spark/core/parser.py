@@ -35,6 +35,10 @@ from .states import (
 DM_DATA = "DATA"
 DM_DTD = "DTD"
 
+# process-lifetime EntityDef singletons for the 5 predefined XML
+# entities (built on first XML DTD setup; see setup_dtd)
+_XML_ENT_SINGLETONS = None
+
 MS_INCLUDE, MS_IGNORE, MS_CDATA, MS_RCDATA = range(4)
 EV_EXPLICIT, EV_OMITTED, EV_SHORTTAG, EV_SHORTREF = range(4)
 
@@ -393,8 +397,23 @@ class SGMLParser(DeclMixin):
             dtd.encoding = "utf-8"
             dtd.space_mode = D.SP_PRESERVE
             dtd.shorttag = False
-            for decl in XML_ENTITY_DECLS:
-                self.process_entity_declaration(decl)
+            # the 5 predefined XML entities are declared through the
+            # real declaration parser ONCE per process and installed
+            # as shared EntityDef singletons afterwards: ET_LITERAL
+            # entities are immutable after declaration (only
+            # SYSTEM/PUBLIC get e.value resolver writes, and
+            # redefinition gripes without mutating), and DTD-less XML
+            # creates a fresh DTD per document — 5 full declaration
+            # parses per doc was ~20% of the DTD-less corpus profile
+            global _XML_ENT_SINGLETONS
+            if _XML_ENT_SINGLETONS is None:
+                for decl in XML_ENTITY_DECLS:
+                    self.process_entity_declaration(decl)
+                _XML_ENT_SINGLETONS = {
+                    n: dtd.entities[n]
+                    for n in ("lt", "gt", "amp", "apos", "quot")}
+            else:
+                dtd.entities.update(_XML_ENT_SINGLETONS)
         self.utf8_decode = dtd.encoding == "utf-8"
 
     def xml_set_encoding(self, enc):
