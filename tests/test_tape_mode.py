@@ -467,6 +467,15 @@ def test_tape_xmlns_structured():
          '<i xml:space="preserve">  s  </i></r>'),
         # deep repeated neutral tags (the C replay hot path)
         '<r xmlns="u">' + '<d k="v">t</d>' * 30 + '</r>',
+        # r7 name-memo invalidation: the SAME element name must
+        # resolve differently across sibling regions separated by
+        # drain pops (_ns_drain_names clears on stack.pop())
+        '<r><a xmlns="p"><x>1</x></a><a xmlns="q"><x>2</x></a><x>3</x></r>',
+        # unbind (xmlns="") between regions sharing names
+        '<r xmlns="u0"><a xmlns=""><b>x</b></a><b>y</b></r>',
+        # default changes per subtree with trailing sibling after pop
+        ('<r xmlns="u0"><a xmlns="u1"><b>t1</b><c>t2</c></a><d>t3</d>'
+         '<a xmlns="u2"><b>t4</b></a><e>t5</e></r>'),
     ]
     _diff_dom(docs, dialect="xmlns")
 
