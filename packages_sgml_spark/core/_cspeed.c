@@ -25,8 +25,10 @@
  * model.make_dtd_transition / same_state / find_omitted_path, which
  * memoize Python-side too, keeping both views identical.  The tag and
  * entity replay maps shadow dtd._tag_memo / dtd._ent_fast lazily.
- * model.OMIT_GEN is the shared invalidation generation: when it
- * moves, ALL C registries are dropped and rebuilt from live objects.
+ * The per-DTD dtd._omit_gen list is the invalidation generation:
+ * when it moves, this ctx's registries are dropped and rebuilt from
+ * live objects (per-DTD so one DTD's flips don't flush another's
+ * warm ctx — cspeed.ctx_for passes each ctx its own DTD's list).
  */
 
 #define PY_SSIZE_T_CLEAN

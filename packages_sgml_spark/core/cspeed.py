@@ -116,8 +116,8 @@ def _space_flag(entry, dtd=None):
     """Precompute update_space_mode's outcome for a memoized begin
     tag (parser.update_space_mode is deterministic per entry: the
     atts list and the element's declared space mode are fixed until
-    the next declaration, which bumps OMIT_GEN and flushes the C
-    registries).  Returns:
+    the next declaration, which bumps the DTD's _omit_gen and
+    flushes its C registries).  Returns:
       -1  no-op (no xml:space attr, element inherits space)
       -2  must bail to Python (invalid xml:space value -> gripe)
       >=0 the space mode to install on the pushed environment
@@ -178,10 +178,15 @@ def ctx_for(dtd):
     cbs = {
         "make_dtd_transition": M.make_dtd_transition,
         "same_state": M.same_state,
-        "find_omitted_path": M.find_omitted_path,
+        "find_omitted_path": (
+            lambda st, e, _g=dtd._omit_gen, _f=M.find_omitted_path:
+            _f(st, e, _g)),
         "make_state_engine": M.make_state_engine,
-        "omit_gen": M.OMIT_GEN,
-        "allow_gen": M.ALLOW_GEN,
+        # per-DTD generations (model.py design note): a private
+        # DTD's flips flush only its own ctx, not the shared
+        # dialect DTDs' warm registries
+        "omit_gen": dtd._omit_gen,
+        "allow_gen": dtd._allow_gen,
         "environment": Environment,
         "cdata_element": M.CDATA_ELEMENT,
         "space_flag": (lambda entry, _dtd=dtd: _space_flag(entry,

@@ -31,9 +31,10 @@ class DeclMixin:
         """ELEMENT/ATTLIST/ENTITY declarations can change what a
         memoized tag or entity replay would produce (content models,
         attribute defaults, entity values) — drop both caches, and
-        bump the omitted-path cache generation (find_omitted_path
-        reads other elements' omit_open flags, so its per-state memos
-        go stale on redeclaration too; model.py:OMIT_GEN)."""
+        bump this DTD's omitted-path cache generation
+        (find_omitted_path reads other elements' omit_open flags, so
+        its per-state memos go stale on redeclaration too;
+        dtd._omit_gen, model.py design note)."""
         dtd = self.dtd
         memo = dtd._tag_memo
         if memo:
@@ -48,8 +49,7 @@ class DeclMixin:
             # rebuilt after this point may embed the doc-local
             # declarations, so the rollback clears them again
             dtd._cow.dict_level = True
-        from . import model as _M
-        _M.OMIT_GEN[0] += 1
+        dtd._omit_gen[0] += 1
 
     # ------------------------------------------------------------------
     # lexical helpers (parser.c:848-1198)
@@ -907,11 +907,10 @@ class DeclMixin:
     def process_usemap_declaration(self, s):
         # USEMAP attaches shortref maps to Element objects
         # (element.map), which the compiled executor caches per
-        # element — bump the shared cache generation so its registry
+        # element — bump this DTD's cache generation so its registry
         # refreshes (the pure-Python paths read .map live and don't
         # need this; flushing is merely a cheap over-invalidation)
-        from . import model as _M
-        _M.OMIT_GEN[0] += 1
+        self.dtd._omit_gen[0] += 1
         s = self.expand_pentities(s)
         if s is None:
             return

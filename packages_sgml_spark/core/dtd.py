@@ -363,13 +363,13 @@ class DtdCow:
             # attrs-only journals skip this: their replays are
             # value-equivalent (see attrs()), so the warm registries
             # stay valid across documents.
-            M.OMIT_GEN[0] += 1
+            dtd._omit_gen[0] += 1
         elif self.flipped:
             # flip-only rollback: the full registries stay warm, but
             # the executor's allow_for-membership cache must not
             # carry positives into the next parse's fresh flip
-            # (model.ALLOW_GEN rationale)
-            M.ALLOW_GEN[0] += 1
+            # (model.py _allow_gen rationale)
+            dtd._allow_gen[0] += 1
 
 
 class DTD:
@@ -405,6 +405,13 @@ class DTD:
                                  # values itself (parser.py
                                  # process_begin_element registers)
         self._setup_done = False  # set_dialect ran at least once
+        # Per-DTD cache generations (one-slot lists; model.py design
+        # note).  Process-global generations made every private-DTD
+        # flip flush the shared dialect DTDs' compiled registries —
+        # per-DTD scoping keeps a worker's html5 caches warm across
+        # interleaved DTD-less XML documents.
+        self._omit_gen = [0]
+        self._allow_gen = [0]
 
         self.encoding = "iso-8859-1"
 
@@ -434,11 +441,10 @@ class DTD:
                 # registries on every soup document)
                 self._cow.structure(e)
             else:
-                # unjournaled flip (private DTD): invalidate the
-                # compiled executor's cached element flags; happens
-                # once per element lifetime (core/cspeed.py gen-guard)
-                from . import model as _M
-                _M.OMIT_GEN[0] += 1
+                # unjournaled flip (private DTD): invalidate THIS
+                # DTD's compiled-executor registries; happens once
+                # per element lifetime (core/cspeed.py gen-guard)
+                self._omit_gen[0] += 1
             e.structure = ElementDef()
             e.undefined = True
         return e

@@ -36,23 +36,33 @@ C_EMPTY, C_CDATA, C_RCDATA, C_ANY, C_PCDATA = range(5)
 MAX_VISITED = 256
 MAXOMITTED = 32
 
-# find_omitted_path cache generation: unlike the transition/same_state
-# memos (pure graph reachability, unaffected by redeclaration), the
-# omitted-path DFS reads other elements' omit_open flags and builds
-# their engines, so an ELEMENT (re)declaration can change its result.
+# Cache generations are PER-DTD (dtd._omit_gen / dtd._allow_gen,
+# one-slot lists so the compiled executor can watch them by
+# identity).  They used to be process-global, which made every
+# private-DTD undefined-element flip (one per element of every
+# DTD-less XML document) flush the *shared* html5 registries too —
+# a measured ~30% html5-throughput loss on mixed html+xml corpora.
+# A DTD's elements/states/attrs are never shared with another DTD
+# (private_dtd_copy rebuilds from scratch), so per-DTD stamping is
+# exact.
+#
+# _omit_gen — find_omitted_path cache generation: unlike the
+# transition/same_state memos (pure graph reachability, unaffected
+# by redeclaration), the omitted-path DFS reads other elements'
+# omit_open flags and builds their engines, so an ELEMENT
+# (re)declaration can change its result.
 # DeclMixin._invalidate_replay_caches bumps this; stale-generation
 # memos are discarded lazily.
-OMIT_GEN = [0]
-
-# Bumped by DtdCow.rollback when undefined-element flips were rolled
-# back WITHOUT an OMIT_GEN bump (the cheap shared-DTD soup path): the
-# compiled executor's (parent, child) allow_for-membership cache is
-# the one registry whose entries those rollbacks invalidate — the
-# next parse re-flips the element with a FRESH empty ElementDef, so a
-# stale positive would skip allow_for and leave the new model empty
-# (observable through make_state_engine).  Everything else the
-# executor caches about flipped elements is rollback-stable.
-ALLOW_GEN = [0]
+#
+# _allow_gen — bumped by DtdCow.rollback when undefined-element
+# flips were rolled back WITHOUT an _omit_gen bump (the cheap
+# shared-DTD soup path): the compiled executor's (parent, child)
+# allow_for-membership cache is the one registry whose entries those
+# rollbacks invalidate — the next parse re-flips the element with a
+# FRESH empty ElementDef, so a stale positive would skip allow_for
+# and leave the new model empty (observable through
+# make_state_engine).  Everything else the executor caches about
+# flipped elements is rollback-stable.
 
 
 class Model:
@@ -234,19 +244,22 @@ def same_state(final: State, here: State) -> bool:
     return result
 
 
-def find_omitted_path(state: Optional[State], e) -> Optional[list]:
+def find_omitted_path(state: Optional[State], e,
+                      gen_list) -> Optional[list]:
     """DFS for a chain of omit-open elements reaching e
     (model.c:236-285).  Returns list of Elements to open, or None.
 
     Memoized per state like make_dtd_transition/same_state, but
     generation-stamped: the DFS reads other elements' omit_open flags
     and content models, which an ELEMENT (re)declaration can change —
-    DeclMixin._invalidate_replay_caches bumps OMIT_GEN and stale
-    memos are discarded here.  Callers only iterate the result, never
-    mutate it."""
+    DeclMixin._invalidate_replay_caches bumps the owning DTD's
+    ``_omit_gen`` and stale memos are discarded here.  ``gen_list``
+    must be the one-slot ``dtd._omit_gen`` of the DTD that owns
+    ``state``/``e`` (the compiled executor passes it via a per-ctx
+    closure).  Callers only iterate the result, never mutate it."""
     if state is None:
         return None
-    gen = OMIT_GEN[0]
+    gen = gen_list[0]
     memo_entry = state.omit_memo
     memo = None
     if memo_entry is not None:

@@ -547,7 +547,7 @@ class SGMLParser(DeclMixin):
                 dtd._tag_memo = {}
             if dtd._shape_memo is not None:
                 dtd._shape_memo = {}
-            M.OMIT_GEN[0] += 1
+            dtd._omit_gen[0] += 1
             dtd._memo_defaults = self.options.defaults
         if not dtd.shared:
             return
@@ -1233,7 +1233,8 @@ class SGMLParser(DeclMixin):
                             penv = env
                             if new is None and len(envs) >= 2 and \
                                     pedef.omit_close and \
-                                    not M.find_omitted_path(st, e):
+                                    not M.find_omitted_path(
+                                        st, e, dtd._omit_gen):
                                 # one-level omitted-close walk
                                 # (open_element idx=top-1 + pop_to
                                 # single iteration, parser.c:2962-2996
@@ -2763,9 +2764,11 @@ class SGMLParser(DeclMixin):
                 # see dtd.DtdCow / dtd.def_element)
                 dtd._cow.structure(e)
             else:
-                # undefined flip on a private DTD: flush the compiled
-                # executor's cached element flags (once per element)
-                M.OMIT_GEN[0] += 1
+                # undefined flip on a private DTD: flush THIS DTD's
+                # compiled-executor element flags (once per element;
+                # per-DTD so interleaved DTD-less XML docs don't
+                # cold-start the shared dialect DTDs' registries)
+                dtd._omit_gen[0] += 1
             e.structure = D.ElementDef()
             e.structure.type = M.C_EMPTY
             e.undefined = True
@@ -3152,7 +3155,8 @@ class SGMLParser(DeclMixin):
                         self.pop_to(idx, e)
                     self.push_element(e, False)
                     return True
-                path = M.find_omitted_path(env.state, e)
+                path = M.find_omitted_path(env.state, e,
+                                           self.dtd._omit_gen)
                 if path is not None and len(path) > 0:
                     self.pop_to(idx, e)
                     old = self.event_class

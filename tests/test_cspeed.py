@@ -433,3 +433,52 @@ def test_cspeed_registry_growth_bounded():
     stats = cs.MOD.ctx_stats(cs.ctx_for(dtd))
     assert stats["n_states"] <= 4200, stats
     assert stats["n_elems"] <= 4200, stats
+
+
+def test_private_dtd_flips_do_not_flush_shared_registries():
+    """Per-DTD cache generations (r7): a DTD-less XML document's
+    undefined-element flips bump only its OWN private DTD's
+    ``_omit_gen`` — the shared html5 DTD's compiled registries stay
+    warm across interleaved XML parses.  When the generation was
+    process-global, every xml doc's ~5 flips cold-started the html5
+    ctx: a measured ~30% html5-throughput loss on mixed html+xml
+    corpora (the real-crawl shape: pages + sitemaps/feeds in one
+    worker)."""
+    import packages_sgml_spark.core.cspeed as cs
+    assert cs.MOD is not None
+    from packages_sgml_spark.core import htmldtd
+
+    def parse(doc, dialect):
+        p = TextOnlyParser(ParserOptions(dialect=dialect,
+                                         encoding="utf-8"))
+        p.parse(doc)
+        return p
+
+    # warm the shared html5 registries
+    html_doc = ('<!DOCTYPE html><html><head><title>t</title></head>'
+                '<body><p>a<b>c</b><a href="https://x/y">l</a></body>'
+                '</html>')
+    for _ in range(3):
+        parse(html_doc, "html5")
+    shared = htmldtd.get_html_dtd("html5")
+    gen0 = shared._omit_gen[0]
+    warm = cs.MOD.ctx_stats(cs.ctx_for(shared))
+    assert warm["n_tag_objs"] > 0
+
+    # DTD-less XML parses flip undefined elements on their private
+    # per-document DTDs
+    xml_doc = ("<?xml version='1.0'?><doc><title>t</title>"
+               "<p>x<b>y</b><a href='https://x/z'>l</a></p></doc>")
+    for _ in range(4):
+        px = parse(xml_doc, "xml")
+    # the flips DID invalidate the private DTD's own generation...
+    assert px.dtd._omit_gen[0] > 0
+    # ...and did NOT touch the shared html5 DTD's generation
+    assert shared._omit_gen[0] == gen0
+
+    # the html5 ctx keeps its warm registries through the next parse
+    # (a generation mismatch would flush them in sess_build)
+    parse(html_doc, "html5")
+    after = cs.MOD.ctx_stats(cs.ctx_for(shared))
+    assert after["n_tag_objs"] >= warm["n_tag_objs"], (warm, after)
+    assert after["n_elems"] >= warm["n_elems"], (warm, after)

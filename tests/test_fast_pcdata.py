@@ -268,11 +268,12 @@ def test_omit_path_cache_invalidated_on_redeclaration():
     # b; the omitted path [b] gets memoized on a's initial state
     d1, e1, p1 = run()
     assert "b" in d1
-    # redeclare via the decl handler (bumps OMIT_GEN); a fresh parse
-    # with a DTD where b is NOT omissible must not reuse the path
-    gen0 = M.OMIT_GEN[0]
+    # redeclare via the decl handler (bumps the DTD's _omit_gen); a
+    # fresh parse with a DTD where b is NOT omissible must not reuse
+    # the path
+    gen0 = p1.dtd._omit_gen[0]
     p1._invalidate_replay_caches()
-    assert M.OMIT_GEN[0] == gen0 + 1
+    assert p1.dtd._omit_gen[0] == gen0 + 1
     p = SGMLParser(ParserOptions(dialect="sgml"))
     doc2 = ("<!DOCTYPE a [<!ELEMENT a - - (b)>"
             "<!ELEMENT b - - (#PCDATA)>]>"
