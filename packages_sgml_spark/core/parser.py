@@ -75,9 +75,18 @@ _RE_STR_SQ_U = _re_mod.compile(r"['\x80-\xff]")
 # tag with quotes balanced — exactly the chars S_DECL would buffer,
 # terminated by the first unquoted '>'.  '<' inside a tag falls back
 # to the FSM.
+# Quoted spans are recognised ONLY after '=' (+ optional blanks):
+# S_DECL enters S_STRING solely from the value position (S_VAL0,
+# parser.c:5201-5232) — a stray quote elsewhere gripes "Quote inside
+# value" and stays in S_DECL, so the tag ends at the FIRST '>'.  An
+# unconditional quoted-span alternation used to swallow '>' after
+# stray quotes (<a foo"bar>baz">), diverging from the reference's
+# tag boundary and dropping the gripe; such tags now fail the match
+# and take the per-char path.
 _RE_FULLTAG = _re_mod.compile(
     r"<(?:/[A-Za-z][^>\"'<]*"
-    r"|[A-Za-z](?:[^>\"'<]|\"[^\"<]*\"|'[^'<]*')*)>")
+    r"|[A-Za-z](?:=[ \t\r\n]*\"[^\"<]*\"|=[ \t\r\n]*'[^'<]*'"
+    r"|[^>\"'<])*)>")
 # whole entity reference incl. terminating ';'
 _RE_FULLENT = _re_mod.compile(r"&(#?[A-Za-z0-9._:\-]+);")
 

@@ -352,3 +352,46 @@ def test_fast_pcdata_xml_soup_differential():
                     ["<!-- c -->", "<![CDATA[x]]>", "<?pi?>"]))
         docs.append("".join(parts))
     _differential(docs, SGMLParser, dialect="xml")
+
+
+def test_fulltag_collapse_stray_quote_tag_boundary():
+    """The whole-tag collapse must mirror S_DECL's quote semantics
+    (parser.c:5201-5232): quotes enter the string state ONLY from the
+    value position (after '='); a stray quote elsewhere gripes "Quote
+    inside value" and the tag still ends at the FIRST '>'.  The
+    unconditional quoted-span alternation used to swallow that '>'
+    (<a foo"bar>baz">), changing the tag boundary, the extracted
+    text, and dropping the gripe (r7 finding)."""
+    from packages_sgml_spark.core import parser as P
+
+    docs = [
+        '<html><body><p><a foo"bar>baz">text</body></html>',
+        "<html><body><p><a foo'bar>baz'>text</body></html>",
+        '<html><body><p><a x="ok">fine</a> <b q"s>t">u</body></html>',
+        '<html><body><p><a x="ok" y"bad>z">w</body></html>',
+        # sanity: genuinely quoted values still hide '>'
+        '<html><body><p><a href="x>y" alt=\'a>b\'>q</a></body></html>',
+    ]
+
+    def run(d):
+        p = TextOnlyParser(ParserOptions(dialect="html5",
+                                         encoding="utf-8"))
+        p.parse(d)
+        return p.text(), [e.message for e in p.errors]
+
+    import re
+    never = re.compile(r"(?!x)x")
+    real = P._RE_FULLTAG
+    for d in docs:
+        a = run(d)
+        P._RE_FULLTAG = never      # force the per-char reference path
+        try:
+            b = run(d)
+        finally:
+            P._RE_FULLTAG = real
+        assert a == b, (d, a, b)
+
+    # pinned reference behavior for the canonical shape
+    text, msgs = run(docs[0])
+    assert text == 'baz">text'
+    assert any("Quote inside value" in m for m in msgs)
