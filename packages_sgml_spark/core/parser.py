@@ -117,6 +117,16 @@ _RE_PCFAST_U = _re_mod.compile(r'[<&\r\x80-\xff]')
 # round-2 token-at-a-time branches handle everything
 FAST_PCDATA = True
 
+# deeper kill switch: when True, process_chars_toplevel feeds every
+# char through putchar with NO bulk branches at all — the exact
+# char-at-a-time FSM the reference runs (putchar_dtd_parser).  This
+# is the semantic oracle for the bulk collapses themselves: the
+# FAST_PCDATA=False arm still uses the whole-tag/entity/span
+# collapses, so a collapse bug is invisible to it (the r7
+# stray-quote tag-boundary bug hid exactly there).  Test-only; never
+# set in production paths.
+PURE_FSM = False
+
 # compiled executor (core/_cspeed.c via core/cspeed.py): loaded
 # lazily on the first _pcdata_fast call; None = unavailable or
 # disabled (SGML_FAST_C=0), in which case the pure-Python executor
@@ -780,6 +790,28 @@ class SGMLParser(DeclMixin):
         i = 0
         max_mem = self.options.max_memory
         check_at = 1 << 16
+        if PURE_FSM:
+            # reference-exact char-at-a-time oracle (test-only)
+            while i < n:
+                if self.stopped or self._pending_skip:
+                    if self.stopped:
+                        return
+                    take = self._pending_skip
+                    if i + take > n:
+                        self._pending_skip = take - (n - i)
+                        i = n
+                    else:
+                        self._pending_skip = 0
+                        i += take
+                    continue
+                if max_mem is not None and len(self.cdata) > check_at:
+                    if len(self.cdata) > max_mem:
+                        self.gripe(*Gripes.resource("CDATA buffer"))
+                        raise StopParse()
+                    check_at = len(self.cdata) + (1 << 16)
+                putchar(text[i])
+                i += 1
+            return
         while i < n:
             if self.stopped or self._pending_skip:
                 if self.stopped:
@@ -1818,24 +1850,30 @@ class SGMLParser(DeclMixin):
 
     def _bulk_verbatim(self, span):
         """N x add_verbatim_cdata for a span with no CR and no
-        specials (parser.c:4801-4818 collapsed)."""
+        specials (parser.c:4801-4818 collapsed).
+
+        The CR+LF boundary fold runs FIRST: a span-leading LF after a
+        buffered CR pops the CR exactly like the per-char path — also
+        when blank_cdata is still set (the blank-prefix branch used to
+        skip it, so <style>\\r\\nx</style> kept the CR; r7 PURE_FSM
+        differential finding)."""
+        cdata = self.cdata
+        if span[0] == LF and cdata and cdata[-1] == CR:
+            cdata.pop()
         if self.blank_cdata:
             k = 0
             ns = len(span)
             while k < ns and is_blank_char(span[k]):
                 k += 1
             if k < ns:
-                self.cdata.extend(span[:k])
+                cdata.extend(span[:k])
                 self.cdata_must_be_empty = not self.open_element(
                     M.CDATA_ELEMENT, False)
                 self.blank_cdata = False
-                span = span[k:]
+                self.cdata.extend(span[k:])
             else:
-                self.cdata.extend(span)
-                return
-        cdata = self.cdata
-        if span[0] == LF and cdata and cdata[-1] == CR:
-            cdata.pop()
+                cdata.extend(span)
+            return
         cdata.extend(span)
 
     def _bulk_cdata(self, text, i, j):

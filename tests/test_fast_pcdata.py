@@ -26,20 +26,32 @@ def _parse_all(cls, docs, dialect="html5", **kw):
 
 
 def _differential(docs, cls=TextOnlyParser, dialect="html5", **kw):
-    """fast-vs-slow parity on identical DTD state.
+    """Three-way parity on identical DTD state: compiled-executor
+    fast path == bulk-branch loop == PURE char-at-a-time FSM.
+
+    The third arm matters: FAST_PCDATA=False still runs the
+    whole-tag/entity/span collapses, so a bug in a collapse itself is
+    invisible to a two-way diff (the r7 stray-quote tag-boundary bug
+    hid exactly there).  PURE_FSM feeds every char through putchar —
+    the reference's own execution shape — and is the semantic oracle.
 
     No warm-up pass: per-parse copy-on-write (dtd.DtdCow) rolls every
-    shared-DTD mutation back at parse end, so each parse — in either
+    shared-DTD mutation back at parse end, so each parse — in any
     mode — sees the pristine dialect DTD."""
     try:
         P.FAST_PCDATA = True
         fast = _parse_all(cls, docs, dialect, **kw)
         P.FAST_PCDATA = False
         slow = _parse_all(cls, docs, dialect, **kw)
+        P.PURE_FSM = True
+        pure = _parse_all(cls, docs, dialect, **kw)
     finally:
         P.FAST_PCDATA = True
+        P.PURE_FSM = False
     for i, (f, s) in enumerate(zip(fast, slow)):
         assert f == s, (i, docs[i][:200], f, s)
+    for i, (s, q) in enumerate(zip(slow, pure)):
+        assert s == q, ("bulk-vs-FSM", i, docs[i][:200], s, q)
 
 
 WORDS = ["alpha", "beta", " ", "\n", "\t\n ", "x&y", "a<b", "]]>", "]",
@@ -120,6 +132,15 @@ def test_fast_pcdata_differential_structured():
         "<p>line1\r\nline2</p>\r\n<p>line3\rline4</p>",
         "<p>trail\r</p>",
         "<pre>\npreformatted\n</pre>",
+        # CRLF at the START of declared-CDATA content: the CR is
+        # buffered per-char (blank_cdata still set) and the LF span
+        # must fold it — the bulk blank-prefix branch used to skip
+        # the fold and keep \r\n (r7 PURE_FSM finding; xhtml5 shows
+        # it because its space mode preserves the leading newline)
+        "<style>\r\nx</style>",
+        "<style>\r\n  \t\r\nz</style>",
+        "<textarea>\r\na</textarea>",
+        "<script>\r\nvar a;\r\n</script>tail",
         # marked sections interleaved (fast loop must bail cleanly)
         "a<![INCLUDE[inside]]>b",
         "a<![IGNORE[gone]]>b",
@@ -164,7 +185,11 @@ if _HAVE_HYP:
         st.sampled_from(TAGS).map(lambda t: "</%s>" % t),
         st.sampled_from(["<!-- c -->", "<![CDATA[x<y]]>", "<?pi?>",
                          "&#x41;", "&amp;", "&nope;", "\r\n", "\r",
-                         "]]>", "]", "<", "&", "< ", "<1bad>"]),
+                         "]]>", "]", "<", "&", "< ", "<1bad>",
+                         # stray quotes inside tags (r7 collapse bug
+                         # class: quote NOT in value position)
+                         '<a q"s>t">', "<b x'y>", '<i "j>',
+                         '<a x="ok" y"z>']),
         st.text(alphabet="ab <>&;/\r\n\t\xe9", min_size=0,
                 max_size=12),
     )
@@ -395,3 +420,18 @@ def test_fulltag_collapse_stray_quote_tag_boundary():
     text, msgs = run(docs[0])
     assert text == 'baz">text'
     assert any("Quote inside value" in m for m in msgs)
+
+
+def test_bulk_verbatim_crlf_boundary_all_dialects():
+    """CR buffered before a bulk LF span inside declared-CDATA
+    content must fold exactly like per-char add_verbatim_cdata —
+    including while blank_cdata is still set (r7: <style>\\r\\nx
+    kept the CR in xhtml5, whose space mode preserves the leading
+    newline)."""
+    docs = ["<style>\r\nx</style>", "<style>\r\n\r\nx</style>",
+            "<style>\r\n  \t\r\nz</style>", "<pre>\r\n</pre>",
+            "<textarea>\r\na</textarea>",
+            "<script>\r\nvar a;\r\n</script>tail"]
+    for dialect in ("html5", "html", "sgml", "xml", "xhtml5"):
+        _differential(docs, TextOnlyParser, dialect=dialect)
+        _differential(docs, SGMLParser, dialect=dialect)
