@@ -52,10 +52,16 @@ _RE_PCDATA = _re_mod.compile(r'[<&\]\r]')
 _RE_PCDATA_U = _re_mod.compile(r'[<&\]\r\x80-\xff]')
 _RE_DECL_BANG = _re_mod.compile(r'[>="\'\-\[]')
 _RE_DECL_BANG_U = _re_mod.compile(r'[>="\'\-\[\x80-\xff]')
+# shorttag: '/' closes ANY declaration with a non-empty buffer —
+# including <!...> ones (parser.c:5158-5169 checks CF_ETAGO2 before
+# the bang cases), so the bang bulk scan must stop there too
+_RE_DECL_BANG_ST = _re_mod.compile(r'[>="\'\-\[/]')
+_RE_DECL_BANG_ST_U = _re_mod.compile(r'[>="\'\-\[/\x80-\xff]')
 _RE_DECL_TAG = _re_mod.compile(r'[>="\'\[]')
 _RE_DECL_TAG_U = _re_mod.compile(r'[>="\'\[\x80-\xff]')
 _RE_DECL_TAG_ST = _re_mod.compile(r'[>="\'\[/]')
 _RE_DECL_TAG_ST_U = _re_mod.compile(r'[>="\'\[/\x80-\xff]')
+_RE_CMT_U = _re_mod.compile(r'[\-\x80-\xff]')
 _RE_CDATA = _re_mod.compile(r'[<\r]')
 _RE_CDATA_U = _re_mod.compile(r'[<\r\x80-\xff]')
 _RE_RCDATA = _re_mod.compile(r'[<&\r]')
@@ -905,7 +911,11 @@ class SGMLParser(DeclMixin):
                 buf = self.buffer
                 u = self.utf8_decode
                 if buf and buf[0] == '!':
-                    rex = _RE_DECL_BANG_U if u else _RE_DECL_BANG
+                    if self.dtd.shorttag:
+                        rex = (_RE_DECL_BANG_ST_U if u
+                               else _RE_DECL_BANG_ST)
+                    else:
+                        rex = _RE_DECL_BANG_U if u else _RE_DECL_BANG
                 elif self.dtd.shorttag:
                     rex = _RE_DECL_TAG_ST_U if u else _RE_DECL_TAG_ST
                 else:
@@ -934,9 +944,17 @@ class SGMLParser(DeclMixin):
                         i = j
                         continue
             elif state == S_CMT:
-                j = text.find('-', i)
-                if j < 0:
-                    j = n
+                # utf8 mode: high bytes go through putchar so the
+                # Bad-UTF-8 gripe fires inside comments too (the
+                # reference validates the input stream in EVERY
+                # state; r7 PURE_FSM finding on <!--\xc3 at EOF)
+                if self.utf8_decode:
+                    m = _RE_CMT_U.search(text, i)
+                    j = m.start() if m else n
+                else:
+                    j = text.find('-', i)
+                    if j < 0:
+                        j = n
                 if j > i:
                     self._advance_location(text[i:j])
                     i = j
@@ -976,9 +994,13 @@ class SGMLParser(DeclMixin):
                     i = j
                     continue
             elif state == S_DECLCMT:
-                j = text.find('-', i)
-                if j < 0:
-                    j = n
+                if self.utf8_decode:
+                    m = _RE_CMT_U.search(text, i)
+                    j = m.start() if m else n
+                else:
+                    j = text.find('-', i)
+                    if j < 0:
+                        j = n
                 if j > i:
                     self._advance_location(text[i:j])
                     i = j

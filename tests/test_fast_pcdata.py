@@ -435,3 +435,38 @@ def test_bulk_verbatim_crlf_boundary_all_dialects():
     for dialect in ("html5", "html", "sgml", "xml", "xhtml5"):
         _differential(docs, TextOnlyParser, dialect=dialect)
         _differential(docs, SGMLParser, dialect=dialect)
+
+
+def test_bang_decl_shorttag_slash_boundary():
+    """shorttag '/' closes ANY declaration with a non-empty buffer —
+    including <!...> ones (parser.c:5158-5169 checks CF_ETAGO2 before
+    the bang cases).  The bang bulk scan used to run past '/', so
+    <!></p>x took the WRONG declaration boundary (text 'x' instead of
+    'p>x', different gripe).  r7 PURE_FSM finding."""
+    docs = ["<!></p>x", "<!></p> x", "<p><!></p>x", "<!e a/b>x",
+            "</p/after", "<p/x/y"]
+    for dialect in ("sgml", "html"):      # shorttag dialects
+        _differential(docs, TextOnlyParser, dialect=dialect)
+        _differential(docs, SGMLParser, dialect=dialect)
+    # pinned reference behavior: '/' ends the empty-bang declaration,
+    # the remainder is PCDATA
+    p = TextOnlyParser(ParserOptions(dialect="sgml"))
+    p.parse("<!></p>x")
+    assert p.text() == "p>x"
+    assert any('Invalid declaration' in e.message for e in p.errors)
+
+
+def test_comment_bulk_utf8_validation():
+    """The input stream is UTF-8-validated in EVERY state (the
+    reference decodes before the FSM): invalid sequences inside
+    comments must gripe 'Bad UTF-8 sequence'.  The S_CMT/S_DECLCMT
+    bulk scans used to swallow high bytes unvalidated.  r7 PURE_FSM
+    finding (<!--\\xc3 at EOF dropped the gripe)."""
+    docs = ["<!--\xc3", "<!--\xc3-->x", "<!-- a \xff b -->y",
+            "<!doctype x -- c\xe2\x82 -->z",
+            "<p><!-- \xed\xa0\x80 -->tail"]
+    for dialect in ("html5", "xml", "sgml"):
+        _differential(docs, TextOnlyParser, dialect=dialect)
+    p = TextOnlyParser(ParserOptions(dialect="html5"))
+    p.parse("<!--\xc3-->x")
+    assert any("Bad UTF-8" in e.message for e in p.errors)
