@@ -470,3 +470,48 @@ def test_comment_bulk_utf8_validation():
     p = TextOnlyParser(ParserOptions(dialect="html5"))
     p.parse("<!--\xc3-->x")
     assert any("Bad UTF-8" in e.message for e in p.errors)
+
+
+def test_node_rows_bulk_vs_fsm_sweep():
+    """NodeTableParser (the production extract path) against the
+    PURE_FSM oracle: flat node rows incl. spans and error lists must
+    be identical across compiled-executor, bulk-branch, and pure
+    char-at-a-time execution (seeded subset of the r7 sweep)."""
+    import random
+    from packages_sgml_spark.core.parser import NodeTableParser
+    WORDS = ["x", " ", "\r\n", '<a t="a\r\nb">', "<p/net text/",
+             "<![IGNORE[<p>gone</p>]]>", "<!></p>", "<!--\xc3-->",
+             '<a q"s>t">', "<style>\r\nz</style>", 'caf\xc3\xa9',
+             '<a href="u">l</a>', "&#x41;", "a<b", "]]>"]
+    TAGS = ["p", "b", "a", "li", "script", "nosuchtag"]
+    rng = random.Random(999)
+
+    def soup(n=25):
+        parts = []
+        for _ in range(n):
+            r = rng.random()
+            if r < 0.45:
+                parts.append(rng.choice(WORDS))
+            elif r < 0.75:
+                parts.append("<%s>" % rng.choice(TAGS))
+            else:
+                parts.append("</%s>" % rng.choice(TAGS))
+        return "".join(parts)
+
+    def run(d, dialect, enc):
+        p = NodeTableParser(ParserOptions(dialect=dialect, encoding=enc))
+        p.parse(d)
+        return p.rows, [(e.severity, e.line, e.message)
+                        for e in p.errors]
+
+    for dialect in ("html5", "xml", "xmlns"):
+        docs = [soup() for _ in range(20)]
+        for d in docs:
+            P.PURE_FSM = False
+            a = run(d, dialect, "utf-8")
+            P.PURE_FSM = True
+            try:
+                b = run(d, dialect, "utf-8")
+            finally:
+                P.PURE_FSM = False
+            assert a == b, (dialect, d[:150])
