@@ -1878,7 +1878,17 @@ class SGMLParser(DeclMixin):
         buffered CR pops the CR exactly like the per-char path — also
         when blank_cdata is still set (the blank-prefix branch used to
         skip it, so <style>\\r\\nx</style> kept the CR; r7 PURE_FSM
-        differential finding)."""
+        differential finding).
+
+        POSITION CONVENTION: an implied open triggered by the first
+        non-blank char of a blank-prefixed span runs with the
+        location at SPAN START — the canonical convention shared by
+        the compiled executor's tape and the steady-state executor
+        (r5 position rules).  Character data and error output are
+        identical to per-char execution; only the node-row span
+        metadata of such implied opens reflects span granularity
+        (PURE_FSM stamps the trigger char instead; the FSM
+        differential masks row positions for this reason)."""
         cdata = self.cdata
         if span[0] == LF and cdata and cdata[-1] == CR:
             cdata.pop()
