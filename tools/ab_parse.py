@@ -9,6 +9,7 @@ Corpora (all deterministic, generated in-process):
                shape replay with per-occurrence gripe re-derivation)
   xml        — DTD-less XML (adaptive-disable sanity)
   xhtml5     — xhtml5 dialect
+  sitemap    — xmlns sitemap (default-ns node/DOM drain shape)
 
 Usage: python3 -m tools.ab_parse [n_docs]
 Prints MB/s per corpus with the C executor on and (optionally, env
@@ -67,6 +68,16 @@ def make_docs(kind, n):
                              "</p>" % (i, j, host, i, j))
             doc = ("<?xml version='1.0'?><doc><title>Page %d</title>%s</doc>"
                    % (i, "".join(parts)))
+        elif kind == "sitemap":
+            urls = "".join(
+                "<url><loc>https://%s/p/%d-%d</loc>"
+                "<lastmod>2026-01-%02d</lastmod>"
+                "<priority>0.%d</priority></url>"
+                % (host, i, j, (j % 28) + 1, j % 10)
+                for j in range(((h % 7) + 1) * scale))
+            doc = ('<?xml version="1.0"?>'
+                   '<urlset xmlns="http://www.sitemaps.org/schemas'
+                   '/sitemap/0.9">' + urls + "</urlset>")
         else:
             dt = ("<!DOCTYPE html>" if kind != "xhtml5" else
                   "<?xml version='1.0'?><!DOCTYPE html>")
@@ -82,7 +93,8 @@ def run(kind, docs):
     from packages_sgml_spark.core.parser import ParserOptions, TextOnlyParser
     if os.environ.get("AB_PY") == "1":
         P._CSPEED = None
-    dialect = {"xml": "xml", "xhtml5": "xhtml5"}.get(kind, "html5")
+    dialect = {"xml": "xml", "xhtml5": "xhtml5",
+               "sitemap": "xmlns"}.get(kind, "html5")
     nbytes = sum(len(d) for d in docs)
     nwarn = 0
     t0 = time.perf_counter()
@@ -97,7 +109,8 @@ def run(kind, docs):
 
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 4000
-    kinds = ["html5", "uniq", "unq", "unknown", "xml", "xhtml5"]
+    kinds = ["html5", "uniq", "unq", "unknown", "xml", "xhtml5",
+             "sitemap"]
     print("n_docs=%d  AB_PY=%s" % (n, os.environ.get("AB_PY", "0")))
     for kind in kinds:
         docs = make_docs(kind, n)
