@@ -22,3 +22,19 @@ def test_golden(base):
 def test_corpus_size():
     # all 46 inputs with goldens must be exercised
     assert len(golden.all_bases()) >= 46
+
+
+def test_golden_pure_fsm():
+    """The PURE char-at-a-time FSM (the bulk-collapse differential
+    oracle, parser.PURE_FSM) must itself be byte-identical to the
+    reference on the reference's own corpus — this is what licenses
+    it as the oracle arm (r7).  One pass over all 46 inputs."""
+    import packages_sgml_spark.core.parser as P
+    P.PURE_FSM = True
+    try:
+        results = golden.run_all(verbose=False)
+    finally:
+        P.PURE_FSM = False
+    bad = {k: v for k, v in results.items() if not v[0]}
+    assert not bad, bad
+    assert len(results) >= 46
