@@ -1,0 +1,345 @@
+"""WARC (ISO 28500 / WARC/1.0-1.1) record reader and writer, pure
+stdlib.
+
+This is ingestion surface for the north-star pipeline (BASELINE.json:
+"Iceberg table of Common-Crawl-style web pages"): Common Crawl ships
+its corpus as ``*.warc.gz`` files — one gzip *member per record* (the
+convention that makes byte-offset random access work; the CC CDX
+index stores member offsets).  The reference parser consumes byte
+streams and has no archive-format reader; this module supplies the
+standard one so a crawl lands in the (url, warc_ts, html, text, lang)
+pages shape without external libraries.
+
+Format notes (public spec, warc-specifications + Common Crawl docs):
+
+* A record is ``WARC/1.0\\r\\n`` + named headers (``Name: value``,
+  continuation lines start with SP/HT) + ``\\r\\n`` + exactly
+  ``Content-Length`` body bytes + ``\\r\\n\\r\\n``.
+* ``response`` records carry a full HTTP message
+  (``Content-Type: application/http;msgtype=response``): status line +
+  HTTP headers + ``\\r\\n\\r\\n`` + payload (the HTML bytes we want).
+* Digests are ``sha1:`` + RFC-4648 base32 of block / HTTP payload.
+
+The parser is resilient the way a 100 TB ingest needs to be: malformed
+records append a message to ``errors`` and the scanner *resyncs* on
+the next ``WARC/`` magic instead of abandoning the file; truncated
+tails are reported, not raised.
+"""
+
+import hashlib
+import io
+import uuid
+import zlib
+from base64 import b32encode
+
+GZIP_MAGIC = b"\x1f\x8b"
+_CRLF = b"\r\n"
+
+
+class WarcRecord:
+    """One parsed WARC record.
+
+    ``headers`` preserves order and original case; ``get`` is
+    case-insensitive (first match).  ``offset`` is the byte offset of
+    the record in the (compressed, if gzip) input — for ``.warc.gz``
+    with member-per-record this is the member offset a CDX index would
+    store.
+    """
+
+    __slots__ = ("headers", "body", "offset", "version")
+
+    def __init__(self, headers, body, offset, version="WARC/1.0"):
+        self.headers = headers
+        self.body = body
+        self.offset = offset
+        self.version = version
+
+    def get(self, name, default=None):
+        low = name.lower()
+        for k, v in self.headers:
+            if k.lower() == low:
+                return v
+        return default
+
+    @property
+    def type(self):
+        return self.get("WARC-Type", "")
+
+    @property
+    def url(self):
+        u = self.get("WARC-Target-URI")
+        # WARC/1.1 allows <...> bracketing of the URI
+        if u and len(u) >= 2 and u[0] == "<" and u[-1] == ">":
+            u = u[1:-1]
+        return u
+
+    @property
+    def date(self):
+        return self.get("WARC-Date")
+
+    @property
+    def record_id(self):
+        return self.get("WARC-Record-ID")
+
+
+def _parse_header_block(data, pos, end, errors, what="WARC"):
+    """Parse ``Name: value`` lines from ``pos`` until the blank line.
+    Returns (headers list, pos_after_blank_line) or (None, resync_pos)
+    on a malformed block."""
+    headers = []
+    while pos < end:
+        eol = data.find(_CRLF, pos, end)
+        if eol < 0:
+            errors.append("%s header block truncated" % what)
+            return None, end
+        line = data[pos:eol]
+        pos = eol + 2
+        if not line:
+            return headers, pos
+        if line[:1] in (b" ", b"\t"):          # continuation line
+            if headers:
+                k, v = headers[-1]
+                headers[-1] = (k, v + " " + line.strip().decode(
+                    "latin-1"))
+            else:
+                errors.append("%s continuation line before any header"
+                              % what)
+            continue
+        colon = line.find(b":")
+        if colon < 0:
+            errors.append("%s header line without ':': %r"
+                          % (what, line[:60]))
+            continue
+        headers.append((line[:colon].strip().decode("latin-1"),
+                        line[colon + 1:].strip().decode("latin-1")))
+    errors.append("%s header block ran off the buffer" % what)
+    return None, end
+
+
+def _resync(data, pos, end):
+    nxt = data.find(b"WARC/", pos, end)
+    return nxt if nxt >= 0 else end
+
+
+def parse_warc_buffer(data, errors, base_offset=0):
+    """Yield WarcRecord from a *plain* (already-decompressed) buffer
+    holding one or more concatenated records.  Malformed content
+    appends to ``errors`` and resyncs on the next ``WARC/`` magic."""
+    pos, end = 0, len(data)
+    while pos < end:
+        # tolerate stray CRLFs between records
+        while data[pos:pos + 2] == _CRLF:
+            pos += 2
+        if pos >= end:
+            break
+        if data[pos:pos + 5] != b"WARC/":
+            errors.append("garbage before record at offset %d"
+                          % (base_offset + pos))
+            pos = _resync(data, pos + 1, end)
+            continue
+        rec_off = base_offset + pos
+        eol = data.find(_CRLF, pos, end)
+        if eol < 0:
+            errors.append("truncated version line at offset %d"
+                          % rec_off)
+            return
+        version = data[pos:eol].decode("latin-1")
+        headers, pos = _parse_header_block(data, eol + 2, end, errors)
+        if headers is None:
+            pos = _resync(data, pos, end)
+            continue
+        rec = WarcRecord(headers, b"", rec_off, version)
+        clen = rec.get("Content-Length")
+        try:
+            clen = int(clen)
+            if clen < 0:
+                raise ValueError
+        except (TypeError, ValueError):
+            errors.append("record at offset %d has bad Content-Length"
+                          " %r" % (rec_off, clen))
+            pos = _resync(data, pos, end)
+            continue
+        if pos + clen > end:
+            errors.append("record at offset %d truncated: body wants"
+                          " %d bytes, %d available"
+                          % (rec_off, clen, end - pos))
+            return
+        rec.body = data[pos:pos + clen]
+        pos += clen
+        if data[pos:pos + 4] != _CRLF * 2:
+            errors.append("record at offset %d missing CRLFCRLF"
+                          " trailer" % rec_off)
+            pos = _resync(data, pos, end)
+        else:
+            pos += 4
+        yield rec
+
+
+def iter_gzip_members(data):
+    """Yield (compressed_offset, plain_bytes) per gzip member of a
+    multi-member stream (the ``.warc.gz`` layout)."""
+    pos, end = 0, len(data)
+    while pos < end:
+        d = zlib.decompressobj(wbits=31)
+        plain = d.decompress(data[pos:]) + d.flush()
+        consumed = (end - pos) - len(d.unused_data)
+        if consumed <= 0:        # defensive: no forward progress
+            raise zlib.error("gzip member at %d consumed 0 bytes"
+                             % pos)
+        yield pos, plain
+        pos += consumed
+
+
+def iter_warc_records(data, errors=None):
+    """Yield WarcRecord from raw file bytes — plain ``.warc`` or
+    multi-member ``.warc.gz`` auto-detected.  ``errors`` (a list, if
+    given) collects malformed-content messages."""
+    if errors is None:
+        errors = []
+    if data[:2] == GZIP_MAGIC:
+        try:
+            for off, plain in iter_gzip_members(data):
+                yield from parse_warc_buffer(plain, errors,
+                                             base_offset=off)
+        except zlib.error as e:
+            errors.append("gzip stream error: %s" % e)
+    else:
+        yield from parse_warc_buffer(data, errors)
+
+
+# ---------------------------------------------------------------- HTTP
+
+def split_http_response(body, errors=None):
+    """Split a ``response`` record body (a full HTTP message) into
+    (status:int|None, http_headers:list[(name,value)], payload:bytes).
+    A body with no header/payload separator is returned whole as the
+    payload with status None (seen in the wild; the HTML is usually
+    still in there)."""
+    if errors is None:
+        errors = []
+    sep = body.find(b"\r\n\r\n")
+    if sep < 0 or not body[:5].startswith(b"HTTP/"):
+        if not body[:5].startswith(b"HTTP/"):
+            errors.append("response body does not start with HTTP/")
+        else:
+            errors.append("HTTP message without header separator")
+        return None, [], body
+    head = body[:sep]
+    payload = body[sep + 4:]
+    eol = head.find(_CRLF)
+    status_line = head[:eol if eol >= 0 else len(head)]
+    parts = status_line.split(None, 2)
+    status = None
+    if len(parts) >= 2:
+        try:
+            status = int(parts[1])
+        except ValueError:
+            errors.append("bad HTTP status line %r" % status_line[:60])
+    headers = []
+    if eol >= 0:
+        hdr_errors = []
+        headers, _ = _parse_header_block(head + _CRLF * 2, eol + 2,
+                                         len(head) + 4, hdr_errors)
+        if headers is None:
+            headers = []
+        errors.extend(hdr_errors)
+    return status, headers, payload
+
+
+def http_content_type(headers):
+    """(mime, charset) from an HTTP header list; ('', '') if absent.
+    Both lowercased; charset unquoted."""
+    for k, v in headers:
+        if k.lower() == "content-type":
+            mime, _, params = v.partition(";")
+            charset = ""
+            for p in params.split(";"):
+                name, _, val = p.partition("=")
+                if name.strip().lower() == "charset":
+                    charset = val.strip().strip("'\"").lower()
+            return mime.strip().lower(), charset
+    return "", ""
+
+
+# --------------------------------------------------------------- write
+
+def sha1_digest(data):
+    """``sha1:<base32>`` — the digest format CC uses for
+    WARC-Block-Digest / WARC-Payload-Digest."""
+    return "sha1:" + b32encode(hashlib.sha1(data).digest()).decode(
+        "ascii")
+
+
+def deterministic_record_id(*parts):
+    """urn:uuid deterministic in its inputs (md5-derived, RFC 4122
+    version bits set) — keeps synthesized test archives byte-stable."""
+    h = hashlib.md5(("\x00".join(parts)).encode(
+        "utf-8", "surrogateescape")).digest()
+    return "<urn:uuid:%s>" % uuid.UUID(bytes=h[:16], version=4)
+
+
+def build_record(warc_type, body, url=None, date=None, record_id=None,
+                 content_type=None, extra_headers=(),
+                 payload_digest=None, version="WARC/1.0"):
+    """Serialize one WARC record to bytes (uncompressed)."""
+    headers = [("WARC-Type", warc_type)]
+    if url:
+        headers.append(("WARC-Target-URI", url))
+    if date:
+        headers.append(("WARC-Date", date))
+    headers.append(("WARC-Record-ID", record_id or
+                    deterministic_record_id(warc_type, url or "",
+                                            date or "")))
+    if content_type:
+        headers.append(("Content-Type", content_type))
+    headers.append(("WARC-Block-Digest", sha1_digest(body)))
+    if payload_digest:
+        headers.append(("WARC-Payload-Digest", payload_digest))
+    headers.extend(extra_headers)
+    headers.append(("Content-Length", str(len(body))))
+    out = [version.encode("ascii"), _CRLF]
+    for k, v in headers:
+        out.append(("%s: %s" % (k, v)).encode("latin-1"))
+        out.append(_CRLF)
+    out.append(_CRLF)
+    out.append(body)
+    out.append(_CRLF * 2)
+    return b"".join(out)
+
+
+def build_response_record(url, date, payload,
+                          http_content_type="text/html; charset=utf-8",
+                          status=200, reason="OK", http_headers=(),
+                          **kw):
+    """A ``response`` record wrapping ``payload`` in an HTTP/1.1
+    message — the shape CC stores fetched pages in."""
+    head = ["HTTP/1.1 %d %s" % (status, reason),
+            "Content-Type: %s" % http_content_type]
+    head.extend("%s: %s" % (k, v) for k, v in http_headers)
+    head.append("Content-Length: %d" % len(payload))
+    body = ("\r\n".join(head) + "\r\n\r\n").encode("latin-1") + payload
+    return build_record(
+        "response", body, url=url, date=date,
+        content_type="application/http;msgtype=response",
+        payload_digest=sha1_digest(payload), **kw)
+
+
+def gzip_member(record_bytes):
+    """Compress one record as its own gzip member (deterministic:
+    mtime 0, no filename) — the CC member-per-record convention."""
+    buf = io.BytesIO()
+    co = zlib.compressobj(6, zlib.DEFLATED, 31)
+    # zlib wbits=31 writes a minimal gzip header with mtime=0
+    buf.write(co.compress(record_bytes))
+    buf.write(co.flush())
+    return buf.getvalue()
+
+
+def write_warc(fileobj, records, compress=True):
+    """Write serialized records (bytes, from build_*) to a file
+    object; member-per-record gzip when ``compress``."""
+    n = 0
+    for rec in records:
+        fileobj.write(gzip_member(rec) if compress else rec)
+        n += 1
+    return n

@@ -1,0 +1,173 @@
+"""WARC archives as a Spark source / sink for the pages table.
+
+Common Crawl's native layout is the scale model here (BASELINE.json
+north star: "Common-Crawl-style web pages"): one crawl is ~70-90k
+``*.warc.gz`` files of ~1 GB each, every record its own gzip member.
+That layout IS the partitioning strategy — ``binaryFile`` hands each
+archive to one task (one row per file), tasks decompress + scan their
+file independently, and the only exchange in the whole ingest is the
+optional url-hash spread the downstream extract already owns.  Nothing
+here shuffles.
+
+Memory: a task holds one compressed file + one decompressed record at
+a time (member-per-record means members decompress individually);
+the 2 GiB JVM byte-array bound on a ``binaryFile`` row comfortably
+clears CC's 1 GB target size.  Pathological archives (a multi-GB
+single member) are the one shape this reader would refuse — the same
+bound every JVM WARC reader has.
+
+Read path: ``read_warc`` -> full record table;  ``warc_pages`` ->
+the authoritative input shape (url, warc_ts, html, text, lang)
+feeding ``extract()`` unchanged.  Write path: ``write_warc_pages``
+emits member-per-record ``.warc.gz``, one file per partition, and
+returns a manifest frame.  All Python work is Arrow-batched
+``mapInPandas`` — no per-row UDFs.
+"""
+
+import os
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (ArrayType, BinaryType, IntegerType,
+                               LongType, StringType, StructField,
+                               StructType, TimestampType)
+
+WARC_SCHEMA = StructType([
+    StructField("url", StringType()),
+    StructField("warc_ts", TimestampType()),
+    StructField("record_type", StringType()),
+    StructField("record_id", StringType()),
+    StructField("http_status", IntegerType()),
+    StructField("content_type", StringType()),
+    StructField("charset", StringType()),
+    StructField("payload_digest", StringType()),
+    StructField("html", BinaryType()),          # response payload bytes
+    StructField("warc_file", StringType()),
+    StructField("warc_offset", LongType()),
+    StructField("warc_errors", ArrayType(StringType())),
+])
+
+
+def _records_frame(path, content, record_types):
+    from ..core.warc import (http_content_type, iter_warc_records,
+                             split_http_response)
+    rows = []
+    errors = []
+    fname = path
+    if fname.startswith("file:"):
+        fname = fname[5:]
+    for rec in iter_warc_records(bytes(content), errors):
+        rtype = rec.type
+        if record_types and rtype not in record_types:
+            continue
+        status, mime, charset, payload = None, "", "", rec.body
+        ctype = (rec.get("Content-Type") or "").lower()
+        if rtype == "response" and ctype.startswith("application/http"):
+            rec_errors = []
+            status, http_headers, payload = split_http_response(
+                rec.body, rec_errors)
+            mime, charset = http_content_type(http_headers)
+            errors.extend("%s @%d: %s" % (rec.url or "?", rec.offset, e)
+                          for e in rec_errors)
+        ts = pd.to_datetime(rec.date, utc=True, errors="coerce")
+        if ts is not pd.NaT:
+            ts = ts.tz_localize(None)
+        rows.append((rec.url, ts if ts is not pd.NaT else None, rtype,
+                     rec.record_id, status, mime or None,
+                     charset or None, rec.get("WARC-Payload-Digest"),
+                     payload, fname, rec.offset, None))
+    if errors:
+        # file-level error row (url NULL) so malformed content is
+        # observable in the table instead of a driver log
+        rows.append((None, None, "x-parse-errors", None, None, None,
+                     None, None, None, fname, None, errors))
+    return pd.DataFrame(rows, columns=[f.name for f in WARC_SCHEMA])
+
+
+def read_warc(spark, path, record_types=("response",)):
+    """WARC archive(s) at ``path`` (glob ok; ``.warc`` or ``.warc.gz``)
+    -> WARC_SCHEMA DataFrame.  One task per archive file; no shuffle.
+    ``record_types`` filters records in the scan (None = all types);
+    malformed content lands in ``x-parse-errors`` rows, never raises.
+    """
+    rtypes = tuple(record_types) if record_types else ()
+    src = (spark.read.format("binaryFile").load(path)
+           .select("path", "content"))
+
+    def fn(batches):
+        for pdf in batches:
+            for path_, content in zip(pdf["path"], pdf["content"]):
+                yield _records_frame(path_, content, rtypes)
+
+    return src.mapInPandas(fn, schema=WARC_SCHEMA)
+
+
+def warc_pages(spark, path, statuses=(200,)) -> DataFrame:
+    """Archives -> the authoritative pages shape
+    (url, warc_ts, html, text, lang): the ingest half of the north
+    star.  ``text``/``lang`` start NULL — ``extract()`` fills text,
+    ``lang_id`` fills lang.  Non-HTML and non-2xx responses are
+    filtered in the same scan stage (predicate on the mapInPandas
+    output; no extra pass)."""
+    recs = read_warc(spark, path, record_types=("response",))
+    keep = ((F.col("url").isNotNull()) &
+            (F.col("content_type").isNull() |
+             F.col("content_type").rlike("html|xml|^text/")))
+    if statuses:
+        keep = keep & F.col("http_status").isin(*statuses)
+    return (recs.where(keep)
+            .select("url", "warc_ts", "html",
+                    F.lit(None).cast("string").alias("text"),
+                    F.lit(None).cast("string").alias("lang")))
+
+
+WRITE_MANIFEST_SCHEMA = StructType([
+    StructField("warc_file", StringType()),
+    StructField("n_records", LongType()),
+    StructField("bytes", LongType()),
+])
+
+
+def write_warc_pages(pages: DataFrame, out_dir,
+                     prefix="part") -> DataFrame:
+    """pages(url, warc_ts, html) -> member-per-record ``.warc.gz``,
+    one file per partition under ``out_dir`` (a shared filesystem at
+    cluster scale; executors write their own partition's file —
+    driver never sees the data).  Returns the manifest frame
+    (file, record count, bytes); the action that materializes it
+    performs the writes.  Records are deterministic in their row
+    content (digest-derived ids, mtime-0 gzip), so re-running a
+    partition rewrites an identical file — idempotent retry."""
+    cols = ["url", "warc_ts", "html"]
+    src = pages.select(*[c for c in cols if c in pages.columns])
+
+    def fn(batches):
+        from pyspark import TaskContext
+        from ..core.warc import build_response_record, gzip_member
+        pid = TaskContext.get().partitionId()
+        fname = os.path.join(out_dir, "%s-%05d.warc.gz" % (prefix, pid))
+        n = total = 0
+        os.makedirs(out_dir, exist_ok=True)
+        with open(fname, "wb") as out:
+            for pdf in batches:
+                ts = pd.to_datetime(pdf["warc_ts"]) if "warc_ts" in \
+                    pdf.columns else None
+                for i in range(len(pdf)):
+                    date = None
+                    if ts is not None and ts.iloc[i] is not pd.NaT:
+                        date = ts.iloc[i].strftime(
+                            "%Y-%m-%dT%H:%M:%SZ")
+                    html = pdf["html"].iloc[i]
+                    rec = build_response_record(
+                        pdf["url"].iloc[i], date or
+                        "1970-01-01T00:00:00Z",
+                        bytes(html) if html is not None else b"")
+                    member = gzip_member(rec)
+                    out.write(member)
+                    n += 1
+                    total += len(member)
+        yield pd.DataFrame([(fname, n, total)],
+                           columns=["warc_file", "n_records", "bytes"])
+
+    return src.mapInPandas(fn, schema=WRITE_MANIFEST_SCHEMA)

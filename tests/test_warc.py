@@ -1,0 +1,202 @@
+"""WARC reader/writer: core roundtrips, malformed-content resync,
+HTTP split, and the Spark source/sink (read_warc / warc_pages /
+write_warc_pages) against synthesized member-per-record archives."""
+
+import gzip
+import io
+import zlib
+
+import pytest
+
+from packages_sgml_spark.core.warc import (
+    build_record, build_response_record, gzip_member,
+    http_content_type, iter_gzip_members, iter_warc_records,
+    parse_warc_buffer, sha1_digest, split_http_response, write_warc)
+
+
+def _one(data, errors=None):
+    recs = list(iter_warc_records(data, errors))
+    assert len(recs) == 1
+    return recs[0]
+
+
+def test_plain_roundtrip():
+    body = b"hello \x00 world"
+    raw = build_record("resource", body, url="https://x.example/r",
+                       date="2026-01-02T03:04:05Z")
+    rec = _one(raw)
+    assert rec.type == "resource"
+    assert rec.url == "https://x.example/r"
+    assert rec.date == "2026-01-02T03:04:05Z"
+    assert rec.body == body
+    assert rec.get("WARC-Block-Digest") == sha1_digest(body)
+    assert rec.get("content-length") == str(len(body))  # case-insens
+    assert rec.record_id.startswith("<urn:uuid:")
+    # deterministic id: same inputs -> same bytes
+    assert raw == build_record("resource", body,
+                               url="https://x.example/r",
+                               date="2026-01-02T03:04:05Z")
+
+
+def test_gzip_member_per_record_and_offsets():
+    recs_raw = [build_record("metadata", b"m%d" % i,
+                             url="https://x/%d" % i,
+                             date="2026-01-01T00:00:00Z")
+                for i in range(3)]
+    buf = io.BytesIO()
+    assert write_warc(buf, recs_raw) == 3
+    data = buf.getvalue()
+    # multi-member: stdlib gzip sees the concatenation
+    assert gzip.decompress(data) == b"".join(recs_raw)
+    members = list(iter_gzip_members(data))
+    assert len(members) == 3 and members[0][0] == 0
+    errors = []
+    recs = list(iter_warc_records(data, errors))
+    assert errors == []
+    assert [r.body for r in recs] == [b"m0", b"m1", b"m2"]
+    # offsets are compressed member offsets (CDX convention)
+    assert [r.offset for r in recs] == [m[0] for m in members]
+    # gzip writer is deterministic (mtime 0)
+    assert gzip_member(recs_raw[0]) == gzip_member(recs_raw[0])
+
+
+def test_http_response_split_and_charset():
+    payload = "<html><p>café</html>".encode("iso-8859-1")
+    raw = build_response_record(
+        "https://h.example/a", "2026-01-01T00:00:00Z", payload,
+        http_content_type="text/html; charset=ISO-8859-1",
+        http_headers=(("Server", "x"),))
+    rec = _one(raw)
+    assert rec.type == "response"
+    status, headers, got = split_http_response(rec.body)
+    assert status == 200 and got == payload
+    mime, charset = http_content_type(headers)
+    assert mime == "text/html" and charset == "iso-8859-1"
+    assert rec.get("WARC-Payload-Digest") == sha1_digest(payload)
+
+
+def test_http_split_no_separator():
+    errors = []
+    status, headers, payload = split_http_response(b"not http", errors)
+    assert status is None and payload == b"not http" and errors
+
+
+def test_warc11_bracketed_uri_and_continuation():
+    raw = (b"WARC/1.1\r\n"
+           b"WARC-Type: response\r\n"
+           b"WARC-Target-URI: <https://w.example/x>\r\n"
+           b"X-Folded: a\r\n  b\r\n"
+           b"Content-Length: 2\r\n"
+           b"\r\nhi\r\n\r\n")
+    rec = _one(raw)
+    assert rec.version == "WARC/1.1"
+    assert rec.url == "https://w.example/x"
+    assert rec.get("X-Folded") == "a b"
+    assert rec.body == b"hi"
+
+
+def test_malformed_resync_and_truncation():
+    good = build_record("resource", b"ok", url="https://x/1",
+                        date="2026-01-01T00:00:00Z")
+    bad = b"WARC/1.0\r\nContent-Length: oops\r\n\r\nzz\r\n\r\n"
+    garbage = b"random junk\r\n"
+    errors = []
+    recs = list(iter_warc_records(garbage + bad + good, errors))
+    assert [r.body for r in recs] == [b"ok"]
+    assert any("garbage" in e for e in errors)
+    assert any("Content-Length" in e for e in errors)
+    # truncated tail: reported, good prefix still parsed
+    errors2 = []
+    recs2 = list(iter_warc_records(good + good[:40], errors2))
+    assert len(recs2) == 1 and any("truncated" in e for e in errors2)
+    # bad gzip tail
+    errors3 = []
+    data = gzip_member(good) + b"\x1f\x8b\x00garbage"
+    recs3 = list(iter_warc_records(data, errors3))
+    assert len(recs3) == 1 and any("gzip" in e for e in errors3)
+
+
+@pytest.fixture()
+def archive_dir(tmp_path):
+    docs = [
+        ("https://a.example/1", "2026-01-01T00:00:01Z",
+         b"<html><head><title>One</title></head><p>alpha</html>"),
+        ("https://a.example/2", "2026-01-01T00:00:02Z",
+         b"<html><head><title>Two</title></head><p>beta</html>"),
+        ("https://b.example/3", "2026-01-01T00:00:03Z",
+         b"<html><head><title>Three</title></head><p>gamma</html>"),
+    ]
+    f1 = tmp_path / "crawl-00000.warc.gz"
+    with open(f1, "wb") as out:
+        # warcinfo + request records must be filtered by warc_pages
+        write_warc(out, [
+            build_record("warcinfo", b"software: test\r\n",
+                         date="2026-01-01T00:00:00Z",
+                         content_type="application/warc-fields"),
+            build_response_record(*docs[0]),
+            build_record("request", b"GET /2 HTTP/1.1\r\n\r\n",
+                         url=docs[1][0], date=docs[1][1],
+                         content_type="application/http;msgtype=request"),
+            build_response_record(*docs[1]),
+            # 404 response: filtered by statuses=(200,)
+            build_response_record("https://a.example/miss", docs[1][1],
+                                  b"gone", status=404,
+                                  reason="Not Found"),
+        ])
+    f2 = tmp_path / "crawl-00001.warc"        # plain variant
+    with open(f2, "wb") as out:
+        write_warc(out, [build_response_record(*docs[2])],
+                   compress=False)
+    return tmp_path, docs
+
+
+def test_read_warc_spark(spark, archive_dir):
+    from packages_sgml_spark.spark.warc import read_warc
+    path, docs = archive_dir
+    df = read_warc(spark, str(path) + "/*.warc*", record_types=None)
+    rows = df.collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.record_type, []).append(r)
+    assert len(by_type["warcinfo"]) == 1
+    assert len(by_type["request"]) == 1
+    assert len(by_type["response"]) == 4
+    assert "x-parse-errors" not in by_type
+    ok = {r.url: r for r in by_type["response"]}
+    for url, date, payload in docs:
+        r = ok[url]
+        assert bytes(r.html) == payload          # byte-identical payload
+        assert r.http_status == 200
+        assert r.content_type == "text/html"
+        assert r.charset == "utf-8"
+        assert r.warc_ts.strftime("%Y-%m-%dT%H:%M:%SZ") == date
+    assert ok["https://a.example/miss"].http_status == 404
+
+
+def test_warc_pages_feeds_extract(spark, archive_dir):
+    from packages_sgml_spark.spark.warc import warc_pages
+    from packages_sgml_spark.spark.extract import extract_element_text
+    path, docs = archive_dir
+    pages = warc_pages(spark, str(path) + "/*.warc*")
+    assert pages.columns == ["url", "warc_ts", "html", "text", "lang"]
+    got = {r.url: bytes(r.html) for r in pages.collect()}
+    assert got == {u: p for u, _, p in docs}     # 404 + non-response gone
+    titles = {r.url: r.element_text for r in
+              extract_element_text(pages, "title").collect()}
+    assert titles == {"https://a.example/1": "One",
+                      "https://a.example/2": "Two",
+                      "https://b.example/3": "Three"}
+
+
+def test_write_warc_pages_roundtrip(spark, tmp_path, archive_dir):
+    from packages_sgml_spark.spark.warc import (read_warc, warc_pages,
+                                                write_warc_pages)
+    path, docs = archive_dir
+    pages = warc_pages(spark, str(path) + "/*.warc*")
+    out = tmp_path / "out"
+    manifest = write_warc_pages(pages, str(out)).collect()
+    assert sum(m.n_records for m in manifest) == len(docs)
+    back = warc_pages(spark, str(out) + "/*.warc.gz")
+    got = {(r.url, r.warc_ts.strftime("%Y-%m-%dT%H:%M:%SZ"),
+            bytes(r.html)) for r in back.collect()}
+    assert got == set(docs)
