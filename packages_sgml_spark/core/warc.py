@@ -28,6 +28,7 @@ tails are reported, not raised.
 
 import hashlib
 import io
+import re
 import uuid
 import zlib
 from base64 import b32encode
@@ -259,6 +260,83 @@ def http_content_type(headers):
                     charset = val.strip().strip("'\"").lower()
             return mime.strip().lower(), charset
     return "", ""
+
+
+# ------------------------------------------------------------- charset
+
+# WHATWG encoding-standard label behavior for the labels a crawl
+# actually sees: browsers decode latin-1-family labels as
+# windows-1252 (its 0x80-0x9F block is what legacy pages really
+# contain).  The reference parser itself recognizes only
+# utf-8/iso-8859-1 (parser.c xml_set_encoding); transcoding wider
+# charsets to UTF-8 at ingest is the WET-style normalization step
+# that keeps the parser's input contract.
+_WHATWG_ALIASES = {
+    "latin-1": "windows-1252", "latin1": "windows-1252",
+    "iso-8859-1": "windows-1252", "iso8859-1": "windows-1252",
+    "l1": "windows-1252", "ascii": "windows-1252",
+    "us-ascii": "windows-1252", "cp819": "windows-1252",
+    "unicode": "utf-16le",
+}
+
+_META_WINDOW = 1024          # WHATWG prescan window
+
+_RE_META_CHARSET = re.compile(
+    br"""<meta\s[^>]*?(?:
+            charset\s*=\s*["']?\s*([A-Za-z0-9_.:-]+)
+          | content\s*=\s*["'][^"'>]*?charset=([A-Za-z0-9_.:-]+)
+         )""", re.IGNORECASE | re.VERBOSE)
+_RE_XML_DECL_ENC = re.compile(
+    br"""<\?xml[^>]*?encoding\s*=\s*["']([A-Za-z0-9_.:-]+)["']""",
+    re.IGNORECASE)
+
+
+def _norm_charset(label):
+    label = (label or "").strip().strip("'\"").lower()
+    return _WHATWG_ALIASES.get(label, label)
+
+
+def sniff_charset(payload, http_charset=""):
+    """Effective charset of an HTML payload: BOM > HTTP header >
+    meta prescan (first 1 KiB: ``<meta charset=..>`` or http-equiv
+    content-type) > XML decl > '' (unknown -> caller defaults
+    utf-8).  Labels normalized per the WHATWG alias table."""
+    if payload[:3] == b"\xef\xbb\xbf":
+        return "utf-8"
+    if payload[:2] == b"\xff\xfe":
+        return "utf-16le"
+    if payload[:2] == b"\xfe\xff":
+        return "utf-16be"
+    if http_charset:
+        return _norm_charset(http_charset)
+    window = payload[:_META_WINDOW]
+    m = _RE_META_CHARSET.search(window)
+    if m:
+        return _norm_charset(
+            (m.group(1) or m.group(2)).decode("latin-1"))
+    m = _RE_XML_DECL_ENC.match(window)
+    if m:
+        return _norm_charset(m.group(1).decode("latin-1"))
+    return ""
+
+
+def to_utf8(payload, charset):
+    """(utf8_bytes, error|None).  UTF-8/unknown/empty charsets pass
+    through BYTE-IDENTICAL (no decode/encode round trip — the parser
+    owns UTF-8 recovery and its gripes are part of the reference
+    byte-identity contract); everything else decodes with
+    errors='replace' and re-encodes.  A BOM is stripped when
+    transcoding (it is charset metadata, not content)."""
+    cs = _norm_charset(charset)
+    if cs in ("", "utf-8", "utf8"):
+        return payload, None
+    try:
+        text = payload.decode(cs, errors="replace")
+    except LookupError:
+        return payload, "unknown charset %r" % charset
+    if text[:1] == "\ufeff":
+        text = text[1:]
+    return text.encode("utf-8"), None
 
 
 # --------------------------------------------------------------- write

@@ -49,9 +49,10 @@ WARC_SCHEMA = StructType([
 ])
 
 
-def _records_frame(path, content, record_types):
+def _records_frame(path, content, record_types, transcode=False):
     from ..core.warc import (http_content_type, iter_warc_records,
-                             split_http_response)
+                             sniff_charset, split_http_response,
+                             to_utf8)
     rows = []
     errors = []
     fname = path
@@ -68,6 +69,11 @@ def _records_frame(path, content, record_types):
             status, http_headers, payload = split_http_response(
                 rec.body, rec_errors)
             mime, charset = http_content_type(http_headers)
+            if transcode:
+                charset = sniff_charset(payload, charset)
+                payload, enc_err = to_utf8(payload, charset)
+                if enc_err:
+                    rec_errors.append(enc_err)
             errors.extend("%s @%d: %s" % (rec.url or "?", rec.offset, e)
                           for e in rec_errors)
         ts = pd.to_datetime(rec.date, utc=True, errors="coerce")
@@ -85,12 +91,19 @@ def _records_frame(path, content, record_types):
     return pd.DataFrame(rows, columns=[f.name for f in WARC_SCHEMA])
 
 
-def read_warc(spark, path, record_types=("response",)):
+def read_warc(spark, path, record_types=("response",),
+              transcode=False):
     """WARC archive(s) at ``path`` (glob ok; ``.warc`` or ``.warc.gz``)
     -> WARC_SCHEMA DataFrame.  One task per archive file; no shuffle.
     ``record_types`` filters records in the scan (None = all types);
     malformed content lands in ``x-parse-errors`` rows, never raises.
-    """
+
+    ``transcode=True`` normalizes response payloads to UTF-8 in the
+    same scan (charset = BOM > HTTP header > WHATWG meta prescan >
+    XML decl); UTF-8/unknown payloads pass through byte-identical, so
+    the reference byte-identity contract on utf-8 corpora is
+    untouched.  The ``charset`` column then reports the SOURCE
+    charset the bytes came from."""
     rtypes = tuple(record_types) if record_types else ()
     src = (spark.read.format("binaryFile").load(path)
            .select("path", "content"))
@@ -98,19 +111,25 @@ def read_warc(spark, path, record_types=("response",)):
     def fn(batches):
         for pdf in batches:
             for path_, content in zip(pdf["path"], pdf["content"]):
-                yield _records_frame(path_, content, rtypes)
+                yield _records_frame(path_, content, rtypes,
+                                     transcode)
 
     return src.mapInPandas(fn, schema=WARC_SCHEMA)
 
 
-def warc_pages(spark, path, statuses=(200,)) -> DataFrame:
+def warc_pages(spark, path, statuses=(200,),
+               transcode=True) -> DataFrame:
     """Archives -> the authoritative pages shape
     (url, warc_ts, html, text, lang): the ingest half of the north
     star.  ``text``/``lang`` start NULL — ``extract()`` fills text,
     ``lang_id`` fills lang.  Non-HTML and non-2xx responses are
     filtered in the same scan stage (predicate on the mapInPandas
-    output; no extra pass)."""
-    recs = read_warc(spark, path, record_types=("response",))
+    output; no extra pass).  ``transcode`` (default on) is the
+    WET-style UTF-8 normalization — legacy windows-1252/shift_jis/
+    etc. pages parse correctly downstream while utf-8 pages stay
+    byte-identical."""
+    recs = read_warc(spark, path, record_types=("response",),
+                     transcode=transcode)
     keep = ((F.col("url").isNotNull()) &
             (F.col("content_type").isNull() |
              F.col("content_type").rlike("html|xml|^text/")))

@@ -116,6 +116,76 @@ def test_malformed_resync_and_truncation():
     assert len(recs3) == 1 and any("gzip" in e for e in errors3)
 
 
+def test_sniff_charset_priority():
+    from packages_sgml_spark.core.warc import sniff_charset
+    # BOM beats everything
+    assert sniff_charset(b"\xef\xbb\xbf<html>", "iso-8859-1") == "utf-8"
+    assert sniff_charset(b"\xff\xfex\x00", "") == "utf-16le"
+    # HTTP header beats meta; WHATWG alias folds latin-1 family
+    assert sniff_charset(
+        b'<meta charset="shift_jis">', "ISO-8859-1") == "windows-1252"
+    # meta prescan variants
+    assert sniff_charset(b'<html><META CHARSET=Shift_JIS>', "") == \
+        "shift_jis"
+    assert sniff_charset(
+        b'<meta http-equiv="Content-Type" content="text/html; '
+        b'charset=EUC-JP">', "") == "euc-jp"
+    # meta outside the 1 KiB prescan window is ignored
+    assert sniff_charset(b"<p>" + b"x" * 1100 +
+                         b'<meta charset="euc-jp">', "") == ""
+    # xml decl
+    assert sniff_charset(
+        b"<?xml version='1.0' encoding='ISO-8859-2'?><r/>", "") == \
+        "iso-8859-2"
+    assert sniff_charset(b"<html>plain", "") == ""
+
+
+def test_to_utf8_passthrough_and_transcode():
+    from packages_sgml_spark.core.warc import to_utf8
+    # utf-8 and unknown: byte-identical passthrough, even invalid utf-8
+    bad = b"<p>\xc3</p>"
+    assert to_utf8(bad, "utf-8") == (bad, None)
+    assert to_utf8(bad, "") == (bad, None)
+    out, err = to_utf8(bad, "not-a-charset")
+    assert out == bad and "unknown charset" in err
+    # windows-1252 curly quote + iso-8859-1 alias
+    assert to_utf8(b"\x93hi\x94", "windows-1252") == \
+        ("“hi”".encode("utf-8"), None)
+    assert to_utf8(b"caf\xe9", "iso-8859-1") == \
+        ("café".encode("utf-8"), None)
+    # utf-16le with BOM: BOM stripped on transcode
+    src = "﻿<p>héllo</p>".encode("utf-16le")
+    assert to_utf8(src, "utf-16le") == \
+        ("<p>héllo</p>".encode("utf-8"), None)
+
+
+def test_warc_pages_transcode_spark(spark, tmp_path):
+    from packages_sgml_spark.spark.warc import read_warc, warc_pages
+    legacy = "<html><p>café “quoted”</html>".encode(
+        "windows-1252")
+    utf8_doc = "<html><p>café</html>".encode("utf-8")
+    f = tmp_path / "legacy.warc.gz"
+    with open(f, "wb") as out:
+        write_warc(out, [
+            build_response_record(
+                "https://l.example/1", "2026-01-01T00:00:00Z", legacy,
+                http_content_type="text/html; charset=windows-1252"),
+            build_response_record(
+                "https://l.example/2", "2026-01-01T00:00:01Z",
+                utf8_doc),
+        ])
+    got = {r.url: bytes(r.html)
+           for r in warc_pages(spark, str(f)).collect()}
+    assert got["https://l.example/1"] == \
+        "<html><p>café “quoted”</html>".encode("utf-8")
+    assert got["https://l.example/2"] == utf8_doc   # byte-identical
+    # charset column reports the source charset
+    cs = {r.url: r.charset for r in
+          read_warc(spark, str(f), transcode=True).collect()}
+    assert cs["https://l.example/1"] == "windows-1252"
+    assert cs["https://l.example/2"] == "utf-8"
+
+
 @pytest.fixture()
 def archive_dir(tmp_path):
     docs = [
