@@ -148,6 +148,64 @@ WRITE_MANIFEST_SCHEMA = StructType([
 ])
 
 
+def write_wet_pages(extracted: DataFrame, out_dir,
+                    prefix="wet-part") -> DataFrame:
+    """extracted(url, warc_ts?, text) -> WET-style extracted-text
+    archives: ``conversion`` records (Content-Type text/plain, UTF-8
+    body, WARC-Refers-To-Target-URI back to the page) in
+    member-per-record ``.warc.gz`` — the exact shape Common Crawl
+    publishes its text layer in, so downstream WET consumers can read
+    our extraction output unchanged.  One file per partition, same
+    manifest/idempotency contract as write_warc_pages."""
+    cols = [c for c in ("url", "warc_ts", "text")
+            if c in extracted.columns]
+    src = extracted.select(*cols)
+
+    def fn(batches):
+        from pyspark import TaskContext
+        from ..core.warc import build_record, gzip_member
+        pid = TaskContext.get().partitionId()
+        fname = os.path.join(out_dir, "%s-%05d.warc.gz" % (prefix, pid))
+        n = total = 0
+        os.makedirs(out_dir, exist_ok=True)
+        with open(fname, "wb") as out:
+            for pdf in batches:
+                has_ts = "warc_ts" in pdf.columns
+                for i in range(len(pdf)):
+                    date = "1970-01-01T00:00:00Z"
+                    if has_ts and pdf["warc_ts"].iloc[i] is not pd.NaT:
+                        date = pd.Timestamp(
+                            pdf["warc_ts"].iloc[i]).strftime(
+                            "%Y-%m-%dT%H:%M:%SZ")
+                    url = pdf["url"].iloc[i]
+                    text = pdf["text"].iloc[i]
+                    rec = build_record(
+                        "conversion",
+                        (text or "").encode("utf-8"),
+                        url=url, date=date,
+                        content_type="text/plain",
+                        extra_headers=(
+                            ("WARC-Refers-To-Target-URI", url),))
+                    member = gzip_member(rec)
+                    out.write(member)
+                    n += 1
+                    total += len(member)
+        yield pd.DataFrame([(fname, n, total)],
+                           columns=["warc_file", "n_records", "bytes"])
+
+    return src.mapInPandas(fn, schema=WRITE_MANIFEST_SCHEMA)
+
+
+def read_wet(spark, path) -> DataFrame:
+    """WET archives -> (url, warc_ts, text): the inverse of
+    write_wet_pages, and a reader for Common Crawl's own WET layer
+    (records typed ``conversion``, text/plain UTF-8 bodies)."""
+    recs = read_warc(spark, path, record_types=("conversion",))
+    return (recs.where(F.col("url").isNotNull())
+            .select("url", "warc_ts",
+                    F.decode(F.col("html"), "UTF-8").alias("text")))
+
+
 def write_warc_pages(pages: DataFrame, out_dir,
                      prefix="part") -> DataFrame:
     """pages(url, warc_ts, html) -> member-per-record ``.warc.gz``,

@@ -7,6 +7,7 @@ import io
 import zlib
 
 import pytest
+from pyspark.sql import functions as F
 
 from packages_sgml_spark.core.warc import (
     build_record, build_response_record, gzip_member,
@@ -256,6 +257,29 @@ def test_warc_pages_feeds_extract(spark, archive_dir):
     assert titles == {"https://a.example/1": "One",
                       "https://a.example/2": "Two",
                       "https://b.example/3": "Three"}
+
+
+def test_wet_roundtrip_from_extraction(spark, tmp_path, archive_dir):
+    """End-to-end CC trio: WARC in -> extract -> WET out -> WET in,
+    text byte-identical through the conversion records."""
+    from packages_sgml_spark.spark.extract import extract, \
+        extracted_with_meta
+    from packages_sgml_spark.spark.warc import (read_wet, warc_pages,
+                                                write_wet_pages)
+    path, docs = archive_dir
+    pages = warc_pages(spark, str(path) + "/*.warc*")
+    extracted = extracted_with_meta(
+        pages, extract(pages, nodes=False)).select(
+        "url", "warc_ts", F.col("text_extracted").alias("text"))
+    out = tmp_path / "wet"
+    manifest = write_wet_pages(extracted, str(out)).collect()
+    assert sum(m.n_records for m in manifest) == len(docs)
+    direct = {r.url: (r.warc_ts, r.text) for r in
+              extracted.select("url", "warc_ts", "text").collect()}
+    back = {r.url: (r.warc_ts, r.text) for r in
+            read_wet(spark, str(out) + "/*.warc.gz").collect()}
+    assert back == direct
+    assert back["https://a.example/1"][1] == "Onealpha"
 
 
 def test_write_warc_pages_roundtrip(spark, tmp_path, archive_dir):
