@@ -150,6 +150,76 @@ def pii_scrub(docs: DataFrame) -> DataFrame:
         n_phone.cast("bigint").alias("n_phones"))
 
 
+def doc_lines(docs: DataFrame, id_col="doc_id",
+              text_col="text") -> DataFrame:
+    """One row per text line: (id, line_no, line) via
+    posexplode(split) — JVM-side, document order preserved in
+    line_no."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "\n"))
+        .alias("line_no", "line"))
+
+
+def boilerplate_lines(docs: DataFrame, min_docs=5, id_col="doc_id",
+                      text_col="text") -> DataFrame:
+    """Cross-document repeated lines (CCNet-style boilerplate mining:
+    a line occurring verbatim in >= min_docs distinct documents is
+    site furniture — cookie banners, 'All rights reserved', nav
+    labels — not content).  Key is the TRIMMED line string itself:
+    collision-free and oracle-exact; at petabyte scale swap the join
+    key for xxhash64(line) to shrink the shuffle width (values
+    byte-compared on the survivors).  One explode + one two-phase
+    aggregate; uniform keys (no single line dominates after the
+    distinct-per-doc cut).  Output: (line, n_docs, n_total)."""
+    lines = doc_lines(docs, id_col, text_col).select(
+        "doc_id", F.trim("line").alias("line"))
+    lines = lines.where(F.col("line") != "")
+    return (lines.groupBy("line")
+            .agg(F.countDistinct("doc_id").alias("n_docs"),
+                 F.count("*").alias("n_total"))
+            .where(F.col("n_docs") >= min_docs))
+
+
+def strip_boilerplate_lines(docs: DataFrame, min_docs=5,
+                            id_col="doc_id", text_col="text",
+                            mined: DataFrame = None) -> DataFrame:
+    """Remove mined boilerplate lines from every document:
+    (doc_id, text_clean, n_lines_removed).  Line rows anti-join the
+    mined set (broadcast when the caller mined with a high
+    min_docs — the mined frame is the small side; Catalyst/AQE
+    decides), then documents reassemble with an order-preserving
+    array_sort — the named_subtree_text pattern, no window.  Every
+    input document appears in the output (absent-means-clean is
+    banned in this module): a fully-boilerplate document comes back
+    with text_clean='' and its removal count."""
+    if mined is None:
+        mined = boilerplate_lines(docs, min_docs, id_col, text_col)
+    bl = mined.select(F.col("line").alias("bl_line"))
+    lines = doc_lines(docs, id_col, text_col)
+    keyed = lines.withColumn("line_key", F.trim("line"))
+    kept = keyed.join(bl, keyed["line_key"] == bl["bl_line"],
+                      "left_anti")
+    rebuilt = (kept.groupBy("doc_id")
+               .agg(F.concat_ws(
+                   "\n", F.transform(
+                       F.array_sort(F.collect_list(
+                           F.struct("line_no", "line"))),
+                       lambda s: s["line"])).alias("text_clean"),
+                    F.count("*").alias("n_kept")))
+    n_lines = (lines.groupBy("doc_id")
+               .agg(F.count("*").alias("n_lines")))
+    return (docs.select(F.col(id_col).alias("doc_id"))
+            .join(rebuilt, "doc_id", "left")
+            .join(n_lines, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("text_clean", F.lit("")).alias(
+                        "text_clean"),
+                    (F.coalesce("n_lines", F.lit(0)) -
+                     F.coalesce("n_kept", F.lit(0)))
+                    .cast("int").alias("n_lines_removed")))
+
+
 def messy_urls(docs: DataFrame) -> DataFrame:
     """Deterministic crawl-style messy URLs from doc_id (mixed-case
     scheme/host, default port, duplicate-alias paths, tracking params,
