@@ -25,8 +25,9 @@ would select ``//a/@href``); the resolution/graph layer is the
 import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.types import (BooleanType, IntegerType, LongType,
-                               StringType, StructField, StructType)
+from pyspark.sql.types import (BooleanType, DoubleType, IntegerType,
+                               LongType, StringType, StructField,
+                               StructType)
 
 from .extract import MAX_HTML_BYTES
 
@@ -140,6 +141,70 @@ def host_graph(links: DataFrame, keep_nofollow=False,
         e = e.where(F.col("src_host") != F.col("dst_host"))
     return (e.groupBy("src_host", "dst_host")
             .agg(F.count("*").alias("n")))
+
+
+ROBOTS_SCHEMA = StructType([
+    StructField("url", StringType()),
+    StructField("allowed", BooleanType()),
+    StructField("crawl_delay", DoubleType()),
+])
+
+
+def robots_filter(urls: DataFrame, robots: DataFrame,
+                  user_agent="*") -> DataFrame:
+    """Politeness gate on a URL frontier: urls(url) x robots(host,
+    robots_txt) -> (url, allowed, crawl_delay).
+
+    Plan: derive the host JVM-side, join on it (the robots side is
+    one row per host — AQE broadcast-joins it when it fits, which at
+    per-site batch sizes it does), then ONE Arrow-batched map checks
+    paths.  Rules are parsed once per distinct robots_txt per batch
+    (memo keyed on the text), not per URL; a frontier sorted by host
+    — the natural layout after the host-graph shuffle — parses each
+    robots.txt once per task.  URLs with no robots row are allowed
+    (RFC 9309 §2.3.1.2: unavailable means unrestricted)."""
+    u = urls.select(
+        "url",
+        F.lower(F.parse_url("url", F.lit("HOST"))).alias("_host"))
+    r = robots.select(F.lower(F.col("host")).alias("_host"),
+                      "robots_txt")
+    joined = u.join(r, "_host", "left").select("url", "robots_txt")
+
+    def fn(batches):
+        from ..core.robots import parse_robots, url_allowed
+        memo = {}
+        for pdf in batches:
+            out_allowed = []
+            out_delay = []
+            for url, txt in zip(pdf["url"], pdf["robots_txt"]):
+                if txt is None:
+                    out_allowed.append(True)
+                    out_delay.append(None)
+                    continue
+                rules = memo.get(txt)
+                if rules is None:
+                    rules, _maps = parse_robots(txt, user_agent)
+                    if len(memo) > 4096:   # worker-lifetime bound
+                        memo.clear()
+                    memo[txt] = rules
+                out_allowed.append(url_allowed(rules, url))
+                out_delay.append(rules.crawl_delay)
+            yield pd.DataFrame({"url": pdf["url"],
+                                "allowed": out_allowed,
+                                "crawl_delay": out_delay})
+
+    return joined.mapInPandas(fn, schema=ROBOTS_SCHEMA)
+
+
+def frontier(links: DataFrame, crawled: DataFrame) -> DataFrame:
+    """New-URL frontier: resolved link targets not yet crawled — one
+    distinct + one anti-join on the canonical URL (both sides already
+    canonical: outlinks canonicalizes targets; crawled(url) is the
+    pages table key)."""
+    cand = (links.where(F.col("target").isNotNull() &
+                        ~F.col("nofollow"))
+            .select(F.col("target").alias("url")).distinct())
+    return cand.join(crawled.select("url"), "url", "left_anti")
 
 
 def pagerank(edges: DataFrame, n_iter=10, damping=0.85,
