@@ -1,0 +1,295 @@
+"""Round-8 registry candidates, staged while the registry is frozen.
+
+Invariant (memory: registry keys change only at round START): these
+queries/oracles are NOT imported by queries.py / __spark_entry__.py
+yet.  They are fully built and pytest-gated against DuckDB now
+(tests/test_staged_r8.py runs the exact check_correctness compare);
+at round-8 start, registration is two dict updates:
+
+    QUERIES.update(queries_staged.R8_QUERIES)
+    ORACLES.update(queries_staged.R8_ORACLES)
+
+Six keys over the session-3 crawl-pipeline operators: outlinks /
+host_graph / pagerank_hosts (spark/links.py), boilerplate_lines /
+strip_boilerplate (spark/datafilters.py), robots_allowed
+(core/robots.py via robots_filter).
+"""
+
+from pyspark.sql import functions as F
+
+from .queries import _t, ensure_workers
+
+# ------------------------------------------------------------- pages
+
+# Synthesized link pages: page url https://d<doc_id%13>.example/p/<id>
+# with, per document (k = doc_id % 5 + 1):
+#   k relative links  /r/<i>?x=<id>#f   anchor "ref <b><i></b>"
+#   1 absolute cross-host link https://h<doc_id%7>.example/z
+#   1 rel=nofollow /nf, 1 javascript: — exercising skip paths.
+# Everything is SQL-reconstructable for the DuckDB oracle.
+
+
+def docs_as_link_pages(docs):
+    d = F.col("doc_id")
+    k = (d % 5 + 1).cast("int")
+    rel_links = F.array_join(F.transform(
+        F.sequence(F.lit(0), k - 1),
+        lambda i: F.concat(
+            F.lit('<a href="/r/'), i.cast("string"),
+            F.lit("?x="), d.cast("string"),
+            F.lit('#f">ref <b>'), i.cast("string"),
+            F.lit("</b></a>"))), "")
+    html_str = F.concat(
+        F.lit("<html><head><title>t</title></head><body>"),
+        rel_links,
+        F.lit('<a href="https://h'), (d % 7).cast("string"),
+        F.lit('.example/z">x</a>'),
+        F.lit('<a href="/nf" rel="nofollow">nf</a>'),
+        F.lit('<a href="javascript:void(0)">js</a>'),
+        F.lit("</body></html>"))
+    url = F.concat(F.lit("https://d"), (d % 13).cast("string"),
+                   F.lit(".example/p/"), d.cast("string"))
+    return docs.select(url.alias("url"),
+                       F.encode(html_str, "utf-8").alias("html"))
+
+
+_DOC_ID = F.regexp_extract("url", r"/p/(\d+)$", 1).cast("bigint")
+
+
+def q_outlinks(spark, sf_dir):
+    """Outlink extraction over synthesized link pages (spark/links.py
+    outlinks: single narrow map, in-worker resolution +
+    canonicalization, nofollow flags, javascript: dropped to NULL)."""
+    ensure_workers(spark)
+    from .links import outlinks
+    pages = docs_as_link_pages(_t(spark, sf_dir, "documents"))
+    return (outlinks(pages)
+            .select(_DOC_ID.alias("doc_id"), "link_ord", "href",
+                    "target", "anchor", "nofollow"))
+
+
+ORACLE_OUTLINKS = """
+SELECT doc_id, CAST(i AS INT) AS link_ord,
+       '/r/' || i || '?x=' || doc_id || '#f' AS href,
+       'https://d' || (doc_id % 13) || '.example/r/' || i ||
+         '?x=' || doc_id AS target,
+       'ref ' || i AS anchor, FALSE AS nofollow
+FROM documents, unnest(range(0, doc_id % 5 + 1)) AS t(i)
+UNION ALL
+SELECT doc_id, CAST(doc_id % 5 + 1 AS INT),
+       'https://h' || (doc_id % 7) || '.example/z',
+       'https://h' || (doc_id % 7) || '.example/z', 'x', FALSE
+FROM documents
+UNION ALL
+SELECT doc_id, CAST(doc_id % 5 + 2 AS INT), '/nf',
+       'https://d' || (doc_id % 13) || '.example/nf', 'nf', TRUE
+FROM documents
+UNION ALL
+SELECT doc_id, CAST(doc_id % 5 + 3 AS INT), 'javascript:void(0)',
+       NULL, 'js', FALSE
+FROM documents
+"""
+
+
+def q_host_graph(spark, sf_dir):
+    """Host-level edge aggregation: the relative links collapse as
+    self-edges (dropped), the nofollow link is filtered, leaving the
+    one cross-host link per document -> (src_host, dst_host, n)."""
+    ensure_workers(spark)
+    from .links import host_graph, outlinks
+    pages = docs_as_link_pages(_t(spark, sf_dir, "documents"))
+    return host_graph(outlinks(pages))
+
+
+ORACLE_HOST_GRAPH = """
+SELECT 'd' || (doc_id % 13) || '.example' AS src_host,
+       'h' || (doc_id % 7) || '.example' AS dst_host,
+       COUNT(*) AS n
+FROM documents GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------- pagerank
+
+PR_ITER = 5
+PR_DAMP = 0.85
+
+
+def q_pagerank_hosts(spark, sf_dir):
+    """PageRank over a deterministic host graph derived from doc_id
+    (h<i> -> h<(3i+1)%7>, weight = multiplicity).  Ranks rounded to
+    9 decimals: both engines do float64 arithmetic in different
+    association orders; at graph diameter ~7 the drift is ~1e-16."""
+    ensure_workers(spark)
+    from .links import pagerank
+    docs = _t(spark, sf_dir, "documents")
+    edges = (docs.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 7).cast("string"))
+        .alias("src_host"),
+        F.concat(F.lit("h"), ((F.col("doc_id") * 3 + 1) % 7)
+                 .cast("string")).alias("dst_host"))
+        .groupBy("src_host", "dst_host")
+        .agg(F.count("*").cast("double").alias("n")))
+    pr = pagerank(edges, n_iter=PR_ITER, damping=PR_DAMP)
+    return pr.select("host", F.round("rank", 9).alias("rank"))
+
+
+def _pagerank_oracle_sql(n_iter=PR_ITER, d=PR_DAMP):
+    """Unrolled power iteration (DuckDB recursive CTEs cannot carry
+    the per-step aggregate, so each iteration is its own CTE — the
+    SQL is generated, semantics identical to links.pagerank)."""
+    parts = ["""
+WITH e AS (
+  SELECT 'h' || (doc_id % 7) AS src, 'h' || ((doc_id * 3 + 1) % 7)
+           AS dst, CAST(COUNT(*) AS DOUBLE) AS w
+  FROM documents GROUP BY 1, 2),
+outw AS (SELECT src, SUM(w) AS w_out FROM e GROUP BY src),
+frac AS (SELECT e.src, e.dst, e.w / outw.w_out AS frac
+         FROM e JOIN outw ON e.src = outw.src),
+nodes AS (SELECT src AS host FROM e UNION SELECT dst FROM e),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM nodes),
+r0 AS (SELECT host, 1.0 / nn.c AS rank FROM nodes, nn)"""]
+    for i in range(1, n_iter + 1):
+        p, r = i - 1, i
+        parts.append("""
+c%d AS (SELECT frac.dst, SUM(frac.frac * r%d.rank) AS contrib
+        FROM frac JOIN r%d ON frac.src = r%d.host GROUP BY frac.dst),
+d%d AS (SELECT COALESCE(SUM(r%d.rank), 0.0) AS dang
+        FROM r%d LEFT JOIN outw ON r%d.host = outw.src
+        WHERE outw.src IS NULL),
+r%d AS (SELECT nodes.host,
+               (1.0 - %r) / nn.c + %r *
+                 (COALESCE(c%d.contrib, 0.0) + d%d.dang / nn.c) AS rank
+        FROM nodes LEFT JOIN c%d ON nodes.host = c%d.dst,
+             nn, d%d)""" % (r, p, p, p, r, p, p, p, r, d, d,
+                            r, r, r, r, r))
+    return (",".join(parts) +
+            "\nSELECT host, round(rank, 9) AS rank FROM r%d" % n_iter)
+
+
+# --------------------------------------------------------- line dedup
+
+# Line-ified documents: text is one line; append a footer shared by
+# every document and the lang code (shared by ~1/8 of docs) — real
+# cross-document boilerplate with planted truth, SQL-reconstructable.
+_LINEDOC_SQL_T = ("text || chr(10) || 'Shared footer.' || chr(10) "
+                  "|| lang")
+_BL_MIN_DOCS = 3
+
+
+def _line_docs(docs):
+    return docs.select(
+        "doc_id",
+        F.concat_ws("\n", F.col("text"), F.lit("Shared footer."),
+                    F.col("lang")).alias("text"))
+
+
+def q_boilerplate_lines(spark, sf_dir):
+    ensure_workers(spark)
+    from .datafilters import boilerplate_lines
+    docs = _line_docs(_t(spark, sf_dir, "documents"))
+    return boilerplate_lines(docs, min_docs=_BL_MIN_DOCS)
+
+
+ORACLE_BOILERPLATE = """
+WITH src AS (SELECT doc_id, %s AS t FROM documents),
+ln AS (
+  SELECT doc_id, trim(parts[i]) AS line
+  FROM (SELECT doc_id, string_split(t, chr(10)) AS parts FROM src),
+       unnest(range(1, len(parts) + 1)) AS u(i)
+  WHERE trim(parts[i]) <> '')
+SELECT line, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_total
+FROM ln GROUP BY line HAVING COUNT(DISTINCT doc_id) >= %d
+""" % (_LINEDOC_SQL_T, _BL_MIN_DOCS)
+
+
+def q_strip_boilerplate(spark, sf_dir):
+    ensure_workers(spark)
+    from .datafilters import strip_boilerplate_lines
+    docs = _line_docs(_t(spark, sf_dir, "documents"))
+    return strip_boilerplate_lines(docs, min_docs=_BL_MIN_DOCS)
+
+
+ORACLE_STRIP = """
+WITH src AS (SELECT doc_id, %s AS t FROM documents),
+ln AS (
+  SELECT doc_id, i, parts[i] AS line, trim(parts[i]) AS key
+  FROM (SELECT doc_id, string_split(t, chr(10)) AS parts FROM src),
+       unnest(range(1, len(parts) + 1)) AS u(i)),
+bl AS (
+  SELECT key FROM ln WHERE key <> ''
+  GROUP BY key HAVING COUNT(DISTINCT doc_id) >= %d),
+kept AS (
+  SELECT ln.* FROM ln LEFT JOIN bl ON ln.key = bl.key
+  WHERE bl.key IS NULL),
+rebuilt AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS text_clean,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id),
+tot AS (SELECT doc_id, COUNT(*) AS n_lines FROM ln GROUP BY doc_id)
+SELECT src.doc_id,
+       COALESCE(rebuilt.text_clean, '') AS text_clean,
+       CAST(COALESCE(tot.n_lines, 0) - COALESCE(rebuilt.n_kept, 0)
+            AS INT) AS n_lines_removed
+FROM src
+LEFT JOIN rebuilt ON src.doc_id = rebuilt.doc_id
+LEFT JOIN tot ON src.doc_id = tot.doc_id
+""" % (_LINEDOC_SQL_T, _BL_MIN_DOCS)
+
+
+# ------------------------------------------------------------- robots
+
+_N_ROBOT_HOSTS = 4    # hosts r0..r3 have robots; r4 has none
+
+
+def q_robots_allowed(spark, sf_dir):
+    """RFC 9309 politeness gate: synthesized frontier (host
+    r<doc_id%5>, private path when doc_id%3==0) against per-host
+    robots (Disallow: /private/, Crawl-delay: host+0.5; host r4
+    publishes none -> unrestricted per §2.3.1.2)."""
+    ensure_workers(spark)
+    from .links import robots_filter
+    d = F.col("doc_id")
+    urls = _t(spark, sf_dir, "documents").select(F.concat(
+        F.lit("https://r"), (d % 5).cast("string"), F.lit(".example/"),
+        F.when(d % 3 == 0, F.lit("private/x")).otherwise(F.lit("pub/x")),
+        F.lit("?id="), d.cast("string")).alias("url"))
+    h = F.col("id")
+    robots = spark.range(_N_ROBOT_HOSTS).select(
+        F.concat(F.lit("r"), h.cast("string"), F.lit(".example"))
+        .alias("host"),
+        F.concat(F.lit("User-agent: *\nDisallow: /private/\n"
+                       "Crawl-delay: "),
+                 (h + 0.5).cast("string")).alias("robots_txt"))
+    return robots_filter(urls, robots)
+
+
+ORACLE_ROBOTS = """
+SELECT 'https://r' || (doc_id %% 5) || '.example/' ||
+         CASE WHEN doc_id %% 3 = 0 THEN 'private/x' ELSE 'pub/x' END ||
+         '?id=' || doc_id AS url,
+       CASE WHEN doc_id %% 5 >= %d THEN TRUE
+            WHEN doc_id %% 3 = 0 THEN FALSE ELSE TRUE END AS allowed,
+       CASE WHEN doc_id %% 5 >= %d THEN NULL
+            ELSE CAST((doc_id %% 5) + 0.5 AS DOUBLE) END AS crawl_delay
+FROM documents
+""" % (_N_ROBOT_HOSTS, _N_ROBOT_HOSTS)
+
+
+R8_QUERIES = {
+    "outlinks": q_outlinks,
+    "host_graph": q_host_graph,
+    "pagerank_hosts": q_pagerank_hosts,
+    "boilerplate_lines": q_boilerplate_lines,
+    "strip_boilerplate": q_strip_boilerplate,
+    "robots_allowed": q_robots_allowed,
+}
+
+R8_ORACLES = {
+    "outlinks": ORACLE_OUTLINKS,
+    "host_graph": ORACLE_HOST_GRAPH,
+    "pagerank_hosts": _pagerank_oracle_sql(),
+    "boilerplate_lines": ORACLE_BOILERPLATE,
+    "strip_boilerplate": ORACLE_STRIP,
+    "robots_allowed": ORACLE_ROBOTS,
+}

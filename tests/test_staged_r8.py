@@ -1,0 +1,67 @@
+"""Round-8 staged registry entries, gated NOW with the exact
+check_correctness compare (row count + column set + order-insensitive
+value hash vs DuckDB) so round-8 registration is a mechanical dict
+update.  The registry itself stays frozen mid-round — queries.py must
+NOT import queries_staged until round start."""
+
+import importlib.util
+import os
+
+import duckdb
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _harness():
+    spec = importlib.util.spec_from_file_location(
+        "check_correctness", os.path.join(REPO, "tools",
+                                          "check_correctness.py"))
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    return m
+
+
+@pytest.fixture(scope="module")
+def duck():
+    h = _harness()
+    con = duckdb.connect()
+    for t in h.TABLES:
+        p = os.path.join(SF_DIR, t + ".parquet")
+        if os.path.exists(p):
+            con.execute(
+                "CREATE VIEW %s AS SELECT * FROM read_parquet('%s')"
+                % (t, p))
+    return con
+
+
+def test_registry_still_frozen():
+    """queries_staged must not leak into the live registry mid-round."""
+    import __spark_entry__ as E
+    assert len(E.queries()) == 55
+    src = open(os.path.join(
+        REPO, "packages_sgml_spark", "spark", "queries.py")).read()
+    assert "queries_staged" not in src
+
+
+@pytest.mark.parametrize("name", [
+    "outlinks", "host_graph", "pagerank_hosts", "boilerplate_lines",
+    "strip_boilerplate", "robots_allowed"])
+def test_staged_query_matches_oracle(spark, duck, name):
+    import decimal
+    from packages_sgml_spark.spark.queries_staged import (R8_ORACLES,
+                                                          R8_QUERIES)
+    h = _harness()
+    df = R8_QUERIES[name](spark, SF_DIR)
+    cols = df.columns
+    rows = [tuple(r) for r in df.collect()]
+    cur = duck.execute(R8_ORACLES[name])
+    ocols = [d[0] for d in cur.description]
+    orows = cur.fetchall()
+    assert len(rows) == len(orows), (name, len(rows), len(orows))
+    assert sorted(cols) == sorted(ocols), (name, cols, ocols)
+    assert rows, name                      # non-degenerate
+    for r in rows[:5] + orows[:5]:         # driver-unsafe Decimal ban
+        assert not any(isinstance(v, decimal.Decimal) for v in r)
+    assert h.table_hash(cols, rows) == h.table_hash(ocols, orows), name
