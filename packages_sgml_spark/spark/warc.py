@@ -141,6 +141,56 @@ def warc_pages(spark, path, statuses=(200,),
                     F.lit(None).cast("string").alias("lang")))
 
 
+def stream_warc(spark, input_dir, record_types=("response",),
+                transcode=False) -> DataFrame:
+    """Continuous WARC ingest from a landing directory: the
+    binaryFile STREAM source discovers newly-arrived archives, each
+    becoming one input row parsed by the same scan as read_warc.
+    Exactly-once at file granularity comes from the stream
+    checkpoint (the file source journals seen files); pair with
+    ``trigger(availableNow=True)`` for batch catch-up or a processing
+    trigger for a live feed.  Caller attaches writeStream with a
+    checkpointLocation."""
+    rtypes = tuple(record_types) if record_types else ()
+    # streaming sources require an explicit schema; binaryFile's is
+    # fixed by the format
+    bin_schema = StructType([
+        StructField("path", StringType()),
+        StructField("modificationTime", TimestampType()),
+        StructField("length", LongType()),
+        StructField("content", BinaryType()),
+    ])
+    src = (spark.readStream.format("binaryFile")
+           .schema(bin_schema)
+           .option("pathGlobFilter", "*.warc*")
+           .load(input_dir)
+           .select("path", "content"))
+
+    def fn(batches):
+        for pdf in batches:
+            for path_, content in zip(pdf["path"], pdf["content"]):
+                yield _records_frame(path_, content, rtypes,
+                                     transcode)
+
+    return src.mapInPandas(fn, schema=WARC_SCHEMA)
+
+
+def warc_todo_paths(spark, path, done: DataFrame):
+    """Batch-mode file-level resume: archive paths under ``path``
+    minus the processed set (``done`` needs a warc_file column — the
+    read_warc output or the write manifest read back).  Returns a
+    driver-side list of paths for binaryFile's multi-path load — a
+    file MANIFEST (one row per archive, ~10^5 per crawl), not data,
+    so collecting it is the normal Spark file-pruning pattern; the
+    pruning must happen at plan time to skip the parse entirely."""
+    files = (spark.read.format("binaryFile").load(path)
+             .select(F.regexp_replace("path", "^file:", "")
+                     .alias("warc_file")))
+    todo = files.join(done.select("warc_file").distinct(),
+                      "warc_file", "left_anti")
+    return [r.warc_file for r in todo.collect()]
+
+
 WRITE_MANIFEST_SCHEMA = StructType([
     StructField("warc_file", StringType()),
     StructField("n_records", LongType()),

@@ -3,6 +3,7 @@ HTTP split, and the Spark source/sink (read_warc / warc_pages /
 write_warc_pages) against synthesized member-per-record archives."""
 
 import gzip
+import os
 import io
 import zlib
 
@@ -294,3 +295,63 @@ def test_write_warc_pages_roundtrip(spark, tmp_path, archive_dir):
     got = {(r.url, r.warc_ts.strftime("%Y-%m-%dT%H:%M:%SZ"),
             bytes(r.html)) for r in back.collect()}
     assert got == set(docs)
+
+
+def test_stream_warc_incremental(spark, tmp_path):
+    """Landing-directory ingest: availableNow catch-up processes the
+    files present, the checkpoint journals them, and a restart after a
+    new archive lands parses ONLY the new file (file-level
+    exactly-once — the north-rule resume contract at the ingest
+    stage)."""
+    from packages_sgml_spark.spark.warc import stream_warc
+    land = tmp_path / "land"
+    land.mkdir()
+    out, chk = tmp_path / "out", tmp_path / "chk"
+
+    def drop(name, url, body):
+        with open(land / name, "wb") as f:
+            write_warc(f, [build_response_record(
+                url, "2026-01-01T00:00:00Z", body)])
+
+    def run_once():
+        q = (stream_warc(spark, str(land))
+             .writeStream.format("parquet")
+             .option("path", str(out))
+             .option("checkpointLocation", str(chk))
+             .trigger(availableNow=True)
+             .start())
+        assert q.awaitTermination(180)
+
+    drop("c-0.warc.gz", "https://s.example/1", b"<html><p>one</html>")
+    run_once()
+    got = spark.read.parquet(str(out))
+    assert [r.url for r in got.collect()] == ["https://s.example/1"]
+
+    drop("c-1.warc.gz", "https://s.example/2", b"<html><p>two</html>")
+    run_once()
+    rows = spark.read.parquet(str(out)).collect()
+    # old archive NOT re-parsed: exactly one row per record ever
+    assert sorted(r.url for r in rows) == \
+        ["https://s.example/1", "https://s.example/2"]
+    files = {os.path.basename(r.warc_file) for r in rows}
+    assert files == {"c-0.warc.gz", "c-1.warc.gz"}
+
+
+def test_warc_todo_paths(spark, archive_dir):
+    """File-level batch resume: archives minus the processed set."""
+    from packages_sgml_spark.spark.warc import read_warc, \
+        warc_todo_paths
+    path, _docs = archive_dir
+    glob = str(path) + "/*.warc*"
+    empty = spark.createDataFrame([], "warc_file string")
+    todo0 = warc_todo_paths(spark, glob, empty)
+    assert sorted(os.path.basename(p) for p in todo0) == \
+        ["crawl-00000.warc.gz", "crawl-00001.warc"]
+    # mark the first archive done via its own read output
+    done = read_warc(spark, todo0[0]).select("warc_file")
+    todo1 = warc_todo_paths(spark, glob, done)
+    assert [os.path.basename(p) for p in todo1] == \
+        [os.path.basename(p) for p in todo0 if p != todo0[0]]
+    # the returned paths load directly
+    assert read_warc(spark, todo1[0] if len(todo1) == 1 else todo1
+                     ).count() > 0
