@@ -183,7 +183,9 @@ def warc_todo_paths(spark, path, done: DataFrame):
     file MANIFEST (one row per archive, ~10^5 per crawl), not data,
     so collecting it is the normal Spark file-pruning pattern; the
     pruning must happen at plan time to skip the parse entirely."""
-    files = (spark.read.format("binaryFile").load(path)
+    files = (spark.read.format("binaryFile")
+             .option("pathGlobFilter", "*.warc*")
+             .load(path)
              .select(F.regexp_replace("path", "^file:", "")
                      .alias("warc_file")))
     todo = files.join(done.select("warc_file").distinct(),

@@ -15,3 +15,8 @@ def spark():
     ensure_workers(s)
     yield s
     s.stop()
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running launch tests (spark-submit)")

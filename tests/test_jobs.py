@@ -1,0 +1,163 @@
+"""Job scripts under jobs/: the end-to-end crawl pipeline (WARC in ->
+text + metrics + WET out, two-level resume) driven in-process, and
+one REAL ``spark-submit --py-files`` launch — the north rule's stated
+launch mode — as a subprocess with the package shipped only via the
+zip."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "jobs"))
+
+
+def _write_archive(path, docs):
+    from packages_sgml_spark.core.warc import (build_response_record,
+                                               write_warc)
+    with open(path, "wb") as out:
+        write_warc(out, [build_response_record(u, d, b)
+                         for u, d, b in docs])
+
+
+def _args(**kw):
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--run-id", default="t-run")
+    ap.add_argument("--dialect", default="html5")
+    ap.add_argument("--statuses", default="200")
+    ap.add_argument("--repartition", default="auto")
+    ap.add_argument("--wet", action="store_true")
+    argv = []
+    for k, v in kw.items():
+        argv += ["--" + k.replace("_", "-")] + \
+            ([] if v is True else [str(v)])
+    return ap.parse_args(argv)
+
+
+DOCS1 = [
+    ("https://j.example/1", "2026-01-01T00:00:01Z",
+     b"<html><head><title>One</title></head><p>alpha</html>"),
+    ("https://j.example/2", "2026-01-01T00:00:02Z",
+     b"<html><head><title>Two</title></head><p>beta</html>"),
+]
+DOCS2 = [
+    ("https://j.example/3", "2026-01-01T00:00:03Z",
+     b"<html><head><title>Three</title></head><p>gamma</html>"),
+]
+
+
+def test_crawl_job_two_level_resume(spark, tmp_path):
+    import crawl_job
+    land = tmp_path / "warc"
+    land.mkdir()
+    out = str(tmp_path / "sink")
+    _write_archive(land / "c-00000.warc.gz", DOCS1)
+
+    s1 = crawl_job.run(spark, _args(
+        input=str(land), output=out, run_id="r1", wet=True))
+    assert s1 == {"run_id": "r1", "archives": 1, "docs_new": 2,
+                  "wet_records": 2}
+
+    # nothing new: file-level prune leaves zero archives to read
+    s2 = crawl_job.run(spark, _args(
+        input=str(land), output=out, run_id="r2"))
+    assert s2 == {"run_id": "r2", "archives": 0, "docs_new": 0}
+
+    # a new archive lands; one old doc also reappears in it (a crawl
+    # refetch) — file prune admits the archive, url anti-join drops
+    # the refetched doc
+    _write_archive(land / "c-00001.warc.gz",
+                   DOCS2 + [DOCS1[0]])
+    s3 = crawl_job.run(spark, _args(
+        input=str(land), output=out, run_id="r3", wet=True))
+    assert s3 == {"run_id": "r3", "archives": 1, "docs_new": 1,
+                  "wet_records": 1}
+
+    text = spark.read.parquet(out + "/text")
+    rows = {r.url: r for r in text.collect()}
+    assert sorted(rows) == ["https://j.example/1", "https://j.example/2",
+                            "https://j.example/3"]   # no duplicates
+    assert rows["https://j.example/3"].text_extracted == "Threegamma"
+    assert rows["https://j.example/3"].run_id == "r3"
+
+    # metrics sidecar: one run_id per pass that extracted anything
+    metrics = spark.read.parquet(out + "/metrics")
+    per_run = {r.run_id: r.docs for r in
+               metrics.groupBy("run_id").sum("docs")
+               .withColumnRenamed("sum(docs)", "docs").collect()}
+    assert per_run == {"r1": 2, "r3": 1}
+
+    # WET layer reads back with the extracted text
+    from packages_sgml_spark.spark.warc import read_wet
+    wet = {r.url: r.text for r in
+           read_wet(spark, out + "/wet/*.warc.gz").collect()}
+    assert wet["https://j.example/1"] == "Onealpha"
+    assert wet["https://j.example/3"] == "Threegamma"
+
+    # archive manifest records both processed files exactly once
+    arch = spark.read.parquet(out + "/archives")
+    names = sorted(os.path.basename(r.warc_file) for r in arch.collect())
+    assert names == ["c-00000.warc.gz", "c-00001.warc.gz"]
+
+
+def test_crawl_job_url_resume_after_partial_write(spark, tmp_path):
+    """Kill-between-sinks shape: text written but the archive
+    manifest commit never happened (manifest is written LAST).  The
+    rerun re-admits the archive at file level and the url anti-join
+    extracts nothing twice."""
+    import crawl_job
+    land = tmp_path / "warc"
+    land.mkdir()
+    out = str(tmp_path / "sink")
+    _write_archive(land / "c-00000.warc.gz", DOCS1)
+    crawl_job.run(spark, _args(input=str(land), output=out,
+                               run_id="r1"))
+    # simulate the crash: drop the manifest commit
+    import shutil
+    shutil.rmtree(out + "/archives")
+    s2 = crawl_job.run(spark, _args(input=str(land), output=out,
+                                    run_id="r2"))
+    assert s2["archives"] == 1 and s2["docs_new"] == 0
+    text = spark.read.parquet(out + "/text")
+    assert text.count() == 2          # still exactly one row per doc
+
+
+@pytest.mark.slow
+def test_spark_submit_py_files_launch(tmp_path):
+    """The real launch mode: a fresh spark-submit JVM, package code
+    shipped ONLY through --py-files (cwd outside the repo), crawl job
+    end-to-end."""
+    sys.path.insert(0, REPO)
+    from tools.make_pyfiles_zip import build
+    zip_path = build(str(tmp_path / "packages_sgml_spark.zip"))
+    land = tmp_path / "warc"
+    land.mkdir()
+    _write_archive(land / "c-00000.warc.gz", DOCS1)
+    out = str(tmp_path / "sink")
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+    env["PYSPARK_PYTHON"] = sys.executable
+    env["PYSPARK_DRIVER_PYTHON"] = sys.executable
+    proc = subprocess.run(
+        ["spark-submit", "--master", "local[4]",
+         "--conf", "spark.ui.enabled=false",
+         "--conf", "spark.sql.shuffle.partitions=4",
+         "--py-files", zip_path,
+         os.path.join(REPO, "jobs", "crawl_job.py"),
+         "--input", str(land), "--output", out,
+         "--run-id", "submit1", "--wet"],
+        cwd=str(tmp_path), env=env, capture_output=True, text=True,
+        timeout=600)
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    summary = json.loads(
+        [l for l in proc.stdout.splitlines()
+         if l.startswith("{")][-1])
+    assert summary == {"archives": 1, "docs_new": 2, "run_id": "submit1",
+                       "wet_records": 2}
+    assert os.path.exists(out + "/text/_SUCCESS")
