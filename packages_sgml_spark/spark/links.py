@@ -143,6 +143,39 @@ def host_graph(links: DataFrame, keep_nofollow=False,
             .agg(F.count("*").alias("n")))
 
 
+def anchor_texts(links: DataFrame, max_texts=50) -> DataFrame:
+    """Incoming anchor text per target url — the classic web-scale
+    relevance signal (anchor words describe the TARGET document).
+    Output: (url, n_anchors, n_distinct_anchors, anchor_texts) with
+    anchor_texts capped at the ``max_texts`` most frequent distinct
+    texts (ties broken lexically), sorted for determinism.
+
+    Scale shape: distinct (target, anchor) pair counts first (hash
+    agg with map-side partials — the raw link fan-in never crosses
+    the wire per-row), then a row_number window caps the texts BEFORE
+    any per-key collection, so mega-hub targets (every crawl has
+    them) hold at most ``max_texts`` strings in aggregation state
+    instead of their full fan-in.  The final groupBy reuses the
+    window's hash partitioning on target — two exchanges total."""
+    from pyspark.sql import Window
+    pairs = (links
+             .where(F.col("target").isNotNull() &
+                    (F.length(F.trim("anchor")) > 0))
+             .select("target", F.trim("anchor").alias("anchor"))
+             .groupBy("target", "anchor")
+             .agg(F.count("*").alias("n")))
+    w = Window.partitionBy("target").orderBy(F.desc("n"), "anchor")
+    ranked = pairs.withColumn("rn", F.row_number().over(w))
+    # collect_list skips NULLs: texts beyond the cap contribute to
+    # the counts but never enter the per-key collection state
+    kept = F.when(F.col("rn") <= max_texts, F.col("anchor"))
+    return (ranked.groupBy(F.col("target").alias("url"))
+            .agg(F.sum("n").alias("n_anchors"),
+                 F.count("*").alias("n_distinct_anchors"),
+                 F.array_sort(F.collect_list(kept))
+                 .alias("anchor_texts")))
+
+
 ROBOTS_SCHEMA = StructType([
     StructField("url", StringType()),
     StructField("allowed", BooleanType()),

@@ -863,7 +863,7 @@ c AS (
              '^(http://[^:/]+):80$', '\\1') ||
            regexp_replace(url, '^[^/]+//[^/]+', ''),
            '#.*$', ''), '&utm_[^&#]*', ''),
-           '/\?', '?'), '/$', '')
+           '/\\?', '?'), '/$', '')
            AS url_canon
   FROM u)
 SELECT url_canon,

@@ -276,7 +276,112 @@ FROM documents
 """ % (_N_ROBOT_HOSTS, _N_ROBOT_HOSTS)
 
 
+# ------------------------------------------------- gopher quality
+
+def q_gopher_quality(spark, sf_dir):
+    """Gopher-rule document filter signals (textops.gopher_quality)
+    straight over the documents table."""
+    from . import textops
+    return textops.gopher_quality(_t(spark, sf_dir, "documents"))
+
+
+_GOPHER_STOP_SQL = " + ".join(
+    "CASE WHEN padded LIKE '%% %s %%' THEN 1 ELSE 0 END" % w
+    for w in ("the", "be", "to", "of", "and", "that", "have", "with"))
+
+ORACLE_GOPHER = """
+WITH b AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+s AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                x -> x <> '') AS words,
+    string_split(text, chr(10)) AS lines,
+    CAST((length(text) - length(replace(text, '#', ''))) +
+         (length(text) - length(replace(text, '...', ''))) / 3 +
+         (length(text) - length(replace(text, '…', ''))) AS INT)
+      AS n_symbols,
+    ' ' || regexp_replace(lower(text), '\\s+', ' ', 'g') || ' '
+      AS padded
+  FROM b),
+g AS (
+  SELECT doc_id,
+    CAST(len(words) AS BIGINT) AS n_words,
+    CAST(greatest(len(words), 1) AS DOUBLE) AS wden,
+    CAST(greatest(len(lines), 1) AS DOUBLE) AS lden,
+    CAST(COALESCE(list_sum(list_transform(words, x -> length(x))), 0)
+         AS DOUBLE) AS wchars,
+    CAST(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))
+         AS DOUBLE) AS n_alpha,
+    CAST(len(list_filter(lines, x -> list_contains(
+      ['•','‣','▪','●','◦','⁃','*','-'],
+      substr(ltrim(x), 1, 1)))) AS DOUBLE) AS n_bullet,
+    CAST(len(list_filter(lines, x -> rtrim(x) LIKE '%...'
+         OR rtrim(x) LIKE '%…')) AS DOUBLE) AS n_ellipsis,
+    n_symbols,
+    CAST({stop} AS INT) AS n_stop_hits
+  FROM s),
+r AS (
+  SELECT doc_id, n_words,
+    round(wchars / wden, 6) AS mean_word_len,
+    round(n_symbols / wden, 6) AS symbol_ratio,
+    round(n_bullet / lden, 6) AS bullet_frac,
+    round(n_ellipsis / lden, 6) AS ellipsis_frac,
+    round(n_alpha / wden, 6) AS alpha_word_frac,
+    n_stop_hits
+  FROM g)
+SELECT *,
+  CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+             AND mean_word_len BETWEEN 3.0 AND 10.0
+             AND symbol_ratio <= 0.1
+             AND bullet_frac <= 0.9
+             AND ellipsis_frac <= 0.3
+             AND alpha_word_frac >= 0.8
+             AND n_stop_hits >= 2
+       THEN 1 ELSE 0 END AS INT) AS gopher_pass
+FROM r
+""".format(stop=_GOPHER_STOP_SQL)
+
+
+# ------------------------------------------------- anchor texts
+
+_ANCHOR_CAP = 3
+
+
+def q_anchor_texts(spark, sf_dir):
+    """Incoming anchor text per target over the synthesized link
+    pages (links.anchor_texts on the outlinks output); the array
+    column is joined to a string so the value-hash compare sees one
+    scalar per row."""
+    ensure_workers(spark)
+    from .links import anchor_texts, outlinks
+    pages = docs_as_link_pages(_t(spark, sf_dir, "documents"))
+    at = anchor_texts(outlinks(pages), max_texts=_ANCHOR_CAP)
+    return at.select(
+        "url", "n_anchors", "n_distinct_anchors",
+        F.array_join("anchor_texts", "||").alias("anchors_joined"))
+
+
+ORACLE_ANCHOR_TEXTS = """
+WITH links AS (%s),
+l AS (SELECT target, trim(anchor) AS anchor FROM links
+      WHERE target IS NOT NULL AND length(trim(anchor)) > 0),
+pairs AS (SELECT target, anchor, COUNT(*) AS n FROM l GROUP BY 1, 2),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY target
+                               ORDER BY n DESC, anchor) AS rn
+  FROM pairs)
+SELECT target AS url, CAST(SUM(n) AS BIGINT) AS n_anchors,
+       COUNT(*) AS n_distinct_anchors,
+       array_to_string(
+         list_sort(array_agg(anchor) FILTER (WHERE rn <= %d)), '||')
+         AS anchors_joined
+FROM ranked GROUP BY target
+""" % (ORACLE_OUTLINKS, _ANCHOR_CAP)
+
+
 R8_QUERIES = {
+    "gopher_quality": q_gopher_quality,
+    "anchor_texts": q_anchor_texts,
     "outlinks": q_outlinks,
     "host_graph": q_host_graph,
     "pagerank_hosts": q_pagerank_hosts,
@@ -286,6 +391,8 @@ R8_QUERIES = {
 }
 
 R8_ORACLES = {
+    "gopher_quality": ORACLE_GOPHER,
+    "anchor_texts": ORACLE_ANCHOR_TEXTS,
     "outlinks": ORACLE_OUTLINKS,
     "host_graph": ORACLE_HOST_GRAPH,
     "pagerank_hosts": _pagerank_oracle_sql(),

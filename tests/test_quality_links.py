@@ -1,0 +1,91 @@
+"""Planted-truth tests for the Gopher-rule quality filter
+(textops.gopher_quality) and incoming-anchor aggregation
+(links.anchor_texts)."""
+
+from pyspark.sql import functions as F
+
+
+GOOD = ("The quick brown fox jumps over the lazy dog and then "
+        "decides to have another go because that first jump was "
+        "not quite enough for a restless animal of such energy. "
+        "It would be unfair to say the fox was tired; with every "
+        "leap it seemed to gather more speed and more confidence "
+        "than before, clearing hedges and ditches that would have "
+        "stopped a less determined creature in its tracks today.")
+
+
+def _gq(spark, rows):
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    from packages_sgml_spark.spark.textops import gopher_quality
+    return {r.doc_id: r for r in gopher_quality(df).collect()}
+
+
+def test_gopher_pass_and_word_stats(spark):
+    out = _gq(spark, [(1, GOOD)])
+    r = out[1]
+    assert r.gopher_pass == 1
+    assert 50 <= r.n_words <= 100000
+    assert 3.0 <= r.mean_word_len <= 10.0
+    assert r.alpha_word_frac == 1.0
+    assert r.n_stop_hits >= 2          # the/and/to/of/that/have/with
+    assert r.symbol_ratio == 0.0
+    assert r.bullet_frac == 0.0 and r.ellipsis_frac == 0.0
+
+
+def test_gopher_failure_modes(spark):
+    bullets = "\n".join("• item %d with some words here" % i
+                        for i in range(10))
+    dots = "\n".join("the sentence trails off to %d ..." % i
+                     for i in range(10))
+    symbols = " ".join("#tag%d" % i for i in range(60))
+    numeric = " ".join(str(i) for i in range(80))
+    out = _gq(spark, [
+        (1, "too few words here"),                     # n_words < 50
+        (2, bullets),                                  # bullet_frac 1.0
+        (3, dots),                                     # ellipsis 1.0
+        (4, symbols),                                  # symbol ratio 1.0
+        (5, numeric),                                  # alpha frac 0
+        (6, None),                                     # null text
+        (7, GOOD + "\n" + "x " * 10),                  # still passes
+    ])
+    assert out[1].gopher_pass == 0 and out[1].n_words == 4
+    assert out[2].gopher_pass == 0 and out[2].bullet_frac == 1.0
+    assert out[3].gopher_pass == 0 and out[3].ellipsis_frac == 1.0
+    assert out[4].gopher_pass == 0 and out[4].symbol_ratio >= 0.1
+    assert out[5].gopher_pass == 0 and out[5].alpha_word_frac == 0.0
+    assert out[6].gopher_pass == 0 and out[6].n_words == 0
+    assert out[7].gopher_pass == 1
+    # mean word length guards both directions
+    assert _gq(spark, [(8, "a a " * 60)])[8].gopher_pass == 0
+    assert _gq(spark, [(9, ("wordsofverygreatlength " * 60))])[
+        9].gopher_pass == 0
+
+
+def test_anchor_texts_cap_and_counts(spark):
+    from packages_sgml_spark.spark.links import anchor_texts
+    rows = []
+    # hub target: 5 distinct anchors with frequencies 5,4,3,2,1
+    for i, n in enumerate((5, 4, 3, 2, 1)):
+        rows += [("https://s%d.x/p%d" % (j, i), "hub", "a%d" % i,
+                  False) for j in range(n)]
+    # quiet target: one anchor, whitespace-padded (trimmed in agg)
+    rows.append(("https://s0.x/q", "https://t.x/page", "  hello ",
+                 False))
+    # dropped: null target, empty/blank anchor
+    rows.append(("https://s0.x/r", None, "dead", False))
+    rows.append(("https://s0.x/s", "hub", "   ", False))
+    links = spark.createDataFrame(
+        [(u, "hub" if t == "hub" else t, a, nf)
+         for u, t, a, nf in rows],
+        "url string, target string, anchor string, nofollow boolean")
+    out = {r.url: r for r in
+           anchor_texts(links, max_texts=3).collect()}
+    assert set(out) == {"hub", "https://t.x/page"}
+    hub = out["hub"]
+    assert hub.n_anchors == 15                 # 5+4+3+2+1
+    assert hub.n_distinct_anchors == 5
+    # top-3 by frequency, sorted lexically for determinism
+    assert hub.anchor_texts == ["a0", "a1", "a2"]
+    quiet = out["https://t.x/page"]
+    assert quiet.n_anchors == 1
+    assert quiet.anchor_texts == ["hello"]
