@@ -150,6 +150,49 @@ def pii_scrub(docs: DataFrame) -> DataFrame:
         n_phone.cast("bigint").alias("n_phones"))
 
 
+def c4_clean(docs: DataFrame) -> DataFrame:
+    """C4-style line/page cleaning (Raffel et al. 2020 §2.2, the
+    public rule set behind the C4 corpus): keep only lines that end
+    in a terminal punctuation mark (. ! ? closing quote), have >= 5
+    words, and don't mention javascript; then flag pages for removal
+    when fewer than 3 lines survive, or the page contains "lorem
+    ipsum" or a curly brace.  (The original's bad-words list is a
+    policy input, not an algorithm — callers compose their own via an
+    extra contains() filter.)  Output keeps EVERY input doc
+    (absent-means-clean is banned here like in
+    strip_boilerplate_lines): (doc_id, n_lines, n_kept, text_clean,
+    c4_keep).  Pure Spark SQL over the line array — one narrow
+    projection, zero shuffle, so the filter costs one scan at
+    100 TB."""
+    from .util import spread
+    docs = spread(docs, "doc_id")
+    text = F.coalesce(F.col("text"), F.lit(""))
+
+    def line_keep(l):
+        r = F.rtrim(l)
+        term = (F.endswith(r, F.lit(".")) | F.endswith(r, F.lit("!"))
+                | F.endswith(r, F.lit("?"))
+                | F.endswith(r, F.lit('"')))
+        n_words = F.size(F.filter(F.split(F.trim(l), r"\s+"),
+                                  lambda w: w != ""))
+        return (term & (n_words >= 5) &
+                ~F.contains(F.lower(l), F.lit("javascript")))
+
+    step = docs.select(
+        "doc_id", text.alias("text"),
+        F.split(text, "\n").alias("lines"),
+        F.filter(F.split(text, "\n"), line_keep).alias("kept"))
+    keep = ((F.size("kept") >= 3) &
+            ~F.contains(F.lower("text"), F.lit("lorem ipsum")) &
+            ~F.contains("text", F.lit("{")))
+    return step.select(
+        "doc_id",
+        F.size("lines").alias("n_lines"),
+        F.size("kept").alias("n_kept"),
+        F.array_join("kept", "\n").alias("text_clean"),
+        keep.cast("int").alias("c4_keep"))
+
+
 def doc_lines(docs: DataFrame, id_col="doc_id",
               text_col="text") -> DataFrame:
     """One row per text line: (id, line_no, line) via

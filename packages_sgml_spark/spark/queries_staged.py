@@ -9,10 +9,11 @@ at round-8 start, registration is two dict updates:
     QUERIES.update(queries_staged.R8_QUERIES)
     ORACLES.update(queries_staged.R8_ORACLES)
 
-Six keys over the session-3 crawl-pipeline operators: outlinks /
-host_graph / pagerank_hosts (spark/links.py), boilerplate_lines /
-strip_boilerplate (spark/datafilters.py), robots_allowed
-(core/robots.py via robots_filter).
+Nine keys over the session-3/4 crawl-pipeline operators: outlinks /
+host_graph / pagerank_hosts / anchor_texts (spark/links.py),
+boilerplate_lines / strip_boilerplate / c4_clean
+(spark/datafilters.py), robots_allowed (core/robots.py via
+robots_filter), gopher_quality (spark/textops.py).
 """
 
 from pyspark.sql import functions as F
@@ -342,6 +343,39 @@ FROM r
 """.format(stop=_GOPHER_STOP_SQL)
 
 
+# ------------------------------------------------- c4 line filter
+
+def q_c4_clean(spark, sf_dir):
+    """C4 line/page cleaning (datafilters.c4_clean) over line-ified
+    documents (same _line_docs synthesis as the boilerplate pair, so
+    multi-line structure is actually exercised)."""
+    from .datafilters import c4_clean
+    return c4_clean(_line_docs(_t(spark, sf_dir, "documents")))
+
+
+ORACLE_C4 = """
+WITH b AS (SELECT doc_id, coalesce(%s, '') AS text FROM documents),
+s AS (SELECT doc_id, text, string_split(text, chr(10)) AS lines
+      FROM b),
+k AS (SELECT doc_id, text, len(lines) AS n_lines,
+  list_filter(lines, l ->
+    (rtrim(l) LIKE '%%.' OR rtrim(l) LIKE '%%!' OR
+     rtrim(l) LIKE '%%?' OR rtrim(l) LIKE '%%"')
+    AND len(list_filter(regexp_split_to_array(trim(l), '\\s+'),
+                        x -> x <> '')) >= 5
+    AND NOT contains(lower(l), 'javascript')) AS kept
+  FROM s)
+SELECT doc_id, CAST(n_lines AS INT) AS n_lines,
+  CAST(len(kept) AS INT) AS n_kept,
+  array_to_string(kept, chr(10)) AS text_clean,
+  CAST(CASE WHEN len(kept) >= 3
+             AND NOT contains(lower(text), 'lorem ipsum')
+             AND NOT contains(text, '{') THEN 1 ELSE 0 END AS INT)
+    AS c4_keep
+FROM k
+""" % _LINEDOC_SQL_T
+
+
 # ------------------------------------------------- anchor texts
 
 _ANCHOR_CAP = 3
@@ -381,6 +415,7 @@ FROM ranked GROUP BY target
 
 R8_QUERIES = {
     "gopher_quality": q_gopher_quality,
+    "c4_clean": q_c4_clean,
     "anchor_texts": q_anchor_texts,
     "outlinks": q_outlinks,
     "host_graph": q_host_graph,
@@ -392,6 +427,7 @@ R8_QUERIES = {
 
 R8_ORACLES = {
     "gopher_quality": ORACLE_GOPHER,
+    "c4_clean": ORACLE_C4,
     "anchor_texts": ORACLE_ANCHOR_TEXTS,
     "outlinks": ORACLE_OUTLINKS,
     "host_graph": ORACLE_HOST_GRAPH,

@@ -89,3 +89,33 @@ def test_anchor_texts_cap_and_counts(spark):
     quiet = out["https://t.x/page"]
     assert quiet.n_anchors == 1
     assert quiet.anchor_texts == ["hello"]
+
+
+def test_c4_clean_planted(spark):
+    from packages_sgml_spark.spark.datafilters import c4_clean
+    keep1 = "This line has enough words and ends properly."
+    keep2 = "Another perfectly reasonable sentence lives right here!"
+    keep3 = 'He said the quote should also count as "terminal."'
+    keep4 = "Does a question mark count as terminal punctuation?"
+    drop_short = "Too short."
+    drop_nopunct = "this line has many words but no terminal mark"
+    drop_js = "Please enable JavaScript to view this page."
+    doc_ok = "\n".join([keep1, drop_short, keep2, drop_nopunct,
+                        keep3, drop_js, keep4])
+    doc_few = "\n".join([keep1, keep2, drop_short])      # < 3 kept
+    doc_lorem = "\n".join([keep1, keep2, keep3,
+                           "Some Lorem Ipsum filler text remains."])
+    doc_brace = "\n".join([keep1, keep2, "if (x) { return; }", keep3])
+    df = spark.createDataFrame(
+        [(1, doc_ok), (2, doc_few), (3, doc_lorem), (4, doc_brace),
+         (5, None)],
+        "doc_id bigint, text string")
+    out = {r.doc_id: r for r in c4_clean(df).collect()}
+    r1 = out[1]
+    assert r1.c4_keep == 1 and r1.n_lines == 7 and r1.n_kept == 4
+    assert r1.text_clean == "\n".join([keep1, keep2, keep3, keep4])
+    assert out[2].c4_keep == 0 and out[2].n_kept == 2
+    assert out[3].c4_keep == 0          # lorem ipsum page kill
+    assert out[4].c4_keep == 0          # curly-brace page kill
+    assert out[4].n_kept == 3           # line filter itself keeps 3
+    assert out[5].c4_keep == 0 and out[5].text_clean == ""
