@@ -96,6 +96,28 @@ def run(spark, args):
         .parquet(out + "/metrics")
     summary["docs_new"] = this_run.count()
 
+    if args.quality:
+        # doc-level corpus filters over the fresh extractions:
+        # Gopher quality rules + C4 line cleaning + stopword lang-id,
+        # one sidecar row per url (all three are zero-shuffle
+        # projections; the join keys are identical so Catalyst plans
+        # one url-hash exchange reused across the joins)
+        from packages_sgml_spark.spark.textops import (
+            gopher_quality, lang_id_stopwords)
+        from packages_sgml_spark.spark.datafilters import c4_clean
+        docs = this_run.select(F.col("url").alias("doc_id"),
+                               F.col("text_extracted").alias("text"))
+        quality = (gopher_quality(docs)
+                   .join(c4_clean(docs).select(
+                       "doc_id", "n_kept", "c4_keep"), "doc_id")
+                   .join(lang_id_stopwords(docs), "doc_id")
+                   .withColumnRenamed("doc_id", "url")
+                   .withColumn("run_id", F.lit(args.run_id)))
+        quality.write.mode("append").parquet(out + "/quality")
+        summary["docs_pass_quality"] = quality.where(
+            (F.col("gopher_pass") == 1) & (F.col("c4_keep") == 1)
+        ).count()
+
     if args.wet:
         wet_pages = (this_run
                      .select("url",
@@ -130,6 +152,9 @@ def main(argv=None):
     ap.add_argument("--repartition", default="auto")
     ap.add_argument("--wet", action="store_true",
                     help="also publish the text layer as WET archives")
+    ap.add_argument("--quality", action="store_true",
+                    help="also write a per-url quality sidecar "
+                         "(Gopher rules + C4 line filter + lang-id)")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession

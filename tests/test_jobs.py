@@ -33,6 +33,7 @@ def _args(**kw):
     ap.add_argument("--statuses", default="200")
     ap.add_argument("--repartition", default="auto")
     ap.add_argument("--wet", action="store_true")
+    ap.add_argument("--quality", action="store_true")
     argv = []
     for k, v in kw.items():
         argv += ["--" + k.replace("_", "-")] + \
@@ -60,9 +61,17 @@ def test_crawl_job_two_level_resume(spark, tmp_path):
     _write_archive(land / "c-00000.warc.gz", DOCS1)
 
     s1 = crawl_job.run(spark, _args(
-        input=str(land), output=out, run_id="r1", wet=True))
+        input=str(land), output=out, run_id="r1", wet=True,
+        quality=True))
     assert s1 == {"run_id": "r1", "archives": 1, "docs_new": 2,
-                  "wet_records": 2}
+                  "wet_records": 2, "docs_pass_quality": 0}
+    q = {r.url: r for r in
+         spark.read.parquet(out + "/quality").collect()}
+    assert sorted(q) == ["https://j.example/1", "https://j.example/2"]
+    # tiny docs: present in the sidecar, correctly failing the gates
+    assert q["https://j.example/1"].n_words == 1     # "Onealpha"
+    assert q["https://j.example/1"].gopher_pass == 0
+    assert q["https://j.example/1"].c4_keep == 0
 
     # nothing new: file-level prune leaves zero archives to read
     s2 = crawl_job.run(spark, _args(
