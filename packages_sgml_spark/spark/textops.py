@@ -158,6 +158,31 @@ def gopher_quality(docs: DataFrame) -> DataFrame:
     return sig.withColumn("gopher_pass", ok.cast("int"))
 
 
+def fix_text(docs: DataFrame, nfc=True) -> DataFrame:
+    """Mojibake repair + Unicode NFC (core/textnorm.py): undoes
+    UTF-8-mis-decoded-as-Latin-1/CP1252 text — the most common crawl
+    encoding defect — with a deterministic marker-gated round-trip,
+    then composes to NFC.  One Arrow-batched pandas UDF (bytes-level
+    codec work has no Spark builtin), narrow, zero shuffle;
+    idempotent, so re-running a pipeline stage is safe.  Output:
+    (doc_id, text_fixed, n_passes, changed)."""
+    import pandas as pd
+    from .util import spread
+    docs = spread(docs, "doc_id")
+
+    @F.pandas_udf("text_fixed string, n_passes int, changed int")
+    def _fix(texts: pd.Series) -> pd.DataFrame:
+        from ..core.textnorm import normalize_text
+        rows = [normalize_text(t if isinstance(t, str) else "",
+                               nfc=nfc) for t in texts]
+        return pd.DataFrame(rows, columns=["text_fixed", "n_passes",
+                                           "changed"])
+
+    out = docs.select("doc_id", _fix("text").alias("o"))
+    return out.select("doc_id", "o.text_fixed", "o.n_passes",
+                      "o.changed")
+
+
 def token_count(docs: DataFrame) -> DataFrame:
     """Whitespace tokens + a BPE-ish subword proxy: tokens of
     letter-runs/digit-runs/single-other obtained by counting regex

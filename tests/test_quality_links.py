@@ -119,3 +119,44 @@ def test_c4_clean_planted(spark):
     assert out[4].c4_keep == 0          # curly-brace page kill
     assert out[4].n_kept == 3           # line filter itself keeps 3
     assert out[5].c4_keep == 0 and out[5].text_clean == ""
+
+
+def test_textnorm_core():
+    from packages_sgml_spark.core.textnorm import (fix_mojibake,
+                                                   mojibake_markers,
+                                                   normalize_text)
+    simple = "café".encode("utf-8").decode("latin-1")
+    assert fix_mojibake(simple) == ("café", 1)
+    curly = "“quoted” don’t — sure…".encode("utf-8").decode("latin-1")
+    assert fix_mojibake(curly) == ("“quoted” don’t — sure…", 1)
+    double = simple.encode("utf-8").decode("latin-1")
+    assert fix_mojibake(double) == ("café", 2)
+    # clean text with legitimate accents: zero markers, untouched
+    assert mojibake_markers("naïve café ü straße") == 0
+    assert fix_mojibake("naïve café ü straße") == \
+        ("naïve café ü straße", 0)
+    # idempotent
+    fixed, _ = fix_mojibake(double)
+    assert fix_mojibake(fixed) == (fixed, 0)
+    # NFD composes to NFC and is flagged as changed
+    import unicodedata
+    nfd = unicodedata.normalize("NFD", "étude")
+    assert normalize_text(nfd) == ("étude", 0, 1)
+    assert normalize_text("étude") == ("étude", 0, 0)
+
+
+def test_fix_text_spark(spark):
+    from packages_sgml_spark.spark.textops import fix_text
+    import unicodedata
+    moji = "café crème".encode("utf-8").decode("latin-1")
+    nfd = unicodedata.normalize("NFD", "résumé")
+    df = spark.createDataFrame(
+        [(1, moji), (2, "plain ascii"), (3, nfd), (4, None)],
+        "doc_id bigint, text string")
+    out = {r.doc_id: r for r in fix_text(df).collect()}
+    assert out[1].text_fixed == "café crème"
+    assert out[1].n_passes == 1 and out[1].changed == 1
+    assert out[2].text_fixed == "plain ascii" and out[2].changed == 0
+    assert out[3].text_fixed == "résumé"
+    assert out[3].n_passes == 0 and out[3].changed == 1
+    assert out[4].text_fixed == "" and out[4].n_passes == 0
