@@ -376,6 +376,36 @@ FROM k
 """ % _LINEDOC_SQL_T
 
 
+# ------------------------------------------------- fix_text
+
+def q_fix_text(spark, sf_dir):
+    """Mojibake repair + NFC over documents whose text is
+    deterministically mis-decoded first (utf-8 bytes read as
+    latin-1), so the repair has planted truth: text_fixed must equal
+    the original text NFC-composed.  No DuckDB oracle (codec
+    round-trips aren't SQL) — joins the registry as a rows-only
+    `no_oracle` entry like compression_ratio; the byte-exact
+    inverse property is pytest-pinned instead."""
+    from .textops import fix_text
+    docs = _t(spark, sf_dir, "documents")
+    import pandas as pd
+
+    # the synthetic corpus is ASCII (mis-decode = identity), so a
+    # non-ASCII suffix is planted first to actually exercise repair
+    def break_enc(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "text": [(t + " — café № %d…" % i)
+                         .encode("utf-8").decode("latin-1")
+                         for i, t in zip(pdf["doc_id"],
+                                         pdf["text"])]})
+
+    broken = docs.select("doc_id", "text").mapInPandas(
+        break_enc, schema="doc_id bigint, text string")
+    return fix_text(broken)
+
+
 # ------------------------------------------------- anchor texts
 
 _ANCHOR_CAP = 3
@@ -417,6 +447,7 @@ R8_QUERIES = {
     "gopher_quality": q_gopher_quality,
     "c4_clean": q_c4_clean,
     "anchor_texts": q_anchor_texts,
+    "fix_text": q_fix_text,          # rows-only: no DuckDB oracle
     "outlinks": q_outlinks,
     "host_graph": q_host_graph,
     "pagerank_hosts": q_pagerank_hosts,

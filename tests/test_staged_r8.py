@@ -66,3 +66,23 @@ def test_staged_query_matches_oracle(spark, duck, name):
     for r in rows[:5] + orows[:5]:         # driver-unsafe Decimal ban
         assert not any(isinstance(v, decimal.Decimal) for v in r)
     assert h.table_hash(cols, rows) == h.table_hash(ocols, orows), name
+
+
+def test_staged_fix_text_inverse(spark):
+    """fix_text has no SQL oracle; its staged gate is the planted
+    inverse property — repairing deterministically mis-decoded text
+    recovers the original (NFC-composed) byte-for-byte."""
+    import unicodedata
+    from packages_sgml_spark.spark.queries_staged import R8_QUERIES
+    got = {r.doc_id: r for r in
+           R8_QUERIES["fix_text"](spark, SF_DIR).collect()}
+    import duckdb as d
+    orig = dict(d.sql(
+        "SELECT doc_id, text FROM read_parquet('%s/documents.parquet')"
+        % SF_DIR).fetchall())
+    assert set(got) == set(orig) and got
+    for doc_id, text in orig.items():
+        r = got[doc_id]
+        want = text + " — café № %d…" % doc_id
+        assert r.text_fixed == unicodedata.normalize("NFC", want)
+        assert r.n_passes == 1 and r.changed == 1
