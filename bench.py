@@ -89,6 +89,11 @@ def parse_throughput(spark, n_docs=PARSE_DOCS, unique_links=False,
     # import + shared DTD build); then best-of-2 timed passes (first
     # timed pass can still catch page-cache/JIT noise)
     ex = extract(pages, dialect="html5", nodes=False)
+    # settled-heap rule (same as run_queries): the prior parse phase
+    # leaves the JVM mid-GC-cycle and the LAST phase also carries the
+    # heaviest Arrow result (warning rows), so without this the
+    # phase order — not the code path — sets the reading
+    spark._jvm.System.gc()
     _force(ex)
     dt = float("inf")
     for _ in range(2):
