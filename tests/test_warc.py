@@ -355,3 +355,43 @@ def test_warc_todo_paths(spark, archive_dir):
     # the returned paths load directly
     assert read_warc(spark, todo1[0] if len(todo1) == 1 else todo1
                      ).count() > 0
+
+
+def test_warc_reader_mutation_fuzz():
+    """A task at crawl scale WILL meet corrupt archives; the reader
+    contract is rows + error strings, never an exception.  Seeded
+    byte-level mutations (flips, truncations, duplications, junk
+    splices) over a valid multi-record archive, gzip and plain."""
+    import random
+    rng = random.Random(0xC0FFEE)
+    recs = [build_response_record(
+        "https://f.example/%d" % i, "2026-01-01T00:00:%02dZ" % i,
+        ("<html><p>doc %d</p></html>" % i).encode())
+        for i in range(5)]
+    gz = io.BytesIO()
+    write_warc(gz, recs)
+    plain = b"".join(recs)
+    corpora = [gz.getvalue(), plain]
+    for trial in range(300):
+        base = bytearray(corpora[trial % 2])
+        op = trial % 4
+        if op == 0:      # flip 1-8 bytes
+            for _ in range(rng.randint(1, 8)):
+                base[rng.randrange(len(base))] = rng.randrange(256)
+        elif op == 1:    # truncate
+            del base[rng.randrange(1, len(base)):]
+        elif op == 2:    # splice junk
+            pos = rng.randrange(len(base))
+            junk = bytes(rng.randrange(256)
+                         for _ in range(rng.randint(1, 64)))
+            base[pos:pos] = junk
+        else:            # duplicate a slice (resync stress)
+            a = rng.randrange(len(base))
+            b = min(len(base), a + rng.randint(1, 200))
+            base[a:a] = base[a:b]
+        errors = []
+        out = list(iter_warc_records(bytes(base), errors))
+        for r in out:
+            assert isinstance(r.body, bytes)
+        # mutated archives either parse some records or explain why
+        assert out or errors, "silent empty parse on trial %d" % trial
