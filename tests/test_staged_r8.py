@@ -86,3 +86,18 @@ def test_staged_fix_text_inverse(spark):
         want = text + " — café № %d…" % doc_id
         assert r.text_fixed == unicodedata.normalize("NFC", want)
         assert r.n_passes == 1 and r.changed == 1
+
+
+def test_staged_keys_do_not_collide_with_live_registry(spark):
+    """Round-8 registration is QUERIES.update(R8_QUERIES); a key
+    collision would silently replace a live gated query.  (The spark
+    fixture is needed because queries_staged builds Column
+    expressions at import time.)"""
+    import __spark_entry__ as E
+    from packages_sgml_spark.spark.queries_staged import (R8_ORACLES,
+                                                          R8_QUERIES)
+    live = set(E.queries())
+    assert not (set(R8_QUERIES) & live)
+    # every staged oracle has a staged query (fix_text is rows-only)
+    assert set(R8_ORACLES) <= set(R8_QUERIES)
+    assert set(R8_QUERIES) - set(R8_ORACLES) == {"fix_text"}
