@@ -51,6 +51,58 @@ def child_text(nodes: DataFrame) -> DataFrame:
     return agg
 
 
+def page_meta(nodes: DataFrame) -> DataFrame:
+    """HTML head metadata per document — the fields every crawl
+    pipeline reads (title, meta description, og:title, canonical
+    link, html@lang) — from flattened node rows in one pass.
+
+    Shape: the four attr fields are ONE conditional aggregation over
+    element rows (url-partitioned hash agg); the title text is the
+    one structural lookup (text children of the first <title>),
+    joined url-wise.  Docs that parsed to zero nodes contribute no
+    row (same contract as extract()).  Absent fields are NULL."""
+    el = nodes.filter(F.col("kind") == "element")
+    a = F.col("attrs")
+    name = F.col("name")
+
+    def low(field):
+        return F.lower(F.coalesce(F.element_at(a, field), F.lit("")))
+
+    def pick(cond, field):
+        return F.min(F.when(cond, F.element_at(a, field)))
+
+    metas = el.groupBy("url").agg(
+        pick((name == "meta") & (low("name") == "description"),
+             "content").alias("meta_description"),
+        pick((name == "meta") & (low("property") == "og:title"),
+             "content").alias("og_title"),
+        pick((name == "link") & (low("rel") == "canonical"),
+             "href").alias("canonical"),
+        pick(name == "html", "lang").alias("html_lang"))
+    # renamed join keys: titles and texts share nodes' lineage, and
+    # unrenamed url would be an ambiguous self-join reference
+    titles = el.filter(name == "title").select(
+        F.col("url").alias("t_url"),
+        F.col("node_id").alias("title_id"))
+    texts = (nodes.filter(F.col("kind").isin("text", "sdata", "ndata"))
+             .select("url", "parent_id", "ord", "text"))
+    ttext = (texts.join(titles,
+                        (texts["url"] == titles["t_url"]) &
+                        (texts["parent_id"] == titles["title_id"]))
+             .select("url", "title_id", "ord", "text"))
+    per_title = (ttext.groupBy("url", "title_id")
+                 .agg(F.concat_ws("", F.transform(
+                     F.array_sort(F.collect_list(
+                         F.struct("ord", "text"))),
+                     lambda s: s["text"])).alias("t")))
+    first_title = (per_title.groupBy("url")
+                   .agg(F.min(F.struct("title_id", "t"))["t"]
+                        .alias("title")))
+    return (metas.join(first_title, "url", "left")
+            .select("url", "title", "meta_description", "og_title",
+                    "canonical", "html_lang"))
+
+
 def named_subtree_text(nodes: DataFrame, name) -> DataFrame:
     """Text of all descendants of each //name element
     (xpath.pl:584-620 `text`).

@@ -9,11 +9,12 @@ at round-8 start, registration is two dict updates:
     QUERIES.update(queries_staged.R8_QUERIES)
     ORACLES.update(queries_staged.R8_ORACLES)
 
-Nine keys over the session-3/4 crawl-pipeline operators: outlinks /
-host_graph / pagerank_hosts / anchor_texts (spark/links.py),
-boilerplate_lines / strip_boilerplate / c4_clean
+Eleven keys over the session-3/4 crawl-pipeline operators:
+outlinks / host_graph / pagerank_hosts / anchor_texts
+(spark/links.py), boilerplate_lines / strip_boilerplate / c4_clean
 (spark/datafilters.py), robots_allowed (core/robots.py via
-robots_filter), gopher_quality (spark/textops.py).
+robots_filter), gopher_quality + fix_text (spark/textops.py;
+fix_text rows-only), page_meta (spark/nodes.py).
 """
 
 from pyspark.sql import functions as F
@@ -376,6 +377,54 @@ FROM k
 """ % _LINEDOC_SQL_T
 
 
+# ------------------------------------------------- page_meta
+
+def docs_as_head_pages(docs):
+    """Synthesized head-metadata pages: title + description always;
+    canonical only when doc_id%2==0, og:title when doc_id%3==0 —
+    NULL-field paths exercised.  SQL-reconstructable."""
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    html_str = F.concat(
+        F.lit('<html lang="en-US"><head><title>T '), ds,
+        F.lit("</title>"),
+        F.lit('<meta name="description" content="D '), ds,
+        F.lit('">'),
+        F.when(d % 2 == 0, F.concat(
+            F.lit('<link rel="canonical" href="https://c.example/'),
+            ds, F.lit('">'))).otherwise(F.lit("")),
+        F.when(d % 3 == 0, F.concat(
+            F.lit('<meta property="og:title" content="OG '), ds,
+            F.lit('">'))).otherwise(F.lit("")),
+        F.lit("</head><body><p>x</p></body></html>"))
+    url = F.concat(F.lit("https://m"), (d % 13).cast("string"),
+                   F.lit(".example/p/"), ds)
+    return docs.select(url.alias("url"),
+                       F.encode(html_str, "utf-8").alias("html"))
+
+
+def q_page_meta(spark, sf_dir):
+    """Head-metadata extraction (spark/nodes.py page_meta) over
+    synthesized pages."""
+    ensure_workers(spark)
+    from .extract import extract_nodes_rows
+    from .nodes import page_meta
+    pages = docs_as_head_pages(_t(spark, sf_dir, "documents"))
+    return page_meta(extract_nodes_rows(pages))
+
+
+ORACLE_PAGE_META = """
+SELECT 'https://m' || (doc_id % 13) || '.example/p/' || doc_id AS url,
+       'T ' || doc_id AS title,
+       'D ' || doc_id AS meta_description,
+       CASE WHEN doc_id % 3 = 0 THEN 'OG ' || doc_id END AS og_title,
+       CASE WHEN doc_id % 2 = 0
+            THEN 'https://c.example/' || doc_id END AS canonical,
+       'en-US' AS html_lang
+FROM documents
+"""
+
+
 # ------------------------------------------------- fix_text
 
 def q_fix_text(spark, sf_dir):
@@ -448,6 +497,7 @@ R8_QUERIES = {
     "c4_clean": q_c4_clean,
     "anchor_texts": q_anchor_texts,
     "fix_text": q_fix_text,          # rows-only: no DuckDB oracle
+    "page_meta": q_page_meta,
     "outlinks": q_outlinks,
     "host_graph": q_host_graph,
     "pagerank_hosts": q_pagerank_hosts,
@@ -460,6 +510,7 @@ R8_ORACLES = {
     "gopher_quality": ORACLE_GOPHER,
     "c4_clean": ORACLE_C4,
     "anchor_texts": ORACLE_ANCHOR_TEXTS,
+    "page_meta": ORACLE_PAGE_META,
     "outlinks": ORACLE_OUTLINKS,
     "host_graph": ORACLE_HOST_GRAPH,
     "pagerank_hosts": _pagerank_oracle_sql(),

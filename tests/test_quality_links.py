@@ -160,3 +160,24 @@ def test_fix_text_spark(spark):
     assert out[3].text_fixed == "résumé"
     assert out[3].n_passes == 0 and out[3].changed == 1
     assert out[4].text_fixed == "" and out[4].n_passes == 0
+
+
+def test_page_meta_edge_cases(spark):
+    from packages_sgml_spark.spark.extract import extract_nodes_rows
+    from packages_sgml_spark.spark.nodes import page_meta
+    pages = spark.createDataFrame([
+        ("u1", b"<html lang=fr><head><title>A &amp; B</title>"
+               b"<title>second ignored</title>"
+               b'<META NAME="Description" content="d1"></head>'
+               b"<body><p>x</p></body></html>"),
+        ("u2", b"<html><body><p>no head at all</p></body></html>"),
+    ], "url string, html binary")
+    out = {r.url: r for r in
+           page_meta(extract_nodes_rows(pages)).collect()}
+    r1 = out["u1"]
+    assert r1.title == "A & B"            # entity decoded, 1st title
+    assert r1.meta_description == "d1"    # case-folded names
+    assert r1.html_lang == "fr"           # unquoted attr path
+    assert r1.og_title is None and r1.canonical is None
+    r2 = out["u2"]
+    assert r2.title is None and r2.meta_description is None
