@@ -103,6 +103,72 @@ def page_meta(nodes: DataFrame) -> DataFrame:
                     "canonical", "html_lang"))
 
 
+ATOM_NS = "http://www.w3.org/2005/Atom"
+
+
+def feed_entries(nodes: DataFrame, flavor="atom") -> DataFrame:
+    """RSS 2.0 / Atom feed entries from node rows: one row per
+    <item>/<entry> with (url, entry_ord, title, link, guid,
+    published).  Atom runs under the xmlns dialect, so element names
+    arrive default-ns-qualified ('{ns}:local' — the r7 node-tape
+    xmlns drain); the link is @href there, text content in RSS.
+
+    Shape: entries -> direct children -> their text children, two
+    renamed-key self-joins plus one pivot aggregation, all
+    url-co-partitioned (AQE sizes them; per-url fan-out is bounded
+    by feed size)."""
+    if flavor == "atom":
+        q = ATOM_NS + ":"
+        entry_n, title_n, link_n = q + "entry", q + "title", q + "link"
+        guid_n, pub_n = q + "id", q + "updated"
+    else:
+        entry_n, title_n, link_n = "item", "title", "link"
+        guid_n, pub_n = "guid", "pubdate"
+    el = nodes.filter(F.col("kind") == "element")
+    entries = el.filter(F.col("name") == entry_n).select(
+        F.col("url").alias("e_url"),
+        F.col("node_id").alias("entry_id"))
+    fields = [title_n, link_n, guid_n, pub_n]
+    ch = (el.filter(F.lower("name").isin([f.lower() for f in fields]))
+          .select(F.col("url").alias("c_url"),
+                  F.col("node_id").alias("child_id"),
+                  F.col("parent_id").alias("c_parent"),
+                  F.lower("name").alias("c_name"),
+                  F.element_at("attrs", "href").alias("href")))
+    ch = ch.join(entries, (ch["c_url"] == entries["e_url"]) &
+                 (ch["c_parent"] == entries["entry_id"])) \
+           .select("c_url", "child_id", "c_name", "href", "entry_id")
+    texts = (nodes.filter(F.col("kind").isin("text", "sdata", "ndata"))
+             .select(F.col("url").alias("t_url"),
+                     F.col("parent_id").alias("t_parent"),
+                     "ord", "text"))
+    joined = ch.join(texts, (ch["c_url"] == texts["t_url"]) &
+                     (ch["child_id"] == texts["t_parent"]), "left")
+    per_child = (joined.groupBy("c_url", "entry_id", "child_id",
+                                "c_name", "href")
+                 .agg(F.concat_ws("", F.transform(
+                     F.array_sort(F.collect_list(
+                         F.struct("ord", "text"))),
+                     lambda s: s["text"])).alias("t")))
+    t = F.when(F.length("t") > 0, F.col("t"))
+
+    def pick(field_name):
+        return F.min(F.when(F.col("c_name") == field_name.lower(), t))
+
+    link_val = (pick(link_n) if flavor != "atom" else
+                F.min(F.when(F.col("c_name") == link_n.lower(),
+                             F.col("href"))))
+    agg = (per_child.groupBy("c_url", "entry_id")
+           .agg(pick(title_n).alias("title"),
+                link_val.alias("link"),
+                pick(guid_n).alias("guid"),
+                pick(pub_n).alias("published")))
+    w = Window.partitionBy("c_url").orderBy("entry_id")
+    return (agg.withColumn("entry_ord", F.row_number().over(w))
+            .select(F.col("c_url").alias("url"), "entry_ord",
+                    "title", "link", "guid", "published"))
+
+
 def named_subtree_text(nodes: DataFrame, name) -> DataFrame:
     """Text of all descendants of each //name element
     (xpath.pl:584-620 `text`).

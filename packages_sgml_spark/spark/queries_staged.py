@@ -9,12 +9,12 @@ at round-8 start, registration is two dict updates:
     QUERIES.update(queries_staged.R8_QUERIES)
     ORACLES.update(queries_staged.R8_ORACLES)
 
-Eleven keys over the session-3/4 crawl-pipeline operators:
+Twelve keys over the session-3/4 crawl-pipeline operators:
 outlinks / host_graph / pagerank_hosts / anchor_texts
 (spark/links.py), boilerplate_lines / strip_boilerplate / c4_clean
 (spark/datafilters.py), robots_allowed (core/robots.py via
 robots_filter), gopher_quality + fix_text (spark/textops.py;
-fix_text rows-only), page_meta (spark/nodes.py).
+fix_text rows-only), page_meta + feed_entries (spark/nodes.py).
 """
 
 from pyspark.sql import functions as F
@@ -425,6 +425,59 @@ FROM documents
 """
 
 
+# ------------------------------------------------- feed_entries
+
+def docs_as_atom_pages(docs):
+    """Synthesized Atom feeds (default xmlns — the r7 node-tape
+    xmlns path): k = doc_id%4+1 entries; a feed-level <title> child
+    tests entry scoping (it must NOT leak into any entry row)."""
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    k = (d % 4 + 1).cast("int")
+    entries = F.array_join(F.transform(
+        F.sequence(F.lit(1), k),
+        lambda j: F.concat(
+            F.lit("<entry><title>E "), ds, F.lit("-"),
+            j.cast("string"),
+            F.lit('</title><link href="https://b'),
+            (d % 7).cast("string"), F.lit(".example/p/"),
+            j.cast("string"),
+            F.lit('" rel="alternate"/><id>urn:'), ds, F.lit(":"),
+            j.cast("string"),
+            F.lit("</id><updated>2026-01-0"),
+            (j % 9 + 1).cast("string"),
+            F.lit("</updated></entry>"))), "")
+    xml = F.concat(
+        F.lit('<?xml version="1.0"?>'
+              '<feed xmlns="http://www.w3.org/2005/Atom">'
+              "<title>Feed</title>"),
+        entries, F.lit("</feed>"))
+    url = F.concat(F.lit("feed://"), ds)
+    return docs.select(url.alias("url"),
+                       F.encode(xml, "utf-8").alias("html"))
+
+
+def q_feed_entries(spark, sf_dir):
+    """Atom feed-entry extraction (spark/nodes.py feed_entries) under
+    the xmlns dialect — entry rows with title text, link@href,
+    id, updated."""
+    ensure_workers(spark)
+    from .extract import extract_nodes_rows
+    from .nodes import feed_entries
+    pages = docs_as_atom_pages(_t(spark, sf_dir, "documents"))
+    return feed_entries(extract_nodes_rows(pages, dialect="xmlns"))
+
+
+ORACLE_FEED_ENTRIES = """
+SELECT 'feed://' || doc_id AS url, CAST(j AS INT) AS entry_ord,
+       'E ' || doc_id || '-' || j AS title,
+       'https://b' || (doc_id % 7) || '.example/p/' || j AS link,
+       'urn:' || doc_id || ':' || j AS guid,
+       '2026-01-0' || ((j % 9) + 1) AS published
+FROM documents, unnest(range(1, doc_id % 4 + 2)) AS t(j)
+"""
+
+
 # ------------------------------------------------- fix_text
 
 def q_fix_text(spark, sf_dir):
@@ -498,6 +551,7 @@ R8_QUERIES = {
     "anchor_texts": q_anchor_texts,
     "fix_text": q_fix_text,          # rows-only: no DuckDB oracle
     "page_meta": q_page_meta,
+    "feed_entries": q_feed_entries,
     "outlinks": q_outlinks,
     "host_graph": q_host_graph,
     "pagerank_hosts": q_pagerank_hosts,
@@ -511,6 +565,7 @@ R8_ORACLES = {
     "c4_clean": ORACLE_C4,
     "anchor_texts": ORACLE_ANCHOR_TEXTS,
     "page_meta": ORACLE_PAGE_META,
+    "feed_entries": ORACLE_FEED_ENTRIES,
     "outlinks": ORACLE_OUTLINKS,
     "host_graph": ORACLE_HOST_GRAPH,
     "pagerank_hosts": _pagerank_oracle_sql(),

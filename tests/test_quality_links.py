@@ -181,3 +181,28 @@ def test_page_meta_edge_cases(spark):
     assert r1.og_title is None and r1.canonical is None
     r2 = out["u2"]
     assert r2.title is None and r2.meta_description is None
+
+
+def test_feed_entries_rss_flavor(spark):
+    from packages_sgml_spark.spark.extract import extract_nodes_rows
+    from packages_sgml_spark.spark.nodes import feed_entries
+    rss = (b'<?xml version="1.0"?><rss version="2.0"><channel>'
+           b"<title>Chan</title>"
+           b"<item><title>First</title>"
+           b"<link>https://r.x/1</link>"
+           b"<guid>g1</guid><pubDate>Mon, 01 Jan 2026</pubDate></item>"
+           b"<item><title>Second</title>"
+           b"<link>https://r.x/2</link></item>"
+           b"</channel></rss>")
+    pages = spark.createDataFrame([("feed://rss", rss)],
+                                  "url string, html binary")
+    nodes = extract_nodes_rows(pages, dialect="xml")
+    out = {r.entry_ord: r for r in
+           feed_entries(nodes, flavor="rss").collect()}
+    assert len(out) == 2
+    assert out[1].title == "First" and out[1].link == "https://r.x/1"
+    assert out[1].guid == "g1"
+    assert out[1].published == "Mon, 01 Jan 2026"
+    assert out[2].title == "Second" and out[2].guid is None
+    # channel-level <title>Chan</title> must not leak into entries
+    assert {r.title for r in out.values()} == {"First", "Second"}
