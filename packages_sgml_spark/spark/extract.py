@@ -182,6 +182,62 @@ def extract(pages: DataFrame, dialect="html5", dom_json=False, nodes=True,
     return src.mapInPandas(fn, schema=EXTRACT_SCHEMA)
 
 
+MARKDOWN_SCHEMA = StructType([
+    StructField("url", StringType()),
+    StructField("markdown", StringType()),
+    StructField("n_errors", IntegerType()),
+    StructField("status", StringType()),
+])
+
+
+def extract_markdown(pages: DataFrame, dialect="html5",
+                     repartition="auto") -> DataFrame:
+    """pages(url, html) -> (url, markdown, n_errors, status): HTML
+    rendered to Markdown (core/markdown.py) — structure kept as cheap
+    syntax, the text shape modern LLM corpora train on.  Same
+    worker-batch loop, per-row isolation, and size guards as
+    extract(); one narrow map, no shuffle beyond the spread."""
+    from ..core.parser import SGMLParser, ParserOptions
+    from ..core.markdown import dom_to_markdown
+    from .util import spread
+    pages = spread(pages, "url", factor=1) if repartition == "auto" \
+        else (pages.repartition(int(repartition), "url")
+              if repartition else pages)
+
+    def fn(batches):
+        for pdf in batches:
+            rows = []
+            for url, html in zip(pdf["url"].tolist(),
+                                 pdf["html"].tolist()):
+                nbytes = len(html) if html is not None else 0
+                if nbytes == 0:
+                    rows.append((url, None, 0, "empty"))
+                    continue
+                if nbytes > MAX_HTML_BYTES:
+                    rows.append((url, None, 1, "too_large"))
+                    continue
+                try:
+                    opts = ParserOptions(dialect=dialect,
+                                         encoding="utf-8",
+                                         max_errors=-1)
+                    opts.quiet = False
+                    p = SGMLParser(opts)
+                    dom, errors = p.parse(bytes(html))
+                    md = "\n\n".join(
+                        m for m in (dom_to_markdown(d) for d in
+                                    (dom if isinstance(dom, list)
+                                     else [dom])) if m)
+                    rows.append((url, md, len(errors), "ok"))
+                except Exception as ex:  # noqa: BLE001 per-row isolation
+                    rows.append((url, None, 1,
+                                 "exception: %s" % ex))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MARKDOWN_SCHEMA])
+
+    return (pages.select("url", "html")
+            .mapInPandas(fn, schema=MARKDOWN_SCHEMA))
+
+
 def extract_element_text(pages: DataFrame, element="title",
                          dialect="html5", repartition="auto") -> DataFrame:
     """Selective extraction of the first <element>'s text per page

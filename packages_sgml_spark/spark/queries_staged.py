@@ -9,12 +9,13 @@ at round-8 start, registration is two dict updates:
     QUERIES.update(queries_staged.R8_QUERIES)
     ORACLES.update(queries_staged.R8_ORACLES)
 
-Twelve keys over the session-3/4 crawl-pipeline operators:
+Thirteen keys over the session-3/4 crawl-pipeline operators:
 outlinks / host_graph / pagerank_hosts / anchor_texts
 (spark/links.py), boilerplate_lines / strip_boilerplate / c4_clean
 (spark/datafilters.py), robots_allowed (core/robots.py via
 robots_filter), gopher_quality + fix_text (spark/textops.py;
-fix_text rows-only), page_meta + feed_entries (spark/nodes.py).
+fix_text rows-only), page_meta + feed_entries (spark/nodes.py), markdown
+(core/markdown.py via extract_markdown).
 """
 
 from pyspark.sql import functions as F
@@ -478,6 +479,40 @@ FROM documents, unnest(range(1, doc_id % 4 + 2)) AS t(j)
 """
 
 
+# ------------------------------------------------- markdown
+
+def q_markdown(spark, sf_dir):
+    """HTML -> Markdown rendering (extract_markdown /
+    core/markdown.py) over synthesized structured pages; the
+    expected markdown is reconstructed literally in SQL."""
+    ensure_workers(spark)
+    from .extract import extract_markdown
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    html_str = F.concat(
+        F.lit("<html><body><h1>H "), ds, F.lit("</h1><p>P "), ds,
+        F.lit(' with <b>bold</b> and <a href="https://x/'), ds,
+        F.lit('">L</a>.</p><ul><li>i1</li><li>i2 '), ds,
+        F.lit("</li></ul></body></html>"))
+    pages = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("md://"), ds).alias("url"),
+        F.encode(html_str, "utf-8").alias("html"))
+    return extract_markdown(pages).select("url", "markdown",
+                                          "n_errors", "status")
+
+
+ORACLE_MARKDOWN = """
+SELECT 'md://' || doc_id AS url,
+       '# H ' || doc_id || chr(10) || chr(10) ||
+       'P ' || doc_id || ' with **bold** and [L](https://x/' ||
+         doc_id || ').' || chr(10) || chr(10) ||
+       '- i1' || chr(10) || '- i2 ' || doc_id AS markdown,
+       CAST(0 AS INT) AS n_errors,
+       'ok' AS status
+FROM documents
+"""
+
+
 # ------------------------------------------------- fix_text
 
 def q_fix_text(spark, sf_dir):
@@ -552,6 +587,7 @@ R8_QUERIES = {
     "fix_text": q_fix_text,          # rows-only: no DuckDB oracle
     "page_meta": q_page_meta,
     "feed_entries": q_feed_entries,
+    "markdown": q_markdown,
     "outlinks": q_outlinks,
     "host_graph": q_host_graph,
     "pagerank_hosts": q_pagerank_hosts,
@@ -566,6 +602,7 @@ R8_ORACLES = {
     "anchor_texts": ORACLE_ANCHOR_TEXTS,
     "page_meta": ORACLE_PAGE_META,
     "feed_entries": ORACLE_FEED_ENTRIES,
+    "markdown": ORACLE_MARKDOWN,
     "outlinks": ORACLE_OUTLINKS,
     "host_graph": ORACLE_HOST_GRAPH,
     "pagerank_hosts": _pagerank_oracle_sql(),

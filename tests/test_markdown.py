@@ -1,0 +1,85 @@
+"""HTML -> Markdown rendering (core/markdown.py + extract_markdown)."""
+
+from packages_sgml_spark.core.markdown import dom_to_markdown
+from packages_sgml_spark.core.parser import SGMLParser, ParserOptions
+
+
+def _md(html, dialect="html5"):
+    p = SGMLParser(ParserOptions(dialect=dialect, encoding="utf-8"))
+    dom, _errors = p.parse(html)
+    roots = dom if isinstance(dom, list) else [dom]
+    return "\n\n".join(m for m in (dom_to_markdown(d) for d in roots)
+                       if m)
+
+
+def test_markdown_blocks_and_inline():
+    html = (b"<html><head><title>skipped</title>"
+            b"<style>p{}</style></head><body>"
+            b"<h1>Top</h1><h3>Sub</h3>"
+            b"<p>Plain <b>bold</b> and <em>it</em> and "
+            b"<a href='https://x.y/z'>a link</a>.</p>"
+            b"<p>Code <code>f(x)</code> inline.</p>"
+            b"<hr>"
+            b"<pre><code>line1\n  line2</code></pre>"
+            b"</body></html>")
+    assert _md(html) == (
+        "# Top\n\n"
+        "### Sub\n\n"
+        "Plain **bold** and *it* and [a link](https://x.y/z).\n\n"
+        "Code `f(x)` inline.\n\n"
+        "---\n\n"
+        "```\nline1\n  line2\n```")
+
+
+def test_markdown_lists_nested_and_ordered():
+    html = (b"<ul><li>one</li><li>two"
+            b"<ol><li>a</li><li>b</li></ol></li></ul>")
+    assert _md(html) == ("- one\n"
+                         "- two\n"
+                         "  1. a\n"
+                         "  2. b")
+
+
+def test_markdown_blockquote_image_br():
+    html = (b"<blockquote><p>quoted line</p>"
+            b"<p>second</p></blockquote>"
+            b"<p>before<br>after</p>"
+            b"<p><img src='i.png' alt='pic'></p>")
+    assert _md(html) == ("> quoted line\n"
+                         ">\n"
+                         "> second\n\n"
+                         "before\nafter\n\n"
+                         "![pic](i.png)")
+
+
+def test_markdown_table_degrades_to_rows():
+    html = (b"<table><tr><th>h1</th><th>h2</th></tr>"
+            b"<tr><td>a</td><td>b</td></tr></table>")
+    assert _md(html) == "h1 | h2\n\na | b"
+
+
+def test_markdown_soup_and_entities():
+    # tag soup: implied closes, entities, whitespace collapse
+    html = (b"<h2>A &amp; B</h2><p>one\n   two"
+            b"<p>next para starts implicitly")
+    assert _md(html) == ("## A & B\n\none two\n\n"
+                         "next para starts implicitly")
+
+
+def test_markdown_deep_dom_no_recursion_error():
+    html = b"<div>" * 6000 + b"<p>deep</p>" + b"</div>" * 6000
+    assert _md(html) == "deep"
+
+
+def test_extract_markdown_spark(spark):
+    from packages_sgml_spark.spark.extract import extract_markdown
+    pages = spark.createDataFrame([
+        ("u1", b"<h1>T</h1><p>Hello <b>world</b>.</p>"),
+        ("u2", b""),
+        ("u3", None),
+    ], "url string, html binary")
+    out = {r.url: r for r in extract_markdown(pages).collect()}
+    assert out["u1"].markdown == "# T\n\nHello **world**."
+    assert out["u1"].status == "ok"
+    assert out["u2"].status == "empty" and out["u2"].markdown is None
+    assert out["u3"].status == "empty"
