@@ -103,6 +103,39 @@ def page_meta(nodes: DataFrame) -> DataFrame:
                     "canonical", "html_lang"))
 
 
+def jsonld(nodes: DataFrame) -> DataFrame:
+    """Structured data: <script type="application/ld+json"> blocks
+    per page -> (url, block_ord, jsonld, is_valid, schema_type).
+    The script body is declared-CDATA, so it arrives as one text
+    child; validity and @type come from Spark's JVM-side JSON
+    functions (no Python).  One renamed-key self-join + one window —
+    url-co-partitioned throughout."""
+    el = nodes.filter(F.col("kind") == "element")
+    scripts = (el.filter(
+        (F.col("name") == "script") &
+        (F.lower(F.coalesce(F.element_at("attrs", "type"),
+                            F.lit(""))) == "application/ld+json"))
+        .select(F.col("url").alias("s_url"),
+                F.col("node_id").alias("s_id")))
+    texts = (nodes.filter(F.col("kind").isin("text", "sdata", "ndata"))
+             .select("url", "parent_id", "ord", "text"))
+    body = (texts.join(scripts,
+                       (texts["url"] == scripts["s_url"]) &
+                       (texts["parent_id"] == scripts["s_id"]))
+            .groupBy("url", "s_id")
+            .agg(F.concat_ws("", F.transform(
+                F.array_sort(F.collect_list(F.struct("ord", "text"))),
+                lambda s: s["text"])).alias("jsonld")))
+    w = Window.partitionBy("url").orderBy("s_id")
+    j = F.col("jsonld")
+    return (body.withColumn("block_ord", F.row_number().over(w))
+            .select("url", "block_ord", "jsonld",
+                    F.try_parse_json(j).isNotNull().cast("int")
+                    .alias("is_valid"),
+                    F.get_json_object(j, "$['@type']")
+                    .alias("schema_type")))
+
+
 ATOM_NS = "http://www.w3.org/2005/Atom"
 
 

@@ -9,13 +9,13 @@ at round-8 start, registration is two dict updates:
     QUERIES.update(queries_staged.R8_QUERIES)
     ORACLES.update(queries_staged.R8_ORACLES)
 
-Thirteen keys over the session-3/4 crawl-pipeline operators:
+Fourteen keys over the session-3/4 crawl-pipeline operators:
 outlinks / host_graph / pagerank_hosts / anchor_texts
 (spark/links.py), boilerplate_lines / strip_boilerplate / c4_clean
 (spark/datafilters.py), robots_allowed (core/robots.py via
 robots_filter), gopher_quality + fix_text (spark/textops.py;
 fix_text rows-only), page_meta + feed_entries (spark/nodes.py), markdown
-(core/markdown.py via extract_markdown).
+(core/markdown.py via extract_markdown), jsonld (spark/nodes.py).
 """
 
 from pyspark.sql import functions as F
@@ -513,6 +513,47 @@ FROM documents
 """
 
 
+# ------------------------------------------------- jsonld
+
+def q_jsonld(spark, sf_dir):
+    """JSON-LD block extraction (nodes.jsonld): every doc carries one
+    valid Article block; docs with doc_id%5==0 carry a second,
+    MALFORMED block (is_valid=0 path); a plain <script> without the
+    ld+json type must be ignored."""
+    ensure_workers(spark)
+    from .extract import extract_nodes_rows
+    from .nodes import jsonld
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    html_str = F.concat(
+        F.lit('<html><body><script type="application/ld+json">'
+              '{"@type": "Article", "headline": "H '), ds,
+        F.lit('"}</script>'),
+        F.when(d % 5 == 0,
+               F.lit('<script type="application/ld+json">{broken'
+                     "</script>")).otherwise(F.lit("")),
+        F.lit("<script>var x = 1;</script>"
+              "<p>x</p></body></html>"))
+    pages = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("ld://"), ds).alias("url"),
+        F.encode(html_str, "utf-8").alias("html"))
+    return jsonld(extract_nodes_rows(pages))
+
+
+ORACLE_JSONLD = """
+SELECT 'ld://' || doc_id AS url, CAST(1 AS INT) AS block_ord,
+       '{"@type": "Article", "headline": "H ' || doc_id || '"}'
+         AS jsonld,
+       CAST(1 AS INT) AS is_valid,
+       'Article' AS schema_type
+FROM documents
+UNION ALL
+SELECT 'ld://' || doc_id, CAST(2 AS INT), '{broken',
+       CAST(0 AS INT), NULL
+FROM documents WHERE doc_id % 5 = 0
+"""
+
+
 # ------------------------------------------------- fix_text
 
 def q_fix_text(spark, sf_dir):
@@ -588,6 +629,7 @@ R8_QUERIES = {
     "page_meta": q_page_meta,
     "feed_entries": q_feed_entries,
     "markdown": q_markdown,
+    "jsonld": q_jsonld,
     "outlinks": q_outlinks,
     "host_graph": q_host_graph,
     "pagerank_hosts": q_pagerank_hosts,
@@ -603,6 +645,7 @@ R8_ORACLES = {
     "page_meta": ORACLE_PAGE_META,
     "feed_entries": ORACLE_FEED_ENTRIES,
     "markdown": ORACLE_MARKDOWN,
+    "jsonld": ORACLE_JSONLD,
     "outlinks": ORACLE_OUTLINKS,
     "host_graph": ORACLE_HOST_GRAPH,
     "pagerank_hosts": _pagerank_oracle_sql(),

@@ -83,3 +83,22 @@ def test_extract_markdown_spark(spark):
     assert out["u1"].status == "ok"
     assert out["u2"].status == "empty" and out["u2"].markdown is None
     assert out["u3"].status == "empty"
+
+
+def test_markdown_soup_fuzz_deterministic():
+    """Random soup never raises, renders deterministically, and
+    never emits the \\x00 br placeholder."""
+    import random
+    rng = random.Random(7)
+    bits = ["<p>", "</p>", "<b>", "</i>", "<ul>", "<li>", "</ul>",
+            "<pre>", "</pre>", "<a href='x'>", "</a>", "<h2>", "<br>",
+            "text ", "&amp;", "&#66;", "<code>", "more\nwords ",
+            '<img src="i">', "<blockquote>", "<table><tr><td>c",
+            "\xe9 caf\xe9 ", "<", ">", '"', "</html>"]
+    for _ in range(200):
+        doc = "".join(rng.choice(bits)
+                      for _ in range(rng.randint(1, 60)))
+        html = doc.encode("utf-8")
+        a, b = _md(html), _md(html)
+        assert a == b
+        assert "\x00" not in a
