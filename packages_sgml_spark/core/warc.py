@@ -178,17 +178,36 @@ def parse_warc_buffer(data, errors, base_offset=0):
 
 def iter_gzip_members(data):
     """Yield (compressed_offset, plain_bytes) per gzip member of a
-    multi-member stream (the ``.warc.gz`` layout)."""
+    multi-member stream (the ``.warc.gz`` layout).
+
+    Feeding is chunked over a memoryview with the chunk sized from
+    the previous member (~25% headroom): handing ``data[pos:]`` to
+    each member's decompressor would copy the whole remaining
+    archive per member — O(members x size) memcpy, ~25 TB for a
+    1 GB / 50k-member Common-Crawl archive — and ``unused_data``
+    would copy it right back.  With sized chunks the only per-member
+    copy is the overshoot inside the final chunk."""
+    mv = memoryview(data)
     pos, end = 0, len(data)
+    est = 1 << 14
     while pos < end:
         d = zlib.decompressobj(wbits=31)
-        plain = d.decompress(data[pos:]) + d.flush()
-        consumed = (end - pos) - len(d.unused_data)
+        start = fed = pos
+        parts = []
+        chunk = max(4096, est + (est >> 2))
+        while not d.eof and fed < end:
+            nxt = min(end, fed + chunk)
+            parts.append(d.decompress(mv[fed:nxt]))
+            fed = nxt
+            chunk = 1 << 16      # grow after a miss
+        parts.append(d.flush())
+        consumed = (fed - start) - len(d.unused_data)
         if consumed <= 0:        # defensive: no forward progress
             raise zlib.error("gzip member at %d consumed 0 bytes"
                              % pos)
-        yield pos, plain
-        pos += consumed
+        yield start, b"".join(parts)
+        pos = start + consumed
+        est = consumed
 
 
 def iter_warc_records(data, errors=None):
