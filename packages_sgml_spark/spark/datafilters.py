@@ -150,6 +150,53 @@ def pii_scrub(docs: DataFrame) -> DataFrame:
         n_phone.cast("bigint").alias("n_phones"))
 
 
+def url_filter(docs: DataFrame, blocked_hosts=(),
+               blocked_suffixes=(), blocked_path_rx=None,
+               url_col="url") -> DataFrame:
+    """URL-level corpus gate (the C4/CCNet blocklist stage): exact
+    host match, domain-suffix match (``example.com`` blocks
+    ``a.b.example.com`` but NOT ``notexample.com``), and an optional
+    path regex.  Emits every input row with (url_keep, url_block_
+    reason) — policy lists are caller inputs, the mechanism is the
+    operator.  Suffix matching is a broadcast join against the
+    exploded suffix chain of each host (no per-suffix scan), so a
+    100k-entry blocklist costs one broadcast hash join at 100 TB."""
+    u = F.col(url_col)
+    host = F.lower(F.parse_url(u, F.lit("HOST")))
+    path = F.parse_url(u, F.lit("PATH"))
+    base = docs.withColumn("_host", host)
+    # suffix chain: a.b.example.com -> [a.b.example.com,
+    # b.example.com, example.com, com]
+    parts = F.split(F.col("_host"), r"\.")
+    chain = F.transform(
+        F.sequence(F.lit(0), F.size(parts) - 1),
+        lambda i: F.array_join(F.slice(parts, i + 1,
+                                       F.size(parts)), "."))
+    spark = docs.sparkSession
+    blocked = set(h.lower() for h in blocked_hosts)
+    suffixes = set(s.lower().lstrip(".") for s in blocked_suffixes)
+    sfx = spark.createDataFrame(
+        [(s,) for s in sorted(suffixes)] or [(None,)],
+        "sfx string").where(F.col("sfx").isNotNull())
+    hit = (base.select("_host", F.explode(chain).alias("sfx"))
+           .join(F.broadcast(sfx), "sfx")
+           .select(F.col("_host").alias("_bh")).distinct())
+    out = (base.join(F.broadcast(hit),
+                     base["_host"] == hit["_bh"], "left")
+           .withColumn("_sfx_hit", F.col("_bh").isNotNull())
+           .drop("_bh"))
+    reason = F.when(F.col("_host").isin(*sorted(blocked))
+                    if blocked else F.lit(False), "host")
+    reason = reason.when(F.col("_sfx_hit"), "suffix")
+    if blocked_path_rx:
+        reason = reason.when(path.rlike(blocked_path_rx), "path")
+    return (out.withColumn("url_block_reason", reason)
+            .withColumn("url_keep",
+                        F.col("url_block_reason").isNull()
+                        .cast("int"))
+            .drop("_host", "_sfx_hit"))
+
+
 def c4_clean(docs: DataFrame) -> DataFrame:
     """C4-style line/page cleaning (Raffel et al. 2020 §2.2, the
     public rule set behind the C4 corpus): keep only lines that end

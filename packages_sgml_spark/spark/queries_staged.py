@@ -9,13 +9,14 @@ at round-8 start, registration is two dict updates:
     QUERIES.update(queries_staged.R8_QUERIES)
     ORACLES.update(queries_staged.R8_ORACLES)
 
-Fourteen keys over the session-3/4 crawl-pipeline operators:
+Fifteen keys over the session-3/4 crawl-pipeline operators:
 outlinks / host_graph / pagerank_hosts / anchor_texts
 (spark/links.py), boilerplate_lines / strip_boilerplate / c4_clean
 (spark/datafilters.py), robots_allowed (core/robots.py via
 robots_filter), gopher_quality + fix_text (spark/textops.py;
 fix_text rows-only), page_meta + feed_entries (spark/nodes.py), markdown
-(core/markdown.py via extract_markdown), jsonld (spark/nodes.py).
+(core/markdown.py via extract_markdown), jsonld (spark/nodes.py),
+url_filter (spark/datafilters.py).
 """
 
 from pyspark.sql import functions as F
@@ -513,6 +514,45 @@ FROM documents
 """
 
 
+# ------------------------------------------------- url_filter
+
+def q_url_filter(spark, sf_dir):
+    """URL blocklist gate (datafilters.url_filter): exact host /
+    domain-suffix / path-regex reasons over synthesized urls; every
+    row stays in the output with a keep flag."""
+    from .datafilters import url_filter
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    url = F.concat(
+        F.lit("https://h"), (d % 11).cast("string"), F.lit(".site"),
+        (d % 3).cast("string"), F.lit(".example"),
+        F.when(d % 7 == 0, F.lit("/login/")).otherwise(F.lit("/p/")),
+        ds)
+    docs = _t(spark, sf_dir, "documents").select(url.alias("url"))
+    return url_filter(docs,
+                      blocked_hosts=("h0.site0.example",),
+                      blocked_suffixes=("site1.example",),
+                      blocked_path_rx="^/login")
+
+
+ORACLE_URL_FILTER = """
+WITH u AS (
+  SELECT doc_id,
+         'https://h' || (doc_id % 11) || '.site' || (doc_id % 3) ||
+           '.example' ||
+           CASE WHEN doc_id % 7 = 0 THEN '/login/' ELSE '/p/' END ||
+           doc_id AS url,
+         CASE WHEN doc_id % 11 = 0 AND doc_id % 3 = 0 THEN 'host'
+              WHEN doc_id % 3 = 1 THEN 'suffix'
+              WHEN doc_id % 7 = 0 THEN 'path' END AS reason
+  FROM documents)
+SELECT url, reason AS url_block_reason,
+       CAST(CASE WHEN reason IS NULL THEN 1 ELSE 0 END AS INT)
+         AS url_keep
+FROM u
+"""
+
+
 # ------------------------------------------------- jsonld
 
 def q_jsonld(spark, sf_dir):
@@ -630,6 +670,7 @@ R8_QUERIES = {
     "feed_entries": q_feed_entries,
     "markdown": q_markdown,
     "jsonld": q_jsonld,
+    "url_filter": q_url_filter,
     "outlinks": q_outlinks,
     "host_graph": q_host_graph,
     "pagerank_hosts": q_pagerank_hosts,
@@ -646,6 +687,7 @@ R8_ORACLES = {
     "feed_entries": ORACLE_FEED_ENTRIES,
     "markdown": ORACLE_MARKDOWN,
     "jsonld": ORACLE_JSONLD,
+    "url_filter": ORACLE_URL_FILTER,
     "outlinks": ORACLE_OUTLINKS,
     "host_graph": ORACLE_HOST_GRAPH,
     "pagerank_hosts": _pagerank_oracle_sql(),

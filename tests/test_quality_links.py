@@ -206,3 +206,27 @@ def test_feed_entries_rss_flavor(spark):
     assert out[2].title == "Second" and out[2].guid is None
     # channel-level <title>Chan</title> must not leak into entries
     assert {r.title for r in out.values()} == {"First", "Second"}
+
+
+def test_url_filter_planted(spark):
+    from packages_sgml_spark.spark.datafilters import url_filter
+    rows = [("https://bad.example/x",),        # exact host
+            ("https://sub.ads.net/p",),        # suffix ads.net
+            ("https://notads.net/q",),         # NOT a suffix match
+            ("https://ok.example/login/form",),  # path regex
+            ("https://ok.example/fine",)]      # kept
+    docs = spark.createDataFrame(rows, "url string")
+    out = {r.url: r for r in url_filter(
+        docs, blocked_hosts=("bad.example",),
+        blocked_suffixes=("ads.net",),
+        blocked_path_rx="^/login").collect()}
+    assert len(out) == 5                       # every row in output
+    assert out["https://bad.example/x"].url_block_reason == "host"
+    assert out["https://sub.ads.net/p"].url_block_reason == "suffix"
+    assert out["https://notads.net/q"].url_keep == 1
+    assert out["https://ok.example/login/form"].url_block_reason == \
+        "path"
+    assert out["https://ok.example/fine"].url_keep == 1
+    # empty lists: everything kept
+    all_kept = url_filter(docs).agg({"url_keep": "sum"}).collect()
+    assert all_kept[0][0] == 5

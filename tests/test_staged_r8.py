@@ -49,7 +49,7 @@ def test_registry_still_frozen():
     "outlinks", "host_graph", "pagerank_hosts", "boilerplate_lines",
     "strip_boilerplate", "robots_allowed", "gopher_quality",
     "anchor_texts", "c4_clean", "page_meta", "feed_entries",
-    "markdown", "jsonld"])
+    "markdown", "jsonld", "url_filter"])
 def test_staged_query_matches_oracle(spark, duck, name):
     import decimal
     from packages_sgml_spark.spark.queries_staged import (R8_ORACLES,
