@@ -105,12 +105,22 @@ def run(spark, args):
         from packages_sgml_spark.spark.textops import (
             gopher_quality, lang_id_stopwords)
         from packages_sgml_spark.spark.datafilters import c4_clean
+        # url-level resume for the sidecar itself: quality rows are
+        # produced for text rows that don't have one yet, NOT for
+        # this_run — a crash between the text and quality commits
+        # (or a same-run-id rerun) would otherwise leave urls
+        # permanently unsided or doubly-sided
+        todo_q = spark.read.parquet(text_path)
+        done_q = read_or_none(out + "/quality")
+        if done_q is not None:
+            todo_q = todo_q.join(done_q.select("url"), "url",
+                                 "left_anti")
         # repartition ONCE so each filter's internal spread no-ops
         # and AQE reuses a single text exchange across the three
         # branches (three separate spreads = the text column shuffled
         # three times; measured 62 s -> ~half on a 1M-doc sink)
-        docs = (this_run.select(F.col("url").alias("doc_id"),
-                                F.col("text_extracted").alias("text"))
+        docs = (todo_q.select(F.col("url").alias("doc_id"),
+                              F.col("text_extracted").alias("text"))
                 .repartition(spark.sparkContext.defaultParallelism,
                              "doc_id"))
         quality = (gopher_quality(docs)

@@ -23,6 +23,9 @@ from .dom import Element, SData, NData, Entity, PI
 _SKIP = frozenset(("script", "style", "template", "noscript", "head"))
 _WRAP = {"strong": "**", "b": "**", "em": "*", "i": "*"}
 _H = {"h1": 1, "h2": 2, "h3": 3, "h4": 4, "h5": 5, "h6": 6}
+# elements that imply a line break when they appear INSIDE <pre>
+_PRE_LINE = frozenset(("div", "p", "li", "tr", "h1", "h2", "h3",
+                       "h4", "h5", "h6", "blockquote"))
 _BR = "\x00br\x00"
 
 
@@ -68,7 +71,13 @@ def _fold(el, chunks, in_pre=False):
     name = el.name if isinstance(el.name, str) else str(el.name)
     name = name.rsplit(":", 1)[-1].lower()
     if in_pre and name != "pre":
-        # verbatim context: markup inside <pre> contributes raw text
+        # verbatim context: markup inside <pre> contributes raw text,
+        # but line STRUCTURE must survive — syntax-highlighted code
+        # viewers emit div-per-line or br-separated pre blocks
+        if name == "br":
+            return [("i", "\n")]
+        if name in _PRE_LINE:
+            return chunks + [("i", "\n")]
         return chunks
     if name in _H:
         return [("b", "#" * _H[name] + " " + _merge_inline(chunks))]

@@ -158,9 +158,14 @@ def url_filter(docs: DataFrame, blocked_hosts=(),
     ``a.b.example.com`` but NOT ``notexample.com``), and an optional
     path regex.  Emits every input row with (url_keep, url_block_
     reason) — policy lists are caller inputs, the mechanism is the
-    operator.  Suffix matching is a broadcast join against the
-    exploded suffix chain of each host (no per-suffix scan), so a
-    100k-entry blocklist costs one broadcast hash join at 100 TB."""
+    operator.  Suffix matching tests each host's suffix chain:
+    small lists (<= 2000) ride a literal array + arrays_overlap —
+    one narrow projection, zero shuffle; larger lists broadcast
+    ONLY the blocklist against the exploded chain and join the
+    resulting blocked-host set back with a plain key join (the
+    host set is data-derived and unbounded — one popular blocked
+    suffix is millions of distinct hosts — so it is never
+    broadcast)."""
     u = F.col(url_col)
     host = F.lower(F.parse_url(u, F.lit("HOST")))
     path = F.parse_url(u, F.lit("PATH"))
@@ -175,16 +180,28 @@ def url_filter(docs: DataFrame, blocked_hosts=(),
     spark = docs.sparkSession
     blocked = set(h.lower() for h in blocked_hosts)
     suffixes = set(s.lower().lstrip(".") for s in blocked_suffixes)
-    sfx = spark.createDataFrame(
-        [(s,) for s in sorted(suffixes)] or [(None,)],
-        "sfx string").where(F.col("sfx").isNotNull())
-    hit = (base.select("_host", F.explode(chain).alias("sfx"))
-           .join(F.broadcast(sfx), "sfx")
-           .select(F.col("_host").alias("_bh")).distinct())
-    out = (base.join(F.broadcast(hit),
-                     base["_host"] == hit["_bh"], "left")
-           .withColumn("_sfx_hit", F.col("_bh").isNotNull())
-           .drop("_bh"))
+    if len(suffixes) <= 2000:
+        # small policy list: a literal array + arrays_overlap — one
+        # narrow projection, no second scan, nothing broadcast
+        if suffixes:
+            lits = F.array(*[F.lit(s) for s in sorted(suffixes)])
+            out = base.withColumn("_sfx_hit",
+                                  F.arrays_overlap(chain, lits))
+        else:
+            out = base.withColumn("_sfx_hit", F.lit(False))
+    else:
+        # large blocklist: broadcast ONLY the blocklist (bounded);
+        # the data-derived blocked-host set is joined back with a
+        # plain key join — broadcasting it would be unbounded
+        # (one popular blocked suffix = millions of distinct hosts)
+        sfx = spark.createDataFrame(
+            [(s,) for s in sorted(suffixes)], "sfx string")
+        hit = (base.select("_host", F.explode(chain).alias("sfx"))
+               .join(F.broadcast(sfx), "sfx")
+               .select(F.col("_host").alias("_bh")).distinct())
+        out = (base.join(hit, base["_host"] == hit["_bh"], "left")
+               .withColumn("_sfx_hit", F.col("_bh").isNotNull())
+               .drop("_bh"))
     reason = F.when(F.col("_host").isin(*sorted(blocked))
                     if blocked else F.lit(False), "host")
     reason = reason.when(F.col("_sfx_hit"), "suffix")
@@ -225,10 +242,13 @@ def c4_clean(docs: DataFrame) -> DataFrame:
         return (term & (n_words >= 5) &
                 ~F.contains(F.lower(l), F.lit("javascript")))
 
+    # \r?\n: CRLF corpora must not leave a trailing \r on every
+    # line (rtrim strips spaces only; the terminal-punct test would
+    # reject 100% of such docs)
     step = docs.select(
         "doc_id", text.alias("text"),
-        F.split(text, "\n").alias("lines"),
-        F.filter(F.split(text, "\n"), line_keep).alias("kept"))
+        F.split(text, "\r?\n").alias("lines"),
+        F.filter(F.split(text, "\r?\n"), line_keep).alias("kept"))
     keep = ((F.size("kept") >= 3) &
             ~F.contains(F.lower("text"), F.lit("lorem ipsum")) &
             ~F.contains("text", F.lit("{")))

@@ -217,10 +217,16 @@ def extract_markdown(pages: DataFrame, dialect="html5",
                     rows.append((url, None, 1, "too_large"))
                     continue
                 try:
-                    opts = ParserOptions(dialect=dialect,
-                                         encoding="utf-8",
-                                         max_errors=-1)
-                    opts.quiet = False
+                    # same error policy as extract(): unlimited
+                    # collection only for the HTML dialects; strict
+                    # ones cap at 50 so one garbage row can't
+                    # accumulate millions of ParseError objects
+                    html_d = dialect.startswith(("html", "xhtml"))
+                    opts = ParserOptions(
+                        dialect=dialect, encoding="utf-8",
+                        max_errors=-1 if html_d else 50)
+                    if html_d:
+                        opts.quiet = False
                     p = SGMLParser(opts)
                     dom, errors = p.parse(bytes(html))
                     md = "\n\n".join(

@@ -69,7 +69,14 @@ def page_meta(nodes: DataFrame) -> DataFrame:
         return F.lower(F.coalesce(F.element_at(a, field), F.lit("")))
 
     def pick(cond, field):
-        return F.min(F.when(cond, F.element_at(a, field)))
+        # first-in-document occurrence (min over (node_id, value)
+        # structs), NOT the lexicographically smallest value — pages
+        # with duplicate canonical/og tags must resolve like a
+        # crawler: first one wins
+        v = F.element_at(a, field)
+        return F.min(F.when(cond & v.isNotNull(),
+                            F.struct(F.col("node_id").alias("n"),
+                                     v.alias("v"))))["v"]
 
     metas = el.groupBy("url").agg(
         pick((name == "meta") & (low("name") == "description"),
@@ -111,10 +118,14 @@ def jsonld(nodes: DataFrame) -> DataFrame:
     functions (no Python).  One renamed-key self-join + one window —
     url-co-partitioned throughout."""
     el = nodes.filter(F.col("kind") == "element")
+    # media type compared before any ';' parameters — real pages ship
+    # type="application/ld+json; charset=utf-8" and friends
+    mtype = F.lower(F.trim(F.split(
+        F.coalesce(F.element_at("attrs", "type"), F.lit("")),
+        ";").getItem(0)))
     scripts = (el.filter(
         (F.col("name") == "script") &
-        (F.lower(F.coalesce(F.element_at("attrs", "type"),
-                            F.lit(""))) == "application/ld+json"))
+        (mtype == "application/ld+json"))
         .select(F.col("url").alias("s_url"),
                 F.col("node_id").alias("s_id")))
     texts = (nodes.filter(F.col("kind").isin("text", "sdata", "ndata"))
@@ -167,10 +178,14 @@ def feed_entries(nodes: DataFrame, flavor="atom") -> DataFrame:
                   F.col("node_id").alias("child_id"),
                   F.col("parent_id").alias("c_parent"),
                   F.lower("name").alias("c_name"),
-                  F.element_at("attrs", "href").alias("href")))
+                  F.element_at("attrs", "href").alias("href"),
+                  F.lower(F.coalesce(F.element_at("attrs", "rel"),
+                                     F.lit("alternate")))
+                  .alias("link_rel")))
     ch = ch.join(entries, (ch["c_url"] == entries["e_url"]) &
                  (ch["c_parent"] == entries["entry_id"])) \
-           .select("c_url", "child_id", "c_name", "href", "entry_id")
+           .select("c_url", "child_id", "c_name", "href", "link_rel",
+                   "entry_id")
     texts = (nodes.filter(F.col("kind").isin("text", "sdata", "ndata"))
              .select(F.col("url").alias("t_url"),
                      F.col("parent_id").alias("t_parent"),
@@ -178,19 +193,34 @@ def feed_entries(nodes: DataFrame, flavor="atom") -> DataFrame:
     joined = ch.join(texts, (ch["c_url"] == texts["t_url"]) &
                      (ch["child_id"] == texts["t_parent"]), "left")
     per_child = (joined.groupBy("c_url", "entry_id", "child_id",
-                                "c_name", "href")
+                                "c_name", "href", "link_rel")
                  .agg(F.concat_ws("", F.transform(
                      F.array_sort(F.collect_list(
                          F.struct("ord", "text"))),
                      lambda s: s["text"])).alias("t")))
     t = F.when(F.length("t") > 0, F.col("t"))
 
-    def pick(field_name):
-        return F.min(F.when(F.col("c_name") == field_name.lower(), t))
+    def first_of(cond, val):
+        # first-in-document (min over (child_id, value)), not the
+        # lexicographically smallest value
+        return F.min(F.when(cond & val.isNotNull(),
+                            F.struct(F.col("child_id").alias("n"),
+                                     val.alias("v"))))["v"]
 
-    link_val = (pick(link_n) if flavor != "atom" else
-                F.min(F.when(F.col("c_name") == link_n.lower(),
-                             F.col("href"))))
+    def pick(field_name):
+        return first_of(F.col("c_name") == field_name.lower(), t)
+
+    if flavor == "atom":
+        # RFC 4287: the entry link is rel="alternate" (rel absent
+        # defaults to alternate); self/enclosure/hub links must not
+        # win just by sorting first
+        is_link = F.col("c_name") == link_n.lower()
+        link_val = F.coalesce(
+            first_of(is_link & (F.col("link_rel") == "alternate"),
+                     F.col("href")),
+            first_of(is_link, F.col("href")))
+    else:
+        link_val = pick(link_n)
     agg = (per_child.groupBy("c_url", "entry_id")
            .agg(pick(title_n).alias("title"),
                 link_val.alias("link"),

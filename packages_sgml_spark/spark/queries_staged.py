@@ -299,7 +299,7 @@ s AS (
   SELECT doc_id,
     list_filter(regexp_split_to_array(trim(text), '\\s+'),
                 x -> x <> '') AS words,
-    string_split(text, chr(10)) AS lines,
+    regexp_split_to_array(text, '\\r?\\n') AS lines,
     CAST((length(text) - length(replace(text, '#', ''))) +
          (length(text) - length(replace(text, '...', ''))) / 3 +
          (length(text) - length(replace(text, '…', ''))) AS INT)
@@ -358,7 +358,7 @@ def q_c4_clean(spark, sf_dir):
 
 ORACLE_C4 = """
 WITH b AS (SELECT doc_id, coalesce(%s, '') AS text FROM documents),
-s AS (SELECT doc_id, text, string_split(text, chr(10)) AS lines
+s AS (SELECT doc_id, text, regexp_split_to_array(text, '\\r?\\n') AS lines
       FROM b),
 k AS (SELECT doc_id, text, len(lines) AS n_lines,
   list_filter(lines, l ->

@@ -113,7 +113,7 @@ def gopher_quality(docs: DataFrame) -> DataFrame:
         "doc_id",
         F.filter(F.split(F.trim(text), r"\s+"),
                  lambda w: w != "").alias("words"),
-        F.split(text, "\n").alias("lines"),
+        F.split(text, "\r?\n").alias("lines"),   # CRLF-safe
         (_count_occurrences(text, "#") +
          _count_occurrences(text, "...") +
          _count_occurrences(text, "…")).alias("n_symbols"),

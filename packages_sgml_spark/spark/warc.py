@@ -90,8 +90,16 @@ def _records_frame(path, content, record_types, transcode=False):
         rows.append((None, None, "x-parse-errors", None, None, None,
                      None, None, None, fname, None, errors))
     frame = pd.DataFrame(rows, columns=[f.name for f in WARC_SCHEMA])
-    ts = pd.to_datetime(frame["warc_ts"], utc=True, errors="coerce",
+    raw_dates = frame["warc_ts"]
+    ts = pd.to_datetime(raw_dates, utc=True, errors="coerce",
                         format="ISO8601")
+    # non-ISO dates (RFC-1123 from non-conforming writers, old
+    # ARC-derived records) fall back to the general parser — scalar
+    # cost only on the rare rows the fast path rejects
+    bad = ts.isna() & raw_dates.notna()
+    if bad.any():
+        ts[bad] = pd.to_datetime(raw_dates[bad], utc=True,
+                                 errors="coerce", format="mixed")
     frame["warc_ts"] = ts.dt.tz_localize(None)
     return frame
 

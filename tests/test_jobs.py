@@ -170,3 +170,32 @@ def test_spark_submit_py_files_launch(tmp_path):
     assert summary == {"archives": 1, "docs_new": 2, "run_id": "submit1",
                        "wet_records": 2}
     assert os.path.exists(out + "/text/_SUCCESS")
+
+
+def test_quality_sidecar_heals_and_never_duplicates(spark, tmp_path):
+    """Crash orderings around the quality sidecar: quality rows are
+    produced for text rows missing one (self-healing), and a rerun
+    never duplicates rows — regardless of run_id reuse."""
+    import crawl_job
+    import shutil
+    land = tmp_path / "warc"
+    land.mkdir()
+    out = str(tmp_path / "sink")
+    _write_archive(land / "c-00000.warc.gz", DOCS1)
+    crawl_job.run(spark, _args(input=str(land), output=out,
+                               run_id="r1", quality=True))
+    # crash between text and quality commits: quality + manifest gone
+    shutil.rmtree(out + "/quality")
+    shutil.rmtree(out + "/archives")
+    s2 = crawl_job.run(spark, _args(input=str(land), output=out,
+                                    run_id="r2", quality=True))
+    assert s2["docs_new"] == 0                 # text resume exact
+    q = spark.read.parquet(out + "/quality")
+    assert q.count() == 2                      # healed, once per url
+    # crash between quality and manifest, SAME run_id rerun
+    shutil.rmtree(out + "/archives")
+    crawl_job.run(spark, _args(input=str(land), output=out,
+                               run_id="r2", quality=True))
+    q2 = spark.read.parquet(out + "/quality")
+    assert q2.count() == 2                     # no duplicates
+    assert q2.select("url").distinct().count() == 2

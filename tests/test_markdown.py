@@ -102,3 +102,10 @@ def test_markdown_soup_fuzz_deterministic():
         a, b = _md(html), _md(html)
         assert a == b
         assert "\x00" not in a
+
+
+def test_markdown_pre_line_structure():
+    # br and div-per-line inside <pre> keep line breaks (code viewers)
+    assert _md(b"<pre>x = 1<br>y = 2</pre>") == "```\nx = 1\ny = 2\n```"
+    assert _md(b"<pre><div>line1</div><div>line2</div></pre>") == \
+        "```\nline1\nline2\n```"

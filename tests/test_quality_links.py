@@ -230,3 +230,82 @@ def test_url_filter_planted(spark):
     # empty lists: everything kept
     all_kept = url_filter(docs).agg({"url_keep": "sum"}).collect()
     assert all_kept[0][0] == 5
+
+
+def test_c4_and_gopher_crlf_lines(spark):
+    from packages_sgml_spark.spark.datafilters import c4_clean
+    from packages_sgml_spark.spark.textops import gopher_quality
+    line = "This line has enough words and ends properly."
+    crlf_doc = "\r\n".join([line] * 4)
+    df = spark.createDataFrame([(1, crlf_doc)],
+                               "doc_id bigint, text string")
+    r = c4_clean(df).collect()[0]
+    assert r.n_lines == 4 and r.n_kept == 4 and r.c4_keep == 1
+    g = gopher_quality(df).collect()[0]
+    assert g.ellipsis_frac == 0.0       # \r must not defeat endswith
+    dots_crlf = "\r\n".join(["it trails off to nothing ..."] * 4)
+    g2 = gopher_quality(spark.createDataFrame(
+        [(1, dots_crlf)], "doc_id bigint, text string")).collect()[0]
+    assert g2.ellipsis_frac == 1.0
+
+
+def test_url_filter_large_list_join_path(spark):
+    from packages_sgml_spark.spark.datafilters import url_filter
+    docs = spark.createDataFrame(
+        [("https://a.blocked77.example/x",),
+         ("https://ok.example/y",)], "url string")
+    suffixes = ["blocked%d.example" % i for i in range(2101)]
+    out = {r.url: r for r in url_filter(
+        docs, blocked_suffixes=suffixes).collect()}
+    assert out["https://a.blocked77.example/x"].url_block_reason == \
+        "suffix"
+    assert out["https://ok.example/y"].url_keep == 1
+
+
+def test_page_meta_first_in_document_wins(spark):
+    from packages_sgml_spark.spark.extract import extract_nodes_rows
+    from packages_sgml_spark.spark.nodes import page_meta
+    pages = spark.createDataFrame([
+        ("u1", b'<html><head><title>t</title>'
+               b'<link rel="canonical" href="https://z.example/real">'
+               b'<link rel="canonical" href="https://amp.example/x">'
+               b"</head><body><p>x</p></body></html>"),
+    ], "url string, html binary")
+    out = page_meta(extract_nodes_rows(pages)).collect()[0]
+    assert out.canonical == "https://z.example/real"   # doc order
+
+
+def test_feed_entries_atom_rel_alternate(spark):
+    from packages_sgml_spark.spark.extract import extract_nodes_rows
+    from packages_sgml_spark.spark.nodes import feed_entries
+    atom = ('<?xml version="1.0"?>'
+            '<feed xmlns="http://www.w3.org/2005/Atom"><entry>'
+            '<title>T</title>'
+            '<link rel="self" href="https://api.example/e/1"/>'
+            '<link rel="alternate" href="https://www.example/post"/>'
+            '<id>urn:1</id></entry></feed>').encode()
+    pages = spark.createDataFrame([("f1", atom)],
+                                  "url string, html binary")
+    out = feed_entries(extract_nodes_rows(pages, dialect="xmlns")
+                       ).collect()[0]
+    assert out.link == "https://www.example/post"
+    # rel-less link defaults to alternate
+    atom2 = atom.replace(b' rel="alternate"', b"")
+    pages2 = spark.createDataFrame([("f2", atom2)],
+                                   "url string, html binary")
+    out2 = feed_entries(extract_nodes_rows(pages2, dialect="xmlns")
+                        ).collect()[0]
+    assert out2.link == "https://www.example/post"
+
+
+def test_jsonld_parameterized_type(spark):
+    from packages_sgml_spark.spark.extract import extract_nodes_rows
+    from packages_sgml_spark.spark.nodes import jsonld
+    html = (b'<html><body>'
+            b'<script type="application/ld+json; charset=utf-8">'
+            b'{"@type": "NewsArticle"}</script>'
+            b"<p>x</p></body></html>")
+    pages = spark.createDataFrame([("u1", html)],
+                                  "url string, html binary")
+    out = jsonld(extract_nodes_rows(pages)).collect()
+    assert len(out) == 1 and out[0].schema_type == "NewsArticle"

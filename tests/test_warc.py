@@ -395,3 +395,16 @@ def test_warc_reader_mutation_fuzz():
             assert isinstance(r.body, bytes)
         # mutated archives either parse some records or explain why
         assert out or errors, "silent empty parse on trial %d" % trial
+
+
+def test_non_iso_warc_date_fallback():
+    """Non-conforming writers emit RFC-1123 dates; the vectorized
+    ISO fast path must fall back, not null them out."""
+    raw = (b"WARC/1.0\r\n"
+           b"WARC-Type: resource\r\n"
+           b"WARC-Target-URI: https://d.example/x\r\n"
+           b"WARC-Date: Mon, 01 Jan 2026 00:00:00 GMT\r\n"
+           b"Content-Length: 2\r\n\r\nhi\r\n\r\n")
+    from packages_sgml_spark.spark.warc import _records_frame
+    f = _records_frame("f", raw, ("resource",), False)
+    assert str(f["warc_ts"].iloc[0]) == "2026-01-01 00:00:00"
