@@ -870,3 +870,10 @@ SELECT url_canon,
        CAST(count(*) AS BIGINT) AS n_aliases,
        min(doc_id) AS keep_doc_id
 FROM c GROUP BY url_canon"""
+
+
+# Round-8 registration: oracles for the staged crawl-surface queries
+# (fix_text is rows-only — no entry here, like compression_ratio).
+from .queries_staged import R8_ORACLES  # noqa: E402
+
+ORACLES.update(R8_ORACLES)

@@ -835,3 +835,12 @@ def q_embedding_dup_recall(spark, sf_dir):
 
 
 QUERIES["embedding_dup_recall"] = q_embedding_dup_recall
+
+
+# ---------------------------------------------------------------- r8
+# Round-8 registration of the session-4 crawl-pipeline surface
+# (staged + oracle-gated all of round 7; registry 55 -> 70).  The
+# update itself lives at the bottom of queries_staged (it mutates
+# this module's QUERIES dict) so the registration works whichever
+# module is imported first; here we only trigger the load.
+from . import queries_staged  # noqa: E402,F401

@@ -57,7 +57,8 @@ def docs_as_link_pages(docs):
                        F.encode(html_str, "utf-8").alias("html"))
 
 
-_DOC_ID = F.regexp_extract("url", r"/p/(\d+)$", 1).cast("bigint")
+def _doc_id():
+    return F.regexp_extract("url", r"/p/(\d+)$", 1).cast("bigint")
 
 
 def q_outlinks(spark, sf_dir):
@@ -68,7 +69,7 @@ def q_outlinks(spark, sf_dir):
     from .links import outlinks
     pages = docs_as_link_pages(_t(spark, sf_dir, "documents"))
     return (outlinks(pages)
-            .select(_DOC_ID.alias("doc_id"), "link_ord", "href",
+            .select(_doc_id().alias("doc_id"), "link_ord", "href",
                     "target", "anchor", "nofollow"))
 
 
@@ -695,3 +696,12 @@ R8_ORACLES = {
     "strip_boilerplate": ORACLE_STRIP,
     "robots_allowed": ORACLE_ROBOTS,
 }
+
+
+# Round-8 registration (round start, per the registry-freeze rule):
+# mutate the live registry here rather than in queries.py so the
+# update runs after R8_QUERIES exists regardless of which module is
+# imported first (queries.py's bottom import only triggers the load).
+from .queries import QUERIES as _LIVE_QUERIES  # noqa: E402
+
+_LIVE_QUERIES.update(R8_QUERIES)

@@ -639,7 +639,9 @@ def test_registry_oracle_reconciliation():
     registry and oracle maps reconciled at the source)."""
     from packages_sgml_spark.spark.queries import QUERIES
     from packages_sgml_spark.spark.oracles import ORACLES
-    ROWS_ONLY = {"compression_ratio"}    # zlib — no DuckDB equivalent
+    # zlib has no DuckDB twin; fix_text's mojibake repair likewise
+    # (both are planted-truth pytested instead)
+    ROWS_ONLY = {"compression_ratio", "fix_text"}
     missing = set(QUERIES) - set(ORACLES) - ROWS_ONLY
     orphans = set(ORACLES) - set(QUERIES)
     assert not missing, "queries without oracle: %s" % sorted(missing)

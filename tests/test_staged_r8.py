@@ -36,13 +36,15 @@ def duck():
     return con
 
 
-def test_registry_still_frozen():
-    """queries_staged must not leak into the live registry mid-round."""
+def test_registry_frozen_at_r8_count():
+    """Round-8 registration happened at round start: the registry is
+    now frozen at 70 keys (55 + the 15 staged crawl-surface queries)
+    and queries.py carries the registration import."""
     import __spark_entry__ as E
-    assert len(E.queries()) == 55
+    assert len(E.queries()) == 70
     src = open(os.path.join(
         REPO, "packages_sgml_spark", "spark", "queries.py")).read()
-    assert "queries_staged" not in src
+    assert "queries_staged" in src
 
 
 @pytest.mark.parametrize("name", [
@@ -89,16 +91,22 @@ def test_staged_fix_text_inverse(spark):
         assert r.n_passes == 1 and r.changed == 1
 
 
-def test_staged_keys_do_not_collide_with_live_registry(spark):
-    """Round-8 registration is QUERIES.update(R8_QUERIES); a key
-    collision would silently replace a live gated query.  (The spark
-    fixture is needed because queries_staged builds Column
-    expressions at import time.)"""
+def test_staged_keys_registered_exactly(spark):
+    """Post-registration invariants: every staged key is live, its
+    live callable IS the staged callable (no shadowing), and the
+    oracle wiring matches (fix_text is rows-only — registered with no
+    oracle, like compression_ratio).  (The spark fixture is needed
+    because queries_staged builds Column expressions at import
+    time.)"""
     import __spark_entry__ as E
     from packages_sgml_spark.spark.queries_staged import (R8_ORACLES,
                                                           R8_QUERIES)
-    live = set(E.queries())
-    assert not (set(R8_QUERIES) & live)
-    # every staged oracle has a staged query (fix_text is rows-only)
+    live_q = E.queries()
+    live_o = E.oracle_sql()
+    for k, fn in R8_QUERIES.items():
+        assert live_q[k] is fn, k
+    for k, sql in R8_ORACLES.items():
+        assert live_o[k] == sql, k
+    assert "fix_text" in live_q and "fix_text" not in live_o
     assert set(R8_ORACLES) <= set(R8_QUERIES)
     assert set(R8_QUERIES) - set(R8_ORACLES) == {"fix_text"}
