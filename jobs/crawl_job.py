@@ -99,12 +99,12 @@ def run(spark, args):
     if args.quality:
         # doc-level corpus filters over the fresh extractions:
         # Gopher quality rules + C4 line cleaning + stopword lang-id,
-        # one sidecar row per url (all three are zero-shuffle
-        # projections; the join keys are identical so Catalyst plans
-        # one url-hash exchange reused across the joins)
-        from packages_sgml_spark.spark.textops import (
-            gopher_quality, lang_id_stopwords)
-        from packages_sgml_spark.spark.datafilters import c4_clean
+        # one sidecar row per url — r8: quality_features computes all
+        # three rule families in ONE narrow projection over one scan
+        # (shared word/line splits, no joins), value-identical to the
+        # former gopher_quality ⋈ c4_clean ⋈ lang_id_stopwords
+        # composition (pinned by tests/test_quality_fused.py)
+        from packages_sgml_spark.spark.textops import quality_features
         # url-level resume for the sidecar itself: quality rows are
         # produced for text rows that don't have one yet, NOT for
         # this_run — a crash between the text and quality commits
@@ -115,18 +115,17 @@ def run(spark, args):
         if done_q is not None:
             todo_q = todo_q.join(done_q.select("url"), "url",
                                  "left_anti")
-        # repartition ONCE so each filter's internal spread no-ops
-        # and AQE reuses a single text exchange across the three
-        # branches (three separate spreads = the text column shuffled
-        # three times; measured 62 s -> ~half on a 1M-doc sink)
+        # repartition ONCE so the fused projection's internal spread
+        # no-ops (r7 history: three separate spreads shuffled the
+        # text column three times; r8's single projection would need
+        # no shuffle at all, but the explicit url-hash repartition
+        # stays — it is the north rule's skew leveller for the
+        # CPU-heavy filter pass)
         docs = (todo_q.select(F.col("url").alias("doc_id"),
                               F.col("text_extracted").alias("text"))
                 .repartition(spark.sparkContext.defaultParallelism,
                              "doc_id"))
-        quality = (gopher_quality(docs)
-                   .join(c4_clean(docs).select(
-                       "doc_id", "n_kept", "c4_keep"), "doc_id")
-                   .join(lang_id_stopwords(docs), "doc_id")
+        quality = (quality_features(docs)
                    .withColumnRenamed("doc_id", "url")
                    .withColumn("run_id", F.lit(args.run_id)))
         quality.write.mode("append").parquet(out + "/quality")

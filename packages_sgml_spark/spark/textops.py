@@ -32,17 +32,31 @@ def _count_occurrences(col, pat):
             len(pat)).cast("int")
 
 
-def lang_id_stopwords(docs: DataFrame) -> DataFrame:
-    """Best-scoring language by marker-token occurrence counts.
-    Ties break by language code order (deterministic)."""
-    from .util import spread
-    docs = spread(docs, "doc_id")
-    padded = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
+def _count_occurrences_rx(col, pat):
+    """Same count as _count_occurrences (left-to-right non-overlapping
+    occurrences of literal `pat`), via regexp_count on the escaped
+    literal: no per-count copy of the document string gets allocated.
+    r8 A/B on a 1.9 GB corpus: the 18 lang-id marker counts 10.7 s ->
+    6.4 s, identical value hash.  (Replace-based stays faster for the
+    1-3 char n_symbols counts, so both helpers live on.)"""
+    import re as _re
+    return F.regexp_count(col, F.lit(_re.escape(pat))).cast("int")
+
+
+def _lang_cols(padded):
+    """(lang_pred, lang_score) Column pair over ' '+lower(text)+' ' —
+    non-overlapping marker-occurrence counts (replace-count
+    semantics, computed via regexp_count), ties broken by
+    language-code order.  Shared by lang_id_stopwords and the fused
+    quality_features so the two can never drift.  (A token-greedy
+    HOF-aggregate rewrite with identical semantics was A/B'd 4.6x
+    SLOWER than the scans — HigherOrderFunction lambdas don't
+    codegen; see NOTES-ROUND8.)"""
     scores = []
     for lang, pats in sorted(LANG_MARKERS.items()):
         score = None
         for p in pats:
-            c = _count_occurrences(padded, p)
+            c = _count_occurrences_rx(padded, p)
             score = c if score is None else (score + c)
         scores.append(F.struct(score.alias("score"),
                                F.lit(lang).alias("lang")))
@@ -50,10 +64,18 @@ def lang_id_stopwords(docs: DataFrame) -> DataFrame:
         F.struct((s["score"] * 100 -
                   F.lit(i)).alias("rank"), s["lang"].alias("lang"))
         for i, s in enumerate(scores)]))
-    return docs.select(
-        "doc_id",
-        best["lang"].alias("lang_pred"),
-        F.greatest(*[s["score"] for s in scores]).alias("lang_score"))
+    return [best["lang"].alias("lang_pred"),
+            F.greatest(*[s["score"] for s in scores])
+             .alias("lang_score")]
+
+
+def lang_id_stopwords(docs: DataFrame) -> DataFrame:
+    """Best-scoring language by marker-token occurrence counts.
+    Ties break by language code order (deterministic)."""
+    from .util import spread
+    docs = spread(docs, "doc_id")
+    padded = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
+    return docs.select("doc_id", *_lang_cols(padded))
 
 
 def quality_score(docs: DataFrame) -> DataFrame:
@@ -71,7 +93,7 @@ def quality_score(docs: DataFrame) -> DataFrame:
     lower = F.lower(text)
     stop_hits = None
     for w in STOPWORDS:
-        c = _count_occurrences(
+        c = _count_occurrences_rx(
             F.concat(F.lit(" "), lower, F.lit(" ")), " %s " % w)
         stop_hits = c if stop_hits is None else (stop_hits + c)
     return docs.select(
@@ -109,23 +131,42 @@ def gopher_quality(docs: DataFrame) -> DataFrame:
     from .util import spread
     docs = spread(docs, "doc_id")
     text = F.coalesce(F.col("text"), F.lit(""))
-    step = docs.select(
-        "doc_id",
+    step = docs.select("doc_id", *_gopher_step_cols(text))
+    sig = step.select("doc_id", *_gopher_final_cols())
+    return sig.withColumn("gopher_pass", _gopher_pass().cast("int"))
+
+
+def _gopher_step_cols(text):
+    """Stage-1 Columns for the Gopher rules: the shared array splits
+    (materialized once so the stage-2 expressions reference them by
+    name) + whole-text symbol counts."""
+    return [
         F.filter(F.split(F.trim(text), r"\s+"),
                  lambda w: w != "").alias("words"),
         F.split(text, "\r?\n").alias("lines"),   # CRLF-safe
         (_count_occurrences(text, "#") +
          _count_occurrences(text, "...") +
          _count_occurrences(text, "…")).alias("n_symbols"),
-        F.concat(F.lit(" "),
-                 F.regexp_replace(F.lower(text), r"\s+", " "),
-                 F.lit(" ")).alias("padded"))
+    ]
+
+
+def _gopher_final_cols():
+    """Stage-2 Gopher signal Columns over the stage-1 names.  Two r8
+    rewrites, both value-identical to the r7 formulas (the DuckDB
+    oracle is unchanged and stays hash-green): mean word length via
+    length(array_join) instead of a per-element aggregate lambda, and
+    the 8 stopword hits via array_contains on lowered words instead
+    of a whole-text regexp_replace(\\s+) rebuild + 8 instr scans.
+    Rejected by A/B on a 1.9 GB corpus (see NOTES-ROUND8): per-word
+    translate() for the alpha test (1.5x slower than rlike), per-word
+    8x whole-text rlike stop hits (2x slower), and a fully split-free
+    regex core with lookaround token patterns (7.6x slower -- java
+    regex backtracks at every position)."""
     words, lines = F.col("words"), F.col("lines")
     n_words = F.size(words)
     wden = F.greatest(n_words, F.lit(1)).cast("double")
     lden = F.greatest(F.size(lines), F.lit(1)).cast("double")
-    mean_wl = (F.aggregate(words, F.lit(0).cast("bigint"),
-                           lambda a, w: a + F.length(w)) / wden)
+    mean_wl = F.length(F.array_join(words, "")) / wden
     alpha_frac = (F.size(F.filter(
         words, lambda w: w.rlike("[A-Za-z]"))) / wden)
     bullets = F.array(*[F.lit(b) for b in _GOPHER_BULLETS])
@@ -135,27 +176,76 @@ def gopher_quality(docs: DataFrame) -> DataFrame:
     ellipsis_frac = (F.size(F.filter(
         lines, lambda l: F.endswith(F.rtrim(l), F.lit("...")) |
         F.endswith(F.rtrim(l), F.lit("…")))) / lden)
+    lwords = F.transform(words, F.lower)
     stop_hits = None
     for w in GOPHER_STOPWORDS:
-        hit = (F.instr("padded", " %s " % w) > 0).cast("int")
+        hit = F.array_contains(lwords, w).cast("int")
         stop_hits = hit if stop_hits is None else (stop_hits + hit)
-    sig = step.select(
-        "doc_id",
+    return [
         n_words.cast("bigint").alias("n_words"),
         F.round(mean_wl, 6).alias("mean_word_len"),
         F.round(F.col("n_symbols") / wden, 6).alias("symbol_ratio"),
         F.round(bullet_frac, 6).alias("bullet_frac"),
         F.round(ellipsis_frac, 6).alias("ellipsis_frac"),
         F.round(alpha_frac, 6).alias("alpha_word_frac"),
-        stop_hits.alias("n_stop_hits"))
-    ok = (F.col("n_words").between(50, 100000) &
-          F.col("mean_word_len").between(3.0, 10.0) &
-          (F.col("symbol_ratio") <= 0.1) &
-          (F.col("bullet_frac") <= 0.9) &
-          (F.col("ellipsis_frac") <= 0.3) &
-          (F.col("alpha_word_frac") >= 0.8) &
-          (F.col("n_stop_hits") >= 2))
-    return sig.withColumn("gopher_pass", ok.cast("int"))
+        stop_hits.alias("n_stop_hits"),
+    ]
+
+
+def _gopher_pass():
+    """Overall Gopher keep flag over the named signal columns."""
+    return (F.col("n_words").between(50, 100000) &
+            F.col("mean_word_len").between(3.0, 10.0) &
+            (F.col("symbol_ratio") <= 0.1) &
+            (F.col("bullet_frac") <= 0.9) &
+            (F.col("ellipsis_frac") <= 0.3) &
+            (F.col("alpha_word_frac") >= 0.8) &
+            (F.col("n_stop_hits") >= 2))
+
+
+def quality_features(docs: DataFrame) -> DataFrame:
+    """Fused quality sidecar for the crawl pipeline: Gopher signals +
+    C4 line stats + stopword lang-id computed in ONE narrow
+    projection over one scan of the text — no joins, the word/line
+    splits shared across the three rule families.  Output columns are
+    exactly the crawl job's former 3-join composition
+    (gopher_quality ⋈ c4_clean[n_kept, c4_keep] ⋈
+    lang_id_stopwords), value-identical by construction: every
+    expression comes from the same builders the registered queries
+    use (pinned by tests/test_quality_fused.py).  c4's text_clean is
+    deliberately NOT produced — the sidecar wants flags, not a second
+    copy of the corpus; use c4_clean for the cleaned text itself."""
+    from .datafilters import c4_line_keep
+    from .util import spread
+    docs = spread(docs, "doc_id")
+    text = F.coalesce(F.col("text"), F.lit(""))
+    step = docs.select(
+        "doc_id",
+        *_gopher_step_cols(text),
+        # lang-id evidence string: raw (non-coalesced) text, exactly
+        # like lang_id_stopwords
+        F.concat(F.lit(" "), F.lower(F.col("text")),
+                 F.lit(" ")).alias("lpad"),
+        # c4 page-level vetoes need the whole text; evaluate here so
+        # stage 2 never touches the full string again
+        (~F.contains(F.lower(text), F.lit("lorem ipsum")) &
+         ~F.contains(text, F.lit("{"))).alias("c4_page_ok"))
+    sig = step.select(
+        "doc_id",
+        *_gopher_final_cols(),
+        F.size(F.filter(F.col("lines"), c4_line_keep))
+         .alias("n_kept"),
+        "c4_page_ok",
+        *_lang_cols(F.col("lpad")))
+    return sig.select(
+        "doc_id", "n_words", "mean_word_len", "symbol_ratio",
+        "bullet_frac", "ellipsis_frac", "alpha_word_frac",
+        "n_stop_hits",
+        _gopher_pass().cast("int").alias("gopher_pass"),
+        "n_kept",
+        ((F.col("n_kept") >= 3) & F.col("c4_page_ok"))
+        .cast("int").alias("c4_keep"),
+        "lang_pred", "lang_score")
 
 
 def fix_text(docs: DataFrame, nfc=True) -> DataFrame:
