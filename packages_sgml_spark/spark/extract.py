@@ -196,9 +196,13 @@ def extract_markdown(pages: DataFrame, dialect="html5",
     rendered to Markdown (core/markdown.py) — structure kept as cheap
     syntax, the text shape modern LLM corpora train on.  Same
     worker-batch loop, per-row isolation, and size guards as
-    extract(); one narrow map, no shuffle beyond the spread."""
-    from ..core.parser import SGMLParser, ParserOptions
-    from ..core.markdown import dom_to_markdown
+    extract(); one narrow map, no shuffle beyond the spread.
+    r8: renders from the event stream (MarkdownParser — no Element
+    DOM, rides the compiled executor's tape mode), byte-identical to
+    the dom_to_markdown walker by the differential tests in
+    tests/test_markdown.py."""
+    from ..core.parser import ParserOptions
+    from ..core.markdown import MarkdownParser
     from .util import spread
     pages = spread(pages, "url", factor=1) if repartition == "auto" \
         else (pages.repartition(int(repartition), "url")
@@ -227,13 +231,10 @@ def extract_markdown(pages: DataFrame, dialect="html5",
                         max_errors=-1 if html_d else 50)
                     if html_d:
                         opts.quiet = False
-                    p = SGMLParser(opts)
-                    dom, errors = p.parse(bytes(html))
-                    md = "\n\n".join(
-                        m for m in (dom_to_markdown(d) for d in
-                                    (dom if isinstance(dom, list)
-                                     else [dom])) if m)
-                    rows.append((url, md, len(errors), "ok"))
+                    p = MarkdownParser(opts)
+                    _dom, errors = p.parse(bytes(html))
+                    rows.append((url, p.markdown(), len(errors),
+                                 "ok"))
                 except Exception as ex:  # noqa: BLE001 per-row isolation
                     rows.append((url, None, 1,
                                  "exception: %s" % ex))

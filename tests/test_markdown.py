@@ -109,3 +109,79 @@ def test_markdown_pre_line_structure():
     assert _md(b"<pre>x = 1<br>y = 2</pre>") == "```\nx = 1\ny = 2\n```"
     assert _md(b"<pre><div>line1</div><div>line2</div></pre>") == \
         "```\nline1\nline2\n```"
+
+
+# ------------------------------------------------------------------
+# r8: event-sink renderer (MarkdownParser) vs the DOM walker
+# ------------------------------------------------------------------
+
+def _md_events(html, dialect="html5"):
+    from packages_sgml_spark.core.markdown import MarkdownParser
+    p = MarkdownParser(ParserOptions(dialect=dialect,
+                                     encoding="utf-8"))
+    p.parse(html)
+    return p.markdown()
+
+
+def test_markdown_event_sink_differential_goldens():
+    """MarkdownParser output is byte-identical to dom_to_markdown
+    over every reference Test/ golden input, in the golden harness's
+    own dialect for each file."""
+    import glob
+    import os
+    from packages_sgml_spark.core import golden
+    n = 0
+    for base in golden.all_bases():
+        path = glob.glob(os.path.join(golden.TEST_DIR,
+                                      base + ".*"))[0]
+        ext = path.rsplit(".", 1)[-1]
+        dialect = {"sgml": "sgml", "xml": "xml", "html": "html"}[ext]
+        html = open(path, "rb").read()
+        try:
+            a = _md(html, dialect)
+        except Exception:
+            continue            # strict-dialect error caps etc.
+        assert _md_events(html, dialect) == a, path
+        n += 1
+    assert n >= 40, n
+
+
+def test_markdown_event_sink_differential_fuzz():
+    import random
+    rng = random.Random(1234)
+    bits = ["<p>", "</p>", "<b>", "</i>", "<ul>", "<li>", "</ul>",
+            "<pre>", "</pre>", "<a href='x'>", "</a>", "<h2>", "<br>",
+            "text ", "&amp;", "&#66;", "<code>", "more\nwords ",
+            '<img src="i">', "<blockquote>", "<table><tr><td>c",
+            "<script>var x=1;</script>", "<style>p{}</style>",
+            "<ol><li>one<li>two</ol>", "<td>", "</td>", "<hr>",
+            "\xe9 caf\xe9 ", "<", ">", '"', "</html>", "<div>",
+            "</div>", "<h6>", "<pre><div>l</div></pre>",
+            "<noscript>no</noscript>"]
+    for _ in range(300):
+        doc = "".join(rng.choice(bits)
+                      for _ in range(rng.randint(1, 80)))
+        html = doc.encode("utf-8")
+        assert _md_events(html) == _md(html), doc
+
+
+def test_markdown_event_sink_differential_dialects():
+    docs = [
+        b"<root xmlns='urn:x'><a href='u'>t</a><pre>c</pre></root>",
+        b"<p>one<p>two<ul><li>a<li>b</ul>",
+        b"<script>top level script text.</script>",
+        b"top text <b>bold</b> tail",
+        b"<pre>x = 1<br>y = 2</pre>",
+    ]
+    for dialect in ("html5", "html", "xml", "xmlns", "xhtml5"):
+        for doc in docs:
+            try:
+                a = _md(doc, dialect)
+            except Exception:
+                continue
+            assert _md_events(doc, dialect) == a, (dialect, doc)
+
+
+def test_markdown_event_sink_deep_dom():
+    html = b"<div>" * 6000 + b"deep text" + b"</div>" * 6000
+    assert _md_events(html) == _md(html) == "deep text"
