@@ -435,7 +435,16 @@ class DeclMixin:
         for nm in names:
             e = self.dtd.find_element(nm)
             if e.structure is not None:
-                if e.structure.type != M.C_EMPTY:
+                # accretive-base warm state (r8): a structure grown by
+                # a PREVIOUS document's auto-declaration is invisible
+                # history — cold behavior is "never declared", so no
+                # redefinition gripe.  Auto-declared THIS parse still
+                # gripes exactly like the reference (parser.c:2326).
+                warm_accreted = (
+                    self.dtd.accretive and e.undefined and
+                    getattr(self, "_accreted", None) is not None and
+                    id(e) not in self._accreted)
+                if e.structure.type != M.C_EMPTY and not warm_accreted:
                     self.gripe(*Gripes.syntax_warning("Redefined element",
                                                       s[i:]))
             if self.dtd._cow is not None:

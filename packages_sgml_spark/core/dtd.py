@@ -377,6 +377,14 @@ class DTD:
 
     def __init__(self, doctype=None):
         self.shared = False      # cached per-dialect DTD (htmldtd)
+        self.accretive = False   # shared DTD-less base (parser.py
+                                 # _get_xml_base_dtd): undefined-
+                                 # element auto-declarations and the
+                                 # silent implicit attrs they grow
+                                 # PERSIST across parses (warm tag
+                                 # memos / compiled registries)
+                                 # instead of being DtdCow-journaled;
+                                 # every other mutation still journals
         self._cow = None         # active DtdCow during a shared parse
         self.doctype = doctype
         self.implicit = True

@@ -206,7 +206,51 @@ class Environment:
         self.saved_waiting_for_net = False
         self.cdata_memo = None      # (in_state, out_state) CDATA fast path
         self.xmlns = None           # list of (prefix|None, url) bindings
-        self.thisns = None          # (prefix|None, url) default for attrs
+        self.thisns = None           # (prefix|None, url) default for attrs
+
+
+# --------------------------------------------------------------------
+# shared accretive base DTDs for DTD-less XML (r8)
+# --------------------------------------------------------------------
+_XML_BASE_DTDS = {}
+_XML_BASE_ELEMENT_CAP = 4096    # unique tag names a base may accrete
+                                # before it is replaced with a fresh
+                                # one (adversarial random-tag corpora
+                                # must not pin memory; same bound as
+                                # the compiled registries' session cap)
+
+
+def _get_xml_base_dtd(dialect_name):
+    dtd = _XML_BASE_DTDS.get(dialect_name)
+    if dtd is None or len(dtd.elements) > _XML_BASE_ELEMENT_CAP or \
+            dtd._cow is not None:
+        # a live _cow here means a mid-feed() parser owns the current
+        # base; handing it out again is fine (the cow-contention path
+        # makes a private copy), but a CAP replacement must not yank
+        # it out from under the owner — so only replace when unowned
+        if dtd is not None and dtd._cow is not None and \
+                len(dtd.elements) <= _XML_BASE_ELEMENT_CAP:
+            return dtd
+        dtd = D.DTD()
+        dtd.shared = True
+        dtd.accretive = True
+        _XML_BASE_DTDS[dialect_name] = dtd
+    return dtd
+
+
+def _xml_base_eligible(opts):
+    """Only DTD-neutral option sets may share the accretive base:
+    these ParserOptions write DTD fields at parser construction,
+    BEFORE the per-parse DtdCow journal opens."""
+    enc_ok = opts.encoding is None or opts.encoding.lower().replace(
+        "_", "-") in ("utf-8", "utf8", "utf-16", "utf16",
+                      "unicode-be", "unicode-le", "utf-16be",
+                      "utf-16le", "utf-16-be", "utf-16-le")
+    return (enc_ok and opts.space is None and
+            opts.number != "integer" and opts.shorttag is None and
+            opts.case_sensitive_attributes is None and
+            opts.case_preserving_attributes is None and
+            not opts.system_entities and not opts.keep_prefix)
 
 
 class SGMLParser(DeclMixin):
@@ -262,6 +306,22 @@ class SGMLParser(DeclMixin):
             # (sgml.pl:244-271)
             from .htmldtd import get_html_dtd
             self.dtd = get_html_dtd(opts.dialect)
+        elif opts.dialect in ("xml", "xmlns") and \
+                _xml_base_eligible(opts):
+            # shared ACCRETIVE base for DTD-less XML (r8): the
+            # reference semantics — undefined elements auto-declared
+            # on first use (parser.c:687-705) — produce no events or
+            # warnings, so the auto-declarations (and the silent
+            # implicit attrs they grow) may persist across documents
+            # on one worker.  That keeps the tag/shape memos and the
+            # compiled executor's registries warm (a fresh DTD per
+            # document cold-started everything, ~13 MB/s
+            # single-thread); every OTHER mutation (doctype subsets,
+            # entity declarations, encoding switches) still journals
+            # through DtdCow and rolls back, so output stays
+            # process-history-free (warm-vs-cold differential
+            # pytested).
+            self.dtd = _get_xml_base_dtd(opts.dialect)
         else:
             self.dtd = D.DTD()
         self.resolver = opts.resolver
@@ -374,6 +434,12 @@ class SGMLParser(DeclMixin):
         self._url_cache = []        # MRU url->canonical (URL_CACHE=4)
         self._c_tape = []           # compiled-executor event tape
                                     # (drained by _drain_tape)
+        self._accreted = None       # element ids auto-declared THIS
+                                    # parse on the accretive base:
+                                    # a same-document redeclaration
+                                    # still gripes like the reference,
+                                    # a warm cross-document one must
+                                    # not (decls.def_element)
         self._cow_obj = None        # this parse's DtdCow on a shared
                                     # DTD (dtd.py; rollback at end)
         self._ns_drain = None       # region-time xmlns frame stack
@@ -409,6 +475,15 @@ class SGMLParser(DeclMixin):
         dtd._tag_memo = {}
         dtd._shape_memo = {}
         dtd._ent_fast = {}
+        # the compiled executor's registries derive entries from the
+        # memos above and embed the SAME dialect behaviour (e.g. the
+        # unquoted-attr-in-XML gripe fires in xml dialects only): a
+        # dialect switch on an already-set-up DTD must flush them too
+        # (r8: the html5<->xhtml5 shared-DTD switch replayed an
+        # html5-era <a href=...> shape in an xhtml5 parse and dropped
+        # the xml-only quotes warning — exposed by the tape sweep
+        # once the accretive xml base changed rollback cadences)
+        dtd._omit_gen[0] += 1
         if dialect in (D.DL_SGML, D.DL_HTML, D.DL_HTML5):
             if dialect == D.DL_HTML5:
                 dtd.encoding = "utf-8"
@@ -592,6 +667,20 @@ class SGMLParser(DeclMixin):
                 # dialect DTD; stealing its journal would revert its
                 # adaptations under it mid-parse.  Give this parse a
                 # private unshared DTD copy instead.
+                if dtd.accretive:
+                    # accretive xml base: a fresh plain DTD run
+                    # through set_dialect is a complete pristine copy
+                    # (elements auto-declare; entity singletons and
+                    # flags reinstall).  Deliberately NOT copied from
+                    # the shared object — its scalars/entities may
+                    # carry the mid-feed owner's journaled state.
+                    # Option-level DTD writes can't be lost: base
+                    # eligibility (_xml_base_eligible) required them
+                    # absent.
+                    self.dtd = D.DTD()
+                    self.set_dialect(self.options.dialect)
+                    self._cow_obj = None
+                    return
                 from .htmldtd import private_dtd_copy
                 priv = private_dtd_copy(dtd)
                 if priv is not None:
@@ -601,6 +690,7 @@ class SGMLParser(DeclMixin):
                 # no copy recipe for this shared DTD: legacy steal
                 dtd._cow = None
                 cow.rollback(dtd)
+        self._accreted = set() if dtd.accretive else None
         self._cow_obj = dtd._cow = D.DtdCow(dtd, owner=self)
 
     def _end_dtd_cow(self):
@@ -2837,17 +2927,23 @@ class SGMLParser(DeclMixin):
         name, i = r
         e = dtd.find_element(name)
         if e.structure is None:
-            if dtd._cow is not None:
+            if dtd._cow is not None and not dtd.accretive:
                 # journaled flip: no flush needed (rollback restores
                 # the element; undefined begin tags never memoize —
                 # see dtd.DtdCow / dtd.def_element)
                 dtd._cow.structure(e)
             else:
-                # undefined flip on a private DTD: flush THIS DTD's
-                # compiled-executor element flags (once per element;
+                # undefined flip on a private DTD — or the shared
+                # ACCRETIVE DTD-less base, where the auto-declaration
+                # is event-free and PERSISTS (r8; reference
+                # parser.c:687-705 declares on first use): flush THIS
+                # DTD's compiled-executor element flags (once per
+                # element name ever, so warm docs pay nothing;
                 # per-DTD so interleaved DTD-less XML docs don't
                 # cold-start the shared dialect DTDs' registries)
                 dtd._omit_gen[0] += 1
+                if self._accreted is not None:
+                    self._accreted.add(id(e))
             e.structure = D.ElementDef()
             e.structure.type = M.C_EMPTY
             e.undefined = True
@@ -2889,7 +2985,8 @@ class SGMLParser(DeclMixin):
         if (memo_key is not None and memo is not None and
                 err0 == (self.error_count, len(self.errors)) and
                 not self._decl_gripe and
-                not (e.undefined and dtd._cow is not None) and
+                not (e.undefined and dtd._cow is not None and
+                     not dtd.accretive) and
                 len(memo) < 8192):
             # undefined elements don't memoize on SHARED DTDs only: a
             # replay would skip the undefined flip (falling back to
@@ -2936,7 +3033,8 @@ class SGMLParser(DeclMixin):
                 n_explicit and empty_element is None and not conref and
                 shape_err_ok and
                 not self._decl_gripe and
-                not (e.undefined and dtd._cow is not None) and
+                not (e.undefined and dtd._cow is not None and
+                     not dtd.accretive) and
                 (dtd.dialect != D.DL_XMLNS or
                  (':' not in e.name and
                   not any(a.name == "xmlns" or ':' in a.name
@@ -2974,8 +3072,12 @@ class SGMLParser(DeclMixin):
                 # object is gone.  On a private per-parse DTD
                 # implicit attrs live as long as the shape memo.
                 if (a.implicit and dtd.shared and
+                        not (dtd.accretive and e.undefined) and
                         not (dtd.dialect in D.HTML5_DIALECTS and
                              a.name.startswith(("data-", "aria-")))):
+                    # (accretive undefined elements keep their silent
+                    # implicit attrs across docs — no gripe to
+                    # re-fire, so no guard needed)
                     shape_guards = shape_guards + (a.name,)
             if ok:
                 for a, _v in atts[n_explicit:]:
@@ -3140,27 +3242,48 @@ class SGMLParser(DeclMixin):
     def allow_for(self, in_e, e):
         """Tag-soup adaptation of undefined elements
         (parser.c:2851-2890)."""
+        dtd = self.dtd
         edef = in_e.structure
-        cow = self.dtd._cow
-        if cow is not None:
+        cow = dtd._cow
+        # accretive base + undefined parent: the reference's
+        # allow_for here is a silent monotonic set-add (membership
+        # checked before append; no gripe, order-independent), so the
+        # grown content model PERSISTS across documents instead of
+        # journaling — re-running it warm is a no-op.  This was the
+        # r8 accretive design's missing piece: journaled edef
+        # rollbacks re-cold-started every element's model each doc
+        # AND purged their tag memos (elems set), pinning the xml
+        # corpus at ~2.7 MB/s.
+        accrete = dtd.accretive and in_e.undefined
+        if cow is not None and not accrete:
             cow.edef(in_e, edef)
+        mutated = False
         if edef.type == M.C_EMPTY:
             edef.type = M.C_PCDATA
             edef.content = M.Model(M.MT_OR, M.MC_REP)
+            mutated = True
         g = edef.content.group
         if e is M.CDATA_ELEMENT:
             for m in g:
                 if m.type == M.MT_PCDATA:
-                    return
-            m = M.Model(M.MT_PCDATA, M.MC_ONE)
-            g.append(m)
+                    break
+            else:
+                g.append(M.Model(M.MT_PCDATA, M.MC_ONE))
+                mutated = True
         else:
             for m in g:
                 if m.type == M.MT_ELEMENT and m.element is e:
-                    return
-            m = M.Model(M.MT_ELEMENT, M.MC_ONE)
-            m.element = e
-            g.append(m)
+                    break
+            else:
+                m = M.Model(M.MT_ELEMENT, M.MC_ONE)
+                m.element = e
+                g.append(m)
+                mutated = True
+        if mutated and accrete:
+            # flush the compiled executor's cached element flags /
+            # transitions for this DTD once per NEW (parent, child)
+            # pair ever — warm documents never reach here
+            dtd._omit_gen[0] += 1
 
     def open_element(self, e, warn):
         """(parser.c:2895-3014)."""
@@ -3380,7 +3503,13 @@ class SGMLParser(DeclMixin):
                     ) and not (
                             dtd.dialect in D.HTML5_DIALECTS and
                             nm.startswith(("data-", "aria-")))
-                    if dtd._cow is not None:
+                    if dtd._cow is not None and not (
+                            dtd.accretive and e.undefined):
+                        # accretive base + undefined element: the
+                        # implicit attr is silent (gripes is False by
+                        # construction above) and value-equivalent on
+                        # every future use, so it persists with the
+                        # element instead of journaling (r8)
                         dtd._cow.attrs(
                             e, griping_attr=a if gripes else None)
                     self._add_attribute(e, a)
