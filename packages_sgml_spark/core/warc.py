@@ -440,3 +440,124 @@ def write_warc(fileobj, records, compress=True):
         fileobj.write(gzip_member(rec) if compress else rec)
         n += 1
     return n
+
+
+# ------------------------------------------------------- range reads
+
+class _FileWindow:
+    """Rolling byte window over a seekable file, for member-range
+    scans that must not hold a whole oversized archive in memory."""
+
+    __slots__ = ("f", "base", "buf", "eof")
+
+    def __init__(self, f, pos):
+        self.f = f
+        self.base = pos
+        self.buf = b""
+        self.eof = False
+        f.seek(pos)
+
+    def ensure(self, upto_rel, chunk=1 << 20):
+        while len(self.buf) < upto_rel and not self.eof:
+            b = self.f.read(max(chunk, upto_rel - len(self.buf)))
+            if not b:
+                self.eof = True
+                break
+            self.buf += b
+
+    def drop(self, n):
+        if n:
+            self.buf = self.buf[n:]
+            self.base += n
+
+
+def _member_at(win, rel):
+    """Decompress the gzip member starting at window-relative ``rel``.
+    Returns (plain_bytes, consumed_compressed, complete)."""
+    d = zlib.decompressobj(wbits=31)
+    parts = []
+    fed = rel
+    step = 1 << 16
+    while not d.eof:
+        win.ensure(fed + step)
+        chunk = win.buf[fed:fed + step]
+        if not chunk:
+            break
+        parts.append(d.decompress(chunk))
+        fed += len(chunk)
+        step = 1 << 20
+    consumed = (fed - rel) - len(d.unused_data)
+    return b"".join(parts), consumed, d.eof
+
+
+def _find_member(win, rel):
+    """First offset >= ``rel`` (window-relative) that starts a REAL
+    gzip member of a .warc.gz — i.e. whose decompressed prefix is a
+    WARC version line.  The magic-byte triple can occur inside
+    compressed payloads, so every candidate is validated by decoding
+    a prefix; a false positive either fails zlib or decodes to
+    non-"WARC/".  Returns -1 when no member starts before EOF."""
+    while True:
+        win.ensure(rel + (1 << 20))
+        idx = win.buf.find(GZIP_MAGIC + b"\x08", rel)
+        if idx < 0:
+            if win.eof:
+                return -1
+            # keep a 2-byte overlap so a magic split across the
+            # window growth boundary is still found
+            rel = max(rel, len(win.buf) - 2)
+            win.ensure(len(win.buf) + (1 << 20))
+            continue
+        d = zlib.decompressobj(wbits=31)
+        out = b""
+        fed = idx
+        ok = True
+        while len(out) < 5 and not d.eof:
+            win.ensure(fed + 65536)
+            chunk = win.buf[fed:fed + 65536]
+            if not chunk:
+                ok = False
+                break
+            try:
+                out += d.decompress(chunk)
+            except zlib.error:
+                ok = False
+                break
+            fed += len(chunk)
+        if ok and out[:5] == b"WARC/":
+            return idx
+        rel = idx + 1
+
+
+def iter_warc_records_file_range(f, start, end, errors=None):
+    """Yield WarcRecord for every gzip member whose COMPRESSED offset
+    lies in [start, end) of an open ``.warc.gz`` file — the oversized-
+    archive split path (one Spark task per range; a member straddling
+    ``end`` belongs to the range holding its first byte, so ranges
+    tile the file exactly).  Unlike the whole-file reader, a corrupt
+    member resyncs to the next validated member instead of abandoning
+    the file — strictly more recovery, never less."""
+    if errors is None:
+        errors = []
+    win = _FileWindow(f, start)
+    if start == 0:
+        rel = 0
+    else:
+        rel = _find_member(win, 0)
+        if rel < 0:
+            return
+    while win.base + rel < end:
+        win.drop(rel)
+        rel = 0
+        plain, consumed, complete = _member_at(win, 0)
+        if not complete or consumed <= 0:
+            errors.append("truncated/invalid gzip member at %d"
+                          % win.base)
+            nxt = _find_member(win, 1)
+            if nxt < 0:
+                return
+            rel = nxt
+            continue
+        yield from parse_warc_buffer(plain, errors,
+                                     base_offset=win.base)
+        rel = consumed

@@ -218,15 +218,20 @@ def c4_line_keep(l):
     """C4 per-line keep predicate (shared by c4_clean and the fused
     quality_features sidecar): terminal punctuation, >= 5 words, no
     'javascript' mention.  The 5-word test is an anchored rlike —
-    five whitespace-separated non-space runs, short-circuiting at the
-    fifth — instead of a per-line split+filter+size; value-identical
-    (n whitespace-split words >= 5 ⟺ the anchored pattern matches)
-    and 2.3x faster on a 1.9 GB corpus (r8 A/B, same value hash)."""
+    a word then four MANDATORY whitespace-separated words,
+    short-circuiting at the fifth — instead of a per-line
+    split+filter+size; value-identical (n whitespace-split words >= 5
+    ⟺ the pattern matches: every \\s+ separator is required, so
+    \\S+ runs cannot split one word into several) and ~2x faster on a
+    1.9 GB corpus (r8 A/B).  The first cut of this pattern used
+    `(?:\\s*\\S+){5}` — WRONG: the optional separator let any line
+    with >= 5 non-space characters match; caught by the sf0.001
+    oracle gate, pinned by a planted test."""
     r = F.rtrim(l)
     term = (F.endswith(r, F.lit(".")) | F.endswith(r, F.lit("!"))
             | F.endswith(r, F.lit("?"))
             | F.endswith(r, F.lit('"')))
-    return (term & l.rlike(r"^(?:\s*\S+){5}") &
+    return (term & l.rlike(r"^\s*\S+(?:\s+\S+){4}") &
             ~F.contains(F.lower(l), F.lit("javascript")))
 
 

@@ -50,15 +50,22 @@ WARC_SCHEMA = StructType([
 
 
 def _records_frame(path, content, record_types, transcode=False):
-    from ..core.warc import (http_content_type, iter_warc_records,
-                             sniff_charset, split_http_response,
-                             to_utf8)
-    rows = []
+    from ..core.warc import iter_warc_records
     errors = []
+    return _records_frame_iter(
+        path, iter_warc_records(bytes(content), errors), errors,
+        record_types, transcode)
+
+
+def _records_frame_iter(path, rec_iter, errors, record_types,
+                        transcode=False):
+    from ..core.warc import (http_content_type, sniff_charset,
+                             split_http_response, to_utf8)
+    rows = []
     fname = path
     if fname.startswith("file:"):
         fname = fname[5:]
-    for rec in iter_warc_records(bytes(content), errors):
+    for rec in rec_iter:
         rtype = rec.type
         if record_types and rtype not in record_types:
             continue
@@ -104,12 +111,45 @@ def _records_frame(path, content, record_types, transcode=False):
     return frame
 
 
+def _local_path(uri):
+    """Locally-openable path for a binaryFile URI, or None (ranged
+    reads open the file directly; non-local schemes can't)."""
+    if uri.startswith("file:"):
+        path = uri[5:]
+        while path.startswith("//"):
+            path = path[1:]
+        return path
+    if "://" not in uri:
+        return uri
+    return None
+
+
+SPLIT_BYTES = 1536 << 20     # archives larger than this split into
+RANGE_BYTES = 512 << 20      # member-aligned ranges of this size —
+                             # the 2 GiB JVM byte-array bound on a
+                             # binaryFile row never gets hit
+
+
 def read_warc(spark, path, record_types=("response",),
-              transcode=False):
+              transcode=False, split_bytes=SPLIT_BYTES,
+              range_bytes=RANGE_BYTES):
     """WARC archive(s) at ``path`` (glob ok; ``.warc`` or ``.warc.gz``)
     -> WARC_SCHEMA DataFrame.  One task per archive file; no shuffle.
     ``record_types`` filters records in the scan (None = all types);
     malformed content lands in ``x-parse-errors`` rows, never raises.
+
+    Oversized archives (r8): ``.warc.gz`` files larger than
+    ``split_bytes`` are read as MULTIPLE ``range_bytes`` tasks — each
+    task scans its compressed byte range for the first validated gzip
+    member and parses every member starting inside the range
+    (core.warc.iter_warc_records_file_range; a member straddling the
+    range end belongs to the task holding its first byte, so ranges
+    tile the archive exactly).  The file list (paths + sizes only, no
+    content) is enumerated at plan time like ``warc_todo_paths``.
+    Ranged tasks open the file directly, so they need a
+    locally-readable path (``file:`` URI or mounted FS) — plain
+    ``.warc`` files and non-local schemes keep the single-task
+    binaryFile path and its documented 2 GiB row bound.
 
     ``transcode=True`` normalizes response payloads to UTF-8 in the
     same scan (charset = BOM > HTTP header > WHATWG meta prescan >
@@ -118,8 +158,6 @@ def read_warc(spark, path, record_types=("response",),
     untouched.  The ``charset`` column then reports the SOURCE
     charset the bytes came from."""
     rtypes = tuple(record_types) if record_types else ()
-    src = (spark.read.format("binaryFile").load(path)
-           .select("path", "content"))
 
     def fn(batches):
         for pdf in batches:
@@ -127,7 +165,48 @@ def read_warc(spark, path, record_types=("response",),
                 yield _records_frame(path_, content, rtypes,
                                      transcode)
 
-    return src.mapInPandas(fn, schema=WARC_SCHEMA)
+    listing = (spark.read.format("binaryFile").load(path)
+               .select("path", "length").collect())
+    big = [(r.path, int(r.length)) for r in listing
+           if r.length > split_bytes and r.path.endswith(".gz") and
+           _local_path(r.path) is not None]
+    if not big:
+        src = (spark.read.format("binaryFile").load(path)
+               .select("path", "content"))
+        return src.mapInPandas(fn, schema=WARC_SCHEMA)
+
+    big_set = {p for p, _l in big}
+    small = [r.path for r in listing if r.path not in big_set]
+    tasks = []
+    for p, length in big:
+        s = 0
+        while s < length:
+            tasks.append((p, s, min(s + range_bytes, length)))
+            s += range_bytes
+
+    def range_fn(batches):
+        from ..core.warc import iter_warc_records_file_range
+        for pdf in batches:
+            for path_, start, end in zip(pdf["path"], pdf["start"],
+                                         pdf["end"]):
+                errors = []
+                local = _local_path(path_)
+                with open(local, "rb") as f:
+                    yield _records_frame_iter(
+                        path_,
+                        iter_warc_records_file_range(
+                            f, int(start), int(end), errors),
+                        errors, rtypes, transcode)
+
+    ranged = (spark.createDataFrame(
+                  tasks, "path string, start long, end long")
+              .repartition(len(tasks))
+              .mapInPandas(range_fn, schema=WARC_SCHEMA))
+    if not small:
+        return ranged
+    src = (spark.read.format("binaryFile").load(small)
+           .select("path", "content"))
+    return src.mapInPandas(fn, schema=WARC_SCHEMA).unionByName(ranged)
 
 
 def warc_pages(spark, path, statuses=(200,),

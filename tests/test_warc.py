@@ -408,3 +408,72 @@ def test_non_iso_warc_date_fallback():
     from packages_sgml_spark.spark.warc import _records_frame
     f = _records_frame("f", raw, ("resource",), False)
     assert str(f["warc_ts"].iloc[0]) == "2026-01-01 00:00:00"
+
+
+# ------------------------------------------------------------------
+# r8: oversized-archive range split
+# ------------------------------------------------------------------
+
+def test_range_reader_tiles_file_exactly(tmp_path):
+    """iter_warc_records_file_range over adjacent ranges yields
+    exactly the whole-file record sequence, for every split point —
+    including payloads that embed fake gzip magic bytes."""
+    import io
+    from packages_sgml_spark.core.warc import (
+        build_response_record, iter_warc_records,
+        iter_warc_records_file_range, write_warc, GZIP_MAGIC)
+    recs = []
+    for i in range(60):
+        body = (b"<html>page %d " % i +
+                GZIP_MAGIC + b"\x08 fake magic inside " * 3 +
+                b"WARC/1.0 fake header too</html>")
+        recs.append(build_response_record(
+            "https://h%d.example/p/%d" % (i % 7, i),
+            "2026-01-01T00:00:00Z", body))
+    buf = io.BytesIO()
+    write_warc(buf, recs)
+    data = buf.getvalue()
+    whole = [(r.url, r.offset, r.body) for r in
+             iter_warc_records(data)]
+    assert len(whole) == 60
+    for n_ranges in (2, 3, 7):
+        step = len(data) // n_ranges + 1
+        got = []
+        for s in range(0, len(data), step):
+            got += [(r.url, r.offset, r.body) for r in
+                    iter_warc_records_file_range(
+                        io.BytesIO(data), s, min(s + step, len(data)))]
+        assert got == whole, n_ranges
+
+
+def test_read_warc_split_matches_single_task(spark, tmp_path):
+    """A .warc.gz above split_bytes reads as N range tasks with rows
+    identical to the single-task binaryFile read."""
+    from packages_sgml_spark.core.warc import (build_response_record,
+                                               write_warc)
+    from packages_sgml_spark.spark.warc import read_warc
+    recs = [build_response_record(
+        "https://s%d.example/p/%d" % (i % 11, i),
+        "2026-01-02T03:04:05Z",
+        ("<html><body>doc %d " % i + "word " * 200 +
+         "</body></html>").encode())
+        for i in range(400)]
+    big = tmp_path / "big.warc.gz"
+    with open(big, "wb") as f:
+        write_warc(f, recs)
+    small = tmp_path / "small.warc.gz"
+    with open(small, "wb") as f:
+        write_warc(f, recs[:5])
+    size = big.stat().st_size
+    assert size > 120_000
+
+    def rows(df):
+        return sorted((r.url, r.warc_offset, bytes(r.html or b""),
+                       r.record_type) for r in df.collect())
+
+    single = rows(read_warc(spark, str(tmp_path) + "/*.warc.gz"))
+    split = read_warc(spark, str(tmp_path) + "/*.warc.gz",
+                      split_bytes=100_000, range_bytes=30_000)
+    n_tasks = split.rdd.getNumPartitions()
+    assert rows(split) == single
+    assert size // 30_000 + 1 >= 4          # the big file really split
