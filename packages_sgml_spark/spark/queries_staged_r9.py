@@ -1,0 +1,139 @@
+"""Round-9 registry candidates, staged while the registry is frozen
+at 70 (the r5 drift-kill rule: keys change only at round START).
+
+One key so far: ``quality_features`` — the r8 fused crawl-job quality
+sidecar (Gopher + C4 flags + lang-id in one projection,
+spark/textops.py).  Its oracle is the SQL composition of the three
+registered formulas over the same line-ified documents, so the gate
+checks the fusion end-to-end, not just the parts.
+
+At round-9 start, registration is the queries_staged.py pattern:
+
+    QUERIES.update(queries_staged_r9.R9_QUERIES)
+    ORACLES.update(queries_staged_r9.R9_ORACLES)
+"""
+
+from .queries import _t
+from .queries_staged import (_GOPHER_STOP_SQL, _LINEDOC_SQL_T,
+                             _line_docs)
+
+
+def q_quality_features(spark, sf_dir):
+    """Fused quality sidecar (textops.quality_features) over
+    line-ified documents — the exact projection jobs/crawl_job.py
+    writes per url."""
+    from .textops import quality_features
+    return quality_features(_line_docs(_t(spark, sf_dir,
+                                          "documents")))
+
+
+def _lang_cols_sql():
+    """lang_pred/lang_score column SQL over a `padded` column —
+    mirrors oracles._lang_sql's formula (duplicated expression shape,
+    parameterized source)."""
+    from .oracles import _LANGS, _MARKERS, _occ
+    scores = ", ".join(
+        "(%s) AS s_%s" % (" + ".join(_occ(p) for p in _MARKERS[l]), l)
+        for l in _LANGS)
+    ranks = ", ".join("s_%s * 100 - %d AS r_%s" % (l, i, l)
+                      for i, l in enumerate(_LANGS))
+    conds = " ".join(
+        "WHEN %s THEN '%s'" % (
+            " AND ".join("r_%s >= r_%s" % (l, o)
+                         for o in _LANGS if o != l), l)
+        for l in _LANGS)
+    greatest = "greatest(%s)" % ", ".join("s_%s" % l for l in _LANGS)
+    return scores, ranks, "CASE %s END" % conds, greatest
+
+
+def _quality_features_oracle():
+    # COLUMN-NAME TRAP: both borrowed fragments hardcode a source
+    # column named `padded`, but they mean DIFFERENT strings — the
+    # gopher stop-hits read the \s+-normalized text, the lang marker
+    # counts the raw ' '||lower(text)||' '.  Here `padded` is the
+    # lang string and the gopher fragment is rewritten to `gpadded`
+    # (caught by the staged gate: nl-vs-de flips on docs whose text
+    # ends '\nde').
+    scores, ranks, case, greatest = _lang_cols_sql()
+    return """
+WITH b AS (SELECT doc_id, coalesce({src}, '') AS text,
+                  {src} AS rawtext FROM documents),
+s AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                x -> x <> '') AS words,
+    regexp_split_to_array(text, '\\r?\\n') AS lines,
+    CAST((length(text) - length(replace(text, '#', ''))) +
+         (length(text) - length(replace(text, '...', ''))) / 3 +
+         (length(text) - length(replace(text, '…', ''))) AS INT)
+      AS n_symbols,
+    ' ' || regexp_replace(lower(text), '\\s+', ' ', 'g') || ' '
+      AS gpadded,
+    ' ' || lower(rawtext) || ' ' AS padded,
+    (NOT contains(lower(text), 'lorem ipsum')
+     AND NOT contains(text, '{{')) AS c4_page_ok
+  FROM b),
+g AS (
+  SELECT doc_id,
+    CAST(len(words) AS BIGINT) AS n_words,
+    CAST(greatest(len(words), 1) AS DOUBLE) AS wden,
+    CAST(greatest(len(lines), 1) AS DOUBLE) AS lden,
+    CAST(COALESCE(list_sum(list_transform(words, x -> length(x))), 0)
+         AS DOUBLE) AS wchars,
+    CAST(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))
+         AS DOUBLE) AS n_alpha,
+    CAST(len(list_filter(lines, x -> list_contains(
+      ['•','‣','▪','●','◦','⁃','*','-'],
+      substr(ltrim(x), 1, 1)))) AS DOUBLE) AS n_bullet,
+    CAST(len(list_filter(lines, x -> rtrim(x) LIKE '%...'
+         OR rtrim(x) LIKE '%…')) AS DOUBLE) AS n_ellipsis,
+    n_symbols,
+    CAST({stop} AS INT) AS n_stop_hits,
+    CAST(len(list_filter(lines, l ->
+      (rtrim(l) LIKE '%.' OR rtrim(l) LIKE '%!' OR
+       rtrim(l) LIKE '%?' OR rtrim(l) LIKE '%"')
+      AND len(list_filter(regexp_split_to_array(trim(l), '\\s+'),
+                          x -> x <> '')) >= 5
+      AND NOT contains(lower(l), 'javascript'))) AS INT) AS n_kept,
+    c4_page_ok,
+    {scores}
+  FROM s),
+r AS (
+  SELECT doc_id, n_words,
+    round(wchars / wden, 6) AS mean_word_len,
+    round(n_symbols / wden, 6) AS symbol_ratio,
+    round(n_bullet / lden, 6) AS bullet_frac,
+    round(n_ellipsis / lden, 6) AS ellipsis_frac,
+    round(n_alpha / wden, 6) AS alpha_word_frac,
+    n_stop_hits, n_kept, c4_page_ok,
+    {ranks}, {greatest} AS lang_score
+  FROM g)
+SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+  ellipsis_frac, alpha_word_frac, n_stop_hits,
+  CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+             AND mean_word_len BETWEEN 3.0 AND 10.0
+             AND symbol_ratio <= 0.1
+             AND bullet_frac <= 0.9
+             AND ellipsis_frac <= 0.3
+             AND alpha_word_frac >= 0.8
+             AND n_stop_hits >= 2
+       THEN 1 ELSE 0 END AS INT) AS gopher_pass,
+  n_kept,
+  CAST(CASE WHEN n_kept >= 3 AND c4_page_ok THEN 1 ELSE 0 END AS INT)
+    AS c4_keep,
+  {case} AS lang_pred, lang_score
+FROM r
+""".format(src=_LINEDOC_SQL_T,
+           stop=_GOPHER_STOP_SQL.replace('padded', 'gpadded'), scores=scores,
+           ranks=ranks, case=case, greatest=greatest)
+
+
+ORACLE_QUALITY_FEATURES = _quality_features_oracle()
+
+R9_QUERIES = {
+    "quality_features": q_quality_features,
+}
+
+R9_ORACLES = {
+    "quality_features": ORACLE_QUALITY_FEATURES,
+}

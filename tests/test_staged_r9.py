@@ -1,0 +1,71 @@
+"""Round-9 staged registry entries, gated NOW with the exact
+check_correctness compare so round-9 registration is mechanical.
+The live registry stays frozen at 70 mid-round (r5 drift-kill rule)."""
+
+import importlib.util
+import os
+
+import duckdb
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _harness():
+    spec = importlib.util.spec_from_file_location(
+        "check_correctness", os.path.join(REPO, "tools",
+                                          "check_correctness.py"))
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    return m
+
+
+@pytest.fixture(scope="module")
+def duck():
+    h = _harness()
+    con = duckdb.connect()
+    for t in h.TABLES:
+        p = os.path.join(SF_DIR, t + ".parquet")
+        if os.path.exists(p):
+            con.execute(
+                "CREATE VIEW %s AS SELECT * FROM read_parquet('%s')"
+                % (t, p))
+    return con
+
+
+def test_registry_still_frozen_at_70():
+    import __spark_entry__ as E
+    assert len(E.queries()) == 70
+    src = open(os.path.join(
+        REPO, "packages_sgml_spark", "spark", "queries.py")).read()
+    assert "queries_staged_r9" not in src
+
+
+@pytest.mark.parametrize("name", ["quality_features"])
+def test_staged_r9_query_matches_oracle(spark, duck, name):
+    import decimal
+    from packages_sgml_spark.spark.queries_staged_r9 import (
+        R9_ORACLES, R9_QUERIES)
+    h = _harness()
+    df = R9_QUERIES[name](spark, SF_DIR)
+    cols = df.columns
+    rows = [tuple(r) for r in df.collect()]
+    cur = duck.execute(R9_ORACLES[name])
+    ocols = [d[0] for d in cur.description]
+    orows = cur.fetchall()
+    assert len(rows) == len(orows), (name, len(rows), len(orows))
+    assert sorted(cols) == sorted(ocols), (name, cols, ocols)
+    assert rows, name
+    for r in rows[:5] + orows[:5]:
+        assert not any(isinstance(v, decimal.Decimal) for v in r)
+    assert h.table_hash(cols, rows) == h.table_hash(ocols, orows), name
+
+
+def test_staged_r9_keys_do_not_collide(spark):
+    import __spark_entry__ as E
+    from packages_sgml_spark.spark.queries_staged_r9 import (
+        R9_ORACLES, R9_QUERIES)
+    live = set(E.queries())
+    assert not (set(R9_QUERIES) & live)
+    assert set(R9_ORACLES) == set(R9_QUERIES)
