@@ -51,6 +51,28 @@ class DeclMixin:
             dtd._cow.dict_level = True
         dtd._omit_gen[0] += 1
 
+    def _warm_accreted(self, e):
+        """True when `e` carries state accreted by a PREVIOUS document
+        on the shared accretive base — invisible history a declaration
+        must treat as "never declared" (r8)."""
+        return (self.dtd.accretive and e.undefined and
+                getattr(self, "_accreted", None) is not None and
+                id(e) not in self._accreted)
+
+    def _reset_accreted_attrs(self, e):
+        """A declaration is about to touch `e`: attrs accreted by
+        previous documents are foreign — cold behavior is an empty
+        attribute list.  Swap it out for this parse (the DtdCow
+        record restores it at parse end; replay caches were already
+        cleared by _invalidate_replay_caches at the declaration)."""
+        if not self._warm_accreted(e) or not e.attributes:
+            return
+        if self.dtd._cow is not None:
+            self.dtd._cow.attrs_swap(e)
+        e.attributes = []
+        e._attr_idx = None
+        e._def_attrs = None
+
     # ------------------------------------------------------------------
     # lexical helpers (parser.c:848-1198)
     # ------------------------------------------------------------------
@@ -438,13 +460,12 @@ class DeclMixin:
                 # accretive-base warm state (r8): a structure grown by
                 # a PREVIOUS document's auto-declaration is invisible
                 # history — cold behavior is "never declared", so no
-                # redefinition gripe.  Auto-declared THIS parse still
-                # gripes exactly like the reference (parser.c:2326).
-                warm_accreted = (
-                    self.dtd.accretive and e.undefined and
-                    getattr(self, "_accreted", None) is not None and
-                    id(e) not in self._accreted)
-                if e.structure.type != M.C_EMPTY and not warm_accreted:
+                # redefinition gripe (auto-declared THIS parse still
+                # gripes exactly like the reference, parser.c:2326)
+                # and no leftover accreted implicit attrs either.
+                self._reset_accreted_attrs(e)
+                if e.structure.type != M.C_EMPTY and \
+                        not self._warm_accreted(e):
                     self.gripe(*Gripes.syntax_warning("Redefined element",
                                                       s[i:]))
             if self.dtd._cow is not None:
@@ -593,6 +614,12 @@ class DeclMixin:
                 if i is None:
                     return
             for nm in names:
+                e = self.dtd.find_element(nm)
+                # accreted attrs are foreign history here too: cold, a
+                # declared attr named like a previously-accreted
+                # implicit one would win find_attribute's first-wins
+                # index; warm it would lose (r8 review)
+                self._reset_accreted_attrs(e)
                 e = self.dtd.def_element(nm)
                 if self.dtd._cow is not None:
                     # ATTLIST in a doc-local subset: dict_level (set

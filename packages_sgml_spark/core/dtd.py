@@ -270,6 +270,16 @@ class DtdCow:
         self.journal.append(("edef", edef, edef.type, edef.content,
                              group))
 
+    def attrs_swap(self, e):
+        """A declaration is touching an element whose attribute list
+        was accreted by PREVIOUS documents on the accretive base: the
+        parse must see the cold shape (no attrs — a fresh element has
+        none until declared), so the caller empties the list and this
+        record restores it wholesale at rollback (r8 review: the
+        persisted implicit attr suppressed the cold no-attribute
+        gripe once the element was declared this parse)."""
+        self.journal.append(("attrs_swap", e, e.attributes))
+
     def attrs(self, e, griping_attr=None):
         """e.attributes about to grow (implicit or declared attr).
 
@@ -308,6 +318,11 @@ class DtdCow:
                 edef.content = content
                 if content is not None and group is not None:
                     content.group[:] = group
+            elif kind == "attrs_swap":
+                _k, e, old = rec
+                e.attributes = old
+                e._attr_idx = None
+                e._def_attrs = None
             elif kind == "attrs":
                 _k, e, n, space = rec
                 del e.attributes[n:]
@@ -454,6 +469,13 @@ class DTD:
                 # per element lifetime (core/cspeed.py gen-guard)
                 self._omit_gen[0] += 1
             e.structure = ElementDef()
+            # C_EMPTY like the reference (parser.c:717-725
+            # def_element): ElementDef's C_PCDATA default carries
+            # content=None, which crashes allow_for for an
+            # ATTLIST-only element that then gets content (r8 review
+            # fallout — pre-existing, exposed by the accreted-attr
+            # reset test)
+            e.structure.type = M.C_EMPTY
             e.undefined = True
         return e
 

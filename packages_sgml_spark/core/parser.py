@@ -692,6 +692,17 @@ class SGMLParser(DeclMixin):
                 cow.rollback(dtd)
         self._accreted = set() if dtd.accretive else None
         self._cow_obj = dtd._cow = D.DtdCow(dtd, owner=self)
+        # recompute the decode flag from the DTD this parse actually
+        # starts on (review r8): a parser CONSTRUCTED while another
+        # parser's journaled encoding switch was live on the shared
+        # DTD latched that value in set_dialect's no-op branch; by
+        # the time this parse begins, the owner's journal has rolled
+        # back (or we took a pristine private copy above), so the
+        # init-time latch could decode UTF-8 documents as Latin-1.
+        # Explicit ParserOptions.encoding is not lost: it was written
+        # into dtd.encoding at construction (own DTD) or is utf-8 by
+        # base eligibility.
+        self.utf8_decode = dtd.encoding == "utf-8"
 
     def _end_dtd_cow(self):
         cow = self.dtd._cow

@@ -490,18 +490,27 @@ def _member_at(win, rel):
     return b"".join(parts), consumed, d.eof
 
 
-def _find_member(win, rel):
+def _find_member(win, rel, limit=None):
     """First offset >= ``rel`` (window-relative) that starts a REAL
     gzip member of a .warc.gz — i.e. whose decompressed prefix is a
     WARC version line.  The magic-byte triple can occur inside
     compressed payloads, so every candidate is validated by decoding
     a prefix; a false positive either fails zlib or decodes to
-    non-"WARC/".  Returns -1 when no member starts before EOF."""
+    non-"WARC/".  Returns -1 when no member starts before EOF — or
+    before ``limit`` (window-relative): a range task must never scan
+    past its own range end looking for a member it would not own
+    anyway (review r8: a member larger than the range otherwise made
+    every interior task buffer the rest of the file)."""
     while True:
+        if limit is not None and rel >= limit:
+            return -1
         win.ensure(rel + (1 << 20))
-        idx = win.buf.find(GZIP_MAGIC + b"\x08", rel)
+        hi = len(win.buf) if limit is None else min(len(win.buf),
+                                                    limit)
+        idx = win.buf.find(GZIP_MAGIC + b"\x08", rel, hi)
         if idx < 0:
-            if win.eof:
+            if win.eof or (limit is not None and
+                           len(win.buf) >= limit):
                 return -1
             # keep a 2-byte overlap so a magic split across the
             # window growth boundary is still found
@@ -543,7 +552,7 @@ def iter_warc_records_file_range(f, start, end, errors=None):
     if start == 0:
         rel = 0
     else:
-        rel = _find_member(win, 0)
+        rel = _find_member(win, 0, limit=end - win.base)
         if rel < 0:
             return
     while win.base + rel < end:
@@ -553,7 +562,7 @@ def iter_warc_records_file_range(f, start, end, errors=None):
         if not complete or consumed <= 0:
             errors.append("truncated/invalid gzip member at %d"
                           % win.base)
-            nxt = _find_member(win, 1)
+            nxt = _find_member(win, 1, limit=end - win.base)
             if nxt < 0:
                 return
             rel = nxt

@@ -24,7 +24,11 @@ def _occ(pat):
             "''))) / %d) AS INT)" % (p, len(pat)))
 
 
-def _lang_sql():
+def _lang_pieces():
+    """The four SQL fragments of the lang-id formula over a `padded`
+    source column — the ONE definition both the registered lang_id
+    oracle and the staged quality_features oracle build from (r8
+    review: two hand-maintained copies could silently drift)."""
     score_cols = []
     for lang in _LANGS:
         parts = " + ".join(_occ(p) for p in _MARKERS[lang])
@@ -38,6 +42,11 @@ def _lang_sql():
         conds.append("WHEN %s THEN '%s'" % (others, l))
     case = "CASE " + " ".join(conds) + " END"
     greatest = "greatest(%s)" % ", ".join("s_%s" % l for l in _LANGS)
+    return ", ".join(score_cols), ranks, case, greatest
+
+
+def _lang_sql():
+    scores, ranks, case, greatest = _lang_pieces()
     return """
 WITH s AS (
   SELECT doc_id, {scores}
@@ -45,8 +54,7 @@ WITH s AS (
         FROM documents)),
 r AS (SELECT doc_id, {ranks}, {greatest} AS lang_score FROM s)
 SELECT doc_id, {case} AS lang_pred, lang_score FROM r
-""".format(scores=", ".join(score_cols), ranks=ranks,
-           greatest=greatest, case=case)
+""".format(scores=scores, ranks=ranks, greatest=greatest, case=case)
 
 
 _STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is",

@@ -28,22 +28,11 @@ def q_quality_features(spark, sf_dir):
 
 
 def _lang_cols_sql():
-    """lang_pred/lang_score column SQL over a `padded` column —
-    mirrors oracles._lang_sql's formula (duplicated expression shape,
-    parameterized source)."""
-    from .oracles import _LANGS, _MARKERS, _occ
-    scores = ", ".join(
-        "(%s) AS s_%s" % (" + ".join(_occ(p) for p in _MARKERS[l]), l)
-        for l in _LANGS)
-    ranks = ", ".join("s_%s * 100 - %d AS r_%s" % (l, i, l)
-                      for i, l in enumerate(_LANGS))
-    conds = " ".join(
-        "WHEN %s THEN '%s'" % (
-            " AND ".join("r_%s >= r_%s" % (l, o)
-                         for o in _LANGS if o != l), l)
-        for l in _LANGS)
-    greatest = "greatest(%s)" % ", ".join("s_%s" % l for l in _LANGS)
-    return scores, ranks, "CASE %s END" % conds, greatest
+    """lang_pred/lang_score SQL fragments over a `padded` column —
+    the shared oracles._lang_pieces definition (no duplicate
+    formula)."""
+    from .oracles import _lang_pieces
+    return _lang_pieces()
 
 
 def _quality_features_oracle():

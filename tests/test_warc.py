@@ -474,6 +474,51 @@ def test_read_warc_split_matches_single_task(spark, tmp_path):
     single = rows(read_warc(spark, str(tmp_path) + "/*.warc.gz"))
     split = read_warc(spark, str(tmp_path) + "/*.warc.gz",
                       split_bytes=100_000, range_bytes=30_000)
+    # the big file must ACTUALLY have split into range tasks — a
+    # silent fall-back to the single-task path would keep rows equal
+    # while the whole range code path goes unexercised (review r8:
+    # the original assert here was vacuous)
     n_tasks = split.rdd.getNumPartitions()
+    assert n_tasks >= size // 30_000, (n_tasks, size)
     assert rows(split) == single
-    assert size // 30_000 + 1 >= 4          # the big file really split
+
+
+def test_range_task_bounded_when_member_exceeds_range():
+    """An interior range that falls inside one oversized member must
+    yield nothing AND stop scanning at its range end instead of
+    buffering the rest of the file (review r8)."""
+    import io
+    from packages_sgml_spark.core import warc as W
+    recs = [W.build_response_record(
+        "https://x/0", "2026-01-01T00:00:00Z",
+        b"<html>" + b"A" * 3_000_000 + b"</html>")]
+    recs += [W.build_response_record(
+        "https://x/%d" % i, "2026-01-01T00:00:00Z",
+        b"<html>x</html>") for i in (1, 2)]
+    buf = io.BytesIO()
+    W.write_warc(buf, recs)
+    data = buf.getvalue()
+
+    seen = {"max": 0}
+    orig = W._FileWindow
+
+    class SpyWin(orig):
+        def ensure(self, upto, chunk=1 << 20):
+            super().ensure(upto, chunk)
+            seen["max"] = max(seen["max"], len(self.buf))
+
+    W._FileWindow = SpyWin
+    try:
+        got = list(W.iter_warc_records_file_range(
+            io.BytesIO(data), 100, 200))
+    finally:
+        W._FileWindow = orig
+    assert got == []
+    assert seen["max"] < 100_000, seen
+    # and adjacent ranges still tile the file exactly
+    whole = [r.url for r in W.iter_warc_records(data)]
+    parts = []
+    for s in range(0, len(data), 1000):
+        parts += [r.url for r in W.iter_warc_records_file_range(
+            io.BytesIO(data), s, min(s + 1000, len(data)))]
+    assert parts == whole

@@ -170,3 +170,55 @@ def test_dialect_switch_flushes_compiled_registries():
         assert any("Unquoted attribute in XML" in m
                    for m in errs("xhtml5")), "xml-only gripe dropped"
         assert not [m for m in errs("html5") if "Unquoted" in m]
+
+
+def test_construction_during_foreign_feed_does_not_latch_encoding():
+    """A parser constructed while ANOTHER parser's journaled encoding
+    switch is live on the shared base must not latch that encoding:
+    by the time it parses, the owner has rolled back (review r8 —
+    UTF-8 documents decoded as Latin-1 depending on process
+    timing)."""
+    a = SGMLParser(ParserOptions(dialect="xml", max_errors=50))
+    a.feed("<?xml version='1.0' encoding='ISO-8859-1'?>"
+           "<doc>\xe9".encode("iso-8859-1"))
+    assert a.dtd.encoding == "iso-8859-1"
+    c = SGMLParser(ParserOptions(dialect="xml", max_errors=50))
+    assert c.dtd is a.dtd
+    a.close()
+    assert a.dtd.encoding == "utf-8"        # journal rolled back
+    dom, errs = c.parse("<doc>é</doc>".encode("utf-8"))
+    from packages_sgml_spark.core.dom import extract_text
+    assert extract_text(dom) == "é", errs
+
+
+def test_declaration_resets_foreign_accreted_attrs():
+    """r8 review finding: an implicit attr accreted by a PREVIOUS
+    document must not suppress this document's cold no-attribute
+    gripe once the element is declared, and a declared attr must not
+    lose find_attribute's first-wins race to a foreign accreted
+    one."""
+    def errs(doc, dtd=None):
+        opts = ParserOptions(dialect="xml", encoding="utf-8",
+                             max_errors=50)
+        p = SGMLParser(opts) if dtd is None else SGMLParser(opts,
+                                                            dtd=dtd)
+        if dtd is not None:
+            p.set_dialect("xml")
+        _dom, errors = p.parse(doc)
+        return [e.message for e in errors]
+
+    warmer = b"<doc><p a='1'>x</p></doc>"
+    probe = (b"<!DOCTYPE doc [<!ELEMENT p (#PCDATA)>]>"
+             b"<doc><p a='1'>y</p></doc>")
+    attl = (b"<!DOCTYPE doc [<!ATTLIST p a CDATA 'dflt'>]>"
+            b"<doc><p a='1'>y</p><p>z</p></doc>")
+    cold_probe = errs(probe, dtd=D.DTD())
+    cold_attl = errs(attl, dtd=D.DTD())
+    errs(warmer)                        # accrete implicit 'a' on p
+    assert errs(probe) == cold_probe
+    assert errs(attl) == cold_attl
+    # and the node-table shape agrees too (defaults injected etc.)
+    assert _parse(attl, "xml") == _cold(attl, "xml")
+    # base restored: the accreted attr survives for future documents
+    pel = _XML_BASE_DTDS["xml"].elements["p"]
+    assert pel.undefined and [a.name for a in pel.attributes] == ["a"]
