@@ -2435,9 +2435,806 @@ static PyObject *ctx_stats(PyObject *self, PyObject *args)
                          "n_shapes", (Py_ssize_t)c->n_shapes);
 }
 
+/* ==================================================================
+ * markdown fold drain (r8)
+ *
+ * md_drain(tape, frames, mds, skip, convert, def_fold, def_keep)
+ * -> new skip
+ *
+ * C replica of core/markdown.py MarkdownParser._drain_tape plus the
+ * _fold/_merge_inline/_collapse/_blocks/_indent/_attr helpers it
+ * drives.  Frames, chunks and the per-DTD def->fold-name memo stay
+ * ORDINARY PYTHON OBJECTS with the exact shapes the Python renderer
+ * uses ([fname, attrs, chunks, in_pre] frames; str or ("b"/"li"/
+ * "cell", text) chunks; {id(def): fname} memo + keep list), so a
+ * parse may freely interleave Python ev_begin/ev_data/ev_end events
+ * (ineligible tags bail off the tape) with C drains over the SAME
+ * frame stack.  Byte-parity with the Python fold is pinned by the
+ * test_markdown.py differentials (goldens + soup fuzz + dialects +
+ * deep DOM) — any new fold rule must land in BOTH renderers.
+ * ================================================================== */
+
+enum {
+    MDC_TRANSPARENT = 0,
+    MDC_H1 = 1, MDC_H2, MDC_H3, MDC_H4, MDC_H5, MDC_H6,
+    MDC_P, MDC_WRAP2, MDC_WRAP1, MDC_A, MDC_IMG, MDC_BR, MDC_HR,
+    MDC_CODE, MDC_PRE, MDC_BLOCKQUOTE, MDC_LI, MDC_UL, MDC_OL,
+    MDC_TD, MDC_TH, MDC_TR,
+    MDC_DIV,     /* _PRE_LINE member but NOT special */
+    MDC_SKIP,    /* script/style/template/noscript/head */
+};
+
+#define MD_SPECIAL(c)  ((c) >= MDC_H1 && (c) <= MDC_TR)
+#define MD_PRE_LINE(c) (((c) >= MDC_H1 && (c) <= MDC_P) || \
+                        (c) == MDC_LI || (c) == MDC_TR || \
+                        (c) == MDC_BLOCKQUOTE || (c) == MDC_DIV)
+
+static int md_ready = 0;
+static PyObject *md_codes;          /* fold-name str -> PyLong code */
+static PyObject *md_space, *md_empty, *md_nl, *md_nl2, *md_br;
+static PyObject *md_tag_b, *md_tag_li, *md_tag_cell;
+static PyObject *md_ev_d, *md_ev_b;
+static PyObject *md_href, *md_alt, *md_src, *md_name_attr;
+static PyObject *md_hpfx[7];        /* "# ".."###### " */
+static PyObject *md_hr_tuple;       /* ("b", "---") */
+static PyObject *md_bq, *md_bq_empty;   /* "> ", ">" */
+static PyObject *md_ul_mark;        /* "- " */
+static PyObject *md_pipe;           /* " | " */
+static PyObject *md_empty_tuple;
+
+static int md_add_code(const char *name, int code)
+{
+    PyObject *k = PyUnicode_InternFromString(name);
+    if (!k) return -1;
+    PyObject *v = PyLong_FromLong(code);
+    if (!v) { Py_DECREF(k); return -1; }
+    int r = PyDict_SetItem(md_codes, k, v);
+    Py_DECREF(k); Py_DECREF(v);
+    return r;
+}
+
+static int md_init(void)
+{
+    if (md_ready) return 0;
+    md_codes = PyDict_New();
+    if (!md_codes) return -1;
+    static const struct { const char *n; int c; } tbl[] = {
+        {"h1", MDC_H1}, {"h2", MDC_H2}, {"h3", MDC_H3},
+        {"h4", MDC_H4}, {"h5", MDC_H5}, {"h6", MDC_H6},
+        {"p", MDC_P}, {"strong", MDC_WRAP2}, {"b", MDC_WRAP2},
+        {"em", MDC_WRAP1}, {"i", MDC_WRAP1}, {"a", MDC_A},
+        {"img", MDC_IMG}, {"br", MDC_BR}, {"hr", MDC_HR},
+        {"code", MDC_CODE}, {"pre", MDC_PRE},
+        {"blockquote", MDC_BLOCKQUOTE}, {"li", MDC_LI},
+        {"ul", MDC_UL}, {"ol", MDC_OL}, {"td", MDC_TD},
+        {"th", MDC_TH}, {"tr", MDC_TR}, {"div", MDC_DIV},
+        {"script", MDC_SKIP}, {"style", MDC_SKIP},
+        {"template", MDC_SKIP}, {"noscript", MDC_SKIP},
+        {"head", MDC_SKIP},
+        {NULL, 0},
+    };
+    for (int i = 0; tbl[i].n; i++)
+        if (md_add_code(tbl[i].n, tbl[i].c) < 0) return -1;
+    md_space = PyUnicode_InternFromString(" ");
+    md_empty = PyUnicode_InternFromString("");
+    md_nl = PyUnicode_InternFromString("\n");
+    md_nl2 = PyUnicode_InternFromString("\n\n");
+    /* _BR sentinel NUL+"br"+NUL.  Two traps here (both fuzz-caught):
+     * explicit size (the leading NUL truncates PyUnicode_FromString
+     * to ""), and split literals (in one literal the C lexer eats
+     * "\x00b" as the single hex escape 0x0b, a vertical TAB). */
+    md_br = PyUnicode_FromStringAndSize("\x00" "br" "\x00", 4);
+    md_tag_b = PyUnicode_InternFromString("b");
+    md_tag_li = PyUnicode_InternFromString("li");
+    md_tag_cell = PyUnicode_InternFromString("cell");
+    md_ev_d = PyUnicode_InternFromString("d");
+    md_ev_b = PyUnicode_InternFromString("b");
+    md_href = PyUnicode_InternFromString("href");
+    md_alt = PyUnicode_InternFromString("alt");
+    md_src = PyUnicode_InternFromString("src");
+    md_name_attr = PyUnicode_InternFromString("name");
+    md_bq = PyUnicode_InternFromString("> ");
+    md_bq_empty = PyUnicode_InternFromString(">");
+    md_ul_mark = PyUnicode_InternFromString("- ");
+    md_pipe = PyUnicode_InternFromString(" | ");
+    md_empty_tuple = PyTuple_New(0);
+    const char *hp[7] = {NULL, "# ", "## ", "### ", "#### ",
+                         "##### ", "###### "};
+    for (int i = 1; i <= 6; i++)
+        md_hpfx[i] = PyUnicode_InternFromString(hp[i]);
+    PyObject *dashes = PyUnicode_InternFromString("---");
+    md_hr_tuple = dashes ? PyTuple_Pack(2, md_tag_b, dashes) : NULL;
+    Py_XDECREF(dashes);
+    if (!md_space || !md_empty || !md_nl || !md_nl2 || !md_br ||
+        !md_tag_b || !md_tag_li || !md_tag_cell || !md_ev_d ||
+        !md_href || !md_alt || !md_src || !md_name_attr || !md_bq ||
+        !md_bq_empty || !md_ul_mark || !md_pipe || !md_empty_tuple ||
+        !md_hr_tuple || !md_hpfx[6])
+        return -1;
+    md_ready = 1;
+    return 0;
+}
+
+/* " ".join(s.split()) */
+static PyObject *md_collapse(PyObject *s)
+{
+    PyObject *parts = PyUnicode_Split(s, NULL, -1);
+    if (!parts) return NULL;
+    PyObject *r = PyUnicode_Join(md_space, parts);
+    Py_DECREF(parts);
+    return r;
+}
+
+/* _collapse(s).replace(_BR, "\n") */
+static PyObject *md_collapse_br(PyObject *s)
+{
+    PyObject *c = md_collapse(s);
+    if (!c) return NULL;
+    Py_ssize_t pos = PyUnicode_Find(c, md_br, 0,
+                                    PyUnicode_GET_LENGTH(c), 1);
+    if (pos == -2) { Py_DECREF(c); return NULL; }
+    if (pos < 0) return c;            /* no sentinel: common case */
+    PyObject *r = PyUnicode_Replace(c, md_br, md_nl, -1);
+    Py_DECREF(c);
+    return r;
+}
+
+/* c is a non-str chunk: ("b"/"li"/"cell", text).  Borrowed refs
+ * through *tag/*txt for exact tuples, new refs otherwise (flagged by
+ * return 1).  -1 = error. */
+static int md_chunk_parts(PyObject *c, PyObject **tag, PyObject **txt)
+{
+    if (PyTuple_CheckExact(c) && PyTuple_GET_SIZE(c) == 2) {
+        *tag = PyTuple_GET_ITEM(c, 0);
+        *txt = PyTuple_GET_ITEM(c, 1);
+        return 0;
+    }
+    *tag = PySequence_GetItem(c, 0);
+    if (!*tag) return -1;
+    *txt = PySequence_GetItem(c, 1);
+    if (!*txt) { Py_DECREF(*tag); return -1; }
+    return 1;
+}
+
+static PyObject *md_merge_inline(PyObject *chunks, int collapse)
+{
+    Py_ssize_t n = PyList_GET_SIZE(chunks);
+    PyObject *s;
+    if (n == 1 && PyUnicode_CheckExact(PyList_GET_ITEM(chunks, 0))) {
+        s = PyList_GET_ITEM(chunks, 0);
+        Py_INCREF(s);
+    } else {
+        PyObject *parts = PyList_New(n);
+        if (!parts) return NULL;
+        for (Py_ssize_t i = 0; i < n; i++) {
+            PyObject *c = PyList_GET_ITEM(chunks, i);
+            if (PyUnicode_CheckExact(c)) {
+                Py_INCREF(c);
+                PyList_SET_ITEM(parts, i, c);
+                continue;
+            }
+            PyObject *tag, *txt;
+            int own = md_chunk_parts(c, &tag, &txt);
+            if (own < 0) { Py_DECREF(parts); return NULL; }
+            PyObject *w = PyUnicode_FromFormat("\n%U\n", txt);
+            if (own) { Py_DECREF(tag); Py_DECREF(txt); }
+            if (!w) { Py_DECREF(parts); return NULL; }
+            PyList_SET_ITEM(parts, i, w);
+        }
+        s = PyUnicode_Join(md_empty, parts);
+        Py_DECREF(parts);
+    }
+    if (!s || !collapse) return s;
+    PyObject *r = md_collapse_br(s);
+    Py_DECREF(s);
+    return r;
+}
+
+static PyObject *md_blocks(PyObject *chunks)
+{
+    Py_ssize_t n = PyList_GET_SIZE(chunks);
+    if (n == 1) {
+        PyObject *c = PyList_GET_ITEM(chunks, 0);
+        if (PyUnicode_CheckExact(c))
+            return md_merge_inline(chunks, 1);
+        PyObject *tag, *txt;
+        int own = md_chunk_parts(c, &tag, &txt);
+        if (own < 0) return NULL;
+        if (!own) { Py_INCREF(txt); }
+        else Py_DECREF(tag);
+        return txt;
+    }
+    int all_inline = 1;
+    for (Py_ssize_t i = 0; i < n; i++)
+        if (!PyUnicode_CheckExact(PyList_GET_ITEM(chunks, i))) {
+            all_inline = 0;
+            break;
+        }
+    if (all_inline)                    /* includes n == 0 */
+        return md_merge_inline(chunks, 1);
+    PyObject *out = PyList_New(0);
+    PyObject *run = PyList_New(0);
+    if (!out || !run) goto fail;
+    for (Py_ssize_t i = 0; i < n; i++) {
+        PyObject *c = PyList_GET_ITEM(chunks, i);
+        if (PyUnicode_CheckExact(c)) {
+            if (PyList_Append(run, c) < 0) goto fail;
+            continue;
+        }
+        PyObject *lead = md_merge_inline(run, 1);
+        if (!lead) goto fail;
+        if (PyList_SetSlice(run, 0, PyList_GET_SIZE(run), NULL) < 0) {
+            Py_DECREF(lead);
+            goto fail;
+        }
+        if (PyUnicode_GET_LENGTH(lead) &&
+            PyList_Append(out, lead) < 0) {
+            Py_DECREF(lead);
+            goto fail;
+        }
+        Py_DECREF(lead);
+        PyObject *tag, *txt;
+        int own = md_chunk_parts(c, &tag, &txt);
+        if (own < 0) goto fail;
+        int add = PyUnicode_Check(txt) ?
+            (PyUnicode_GET_LENGTH(txt) != 0) : PyObject_IsTrue(txt);
+        if (add < 0 || (add && PyList_Append(out, txt) < 0)) {
+            if (own) { Py_DECREF(tag); Py_DECREF(txt); }
+            goto fail;
+        }
+        if (own) { Py_DECREF(tag); Py_DECREF(txt); }
+    }
+    {
+        PyObject *tail = md_merge_inline(run, 1);
+        if (!tail) goto fail;
+        if (PyUnicode_GET_LENGTH(tail) &&
+            PyList_Append(out, tail) < 0) {
+            Py_DECREF(tail);
+            goto fail;
+        }
+        Py_DECREF(tail);
+    }
+    {
+        PyObject *r = PyUnicode_Join(md_nl2, out);
+        Py_DECREF(out); Py_DECREF(run);
+        return r;
+    }
+fail:
+    Py_XDECREF(out); Py_XDECREF(run);
+    return NULL;
+}
+
+/* lines[0] + subsequent non-empty lines prefixed with pad */
+static PyObject *md_indent(PyObject *text, PyObject *pad)
+{
+    PyObject *lines = PyUnicode_Split(text, md_nl, -1);
+    if (!lines) return NULL;
+    Py_ssize_t n = PyList_GET_SIZE(lines);
+    for (Py_ssize_t i = 1; i < n; i++) {
+        PyObject *l = PyList_GET_ITEM(lines, i);
+        if (!PyUnicode_GET_LENGTH(l)) continue;
+        PyObject *w = PyUnicode_Concat(pad, l);
+        if (!w) { Py_DECREF(lines); return NULL; }
+        PyList_SetItem(lines, i, w);   /* steals w, drops l */
+    }
+    PyObject *r = PyUnicode_Join(md_nl, lines);
+    Py_DECREF(lines);
+    return r;
+}
+
+/* _attr(attrs, name): first pair with k == name -> str(v) (new ref);
+ * NULL with no exception set = attribute absent. */
+static PyObject *md_attr(PyObject *attrs, PyObject *name)
+{
+    PyObject *fast = PySequence_Fast(attrs, "md attrs");
+    if (!fast) return NULL;
+    Py_ssize_t n = PySequence_Fast_GET_SIZE(fast);
+    PyObject **items = PySequence_Fast_ITEMS(fast);
+    for (Py_ssize_t i = 0; i < n; i++) {
+        PyObject *pair = items[i];
+        PyObject *k, *v;
+        if (PyTuple_CheckExact(pair) && PyTuple_GET_SIZE(pair) == 2) {
+            k = PyTuple_GET_ITEM(pair, 0);
+            v = PyTuple_GET_ITEM(pair, 1);
+        } else
+            continue;
+        if (!PyUnicode_Check(k) || PyUnicode_Compare(k, name) != 0)
+            continue;
+        PyObject *r = PyUnicode_Check(v) ? (Py_INCREF(v), v)
+                                         : PyObject_Str(v);
+        Py_DECREF(fast);
+        return r;
+    }
+    Py_DECREF(fast);
+    return NULL;
+}
+
+static int md_str_eq(PyObject *a, PyObject *b)
+{
+    if (a == b) return 1;
+    if (!PyUnicode_Check(a) || !PyUnicode_Check(b)) return 0;
+    return PyUnicode_Compare(a, b) == 0;
+}
+
+static int md_extend(PyObject *out, PyObject *src)
+{
+    Py_ssize_t n = PyList_GET_SIZE(out);
+    return PyList_SetSlice(out, n, n, src);
+}
+
+/* append ("tag", txt) to out; steals txt */
+static int md_append_tagged(PyObject *out, PyObject *tag, PyObject *txt)
+{
+    PyObject *t = PyTuple_Pack(2, tag, txt);
+    Py_DECREF(txt);
+    if (!t) return -1;
+    int r = PyList_Append(out, t);
+    Py_DECREF(t);
+    return r;
+}
+
+/* _fold(fname, attrs, chunks, in_pre) appended into out.  Mirrors
+ * markdown.py _fold rule for rule — keep the two in lockstep. */
+static int md_fold_into(int code, PyObject *attrs, PyObject *chunks,
+                        int in_pre, PyObject *out)
+{
+    if (in_pre && code != MDC_PRE) {
+        if (code == MDC_BR)
+            return PyList_Append(out, md_nl);
+        if (MD_PRE_LINE(code)) {
+            if (md_extend(out, chunks) < 0) return -1;
+            return PyList_Append(out, md_nl);
+        }
+        return md_extend(out, chunks);
+    }
+    switch (code) {
+    case MDC_H1: case MDC_H2: case MDC_H3:
+    case MDC_H4: case MDC_H5: case MDC_H6: {
+        PyObject *t = md_merge_inline(chunks, 1);
+        if (!t) return -1;
+        PyObject *h = PyUnicode_Concat(md_hpfx[code], t);
+        Py_DECREF(t);
+        if (!h) return -1;
+        return md_append_tagged(out, md_tag_b, h);
+    }
+    case MDC_P: {
+        PyObject *t = md_blocks(chunks);
+        if (!t) return -1;
+        if (!PyUnicode_GET_LENGTH(t)) { Py_DECREF(t); return 0; }
+        return md_append_tagged(out, md_tag_b, t);
+    }
+    case MDC_WRAP2: case MDC_WRAP1: {
+        PyObject *t;
+        if (PyList_GET_SIZE(chunks) == 1 &&
+            PyUnicode_CheckExact(PyList_GET_ITEM(chunks, 0)))
+            t = md_collapse_br(PyList_GET_ITEM(chunks, 0));
+        else
+            t = md_merge_inline(chunks, 1);
+        if (!t) return -1;
+        if (!PyUnicode_GET_LENGTH(t)) { Py_DECREF(t); return 0; }
+        PyObject *w = (code == MDC_WRAP2)
+            ? PyUnicode_FromFormat("**%U**", t)
+            : PyUnicode_FromFormat("*%U*", t);
+        Py_DECREF(t);
+        if (!w) return -1;
+        int r = PyList_Append(out, w);
+        Py_DECREF(w);
+        return r;
+    }
+    case MDC_A: {
+        PyObject *t;
+        if (PyList_GET_SIZE(chunks) == 1 &&
+            PyUnicode_CheckExact(PyList_GET_ITEM(chunks, 0)))
+            t = md_collapse_br(PyList_GET_ITEM(chunks, 0));
+        else
+            t = md_merge_inline(chunks, 1);
+        if (!t) return -1;
+        PyObject *href = md_attr(attrs, md_href);
+        if (!href && PyErr_Occurred()) { Py_DECREF(t); return -1; }
+        int href_true = href && PyUnicode_GET_LENGTH(href);
+        if (!PyUnicode_GET_LENGTH(t)) {
+            /* t = href or "" */
+            Py_DECREF(t);
+            if (href_true) { t = href; Py_INCREF(t); }
+            else { t = md_empty; Py_INCREF(t); }
+        }
+        PyObject *res;
+        if (href_true)
+            res = PyUnicode_FromFormat("[%U](%U)", t, href);
+        else {
+            res = t;
+            Py_INCREF(res);
+        }
+        Py_DECREF(t);
+        Py_XDECREF(href);
+        if (!res) return -1;
+        int r = PyList_Append(out, res);
+        Py_DECREF(res);
+        return r;
+    }
+    case MDC_IMG: {
+        PyObject *alt = md_attr(attrs, md_alt);
+        if (!alt) {
+            if (PyErr_Occurred()) return -1;
+            alt = md_empty; Py_INCREF(alt);
+        }
+        PyObject *src = md_attr(attrs, md_src);
+        if (!src) {
+            if (PyErr_Occurred()) { Py_DECREF(alt); return -1; }
+            src = md_empty; Py_INCREF(src);
+        }
+        PyObject *res = PyUnicode_FromFormat("![%U](%U)", alt, src);
+        Py_DECREF(alt); Py_DECREF(src);
+        if (!res) return -1;
+        int r = PyList_Append(out, res);
+        Py_DECREF(res);
+        return r;
+    }
+    case MDC_BR:
+        return PyList_Append(out, md_br);
+    case MDC_HR:
+        return PyList_Append(out, md_hr_tuple);
+    case MDC_CODE: {
+        PyObject *t = md_merge_inline(chunks, 1);
+        if (!t) return -1;
+        if (!PyUnicode_GET_LENGTH(t)) { Py_DECREF(t); return 0; }
+        PyObject *w = PyUnicode_FromFormat("`%U`", t);
+        Py_DECREF(t);
+        if (!w) return -1;
+        int r = PyList_Append(out, w);
+        Py_DECREF(w);
+        return r;
+    }
+    case MDC_PRE: {
+        PyObject *raw = md_merge_inline(chunks, 0);
+        if (!raw) return -1;
+        PyObject *stripped = PyObject_CallMethod(raw, "strip", "s",
+                                                 "\n");
+        Py_DECREF(raw);
+        if (!stripped) return -1;
+        PyObject *body = PyUnicode_FromFormat("```\n%U\n```",
+                                              stripped);
+        Py_DECREF(stripped);
+        if (!body) return -1;
+        return md_append_tagged(out, md_tag_b, body);
+    }
+    case MDC_BLOCKQUOTE: {
+        PyObject *body = md_blocks(chunks);
+        if (!body) return -1;
+        PyObject *lines = PyUnicode_Split(body, md_nl, -1);
+        Py_DECREF(body);
+        if (!lines) return -1;
+        Py_ssize_t n = PyList_GET_SIZE(lines);
+        for (Py_ssize_t i = 0; i < n; i++) {
+            PyObject *l = PyList_GET_ITEM(lines, i);
+            PyObject *w;
+            if (PyUnicode_GET_LENGTH(l))
+                w = PyUnicode_Concat(md_bq, l);
+            else {
+                w = md_bq_empty;
+                Py_INCREF(w);
+            }
+            if (!w) { Py_DECREF(lines); return -1; }
+            PyList_SetItem(lines, i, w);
+        }
+        PyObject *joined = PyUnicode_Join(md_nl, lines);
+        Py_DECREF(lines);
+        if (!joined) return -1;
+        return md_append_tagged(out, md_tag_b, joined);
+    }
+    case MDC_LI: {
+        PyObject *b = md_blocks(chunks);
+        if (!b) return -1;
+        PyObject *t = PyUnicode_Replace(b, md_nl2, md_nl, -1);
+        Py_DECREF(b);
+        if (!t) return -1;
+        return md_append_tagged(out, md_tag_li, t);
+    }
+    case MDC_UL: case MDC_OL: {
+        PyObject *items = PyList_New(0);
+        if (!items) return -1;
+        long cnt = 0;
+        Py_ssize_t n = PyList_GET_SIZE(chunks);
+        for (Py_ssize_t i = 0; i < n; i++) {
+            PyObject *c = PyList_GET_ITEM(chunks, i);
+            if (PyUnicode_CheckExact(c)) continue;
+            PyObject *tag, *txt;
+            int own = md_chunk_parts(c, &tag, &txt);
+            if (own < 0) { Py_DECREF(items); return -1; }
+            if (!md_str_eq(tag, md_tag_li)) {
+                if (own) { Py_DECREF(tag); Py_DECREF(txt); }
+                continue;
+            }
+            cnt++;
+            PyObject *mark = (code == MDC_UL)
+                ? (Py_INCREF(md_ul_mark), md_ul_mark)
+                : PyUnicode_FromFormat("%ld. ", cnt);
+            if (!mark) {
+                if (own) { Py_DECREF(tag); Py_DECREF(txt); }
+                Py_DECREF(items);
+                return -1;
+            }
+            PyObject *pad = PySequence_Repeat(
+                md_space, PyUnicode_GET_LENGTH(mark));
+            PyObject *ind = pad ? md_indent(txt, pad) : NULL;
+            Py_XDECREF(pad);
+            if (own) { Py_DECREF(tag); Py_DECREF(txt); }
+            PyObject *item = ind ? PyUnicode_Concat(mark, ind) : NULL;
+            Py_XDECREF(ind);
+            Py_DECREF(mark);
+            if (!item || PyList_Append(items, item) < 0) {
+                Py_XDECREF(item);
+                Py_DECREF(items);
+                return -1;
+            }
+            Py_DECREF(item);
+        }
+        if (!PyList_GET_SIZE(items)) { Py_DECREF(items); return 0; }
+        PyObject *joined = PyUnicode_Join(md_nl, items);
+        Py_DECREF(items);
+        if (!joined) return -1;
+        return md_append_tagged(out, md_tag_b, joined);
+    }
+    case MDC_TD: case MDC_TH: {
+        PyObject *t = md_merge_inline(chunks, 1);
+        if (!t) return -1;
+        return md_append_tagged(out, md_tag_cell, t);
+    }
+    case MDC_TR: {
+        PyObject *cells = PyList_New(0);
+        if (!cells) return -1;
+        Py_ssize_t n = PyList_GET_SIZE(chunks);
+        for (Py_ssize_t i = 0; i < n; i++) {
+            PyObject *c = PyList_GET_ITEM(chunks, i);
+            if (PyUnicode_CheckExact(c)) continue;
+            PyObject *tag, *txt;
+            int own = md_chunk_parts(c, &tag, &txt);
+            if (own < 0) { Py_DECREF(cells); return -1; }
+            int is_cell = md_str_eq(tag, md_tag_cell);
+            if (is_cell && PyList_Append(cells, txt) < 0) {
+                if (own) { Py_DECREF(tag); Py_DECREF(txt); }
+                Py_DECREF(cells);
+                return -1;
+            }
+            if (own) { Py_DECREF(tag); Py_DECREF(txt); }
+        }
+        if (PyList_GET_SIZE(cells)) {
+            PyObject *joined = PyUnicode_Join(md_pipe, cells);
+            Py_DECREF(cells);
+            if (!joined) return -1;
+            return md_append_tagged(out, md_tag_b, joined);
+        }
+        Py_DECREF(cells);
+        /* no cells: every chunk passes the not-a-cell filter */
+        return md_extend(out, chunks);
+    }
+    default:
+        return md_extend(out, chunks);
+    }
+}
+
+/* fold-name code for a frame's fname (0 = transparent) */
+static int md_code_of(PyObject *fname)
+{
+    PyObject *v = PyDict_GetItemWithError(md_codes, fname);
+    if (v) return (int)PyLong_AS_LONG(v);
+    return PyErr_Occurred() ? -1 : MDC_TRANSPARENT;
+}
+
+/* _fold_name(e.name): str-coerce, strip to after last ':', lower */
+static PyObject *md_fold_name(PyObject *e)
+{
+    PyObject *raw = PyObject_GetAttr(e, md_name_attr);
+    if (!raw) return NULL;
+    PyObject *name = PyUnicode_Check(raw) ? raw : PyObject_Str(raw);
+    if (name != raw) Py_DECREF(raw);
+    if (!name) return NULL;
+    Py_ssize_t len = PyUnicode_GET_LENGTH(name);
+    Py_ssize_t colon = PyUnicode_FindChar(name, ':', 0, len, -1);
+    if (colon >= 0) {
+        PyObject *sub = PyUnicode_Substring(name, colon + 1, len);
+        Py_DECREF(name);
+        if (!sub) return NULL;
+        name = sub;
+    }
+    PyObject *lower = PyObject_CallMethod(name, "lower", NULL);
+    Py_DECREF(name);
+    return lower;
+}
+
+static PyObject *md_drain_impl(PyObject *self, PyObject *args)
+{
+    (void)self;
+    PyObject *tape, *frames, *mds, *convert, *def_fold, *def_keep;
+    long skip;
+    if (!PyArg_ParseTuple(args, "O!O!O!lOO!O!",
+                          &PyList_Type, &tape,
+                          &PyList_Type, &frames,
+                          &PyList_Type, &mds,
+                          &skip, &convert,
+                          &PyDict_Type, &def_fold,
+                          &PyList_Type, &def_keep))
+        return NULL;
+    if (md_init() < 0) return NULL;
+
+    Py_ssize_t nev = PyList_GET_SIZE(tape);
+    for (Py_ssize_t ti = 0; ti < nev; ti++) {
+        PyObject *ev = PyList_GET_ITEM(tape, ti);
+        if (!PyTuple_CheckExact(ev) || PyTuple_GET_SIZE(ev) < 1) {
+            PyErr_SetString(PyExc_SystemError,
+                            "md_drain: malformed tape event");
+            return NULL;
+        }
+        PyObject *k = PyTuple_GET_ITEM(ev, 0);
+        if (k == md_ev_d || (k != md_ev_b && md_str_eq(k, md_ev_d))) {
+            /* ("d", s, ...) */
+            if (skip) continue;
+            PyObject *s = PyTuple_GET_ITEM(ev, 1);
+            if (!PyUnicode_Check(s)) {
+                PyErr_SetString(PyExc_SystemError,
+                                "md_drain: non-str data event");
+                return NULL;
+            }
+            Py_ssize_t nf = PyList_GET_SIZE(frames);
+            if (nf) {
+                if (PyUnicode_GET_LENGTH(s)) {
+                    PyObject *chunks = PyList_GET_ITEM(
+                        PyList_GET_ITEM(frames, nf - 1), 2);
+                    if (PyList_Append(chunks, s) < 0) return NULL;
+                }
+            } else if (PyUnicode_GET_LENGTH(s)) {
+                PyObject *md = md_collapse(s);
+                if (!md) return NULL;
+                if (PyUnicode_GET_LENGTH(md) &&
+                    PyList_Append(mds, md) < 0) {
+                    Py_DECREF(md);
+                    return NULL;
+                }
+                Py_DECREF(md);
+            }
+        } else if (md_str_eq(k, md_ev_b)) {
+            /* ("b", entry, ...) with entry = ('b', e, atts, ...) */
+            if (skip) { skip++; continue; }
+            PyObject *entry = PyTuple_GET_ITEM(ev, 1);
+            if (!PyTuple_CheckExact(entry) ||
+                PyTuple_GET_SIZE(entry) < 3) {
+                PyErr_SetString(PyExc_SystemError,
+                                "md_drain: malformed begin entry");
+                return NULL;
+            }
+            PyObject *e = PyTuple_GET_ITEM(entry, 1);
+            PyObject *atts = PyTuple_GET_ITEM(entry, 2);
+            PyObject *key = PyLong_FromVoidPtr(e);   /* == id(e) */
+            if (!key) return NULL;
+            PyObject *fname = PyDict_GetItemWithError(def_fold, key);
+            if (fname)
+                Py_INCREF(fname);
+            else {
+                if (PyErr_Occurred()) { Py_DECREF(key); return NULL; }
+                fname = md_fold_name(e);    /* owned */
+                if (!fname) { Py_DECREF(key); return NULL; }
+                if (PyDict_GET_SIZE(def_fold) < 4096 &&
+                    (PyDict_SetItem(def_fold, key, fname) < 0 ||
+                     PyList_Append(def_keep, e) < 0)) {
+                    Py_DECREF(key); Py_DECREF(fname);
+                    return NULL;
+                }
+            }
+            Py_DECREF(key);
+            int code = md_code_of(fname);
+            if (code < 0) { Py_DECREF(fname); return NULL; }
+            Py_ssize_t nf = PyList_GET_SIZE(frames);
+            int in_pre;
+            if (nf) {
+                if (code == MDC_SKIP) {
+                    skip = 1;
+                    Py_DECREF(fname);
+                    continue;
+                }
+                PyObject *top = PyList_GET_ITEM(frames, nf - 1);
+                in_pre = (PyList_GET_ITEM(top, 3) == Py_True) ||
+                         code == MDC_PRE;
+            } else
+                in_pre = code == MDC_PRE;
+            PyObject *attrs;
+            int want = (code == MDC_A || code == MDC_IMG);
+            int atts_true = want ? PyObject_IsTrue(atts) : 0;
+            if (atts_true < 0) { Py_DECREF(fname); return NULL; }
+            if (want && atts_true) {
+                attrs = PyObject_CallFunctionObjArgs(convert, atts,
+                                                     NULL);
+                if (!attrs) { Py_DECREF(fname); return NULL; }
+            } else {
+                attrs = md_empty_tuple;
+                Py_INCREF(attrs);
+            }
+            PyObject *chunks = PyList_New(0);
+            PyObject *frame = chunks ? PyList_New(4) : NULL;
+            if (!frame) {
+                Py_XDECREF(chunks); Py_DECREF(attrs);
+                Py_DECREF(fname);
+                return NULL;
+            }
+            PyList_SET_ITEM(frame, 0, fname);         /* steals */
+            PyList_SET_ITEM(frame, 1, attrs);
+            PyList_SET_ITEM(frame, 2, chunks);
+            PyObject *pre = in_pre ? Py_True : Py_False;
+            Py_INCREF(pre);
+            PyList_SET_ITEM(frame, 3, pre);
+            int r = PyList_Append(frames, frame);
+            Py_DECREF(frame);
+            if (r < 0) return NULL;
+        } else {
+            /* ("e", name) */
+            if (skip) { skip--; continue; }
+            Py_ssize_t nf = PyList_GET_SIZE(frames);
+            if (!nf) {
+                PyErr_SetString(PyExc_SystemError,
+                                "md_drain: end with no open frame");
+                return NULL;
+            }
+            PyObject *frame = PyList_GET_ITEM(frames, nf - 1);
+            Py_INCREF(frame);
+            if (PyList_SetSlice(frames, nf - 1, nf, NULL) < 0) {
+                Py_DECREF(frame);
+                return NULL;
+            }
+            PyObject *fname = PyList_GET_ITEM(frame, 0);
+            PyObject *attrs = PyList_GET_ITEM(frame, 1);
+            PyObject *chunks = PyList_GET_ITEM(frame, 2);
+            nf--;
+            int parent_pre = nf &&
+                PyList_GET_ITEM(PyList_GET_ITEM(frames, nf - 1), 3)
+                    == Py_True;
+            int code = md_code_of(fname);
+            if (code < 0) { Py_DECREF(frame); return NULL; }
+            int special = parent_pre || MD_SPECIAL(code);
+            if (nf) {
+                PyObject *pchunks = PyList_GET_ITEM(
+                    PyList_GET_ITEM(frames, nf - 1), 2);
+                int r = special
+                    ? md_fold_into(code, attrs, chunks, parent_pre,
+                                   pchunks)
+                    : md_extend(pchunks, chunks);
+                Py_DECREF(frame);
+                if (r < 0) return NULL;
+            } else {
+                PyObject *folded;
+                if (special) {
+                    folded = PyList_New(0);
+                    if (!folded ||
+                        md_fold_into(code, attrs, chunks, parent_pre,
+                                     folded) < 0) {
+                        Py_XDECREF(folded);
+                        Py_DECREF(frame);
+                        return NULL;
+                    }
+                } else {
+                    folded = chunks;
+                    Py_INCREF(folded);
+                }
+                PyObject *md = md_blocks(folded);
+                Py_DECREF(folded);
+                Py_DECREF(frame);
+                if (!md) return NULL;
+                if (PyUnicode_GET_LENGTH(md) &&
+                    PyList_Append(mds, md) < 0) {
+                    Py_DECREF(md);
+                    return NULL;
+                }
+                Py_DECREF(md);
+            }
+        }
+    }
+    return PyLong_FromLong(skip);
+}
+
 static PyMethodDef methods[] = {
     {"make_ctx", make_ctx, METH_VARARGS,
      "make_ctx(dtd, consts, callbacks) -> Ctx"},
+    {"md_drain", md_drain_impl, METH_VARARGS,
+     "md_drain(tape, frames, mds, skip, convert, def_fold, def_keep)"
+     " -> new skip"},
     {"pcdata_fast", pcdata_fast, METH_VARARGS,
      "pcdata_fast(ctx, parser, text, i, n, utf8) -> new_i or -1"},
     {"ctx_stats", ctx_stats, METH_VARARGS,

@@ -254,6 +254,22 @@ def dom_to_markdown(dom) -> str:
 
 from .parser import SGMLParser  # noqa: E402  (parser does not import us)
 
+# compiled fold drain (md_drain in _cspeed.c) — resolved lazily so a
+# build failure degrades to the Python loop; C_MD_DRAIN is the test
+# kill switch (SGML_FAST_C=0 already kills the whole C module, which
+# also kills tape mode itself)
+C_MD_DRAIN = True
+_C_MD = None
+
+
+def _c_md_drain():
+    global _C_MD
+    if _C_MD is None:
+        from .cspeed import MOD
+        _C_MD = (getattr(MOD, "md_drain", None)
+                 if MOD is not None else False)
+    return _C_MD or None
+
 
 class MarkdownParser(SGMLParser):
     """Markdown extraction fast path: folds begin/data/end events into
@@ -330,10 +346,31 @@ class MarkdownParser(SGMLParser):
     def markdown(self):
         return "\n\n".join(self._mds)
 
-    def _drain_tape(self, ns_snap=None, _fold=_fold,
-                    _fold_name=_fold_name, _blocks=_blocks,
-                    _collapse=_collapse, _SKIP=_SKIP,
-                    _SPECIAL=_SPECIAL, _WANT_ATTRS=_WANT_ATTRS):
+    def _drain_tape(self, ns_snap=None):
+        """Dispatch: compiled fold drain when the C module carries it
+        (md_drain in _cspeed.c — the same loop and fold rules in C,
+        operating on the SAME Python frame/chunk/memo structures so
+        Python ev_* events interleave freely), else the pure-Python
+        loop below.  C_MD_DRAIN=False forces Python (differential
+        tests); byte-parity is pinned by tests/test_markdown.py."""
+        fn = _c_md_drain() if C_MD_DRAIN else None
+        if fn is None:
+            return self._drain_tape_py(ns_snap)
+        cache = getattr(self.dtd, "_md_fold_cache", None)
+        if cache is None:
+            cache = self.dtd._md_fold_cache = ({}, [])
+        tape = self._c_tape
+        try:
+            self._skip = fn(tape, self._frames, self._mds,
+                            self._skip, self.convert_attributes,
+                            cache[0], cache[1])
+        finally:
+            del tape[:]
+
+    def _drain_tape_py(self, ns_snap=None, _fold=_fold,
+                       _fold_name=_fold_name, _blocks=_blocks,
+                       _collapse=_collapse, _SKIP=_SKIP,
+                       _SPECIAL=_SPECIAL, _WANT_ATTRS=_WANT_ATTRS):
         # keyword defaults bind the fold helpers as locals: the loop
         # below runs once per parse event on the crawl hot path
         """Markdown tape drain: one tight loop folding tape events

@@ -185,3 +185,65 @@ def test_markdown_event_sink_differential_dialects():
 def test_markdown_event_sink_deep_dom():
     html = b"<div>" * 6000 + b"deep text" + b"</div>" * 6000
     assert _md_events(html) == _md(html) == "deep text"
+
+
+# ------------------------------------------------------------------
+# r8 session 2: compiled fold drain (md_drain in _cspeed.c)
+# ------------------------------------------------------------------
+
+def _md_events_arm(html, use_c, dialect="html5"):
+    from packages_sgml_spark.core import markdown as M
+    from packages_sgml_spark.core.markdown import MarkdownParser
+    old = M.C_MD_DRAIN
+    M.C_MD_DRAIN = use_c
+    try:
+        p = MarkdownParser(ParserOptions(dialect=dialect,
+                                         encoding="utf-8"))
+        p.parse(html)
+        return p.markdown()
+    finally:
+        M.C_MD_DRAIN = old
+
+
+def test_markdown_c_drain_differential_fuzz():
+    """C md_drain vs the pure-Python drain loop, same fuzz grammar as
+    the walker differential (both arms share _fold only on the Python
+    side — the C side is an independent reimplementation)."""
+    from packages_sgml_spark.core import markdown as M
+    if M._c_md_drain() is None:
+        import pytest
+        pytest.skip("compiled md_drain unavailable")
+    import random
+    rng = random.Random(987)
+    bits = ["<p>", "</p>", "<b>", "</i>", "<ul>", "<li>", "</ul>",
+            "<pre>", "</pre>", "<a href='x'>", "</a>", "<h2>", "<br>",
+            "text ", "&amp;", "&#66;", "<code>", "more\nwords ",
+            '<img src="i">', "<blockquote>", "<table><tr><td>c",
+            "<script>var x=1;</script>", "<style>p{}</style>",
+            "<ol><li>one<li>two</ol>", "<td>", "</td>", "<hr>",
+            "\xe9 caf\xe9 ", "<", ">", '"', "</html>", "<div>",
+            "</div>", "<h6>", "<pre><div>l</div></pre>",
+            "<noscript>no</noscript>", "<em>e</em>", "<strong>s",
+            "<table><tr><td>a<td>b</tr></table>"]
+    for dialect in ("html5", "xml", "xhtml5"):
+        for _ in range(120):
+            doc = "".join(rng.choice(bits)
+                          for _ in range(rng.randint(1, 80)))
+            html = doc.encode("utf-8")
+            assert (_md_events_arm(html, True, dialect) ==
+                    _md_events_arm(html, False, dialect)), \
+                (dialect, doc)
+
+
+def test_markdown_c_drain_br_sentinel():
+    """The _BR sentinel is NUL+'br'+NUL: pins the two C literal traps
+    (leading NUL truncating PyUnicode_FromString; '\\x00b' lexing as
+    the single hex escape 0x0b) that each shipped a broken sentinel
+    once.  br inside td exercises sentinel replacement through the
+    cell merge."""
+    html = b"<table><tr><td>c<br>d<td>x</table>"
+    want = "c\nd | x"
+    assert _md_events_arm(html, False) == want
+    from packages_sgml_spark.core import markdown as M
+    if M._c_md_drain() is not None:
+        assert _md_events_arm(html, True) == want
