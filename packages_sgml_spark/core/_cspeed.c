@@ -1355,6 +1355,95 @@ static int check_complete(Sess *S, CEnv *env)
     return r;
 }
 
+/* --------------------------------------------------------------
+ * <br>-shape implied close (r8).
+ *
+ * A defined C_EMPTY element (<br>/<img>/<hr>/<meta> in the HTML
+ * DTDs) has NO self-closing event: it stays on the stack until the
+ * next token forces the close through open_element's omit-close
+ * walk / close_element's unwind / pop_to (parser.py:3219-3235).
+ * Its engine is None (env sidx -1), so every following token used
+ * to bail the executor — real crawl HTML round-tripped to Python
+ * once per <br>.  The helpers below commit that single silent pop
+ * in C when (and only when) the incoming token resolves DIRECTLY
+ * one level up, which is exactly the one pop Python's walk would
+ * take; anything deeper stays a pre-commit bail.
+ * -------------------------------------------------------------- */
+
+/* top env is a defined, omit-closable, complete C_EMPTY element.
+ * 1 = yes, 0 = no, -1 = error. */
+static int empty_top_closable(CtxObject *c, Sess *S)
+{
+    if (S->depth < 2) return 0;
+    CEnv *tenv = &S->env[S->depth - 1];
+    CElem *tp = &c->elems[tenv->eidx];
+    if (!tp->has_struct || tp->undefined ||
+        tp->stype != c->C_EMPTY || !tp->omit_close)
+        return 0;
+    /* pop_to validates completeness; C_EMPTY is always complete
+     * (engine None -> final_ -1) but mirror the check exactly */
+    int okc = check_complete(S, tenv);
+    if (okc < 0) return -1;
+    if (!okc) return 0;
+    /* pop restores the parent's shortref map; identical maps (both
+     * NULL inside an executor session) make it a no-op */
+    return S->env[S->depth - 2].map == tenv->map;
+}
+
+/* the committed pop itself: ev_end(name) + depth--, pop_to
+ * semantics (silent: caller verified omit_close + completeness +
+ * no pending cdata via the prepare guard) */
+static int implied_close_empty_top(CtxObject *c, Sess *S)
+{
+    CEnv *tenv = &S->env[S->depth - 1];
+    if (tape_end(S, c->elems[tenv->eidx].name) < 0) return -1;
+    S->first = 0;
+    S->depth--;
+    if (S->depth < S->survive) S->survive = S->depth;
+    return 0;
+}
+
+/* #PCDATA open on env — cdata_memo probe, undefined-parent allow,
+ * fresh transition (parser.open_element's CDATA paths).  1 = opened
+ * (sidx advanced, cmbe cleared), 0 = cannot (no mutation), -1 = err.
+ * as_top=0 when env is reached through the omit-close walk (the
+ * implied-close-of-<br> path): open_element applies the
+ * undefined-parent allow_for branch ONLY to the env that is top at
+ * entry — mid-walk envs get make_dtd_transition alone (soup
+ * differential caught the allow-branch leaking a silent open where
+ * Python gripes "#PCDATA not allowed here"). */
+static int pcdata_open(CtxObject *c, Sess *S, CEnv *env, int as_top)
+{
+    if (env->cm_in >= 0 && env->cm_in == env->sidx) {
+        env->sidx = env->cm_out;
+        env->dirty = env->py_env != NULL;
+        S->cmbe = 0;
+        return 1;
+    }
+    CElem *pe = &c->elems[env->eidx];
+    if (pe->undefined && pe->has_struct) {
+        if (!as_top) return 0;
+        int am = allow_member(c, env->eidx, CDATA_EIDX);
+        if (am == -9) return -1;
+        if (am) { S->cmbe = 0; return 1; }
+        return 0;
+    }
+    if (!pe->undefined && pe->has_struct && pe->stype != c->C_ANY &&
+        env->sidx >= 0) {
+        int new_s = trans_get(c, env->sidx, CDATA_EIDX);
+        if (new_s == -9) return -1;
+        if (new_s >= 0) {
+            env->cm_in = env->sidx;
+            env->cm_out = new_s;
+            env->sidx = new_s;
+            env->dirty = env->py_env != NULL;
+            S->cmbe = 0;
+            return 1;
+        }
+    }
+    return 0;
+}
+
 /* ------------------------------------------------------------------
  * Shape fast path: value-independent begin-tag replay.
  *
@@ -1847,7 +1936,59 @@ static PyObject *pcdata_fast(PyObject *self, PyObject *args)
 
             if (kind == 1) {
                 /* ---------- begin tag ---------- */
-                if (hit && TAG_EMPTY(entry)) break;  /* close: bail */
+                int is_empty = hit ? TAG_EMPTY(entry) : 0;
+                if (is_empty) {
+                    /* EMPTY begin commits as begin+immediate close
+                     * (parser._replay_tag: push, _emit_begin,
+                     * close_element) — net zero env change, so the
+                     * commit below skips the push and emits both
+                     * tape events.  Kept in Python: conref (resets
+                     * cdata_state) and CDATA/RCDATA-typed elements
+                     * (<style/> state switch semantics). */
+                    if (TAG_CONREF(entry)) break;
+                    if (!ce->undefined && ce->has_struct &&
+                        (ce->stype == c->C_CDATA ||
+                         ce->stype == c->C_RCDATA)) break;
+                    /* close_element validates completeness at the
+                     * element's INITIAL state (no content consumed);
+                     * a would-gripe (<x/> with an unsatisfied model)
+                     * bails to Python pre-commit */
+                    CEnv etmp; etmp.eidx = eidx; etmp.sidx = -1;
+                    if (!ce->undefined && ce->has_struct &&
+                        ce->stype != c->C_ANY) {
+                        if (elem_resolve_engine(c, eidx) < 0) FAIL();
+                        etmp.sidx = ce->initial;
+                    }
+                    int okc = check_complete(&S, &etmp);
+                    if (okc < 0) FAIL();
+                    if (!okc) break;             /* would gripe: bail */
+                }
+                /* <br>-shape top: implied-close it when the incoming
+                 * element transitions DIRECTLY one level up (the one
+                 * pop Python's omit-close walk would take; no pending
+                 * cdata possible — the prepare guard bailed that).
+                 * fits is checked BEFORE the close commits: a
+                 * non-fitting element must reach Python with the
+                 * C_EMPTY top still open (the gripe-and-push-under
+                 * path nests under it). */
+                {
+                    int et = empty_top_closable(c, &S);
+                    if (et < 0) FAIL();
+                    if (et) {
+                        CEnv *up = &S.env[S.depth - 2];
+                        CElem *ue = &c->elems[up->eidx];
+                        int fits = 0;
+                        if (!ue->undefined && ue->has_struct &&
+                            ue->stype != c->C_ANY && up->sidx >= 0) {
+                            int t2 = trans_get(c, up->sidx, eidx);
+                            if (t2 == -9) FAIL();
+                            fits = t2 >= 0;
+                        }
+                        if (!fits) break;
+                        if (implied_close_empty_top(c, &S) < 0)
+                            FAIL();
+                    }
+                }
                 if (!S.depth) break;             /* open_element: bail */
                 if (S.depth + 1 >= MAX_DEPTH) break;   /* deep: bail */
                 int sflag = hit ? TAG_SPACE(entry) : sh_sflag;
@@ -1946,6 +2087,22 @@ undef_push:
                 if (nl) { S.line += nl; S.linepos = tag_end - lastlf; }
                 else S.linepos += tl;
 
+                if (is_empty) {
+                    /* begin + immediate close, no push: map/space
+                     * mode installs are net-zero (pushed then popped
+                     * with nothing parsed in between), completeness
+                     * was validated pre-commit above.  Python event
+                     * order: _emit_begin then close_element's
+                     * ev_end (parser._replay_tag). */
+                    int ti = TAG_TIDX(entry);
+                    if (ti && tape_begin(&S, c->tag_objs[ti - 1]) < 0)
+                        FAIL();
+                    if (tape_end(&S, ce->name) < 0) FAIL();
+                    S.first = 0;
+                    i = tag_end + 1;
+                    continue;
+                }
+
                 CEnv *nenv = &S.env[S.depth++];
                 nenv->eidx = eidx;
                 nenv->py_env = NULL;
@@ -2034,6 +2191,17 @@ undef_push:
             }
 
             /* ---------- end tag ---------- */
+            /* <br>-shape top: close_element's unwind pops it first
+             * (silently — omit_close + complete) when the end tag
+             * names the element one level up */
+            {
+                int et = empty_top_closable(c, &S);
+                if (et < 0) FAIL();
+                if (et && S.depth >= 2 &&
+                    S.env[S.depth - 2].eidx == eidx) {
+                    if (implied_close_empty_top(c, &S) < 0) FAIL();
+                }
+            }
             if (!S.depth || S.env[S.depth - 1].eidx != eidx)
                 break;                  /* close_element walk: bail */
             {
@@ -2120,12 +2288,28 @@ undef_push:
             if (S.blank_cdata && (fe->kind == 2 || !fe->is_blank)) {
                 CEnv *env = S.depth ? &S.env[S.depth - 1] : NULL;
                 int handled = 0;
-                if (env && env->cm_in >= 0 && env->cm_in == env->sidx) {
+                /* <br>-shape top: same up-open-then-implied-close as
+                 * the span open (entity directly after <br>) */
+                int et = empty_top_closable(c, &S);
+                if (et < 0) FAIL();
+                if (et) {
+                    int r2 = pcdata_open(c, &S, &S.env[S.depth - 2],
+                                         0);
+                    if (r2 < 0) FAIL();
+                    if (r2) {
+                        if (implied_close_empty_top(c, &S) < 0)
+                            FAIL();
+                        handled = 1;
+                    }
+                }
+                if (!handled && env &&
+                    env->cm_in >= 0 && env->cm_in == env->sidx) {
                     env->sidx = env->cm_out;
                     env->dirty = env->py_env != NULL;
                     S.cmbe = 0;
                     handled = 1;
-                } else if (env && c->elems[env->eidx].undefined &&
+                } else if (!handled && env &&
+                           c->elems[env->eidx].undefined &&
                            c->elems[env->eidx].has_struct) {
                     /* undefined parent: #PCDATA open is a no-op once
                      * allowed (open_element's allow_for branch) */
@@ -2195,40 +2379,30 @@ undef_push:
                 }
                 if (k < ns) {
                     /* non-blank present: need the #PCDATA open */
-                    CEnv *env = S.depth ? &S.env[S.depth - 1] : NULL;
                     int handled = 0;
-                    if (env) {
-                        if (env->cm_in >= 0 && env->cm_in == env->sidx) {
-                            env->sidx = env->cm_out;
-                            env->dirty = env->py_env != NULL;
-                            S.cmbe = 0;
+                    /* <br>-shape top: text opens ONE level up after
+                     * the implied close (open_element's walk;
+                     * pop_to with e0=#PCDATA flushes nothing).  The
+                     * up-open is tried FIRST — it mutates only on
+                     * success, so a miss leaves the C_EMPTY top
+                     * open for Python's walk. */
+                    int et = empty_top_closable(c, &S);
+                    if (et < 0) FAIL();
+                    if (et) {
+                        int r2 = pcdata_open(c, &S,
+                                             &S.env[S.depth - 2], 0);
+                        if (r2 < 0) FAIL();
+                        if (r2) {
+                            if (implied_close_empty_top(c, &S) < 0)
+                                FAIL();
                             handled = 1;
-                        } else if (c->elems[env->eidx].undefined &&
-                                   c->elems[env->eidx].has_struct) {
-                            /* undefined parent: no-op open once
-                             * #PCDATA is in the allow_for group */
-                            int am = allow_member(c, env->eidx,
-                                                  CDATA_EIDX);
-                            if (am == -9) FAIL();
-                            if (am) { S.cmbe = 0; handled = 1; }
-                        } else {
-                            CElem *pe = &c->elems[env->eidx];
-                            if (!pe->undefined && pe->has_struct &&
-                                pe->stype != c->C_ANY &&
-                                env->sidx >= 0) {
-                                int new_s = trans_get(c, env->sidx,
-                                                      CDATA_EIDX);
-                                if (new_s == -9) FAIL();
-                                if (new_s >= 0) {
-                                    env->cm_in = env->sidx;
-                                    env->cm_out = new_s;
-                                    env->sidx = new_s;
-                                    env->dirty = env->py_env != NULL;
-                                    S.cmbe = 0;
-                                    handled = 1;
-                                }
-                            }
                         }
+                    }
+                    if (!handled && S.depth) {
+                        int r2 = pcdata_open(c, &S,
+                                             &S.env[S.depth - 1], 1);
+                        if (r2 < 0) FAIL();
+                        handled = r2;
                     }
                     if (!handled) break;    /* open_element: bail */
                     S.blank_cdata = 0;

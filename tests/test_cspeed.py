@@ -151,6 +151,22 @@ def test_cspeed_structured_cases():
         "<table>   <tr><td>x</table>",
         # title (RCDATA switch) mid-document
         "<html><head><title>a &amp; b</title></head><body>t</body>",
+        # r8 implied close of a C_EMPTY top (<br>/<img>/<hr> stay
+        # open until the next token): text / tag / end-tag / entity
+        # directly after, br-dense runs, img shape replay after br
+        "<p>a<br>b<br>c</p>",
+        "<p>a<br><b>bold</b><br><img src='u'>t</p>",
+        "<p>a<br></p><p>next</p>",
+        "<p>a<br>&amp;b</p>",
+        "<body><p>t<br><li>li-needs-two-closes</li>",
+        "<p>t<br><nosuchtag>x",                # non-fitting element
+        "<zzz><br>text-under-undefined",       # undefined mid-walk:
+                                               # no allow_for leak
+        "<p><br>" + "x<br>" * 60 + "</p>",
+        "<p>a<br>\n  \t<b>blank-then-tag</b></p>",
+        "<p>a<br>  \n  text-after-blanks</p>",
+        "<p><img src='https://u/1' alt='a'>x"
+        "<img src='https://u/2' alt='b'>y</p>",
     ]
     _diff_c(docs)
 
