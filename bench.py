@@ -70,7 +70,7 @@ def run_queries(spark, sf_dir):
 
 
 def parse_throughput(spark, n_docs=PARSE_DOCS, unique_links=False,
-                     unquoted_links=False):
+                     unquoted_links=False, empty_tags=False):
     """Synthetic Common-Crawl-style corpus -> extract() -> docs/sec,
     MB/sec.  Input is generated JVM-side and cached so the measured
     cost is the parse."""
@@ -82,7 +82,8 @@ def parse_throughput(spark, n_docs=PARSE_DOCS, unique_links=False,
     ensure_workers(spark)
     pages = synthetic_pages(spark, n_docs, scale=12,
                             unique_links=unique_links,
-                            unquoted_links=unquoted_links).cache()
+                            unquoted_links=unquoted_links,
+                            empty_tags=empty_tags).cache()
     stats = pages.select(F.count("*").alias("n"),
                          F.sum(F.length("html")).alias("bytes")).collect()[0]
     # warm-up: one full pass touches every python worker (package
@@ -151,6 +152,11 @@ def bench_default():
     # unique-links figure.
     ptq = parse_throughput(spark, unique_links=True,
                            unquoted_links=True)
+    # real-crawl EMPTY-element density: a <br> and a unique-src <img>
+    # per paragraph on top of the unique links (r8: the executor's
+    # implied close of C_EMPTY tops — pre-r8 this shape ran at ~25%
+    # of the unique-links figure, bailing to Python once per br/img)
+    pte = parse_throughput(spark, unique_links=True, empty_tags=True)
     load1 = _box_load()
     # mid-run box collapse (r6: a co-tenant landing mid-loop inflated
     # every query uniformly +10-35% while the same file's parse
@@ -186,6 +192,9 @@ def bench_default():
         "parse_mb_per_sec_unique_unquoted": ptq["mb_per_sec"],
         "parse_corpus_unique_unquoted": {"n_docs": ptq["n_docs"],
                                          "mb": ptq["mb"]},
+        "parse_mb_per_sec_empties": pte["mb_per_sec"],
+        "parse_corpus_empties": {"n_docs": pte["n_docs"],
+                                 "mb": pte["mb"]},
         "cpus": cpus,
         "box_load_before": load0,
         "box_load_after": load1,

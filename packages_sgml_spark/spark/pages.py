@@ -24,7 +24,8 @@ TEST_DIR = "/root/reference/Test"
 
 def synthetic_pages(spark, n_docs=1000, n_hosts=1000, seed=42,
                     scale=1, unique_links=False,
-                    unquoted_links=False) -> DataFrame:
+                    unquoted_links=False,
+                    empty_tags=False) -> DataFrame:
     """Deterministic pages DF.  Zipf-ish hosts: host rank r taken as
     floor(u^3 * n_hosts) of a uniform hash -> mass concentrates on
     low ranks (hot hosts).  `scale` multiplies paragraph count
@@ -39,7 +40,13 @@ def synthetic_pages(spark, n_docs=1000, n_hosts=1000, seed=42,
     those hrefs — legacy-soup shape (`<a href=https://...>`), the
     itake_unquoted path (reference parser.c:1163-1198) that r7's
     shape scanner accepts; quotes-required warnings still fire
-    per-occurrence."""
+    per-occurrence.
+
+    empty_tags=True (with unique_links) adds a <br> and a unique-src
+    <img> per paragraph — the C_EMPTY-element density of real crawl
+    HTML (r8: a defined EMPTY element stays open until the next
+    token, so this shape exercises the executor's implied close +
+    the shape replay of EMPTY begins)."""
     df = spark.range(n_docs).withColumnRenamed("id", "i")
     h = F.abs(F.xxhash64(F.col("i") + F.lit(seed)))
     u = (h % 1000000) / 1000000.0
@@ -58,14 +65,23 @@ def synthetic_pages(spark, n_docs=1000, n_hosts=1000, seed=42,
     if unique_links:
         # per-paragraph unique hrefs (JVM-side, still deterministic)
         oq, cq = ("", "") if unquoted_links else ("\"", "\"")
+        if empty_tags:
+            mid = lambda j: F.concat(
+                F.lit(" with a break,<br>an <img src=\"https://"),
+                host, F.lit("/img/"), F.col("i").cast("string"),
+                F.lit("-"), j.cast("string"),
+                F.lit(".jpg\" alt=\"pic\"> and"))
+        else:
+            mid = lambda j: F.lit(" and")
         paras = F.array_join(F.transform(
             F.sequence(F.lit(1), n_paras),
             lambda j: F.concat(
                 F.lit("<p>Paragraph about topic "),
                 (h % 97).cast("string"),
                 F.lit(" with some &amp; entities, a <b>bold</b> "
-                      "claim, and a link to <a href=" + oq +
-                      "https://"),
+                      "claim,"),
+                mid(j),
+                F.lit(" a link to <a href=" + oq + "https://"),
                 host, F.lit("/ref/"), F.col("i").cast("string"),
                 F.lit("-"), j.cast("string"),
                 F.lit(cq + ">a reference</a>."),
