@@ -2670,6 +2670,19 @@ static int md_add_code(const char *name, int code)
 static int md_init(void)
 {
     if (md_ready) return 0;
+    /* failure-idempotent: a prior partial failure left allocated
+     * globals behind — release them before re-initializing (review
+     * r8: retries leaked one dict + ~25 strings per attempt) */
+    Py_CLEAR(md_codes);
+    Py_CLEAR(md_space); Py_CLEAR(md_empty); Py_CLEAR(md_nl);
+    Py_CLEAR(md_nl2); Py_CLEAR(md_br);
+    Py_CLEAR(md_tag_b); Py_CLEAR(md_tag_li); Py_CLEAR(md_tag_cell);
+    Py_CLEAR(md_ev_d); Py_CLEAR(md_ev_b);
+    Py_CLEAR(md_href); Py_CLEAR(md_alt); Py_CLEAR(md_src);
+    Py_CLEAR(md_name_attr); Py_CLEAR(md_hr_tuple);
+    Py_CLEAR(md_bq); Py_CLEAR(md_bq_empty); Py_CLEAR(md_ul_mark);
+    Py_CLEAR(md_pipe); Py_CLEAR(md_empty_tuple);
+    for (int i = 1; i <= 6; i++) Py_CLEAR(md_hpfx[i]);
     md_codes = PyDict_New();
     if (!md_codes) return -1;
     static const struct { const char *n; int c; } tbl[] = {
@@ -3220,21 +3233,38 @@ static PyObject *md_drain_impl(PyObject *self, PyObject *args)
 {
     (void)self;
     PyObject *tape, *frames, *mds, *convert, *def_fold, *def_keep;
+    PyObject *skip_box = NULL;
     long skip;
-    if (!PyArg_ParseTuple(args, "O!O!O!lOO!O!",
+    if (!PyArg_ParseTuple(args, "O!O!O!lOO!O!|O!",
                           &PyList_Type, &tape,
                           &PyList_Type, &frames,
                           &PyList_Type, &mds,
                           &skip, &convert,
                           &PyDict_Type, &def_fold,
-                          &PyList_Type, &def_keep))
+                          &PyList_Type, &def_keep,
+                          &PyList_Type, &skip_box))
         return NULL;
     if (md_init() < 0) return NULL;
+    /* skip_box: optional 1-slot list the caller reads in its finally
+     * clause — published at every skip change so an exception
+     * mid-tape leaves self._skip consistent with the frames already
+     * mutated (review r8: the pure-Python arm writes its partial
+     * skip back; the C arm must match) */
+#define MD_PUBLISH_SKIP() do { \
+        if (skip_box && PyList_GET_SIZE(skip_box) == 1) { \
+            PyObject *_sv = PyLong_FromLong(skip); \
+            if (_sv) PyList_SetItem(skip_box, 0, _sv); \
+        } \
+    } while (0)
 
     Py_ssize_t nev = PyList_GET_SIZE(tape);
     for (Py_ssize_t ti = 0; ti < nev; ti++) {
         PyObject *ev = PyList_GET_ITEM(tape, ti);
-        if (!PyTuple_CheckExact(ev) || PyTuple_GET_SIZE(ev) < 1) {
+        if (!PyTuple_CheckExact(ev) || PyTuple_GET_SIZE(ev) < 2) {
+            /* every event the drain reads is at least ("k", arg) —
+             * the <1 guard did not protect the GET_ITEM(ev, 1)
+             * reads below (review r8).  Bare end markers would be
+             * 1-tuples, but tape_end always carries the name. */
             PyErr_SetString(PyExc_SystemError,
                             "md_drain: malformed tape event");
             return NULL;
@@ -3268,7 +3298,7 @@ static PyObject *md_drain_impl(PyObject *self, PyObject *args)
             }
         } else if (md_str_eq(k, md_ev_b)) {
             /* ("b", entry, ...) with entry = ('b', e, atts, ...) */
-            if (skip) { skip++; continue; }
+            if (skip) { skip++; MD_PUBLISH_SKIP(); continue; }
             PyObject *entry = PyTuple_GET_ITEM(ev, 1);
             if (!PyTuple_CheckExact(entry) ||
                 PyTuple_GET_SIZE(entry) < 3) {
@@ -3302,6 +3332,7 @@ static PyObject *md_drain_impl(PyObject *self, PyObject *args)
             if (nf) {
                 if (code == MDC_SKIP) {
                     skip = 1;
+                    MD_PUBLISH_SKIP();
                     Py_DECREF(fname);
                     continue;
                 }
@@ -3340,7 +3371,7 @@ static PyObject *md_drain_impl(PyObject *self, PyObject *args)
             if (r < 0) return NULL;
         } else {
             /* ("e", name) */
-            if (skip) { skip--; continue; }
+            if (skip) { skip--; MD_PUBLISH_SKIP(); continue; }
             Py_ssize_t nf = PyList_GET_SIZE(frames);
             if (!nf) {
                 PyErr_SetString(PyExc_SystemError,
@@ -3400,6 +3431,8 @@ static PyObject *md_drain_impl(PyObject *self, PyObject *args)
             }
         }
     }
+    MD_PUBLISH_SKIP();
+#undef MD_PUBLISH_SKIP
     return PyLong_FromLong(skip);
 }
 

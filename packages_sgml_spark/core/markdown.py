@@ -360,11 +360,17 @@ class MarkdownParser(SGMLParser):
         if cache is None:
             cache = self.dtd._md_fold_cache = ({}, [])
         tape = self._c_tape
+        # skip_box: md_drain publishes the skip depth at every change
+        # so an exception mid-tape (convert callback, OOM) leaves
+        # self._skip consistent with the frames it already mutated —
+        # same guarantee as the Python loop's finally writeback
+        box = [self._skip]
         try:
-            self._skip = fn(tape, self._frames, self._mds,
-                            self._skip, self.convert_attributes,
-                            cache[0], cache[1])
+            box[0] = fn(tape, self._frames, self._mds,
+                        self._skip, self.convert_attributes,
+                        cache[0], cache[1], box)
         finally:
+            self._skip = box[0]
             del tape[:]
 
     def _drain_tape_py(self, ns_snap=None, _fold=_fold,

@@ -1121,9 +1121,11 @@ class SGMLParser(DeclMixin):
         writeback already left the parser at the region's end state.
 
         Entries: ("b", memo_entry, startloc, charpos) — begin, with
-        memo_entry = ('b', e, atts, empty, conref) and empty always
-        False (the C path bails on empty elements);
-        ("e", name) — end; ("d", s, startcdata, startloc, charpos).
+        memo_entry = ('b', e, atts, empty, conref); empty=True begins
+        (XML self-close — r8: the executor commits them) are followed
+        by their own ("e", name) event, so sinks always see balanced
+        begin/end pairs; ("e", name) — end;
+        ("d", s, startcdata, startloc, charpos).
 
         ns_snap (xmlns tape regions only): the env-stack xmlns frames
         as of region ENTRY.  _emit_begin's name resolution must see
@@ -1156,7 +1158,18 @@ class SGMLParser(DeclMixin):
                     _k, entry, sl, cp = ev
                     self.startloc = sl
                     self.charpos = cp
-                    self._emit_begin(entry[1], entry[2])
+                    if entry[3]:
+                        # empty begin (r8: the executor commits
+                        # these; a matching ("e", name) follows) —
+                        # set the flag exactly like _replay_tag so a
+                        # future tape-capable sink that reads
+                        # _emitting_empty (sax.parse_content) stays
+                        # correct
+                        self._emitting_empty = True
+                        self._emit_begin(entry[1], entry[2])
+                        self._emitting_empty = False
+                    else:
+                        self._emit_begin(entry[1], entry[2])
                     if ns_snap is not None:
                         indepth += 1
                 else:

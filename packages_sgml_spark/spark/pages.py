@@ -89,10 +89,17 @@ def synthetic_pages(spark, n_docs=1000, n_hosts=1000, seed=42,
                     F.lit("</p>")))), "")
     else:
         # deterministic filler sentence, repeated n_paras times
+        # (empty_tags here = repeating-value <br>/<img> — the
+        # string-memo empty path, vs the unique-src shape path above)
+        mid_rep = (F.concat(F.lit(" a break,<br>an <img src=\"/i"),
+                            (h % 7).cast("string"),
+                            F.lit(".jpg\" alt=\"pic\"> and"))
+                   if empty_tags else F.lit(" and"))
         para = F.concat(
             F.lit("<p>Paragraph about topic "), (h % 97).cast("string"),
-            F.lit(" with some &amp; entities, a <b>bold</b> claim, "
-                  "and a link to <a href=\"https://"), host,
+            F.lit(" with some &amp; entities, a <b>bold</b> claim,"),
+            mid_rep,
+            F.lit(" a link to <a href=\"https://"), host,
             F.lit("/ref\">a reference</a>."),
             # controlled tag-soup rate: ~1/3 of paragraphs leave <p>
             # open

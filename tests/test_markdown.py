@@ -247,3 +247,43 @@ def test_markdown_c_drain_br_sentinel():
     from packages_sgml_spark.core import markdown as M
     if M._c_md_drain() is not None:
         assert _md_events_arm(html, True) == want
+
+
+def test_markdown_c_drain_skip_box_on_error():
+    """An exception mid-tape (convert callback) must leave _skip
+    consistent with the frames md_drain already mutated — the C arm
+    publishes skip through the optional box at every change, matching
+    the Python loop's finally writeback (r8 review)."""
+    from packages_sgml_spark.core import cspeed
+    if cspeed.MOD is None or not hasattr(cspeed.MOD, "md_drain"):
+        import pytest
+        pytest.skip("compiled md_drain unavailable")
+
+    class FakeDef:
+        def __init__(self, name):
+            self.name = name
+
+    style, a = FakeDef("style"), FakeDef("a")
+
+    def boom(atts):
+        raise RuntimeError("convert failed")
+
+    # enter a <style> subtree (skip=1), nest one more begin (skip=2),
+    # then an <a href> under a frame triggers the failing convert
+    tape = [
+        ("b", ("b", FakeDef("p"), [], False, None)),
+        ("b", ("b", style, [], False, None)),
+        ("b", ("b", FakeDef("div"), [], False, None)),
+        ("e", "div"),
+        ("e", "style"),
+        ("b", ("b", a, [("href", "u")], False, None)),
+    ]
+    frames, mds = [], []
+    box = [0]
+    import pytest
+    with pytest.raises(RuntimeError):
+        cspeed.MOD.md_drain(tape, frames, mds, 0, boom, {}, [], box)
+    # skip went 1 -> 2 -> 1 -> 0 before the failing begin
+    assert box[0] == 0
+    # and the partial mutation is consistent: only <p> is open
+    assert len(frames) == 1 and frames[0][0] == "p"
