@@ -84,7 +84,8 @@ def run(spark, args):
     if rep != "auto":
         rep = int(rep)
     ex = extract(pages, dialect=args.dialect, nodes=False,
-                 repartition=rep)
+                 repartition=rep,
+                 text_format=getattr(args, "text_format", "plain"))
     tagged = with_lineage(ex, args.run_id)
     tagged.select("url", "url_hash", "text_extracted", "n_errors",
                   "html_bytes", "status", "run_id", "partition_id") \
@@ -165,6 +166,11 @@ def main(argv=None):
     ap.add_argument("--output", required=True)
     ap.add_argument("--run-id", default="run-%d" % int(time.time()))
     ap.add_argument("--dialect", default="html5")
+    ap.add_argument("--text-format", default="plain",
+                    choices=("plain", "markdown"), dest="text_format",
+                    help="text_extracted shape: plain text or "
+                         "Markdown (LLM-corpus shape; quality "
+                         "filters then score the markdown text)")
     ap.add_argument("--statuses", default="200",
                     help="comma list of HTTP statuses to keep; "
                          "empty = all")

@@ -61,13 +61,25 @@ MAX_HTML_BYTES = 8 * 1024 * 1024   # per-row guard (max_memory analog,
                                    # sgml2pl.c:603-615)
 
 
-def _parse_one(html, dialect, want_dom_json, want_nodes):
+def _parse_one(html, dialect, want_dom_json, want_nodes,
+               text_format="plain"):
     opts = ParserOptions(dialect=dialect, encoding="utf-8",
                          max_errors=-1 if dialect.startswith(("html", "xhtml"))
                          else 50)
     if dialect.startswith(("html", "xhtml")):
         opts.quiet = False
     if not want_dom_json and not want_nodes:
+        if text_format == "markdown":
+            # markdown event sink (r8): structure kept as cheap
+            # syntax — the LLM-corpus text shape — at near text-only
+            # cost (core/markdown.py MarkdownParser, rides the
+            # compiled executor's tape mode)
+            from ..core.markdown import MarkdownParser
+            p = MarkdownParser(opts)
+            _dom, errors = p.parse(html)
+            errs = [{"severity": e.severity, "line": e.line,
+                     "message": e.message} for e in errors]
+            return p.markdown(), None, None, errs
         # text-only fast path: no DOM construction
         p = TextOnlyParser(opts)
         _dom, errors = p.parse(html)
@@ -96,7 +108,7 @@ def _parse_one(html, dialect, want_dom_json, want_nodes):
 
 
 def extract_batch_iter(batches: Iterator[pd.DataFrame], dialect_default,
-                       want_dom_json, want_nodes):
+                       want_dom_json, want_nodes, text_format="plain"):
     for pdf in batches:
         out = {k: [] for k in ("url", "text_extracted", "dom_json", "nodes",
                                "parse_errors", "n_nodes", "n_errors",
@@ -135,7 +147,8 @@ def extract_batch_iter(batches: Iterator[pd.DataFrame], dialect_default,
                 continue
             try:
                 text, dj, nodes, errs = _parse_one(
-                    bytes(html), dialect, want_dom_json, want_nodes)
+                    bytes(html), dialect, want_dom_json, want_nodes,
+                    text_format)
                 out["text_extracted"].append(text)
                 out["dom_json"].append(dj)
                 out["nodes"].append(nodes)
@@ -157,7 +170,7 @@ def extract_batch_iter(batches: Iterator[pd.DataFrame], dialect_default,
 
 
 def extract(pages: DataFrame, dialect="html5", dom_json=False, nodes=True,
-            repartition="auto") -> DataFrame:
+            repartition="auto", text_format="plain") -> DataFrame:
     """pages(url, html [, dialect]) -> EXTRACT_SCHEMA DataFrame.
 
     `repartition` > 0 shuffles by xxhash64(url) first (uniform work
@@ -165,7 +178,18 @@ def extract(pages: DataFrame, dialect="html5", dom_json=False, nodes=True,
     hash only when the source has fewer partitions than cores (an
     under-partitioned small input would otherwise parse on one core;
     no-op on well-laid-out crawl inputs); 0 keeps source partitioning.
+
+    `text_format="markdown"` renders text_extracted as Markdown (the
+    LLM-corpus text shape) instead of plain text — same schema,
+    lineage, and resume semantics, only the text column's shape
+    changes.  Valid only with dom_json=False, nodes=False (the
+    markdown sink is DOM-free).
     """
+    if text_format not in ("plain", "markdown"):
+        raise ValueError("text_format must be 'plain' or 'markdown'")
+    if text_format == "markdown" and (dom_json or nodes):
+        raise ValueError("text_format='markdown' requires "
+                         "dom_json=False, nodes=False")
     from .util import spread
     cols = ["url", "html"]
     if "dialect" in pages.columns:
@@ -177,7 +201,8 @@ def extract(pages: DataFrame, dialect="html5", dom_json=False, nodes=True,
         src = src.repartition(repartition, F.xxhash64("url"))
 
     def fn(batches):
-        return extract_batch_iter(batches, dialect, dom_json, nodes)
+        return extract_batch_iter(batches, dialect, dom_json, nodes,
+                                  text_format)
 
     return src.mapInPandas(fn, schema=EXTRACT_SCHEMA)
 

@@ -34,6 +34,8 @@ def _args(**kw):
     ap.add_argument("--repartition", default="auto")
     ap.add_argument("--wet", action="store_true")
     ap.add_argument("--quality", action="store_true")
+    ap.add_argument("--text-format", default="plain",
+                    dest="text_format")
     argv = []
     for k, v in kw.items():
         argv += ["--" + k.replace("_", "-")] + \
@@ -199,3 +201,53 @@ def test_quality_sidecar_heals_and_never_duplicates(spark, tmp_path):
     q2 = spark.read.parquet(out + "/quality")
     assert q2.count() == 2                     # no duplicates
     assert q2.select("url").distinct().count() == 2
+
+
+def test_crawl_job_markdown_text_format(spark, tmp_path):
+    """--text-format markdown writes Markdown into text_extracted
+    with the same schema/lineage/resume semantics — and the value
+    matches extract_markdown's renderer exactly."""
+    import crawl_job
+    land = tmp_path / "warc"
+    land.mkdir()
+    _write_archive(str(land / "a.warc.gz"), [
+        ("https://m.example/1", "2026-01-01T00:00:01Z",
+         b"<html><body><h1>Title</h1><p>alpha <b>bold</b> and "
+         b"<a href='https://m.example/r'>ref</a></p></body></html>"),
+    ])
+    out = str(tmp_path / "sink")
+    s = crawl_job.run(spark, _args(input=str(land) + "/*.warc.gz",
+                                   output=out,
+                                   text_format="markdown"))
+    assert s["docs_new"] == 1
+    row = spark.read.parquet(out + "/text").collect()[0]
+    assert row.text_extracted == (
+        "# Title\n\nalpha **bold** and [ref](https://m.example/r)")
+    # resume still no-ops on a second run
+    s2 = crawl_job.run(spark, _args(input=str(land) + "/*.warc.gz",
+                                    output=out,
+                                    text_format="markdown"))
+    assert s2["archives"] == 0 and s2["docs_new"] == 0
+
+
+def test_extract_text_format_matches_extract_markdown(spark):
+    """extract(text_format='markdown') and extract_markdown render
+    identical markdown for the same pages (one renderer, two
+    surfaces), and the invalid combinations raise."""
+    from packages_sgml_spark.spark.extract import (extract,
+                                                   extract_markdown)
+    from packages_sgml_spark.spark.pages import synthetic_pages
+    from packages_sgml_spark.spark.queries import ensure_workers
+    ensure_workers(spark)
+    pages = synthetic_pages(spark, 40, scale=2, unique_links=True,
+                            empty_tags=True)
+    a = {r.url: r.text_extracted
+         for r in extract(pages, nodes=False,
+                          text_format="markdown").collect()}
+    b = {r.url: r.markdown for r in extract_markdown(pages).collect()}
+    assert a == b and len(a) == 40
+    import pytest
+    with pytest.raises(ValueError):
+        extract(pages, nodes=True, text_format="markdown")
+    with pytest.raises(ValueError):
+        extract(pages, nodes=False, text_format="tokens")
