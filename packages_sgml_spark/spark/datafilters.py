@@ -398,3 +398,61 @@ def url_dedup(docs: DataFrame) -> DataFrame:
             .select("url_canon",
                     F.col("n_aliases").cast("bigint").alias("n_aliases"),
                     "keep_doc_id"))
+
+
+def dup_ngram_frac(docs: DataFrame, n: int = 8) -> DataFrame:
+    """CROSS-document duplicated-n-gram fraction per doc — the
+    exact-substring-dedup signal of the Lee et al. "Deduplicating
+    Training Data" / RefinedWeb family, complementing
+    repetition_stats (which is within-document only):
+
+    - n_grams:        the doc's word-n-gram positions (norm_words)
+    - dup_ngram_frac: fraction of those positions whose n-gram also
+                      occurs in at least one OTHER document
+
+    Docs with fewer than n words report n_grams=0, frac 0.0.
+
+    Scale shape (explode ONCE — a groupBy+semi-join draft recomputed
+    the whole explode three times, no ReusedExchange even with
+    broadcasts off):
+    - grams keyed by xxhash64: the shuffles carry 8 bytes per
+      position, not the 8-word string (a collision mis-tagging a
+      position is ~#distinct_grams/2^64);
+    - partial-agg to (h, doc_id, c) — hot n-grams collapse map-side;
+    - "appears in another doc" = lag/lead over (h ORDER BY doc_id):
+      offset frames STREAM (OffsetWindowFunctionFrame, constant
+      memory) — no count-over-partition buffering; the known caveat
+      is the sort task for a mega-hot gram's h partition (boilerplate
+      sentences), which spills but stragglers — acceptable because
+      the partial agg already collapsed it to one row per doc;
+    - one per-doc aggregation, then a left join onto the doc base.
+    The DuckDB oracle groups by the gram STRING — value-identical
+    modulo the collision odds."""
+    from pyspark.sql import Window
+    from .util import spread
+    docs = spread(docs, "doc_id")
+    wd = docs.select("doc_id", norm_words(F.col("text")).alias("w"))
+    grams = wd.select(
+        "doc_id", word_ngram_arr(F.col("w"), n).alias("g"))
+    cnts = (grams.select("doc_id",
+                         F.explode("g").alias("gram"))
+            .select("doc_id", F.xxhash64("gram").alias("h"))
+            .groupBy("h", "doc_id").agg(F.count("*").alias("c")))
+    w = Window.partitionBy("h").orderBy("doc_id")
+    tagged = cnts.withColumn(
+        "dup", F.lag("doc_id", 1).over(w).isNotNull() |
+               F.lead("doc_id", 1).over(w).isNotNull())
+    per_doc = tagged.groupBy("doc_id").agg(
+        F.sum("c").alias("n_grams"),
+        F.sum(F.when(F.col("dup"), F.col("c")).otherwise(0))
+         .alias("n_dup"))
+    base = docs.select("doc_id")
+    return (base.join(per_doc, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce(F.col("n_grams"), F.lit(0))
+                 .cast("bigint").alias("n_grams"),
+                F.round(F.coalesce(F.col("n_dup"), F.lit(0)) /
+                        F.greatest(F.coalesce(F.col("n_grams"),
+                                              F.lit(0)), F.lit(1)),
+                        6).alias("dup_ngram_frac")))

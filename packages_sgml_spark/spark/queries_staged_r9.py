@@ -119,10 +119,54 @@ FROM r
 
 ORACLE_QUALITY_FEATURES = _quality_features_oracle()
 
+
+def q_dup_ngram_frac(spark, sf_dir):
+    """Cross-document duplicated-8-gram fraction per doc (the Lee et
+    al. exact-substring-dedup signal) over the documents table."""
+    from .datafilters import dup_ngram_frac
+    return dup_ngram_frac(_t(spark, sf_dir, "documents"))
+
+
+# Spark keys grams by xxhash64 (8-byte shuffle rows — the scale
+# path); the oracle groups by the gram STRING.  Value-identical
+# unless a 64-bit collision mis-tags a position (~#grams/2^64).
+ORACLE_DUP_NGRAM_FRAC = """
+WITH w AS (
+  SELECT doc_id,
+    regexp_split_to_array(
+      regexp_replace(lower(trim(coalesce(text, ''))), '\\s+', ' ',
+                     'g'), ' ') AS words
+  FROM documents),
+g AS (
+  SELECT doc_id,
+    CASE WHEN len(words) >= 8
+      THEN list_transform(range(1, len(words) - 6),
+                          i -> array_to_string(words[i:i+7], ' '))
+      ELSE CAST([] AS VARCHAR[]) END AS grams
+  FROM w),
+cnts AS (
+  SELECT doc_id, gram, count(*) AS c
+  FROM (SELECT doc_id, unnest(grams) AS gram FROM g)
+  GROUP BY doc_id, gram),
+dup AS (SELECT gram FROM cnts GROUP BY gram HAVING count(*) > 1),
+nd AS (SELECT doc_id, sum(c) AS n_dup FROM cnts
+       WHERE gram IN (SELECT gram FROM dup) GROUP BY doc_id),
+nt AS (SELECT doc_id, sum(c) AS n_grams FROM cnts GROUP BY doc_id)
+SELECT d.doc_id,
+  CAST(coalesce(nt.n_grams, 0) AS BIGINT) AS n_grams,
+  round(coalesce(nd.n_dup, 0) /
+        greatest(coalesce(nt.n_grams, 0), 1), 6) AS dup_ngram_frac
+FROM documents d
+LEFT JOIN nt USING (doc_id)
+LEFT JOIN nd USING (doc_id)
+"""
+
 R9_QUERIES = {
     "quality_features": q_quality_features,
+    "dup_ngram_frac": q_dup_ngram_frac,
 }
 
 R9_ORACLES = {
     "quality_features": ORACLE_QUALITY_FEATURES,
+    "dup_ngram_frac": ORACLE_DUP_NGRAM_FRAC,
 }
