@@ -1312,10 +1312,32 @@ static int emit_flush(Sess *S, CEnv *env, int last, int commit,
             Py_DECREF(s);
             if (r < 0) return -1;
         } else {
-            CElem *ce = &c->elems[env->eidx];
-            if (ce->undefined &&
-                (env->space_mode == c->SP_PRESERVE ||
-                 env->space_mode == c->SP_STRICT)) {
+            /* blank cdata with no #PCDATA transition: Python emits
+             * it anyway when the top element is UNDEFINED under
+             * PRESERVE/STRICT space (emit_cdata's undefined branch).
+             * The undefined-ness MUST be read live here: the CElem
+             * flag is registration-time stale by design (fresh
+             * Elements default undefined=False, the def_element flip
+             * is DtdCow-journaled per parse and deliberately does
+             * not flush the registry) and this is the one consumer
+             * where a stale flag fails OPEN in either direction —
+             * blanks dropped that Python emits (r8 warm-sweep bug:
+             * reachable once the implied close lets end tags commit
+             * with pending blanks under soup stacks), or emitted
+             * that Python drops (gripe-pushed element, never
+             * def_element'd).  Rare path (blank + preserve/strict +
+             * no transition), so the GetAttr is cheap. */
+            int undef = 0;
+            if (env->space_mode == c->SP_PRESERVE ||
+                env->space_mode == c->SP_STRICT) {
+                PyObject *u = PyObject_GetAttr(
+                    c->elems[env->eidx].obj, c->s_undefined);
+                if (!u) { Py_DECREF(s); return -1; }
+                undef = PyObject_IsTrue(u);
+                Py_DECREF(u);
+                if (undef < 0) { Py_DECREF(s); return -1; }
+            }
+            if (undef) {
                 if (!commit) { Py_DECREF(s); return 0; }
                 int r = sink_emit(S, s);
                 Py_DECREF(s);
@@ -1414,13 +1436,31 @@ static int implied_close_empty_top(CtxObject *c, Sess *S)
  * Python gripes "#PCDATA not allowed here"). */
 static int pcdata_open(CtxObject *c, Sess *S, CEnv *env, int as_top)
 {
-    if (env->cm_in >= 0 && env->cm_in == env->sidx) {
+    CElem *pe = &c->elems[env->eidx];
+    /* the cdata_memo of an UNDEFINED env caches the allow_for no-op
+     * (open_element's undefined-parent branch memoizes (state,
+     * state)) — top-only semantics exactly like the allow branch
+     * itself, so a mid-walk probe must skip it (extended soup sweep:
+     * <undefined><img>x silently opened "x" through the no-op memo
+     * where Python's walk gripes '#PCDATA not allowed here').  A
+     * DEFINED env's memo caches a real make_dtd_transition — walk-
+     * legal at any position.  CRITICAL: the undefined/has_struct
+     * flags cached on CElem can be STALE-DEFINED within a parse
+     * (fresh Elements default undefined=False; the def_element flip
+     * is DtdCow-journaled and deliberately does not flush the
+     * registry) — every pre-existing path fails CLOSED on that
+     * combination because has_struct is 0, so the mid-walk cm gate
+     * must require the FULL trans-branch condition, not just
+     * !undefined (second extended-sweep bug: the stale flag let the
+     * no-op memo through). */
+    if ((as_top || (!pe->undefined && pe->has_struct &&
+                    pe->stype != c->C_ANY)) &&
+        env->cm_in >= 0 && env->cm_in == env->sidx) {
         env->sidx = env->cm_out;
         env->dirty = env->py_env != NULL;
         S->cmbe = 0;
         return 1;
     }
-    CElem *pe = &c->elems[env->eidx];
     if (pe->undefined && pe->has_struct) {
         if (!as_top) return 0;
         int am = allow_member(c, env->eidx, CDATA_EIDX);

@@ -167,6 +167,12 @@ def test_cspeed_structured_cases():
         "<p>a<br>  \n  text-after-blanks</p>",
         "<p><img src='https://u/1' alt='a'>x"
         "<img src='https://u/2' alt='b'>y</p>",
+        # undefined parent's cdata_memo is the allow_for NO-OP memo —
+        # top-only like the allow branch; a mid-walk probe through it
+        # silently opened "x" where Python gripes (extended sweep)
+        '<nosuchtag><div href="https://u/1" title=\'t\'>]&#x42;&lt;'
+        "<nosuchtag href=\"https://u/2\" title='t2'>tail\nline\rcr"
+        "<img>&#0;x",
     ]
     _diff_c(docs)
 
@@ -498,3 +504,30 @@ def test_private_dtd_flips_do_not_flush_shared_registries():
     after = cs.MOD.ctx_stats(cs.ctx_for(shared))
     assert after["n_tag_objs"] >= warm["n_tag_objs"], (warm, after)
     assert after["n_elems"] >= warm["n_elems"], (warm, after)
+
+
+def test_cspeed_blank_flush_undefined_live_read():
+    """Blank cdata under an UNDEFINED top in a PRESERVE-space dialect
+    is EMITTED (emit_cdata's undefined branch) — and the executor
+    must read the undefined-ness LIVE: the CElem flag caches the
+    registration-time value, which is stale-defined when the element
+    was first seen via a bare end tag (fresh Elements default
+    undefined=False; the per-parse def_element flip never flushes the
+    registry).  r8 warm-sweep bug: C dropped the blanks Python keeps
+    once the implied close let such end tags commit."""
+    docs = [
+        # 1: register nosuchtag's CElem while undefined=False (bare
+        #    end tag; also memoizes the ('e', nosuchtag) entry)
+        "x</nosuchtag>y",
+        # 2: blanks pending at the memoized end tag, top = nosuchtag
+        #    (undefined THIS parse via the journaled flip)
+        "<nosuchtag><b>t</b>\r\n\r\n</nosuchtag>tail",
+        # 3: same shape again (now every tag is warm for the C arm)
+        "<nosuchtag><b>t</b>\r\n\r\n</nosuchtag>tail",
+    ]
+    _diff_c(docs, dialect="xhtml5")
+    # and the blanks really are kept (xhtml5 preserves them)
+    p = TextOnlyParser(ParserOptions(dialect="xhtml5",
+                                     encoding="utf-8", max_errors=-1))
+    p.parse(docs[1])
+    assert "\n\n" in p.text(), repr(p.text())
