@@ -320,6 +320,79 @@ def simhash_md5(docs: DataFrame, bits=32) -> DataFrame:
     return agg.select("doc_id", sig.cast("long").alias("simhash"))
 
 
+def simhash_pairs(docs: DataFrame, bands=4, hd_max=3,
+                  max_bucket=MAX_LSH_BUCKET) -> DataFrame:
+    """Near-dup pairs via banded Hamming search over the 32-bit
+    simhash (simhash_md5, so the DuckDB oracle is value-identical):
+    (doc_a, doc_b, hamming) with doc_a < doc_b and hamming <= hd_max.
+
+    Banding is the classic Hamming pigeonhole: with `bands` equal
+    bit-chunks, any pair within hd_max <= bands - 1 differing bits
+    agrees on at least one whole chunk, so bucketing reps by each
+    8-bit chunk value and verifying bit_count(xor) inside buckets is
+    EXACT for hd_max <= 3 (no probabilistic recall like minhash LSH).
+
+    Same two skew guards as minhash_lsh_pairs (a boilerplate-heavy
+    crawl makes both mandatory):
+    1. identical-simhash collapse: byte-equal signatures emit star
+       edges (rep, member, hamming=0) — m-1 rows, not the clique —
+       and only distinct-signature reps are banded.  Members inherit
+       their rep's neighbourhood transitively (dedup_components
+       clustering is unchanged).
+    2. deterministic bucket cap: a (band, key) bucket keeps the
+       `max_bucket` smallest rep doc_ids.  8-bit chunks give only
+       256 buckets per band, so at corpus scale every bucket is hot
+       and the cap WILL drop candidates — widen the chunk (bands=2
+       of 16 bits still guarantees hd_max=1; or grow the signature)
+       or raise max_bucket when pair recall matters more than cost.
+
+    One corpus scan: the signature+rep frame is checkpointed once
+    (same shape as _sig_with_rep); pairs are emitted from grouped
+    buckets with no self-join of the token subtree."""
+    from pyspark.sql import Window
+    sig = simhash_md5(docs)
+    w = Window.partitionBy("simhash")
+    with_rep = (sig.withColumn("rep", F.min("doc_id").over(w))
+                .localCheckpoint(eager=True))
+    star = (with_rep.filter(F.col("doc_id") != F.col("rep"))
+            .select(F.col("rep").alias("doc_a"),
+                    F.col("doc_id").alias("doc_b"),
+                    F.lit(0).cast("int").alias("hamming")))
+    reps = (with_rep.filter(F.col("doc_id") == F.col("rep"))
+            .select("doc_id", "simhash"))
+    width = 32 // bands
+    mask = (1 << width) - 1
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("simhash"), b * width)
+             .bitwiseAND(F.lit(mask)).alias("key"))
+        for b in range(bands)]
+    banded = (reps.select("doc_id", "simhash",
+                          F.explode(F.array(*band_cols)).alias("bk"))
+              .select("doc_id", "simhash", "bk.band", "bk.key"))
+    buckets = (banded.groupBy("band", "key")
+               .agg(F.slice(F.sort_array(F.collect_list(
+                        F.struct("doc_id", "simhash"))),
+                    1, max_bucket).alias("ids"))
+               .filter(F.size("ids") >= 2))
+    combos = F.filter(
+        F.flatten(F.transform(
+            F.col("ids"),
+            lambda a: F.transform(
+                F.col("ids"),
+                lambda b: F.struct(
+                    a["doc_id"].alias("doc_a"),
+                    b["doc_id"].alias("doc_b"),
+                    F.bit_count(a["simhash"].bitwiseXOR(b["simhash"]))
+                     .cast("int").alias("hamming"))))),
+        lambda p: p["doc_a"] < p["doc_b"])
+    rep_pairs = (buckets.select(F.explode(combos).alias("p"))
+                 .select("p.doc_a", "p.doc_b", "p.hamming")
+                 .filter(F.col("hamming") <= hd_max))
+    return star.unionByName(rep_pairs).distinct()
+
+
 def dedup_components(pairs: DataFrame, max_iterations=12) -> DataFrame:
     """Connected components over near-dup candidate pairs:
     (doc_id, component) where component = min doc_id reachable (the

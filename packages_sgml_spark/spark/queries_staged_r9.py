@@ -161,12 +161,65 @@ LEFT JOIN nt USING (doc_id)
 LEFT JOIN nd USING (doc_id)
 """
 
+def q_simhash_pairs(spark, sf_dir):
+    """Banded-Hamming near-dup pairs over the 32-bit simhash —
+    completes the SimHash dedup surface (the registered `simhash`
+    emits signatures only): exact recall for hamming <= 3 via the
+    4-chunk pigeonhole, with the minhash-style star-collapse and
+    bucket-cap skew guards."""
+    from .dedup import simhash_pairs
+    return simhash_pairs(_t(spark, sf_dir, "documents"))
+
+
+def _simhash_pairs_oracle():
+    """Wraps the registered simhash oracle as a CTE, then replicates
+    the star / band / cap / verify semantics of dedup.simhash_pairs
+    (row_number cap = the list_sort slice; bit_count(xor) = the
+    banded Hamming verify; both engines' bit_count cast to INT —
+    DuckDB's returns TINYINT)."""
+    from .dedup import MAX_LSH_BUCKET
+    from .oracles import ORACLES
+    return """
+WITH sim AS ({simhash}),
+wr AS (SELECT doc_id, simhash,
+              min(doc_id) OVER (PARTITION BY simhash) AS rep
+       FROM sim),
+star AS (SELECT rep AS doc_a, doc_id AS doc_b, CAST(0 AS INT) AS hamming
+         FROM wr WHERE doc_id <> rep),
+reps AS (SELECT doc_id, simhash FROM wr WHERE doc_id = rep),
+banded AS (
+  SELECT doc_id, simhash, (simhash >> (8 * t.i)) & 255 AS key, t.i AS band
+  FROM reps, range(4) t(i)),
+ranked AS (
+  SELECT band, key, doc_id, simhash,
+         row_number() OVER (PARTITION BY band, key
+                            ORDER BY doc_id) AS rn,
+         count(*) OVER (PARTITION BY band, key) AS sz
+  FROM banded),
+capped AS (SELECT band, key, doc_id, simhash FROM ranked
+           WHERE rn <= {cap} AND sz >= 2),
+rpairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+  FROM capped a JOIN capped b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3)
+SELECT DISTINCT doc_a, doc_b, hamming FROM (
+  SELECT * FROM star UNION ALL SELECT * FROM rpairs)
+""".format(simhash=ORACLES["simhash"], cap=MAX_LSH_BUCKET)
+
+
+ORACLE_SIMHASH_PAIRS = _simhash_pairs_oracle()
+
+
 R9_QUERIES = {
     "quality_features": q_quality_features,
     "dup_ngram_frac": q_dup_ngram_frac,
+    "simhash_pairs": q_simhash_pairs,
 }
 
 R9_ORACLES = {
     "quality_features": ORACLE_QUALITY_FEATURES,
     "dup_ngram_frac": ORACLE_DUP_NGRAM_FRAC,
+    "simhash_pairs": ORACLE_SIMHASH_PAIRS,
 }

@@ -381,6 +381,46 @@ def test_simhash_planted_properties(spark):
         assert ham(sig[0], sig[3]) > ham(sig[0], sig[2])
 
 
+def test_simhash_pairs_planted_vs_bruteforce(spark):
+    """simhash_pairs equals the brute-force reference on a planted
+    corpus: star edges (rep=min doc_id, hamming 0) for identical
+    signatures, plus every distinct-rep pair with bit_count(xor) <= 3
+    (the 4x8-bit pigeonhole is exact at that radius, and the bucket
+    cap never binds at this scale)."""
+    from packages_sgml_spark.spark.dedup import (simhash_md5,
+                                                 simhash_pairs)
+    base = ("the quick brown fox jumps over the lazy dog "
+            "while the rain falls on the quiet empty street") * 3
+    near = base.replace("quiet", "alpha")      # hamming 1 from base
+    mid = base.replace("quiet", "stone")       # hamming 3 from base
+    off = base.replace("quiet", "busy")        # hamming 5: beyond radius
+    far = ("zebra xylophone quartz jackdaw vex nymph waltz "
+           "fjord glyph sphinx") * 6
+    docs = spark.createDataFrame(
+        [(0, base), (1, base), (2, near), (3, far), (4, base),
+         (5, mid), (6, off)],
+        "doc_id long, text string")
+    sig = {r.doc_id: r.simhash for r in simhash_md5(docs).collect()}
+
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    rep = {d: min(e for e in sig if sig[e] == sig[d]) for d in sig}
+    expect = {(rep[d], d, 0) for d in sig if rep[d] != d}
+    reps = sorted(set(rep.values()))
+    expect |= {(a, b, ham(sig[a], sig[b]))
+               for i, a in enumerate(reps) for b in reps[i + 1:]
+               if ham(sig[a], sig[b]) <= 3}
+    got = {(r.doc_a, r.doc_b, r.hamming)
+           for r in simhash_pairs(docs).collect()}
+    assert got == expect, (sorted(got), sorted(expect))
+    # the planted corpus exercises both branches
+    assert any(h == 0 for _, _, h in got)
+    assert any(h > 0 for _, _, h in got), sorted(
+        (ham(sig[a], sig[b]), a, b)
+        for i, a in enumerate(reps) for b in reps[i + 1:])
+
+
 def test_embedding_lsh_pairs_subset_of_exact(spark):
     """The registered LSH-bucketed near-dup path returns a subset of
     the exact all-pairs result (identical cos values), with usable

@@ -43,7 +43,8 @@ def test_registry_still_frozen_at_70():
 
 
 @pytest.mark.parametrize("name", ["quality_features",
-                                  "dup_ngram_frac"])
+                                  "dup_ngram_frac",
+                                  "simhash_pairs"])
 def test_staged_r9_query_matches_oracle(spark, duck, name):
     import decimal
     from packages_sgml_spark.spark.queries_staged_r9 import (
