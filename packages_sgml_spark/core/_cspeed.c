@@ -2652,8 +2652,8 @@ static PyObject *ctx_stats(PyObject *self, PyObject *args)
 /* ==================================================================
  * markdown fold drain (r8)
  *
- * md_drain(tape, frames, mds, skip, convert, def_fold, def_keep)
- * -> new skip
+ * md_drain(tape, frames, mds, skip, convert, def_fold, def_keep
+ *          [, skip_box[, att_fold, att_keep]]) -> new skip
  *
  * C replica of core/markdown.py MarkdownParser._drain_tape plus the
  * _fold/_merge_inline/_collapse/_blocks/_indent/_attr helpers it
@@ -2689,6 +2689,7 @@ static PyObject *md_space, *md_empty, *md_nl, *md_nl2, *md_br;
 static PyObject *md_tag_b, *md_tag_li, *md_tag_cell;
 static PyObject *md_ev_d, *md_ev_b;
 static PyObject *md_href, *md_alt, *md_src, *md_name_attr;
+static PyObject *md_s_type, *md_s_islist;
 static PyObject *md_hpfx[7];        /* "# ".."###### " */
 static PyObject *md_hr_tuple;       /* ("b", "---") */
 static PyObject *md_bq, *md_bq_empty;   /* "> ", ">" */
@@ -2720,6 +2721,7 @@ static int md_init(void)
     Py_CLEAR(md_ev_d); Py_CLEAR(md_ev_b);
     Py_CLEAR(md_href); Py_CLEAR(md_alt); Py_CLEAR(md_src);
     Py_CLEAR(md_name_attr); Py_CLEAR(md_hr_tuple);
+    Py_CLEAR(md_s_type); Py_CLEAR(md_s_islist);
     Py_CLEAR(md_bq); Py_CLEAR(md_bq_empty); Py_CLEAR(md_ul_mark);
     Py_CLEAR(md_pipe); Py_CLEAR(md_empty_tuple);
     for (int i = 1; i <= 6; i++) Py_CLEAR(md_hpfx[i]);
@@ -2760,6 +2762,8 @@ static int md_init(void)
     md_alt = PyUnicode_InternFromString("alt");
     md_src = PyUnicode_InternFromString("src");
     md_name_attr = PyUnicode_InternFromString("name");
+    md_s_type = PyUnicode_InternFromString("type");
+    md_s_islist = PyUnicode_InternFromString("islist");
     md_bq = PyUnicode_InternFromString("> ");
     md_bq_empty = PyUnicode_InternFromString(">");
     md_ul_mark = PyUnicode_InternFromString("- ");
@@ -2776,7 +2780,7 @@ static int md_init(void)
         !md_tag_b || !md_tag_li || !md_tag_cell || !md_ev_d ||
         !md_href || !md_alt || !md_src || !md_name_attr || !md_bq ||
         !md_bq_empty || !md_ul_mark || !md_pipe || !md_empty_tuple ||
-        !md_hr_tuple || !md_hpfx[6])
+        !md_hr_tuple || !md_hpfx[6] || !md_s_type || !md_s_islist)
         return -1;
     md_ready = 1;
     return 0;
@@ -3269,21 +3273,115 @@ static PyObject *md_fold_name(PyObject *e)
     return lower;
 }
 
+/* Inline fast path for parser.convert_attributes on the a/img begin
+ * events (the only fold rules that read attributes): every (a, v)
+ * pair whose attr def is scalar CDATA (type == AT_CDATA == 0, islist
+ * falsy) maps to (a.name, v if v is not None else "") — the exact
+ * convert_attributes CDATA branch.  Any other shape (declared
+ * NUMBER/NAMES/... attr, unexpected item) falls back to the Python
+ * callable for the WHOLE list so ordering and typing stay identical.
+ *
+ * The id-keyed memo (att_fold: id(attr def) -> name str, or None for
+ * "complex type") CANNOT go stale — deliberately unlike the CElem
+ * element flags: process_attlist_declaration always builds a FRESH
+ * Attr before attaching it (decls.py), implicit attrs are created
+ * CDATA and never re-typed in place, and att_keep pins every
+ * memoized def so a dead def's id is never reused. */
+static PyObject *md_convert_atts(PyObject *convert, PyObject *atts,
+                                 PyObject *att_fold, PyObject *att_keep)
+{
+    if (!att_fold || !PyList_CheckExact(atts))
+        return PyObject_CallFunctionObjArgs(convert, atts, NULL);
+    Py_ssize_t n = PyList_GET_SIZE(atts);
+    PyObject *out = PyList_New(n);
+    if (!out) return NULL;
+    for (Py_ssize_t j = 0; j < n; j++) {
+        PyObject *item = PyList_GET_ITEM(atts, j);
+        if (!PyTuple_CheckExact(item) || PyTuple_GET_SIZE(item) != 2)
+            goto fallback;
+        PyObject *a = PyTuple_GET_ITEM(item, 0);
+        PyObject *v = PyTuple_GET_ITEM(item, 1);
+        PyObject *key = PyLong_FromVoidPtr(a);
+        if (!key) goto error;
+        PyObject *name = PyDict_GetItemWithError(att_fold, key);
+        int owned = 0;
+        if (!name) {
+            if (PyErr_Occurred()) { Py_DECREF(key); goto error; }
+            PyObject *t = PyObject_GetAttr(a, md_s_type);
+            if (!t) { Py_DECREF(key); goto error; }
+            int simple = 0;
+            if (PyLong_CheckExact(t)) {
+                long tv = PyLong_AsLong(t);
+                if (tv == -1 && PyErr_Occurred()) PyErr_Clear();
+                simple = tv == 0;               /* AT_CDATA */
+            }
+            Py_DECREF(t);
+            if (simple) {
+                PyObject *il = PyObject_GetAttr(a, md_s_islist);
+                if (!il) { Py_DECREF(key); goto error; }
+                int lt = PyObject_IsTrue(il);
+                Py_DECREF(il);
+                if (lt < 0) { Py_DECREF(key); goto error; }
+                if (lt) simple = 0;
+            }
+            if (simple) {
+                name = PyObject_GetAttr(a, md_name_attr);
+                if (!name) { Py_DECREF(key); goto error; }
+                if (!PyUnicode_CheckExact(name)) {
+                    /* convert would emit the non-str name verbatim;
+                     * rare enough to route through Python */
+                    Py_DECREF(name);
+                    name = NULL;
+                } else
+                    owned = 1;
+            }
+            if (PyDict_GET_SIZE(att_fold) < 4096 &&
+                (PyDict_SetItem(att_fold, key,
+                                name ? name : Py_None) < 0 ||
+                 PyList_Append(att_keep, a) < 0)) {
+                if (owned) Py_DECREF(name);
+                Py_DECREF(key);
+                goto error;
+            }
+        } else if (name == Py_None)
+            name = NULL;
+        Py_DECREF(key);
+        if (!name)
+            goto fallback;
+        PyObject *vv = (v == Py_None) ? md_empty : v;
+        PyObject *tup = PyTuple_Pack(2, name, vv);
+        if (owned) Py_DECREF(name);
+        if (!tup) goto error;
+        PyList_SET_ITEM(out, j, tup);
+    }
+    return out;
+fallback:
+    Py_DECREF(out);
+    return PyObject_CallFunctionObjArgs(convert, atts, NULL);
+error:
+    Py_DECREF(out);
+    return NULL;
+}
+
 static PyObject *md_drain_impl(PyObject *self, PyObject *args)
 {
     (void)self;
     PyObject *tape, *frames, *mds, *convert, *def_fold, *def_keep;
-    PyObject *skip_box = NULL;
+    PyObject *skip_box = NULL, *att_fold = NULL, *att_keep = NULL;
     long skip;
-    if (!PyArg_ParseTuple(args, "O!O!O!lOO!O!|O!",
+    if (!PyArg_ParseTuple(args, "O!O!O!lOO!O!|O!O!O!",
                           &PyList_Type, &tape,
                           &PyList_Type, &frames,
                           &PyList_Type, &mds,
                           &skip, &convert,
                           &PyDict_Type, &def_fold,
                           &PyList_Type, &def_keep,
-                          &PyList_Type, &skip_box))
+                          &PyList_Type, &skip_box,
+                          &PyDict_Type, &att_fold,
+                          &PyList_Type, &att_keep))
         return NULL;
+    if (!att_keep)
+        att_fold = NULL;   /* memo needs its keep-alive pin */
     if (md_init() < 0) return NULL;
     /* skip_box: optional 1-slot list the caller reads in its finally
      * clause — published at every skip change so an exception
@@ -3386,8 +3484,8 @@ static PyObject *md_drain_impl(PyObject *self, PyObject *args)
             int atts_true = want ? PyObject_IsTrue(atts) : 0;
             if (atts_true < 0) { Py_DECREF(fname); return NULL; }
             if (want && atts_true) {
-                attrs = PyObject_CallFunctionObjArgs(convert, atts,
-                                                     NULL);
+                attrs = md_convert_atts(convert, atts, att_fold,
+                                        att_keep);
                 if (!attrs) { Py_DECREF(fname); return NULL; }
             } else {
                 attrs = md_empty_tuple;
@@ -3480,8 +3578,8 @@ static PyMethodDef methods[] = {
     {"make_ctx", make_ctx, METH_VARARGS,
      "make_ctx(dtd, consts, callbacks) -> Ctx"},
     {"md_drain", md_drain_impl, METH_VARARGS,
-     "md_drain(tape, frames, mds, skip, convert, def_fold, def_keep)"
-     " -> new skip"},
+     "md_drain(tape, frames, mds, skip, convert, def_fold, def_keep"
+     "[, skip_box[, att_fold, att_keep]]) -> new skip"},
     {"pcdata_fast", pcdata_fast, METH_VARARGS,
      "pcdata_fast(ctx, parser, text, i, n, utf8) -> new_i or -1"},
     {"ctx_stats", ctx_stats, METH_VARARGS,

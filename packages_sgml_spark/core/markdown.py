@@ -359,6 +359,12 @@ class MarkdownParser(SGMLParser):
         cache = getattr(self.dtd, "_md_fold_cache", None)
         if cache is None:
             cache = self.dtd._md_fold_cache = ({}, [])
+        # id(attr def) -> name memo for md_drain's in-C CDATA
+        # convert_attributes fast path (complex types fall back to
+        # the Python callable); keep-alive list pins the defs
+        acache = getattr(self.dtd, "_md_att_cache", None)
+        if acache is None:
+            acache = self.dtd._md_att_cache = ({}, [])
         tape = self._c_tape
         # skip_box: md_drain publishes the skip depth at every change
         # so an exception mid-tape (convert callback, OOM) leaves
@@ -368,7 +374,8 @@ class MarkdownParser(SGMLParser):
         try:
             box[0] = fn(tape, self._frames, self._mds,
                         self._skip, self.convert_attributes,
-                        cache[0], cache[1], box)
+                        cache[0], cache[1], box,
+                        acache[0], acache[1])
         finally:
             self._skip = box[0]
             del tape[:]

@@ -249,6 +249,108 @@ def test_markdown_c_drain_br_sentinel():
         assert _md_events_arm(html, True) == want
 
 
+def test_markdown_c_convert_atts_fast_path():
+    """md_drain's in-C convert_attributes fast path: scalar-CDATA
+    attr defs (type 0, islist falsy) map to (name, value-or-'')
+    without calling the Python callable; ANY non-CDATA def in the
+    list routes the WHOLE list through Python so ordering and typing
+    stay identical.  Memo is id-keyed with a keep-alive pin (safe
+    because ATTLIST always builds a fresh Attr; see _cspeed.c)."""
+    import pytest
+    from packages_sgml_spark.core import cspeed
+    if cspeed.MOD is None or not hasattr(cspeed.MOD, "md_drain"):
+        pytest.skip("compiled md_drain unavailable")
+
+    class FakeAttr:
+        def __init__(self, name, type_=0, islist=False):
+            self.name = name
+            self.type = type_
+            self.islist = islist
+
+    href = FakeAttr("href")
+    title = FakeAttr("title")
+    tab = FakeAttr("tabindex", type_=12)        # AT_NUMBER
+    calls = []
+
+    def convert(atts):
+        calls.append(list(atts))
+        return [(a.name, "PY:%s" % (v,)) for a, v in atts]
+
+    def run(atts, use_memo=True):
+        tape = [("b", ("b", FakeAttr("a"), atts, False, None)),
+                ("d", "L"), ("e", "a")]
+        frames, mds, box = [], [], [0]
+        if use_memo:
+            att_fold, att_keep = {}, []
+            cspeed.MOD.md_drain(tape, frames, mds, 0, convert,
+                                {}, [], box, att_fold, att_keep)
+            return mds, att_fold, att_keep
+        cspeed.MOD.md_drain(tape, frames, mds, 0, convert,
+                            {}, [], box)
+        return mds, None, None
+
+    # 1: all-CDATA -> no Python call; None folds to "" (the fold
+    #    then drops the empty title segment, same as the Python arm)
+    calls.clear()
+    mds, fold, keep = run([(href, "https://u/1"), (title, None)])
+    assert calls == []
+    assert mds == ["[L](https://u/1)"]
+    assert set(fold.values()) == {"href", "title"}
+    assert keep == [href, title]
+    # img reads BOTH src and alt: values flow through the fast path
+    src, alt = FakeAttr("src"), FakeAttr("alt")
+    for altv, want in ((None, "![](https://u/i)"),
+                       ("pic", "![pic](https://u/i)")):
+        calls.clear()
+        tape = [("b", ("b", FakeAttr("img"),
+                       [(src, "https://u/i"), (alt, altv)],
+                       False, None)), ("e", "img")]
+        frames, mdsi, box = [], [], [0]
+        cspeed.MOD.md_drain(tape, frames, mdsi, 0, convert, {}, [],
+                            box, {}, [])
+        assert calls == [] and mdsi == [want], (altv, mdsi)
+    # 2: memoed defs reused (dict primed) and still no Python call
+    calls.clear()
+    tape = [("b", ("b", FakeAttr("a"), [(href, "https://u/2")],
+             False, None)), ("d", "M"), ("e", "a")]
+    frames, mds2, box = [], [], [0]
+    cspeed.MOD.md_drain(tape, frames, mds2, 0, convert, {}, [],
+                        box, fold, keep)
+    assert calls == [] and mds2 == ["[M](https://u/2)"]
+    # 3: a NUMBER def anywhere -> whole list through Python convert
+    calls.clear()
+    mds, fold, keep = run([(href, "https://u/3"), (tab, "3")])
+    assert calls == [[(href, "https://u/3"), (tab, "3")]]
+    assert mds == ["[L](PY:https://u/3)"]
+    # 4: without the memo args the Python callable is always used
+    calls.clear()
+    mds, _, _ = run([(href, "https://u/4")], use_memo=False)
+    assert calls and mds == ["[L](PY:https://u/4)"]
+
+
+def test_markdown_c_convert_atts_inline_dtd_differential():
+    """Full-parser differential for the fallback: an inline DOCTYPE
+    declaring NUMBER/NUMBERS attrs on <a> (the built-in dialects are
+    all-CDATA, so only a custom DTD reaches the complex branch)."""
+    from packages_sgml_spark.core import markdown as M
+    if M._c_md_drain() is None:
+        import pytest
+        pytest.skip("compiled md_drain unavailable")
+    doc = ('<!DOCTYPE doc [\n'
+           '<!ELEMENT doc - - (p)*>\n'
+           '<!ELEMENT p - - (#PCDATA|a)*>\n'
+           '<!ELEMENT a - - (#PCDATA)>\n'
+           '<!ATTLIST a href CDATA #IMPLIED\n'
+           '           tabindex NUMBER #IMPLIED\n'
+           '           coords NUMBERS #IMPLIED>\n'
+           ']>\n'
+           '<doc><p>x <a href="https://u/1" tabindex="3" '
+           'coords="1 2 3">L</a> y</p></doc>').encode()
+    assert (_md_events_arm(doc, True, "sgml") ==
+            _md_events_arm(doc, False, "sgml") ==
+            "x [L](https://u/1) y")
+
+
 def test_markdown_c_drain_skip_box_on_error():
     """An exception mid-tape (convert callback) must leave _skip
     consistent with the frames md_drain already mutated — the C arm
