@@ -212,14 +212,54 @@ SELECT DISTINCT doc_a, doc_b, hamming FROM (
 ORACLE_SIMHASH_PAIRS = _simhash_pairs_oracle()
 
 
+def q_doc_chunks(spark, sf_dir):
+    """Fixed-size training-sequence chunking (textops.doc_chunks) at
+    a 32-word window — the sequence-packing shard shape.  Zero
+    shuffles: one generate+project stage, chunks stay in their
+    parent doc's partition."""
+    from .textops import doc_chunks
+    return doc_chunks(_t(spark, sf_dir, "documents"), chunk_size=32)
+
+
+# DuckDB list slices are 1-based inclusive and clamp at the array
+# end, mirroring Spark's F.slice(w, start, length) exactly; empty /
+# whitespace-only docs produce zero chunk rows on both engines
+# (range(0,0) unnests to nothing; Spark guards the descending
+# sequence(0,-1) trap).
+ORACLE_DOC_CHUNKS = """
+WITH t AS (
+  SELECT doc_id,
+    regexp_replace(coalesce(text, ''), '^\\s+|\\s+$', '', 'g')
+      AS stripped
+  FROM documents),
+w AS (
+  SELECT doc_id,
+    CASE WHEN length(stripped) = 0
+         THEN CAST([] AS VARCHAR[])
+         ELSE regexp_split_to_array(stripped, '\\s+') END AS words
+  FROM t),
+c AS (
+  SELECT doc_id, words,
+         unnest(range(0, CAST(ceil(len(words) / 32.0) AS BIGINT)))
+           AS i
+  FROM w)
+SELECT doc_id, CAST(i AS INT) AS chunk_id,
+  CAST(len(words[(i*32+1):(i*32+32)]) AS INT) AS n_tokens,
+  array_to_string(words[(i*32+1):(i*32+32)], ' ') AS chunk_text
+FROM c
+"""
+
+
 R9_QUERIES = {
     "quality_features": q_quality_features,
     "dup_ngram_frac": q_dup_ngram_frac,
     "simhash_pairs": q_simhash_pairs,
+    "doc_chunks": q_doc_chunks,
 }
 
 R9_ORACLES = {
     "quality_features": ORACLE_QUALITY_FEATURES,
     "dup_ngram_frac": ORACLE_DUP_NGRAM_FRAC,
     "simhash_pairs": ORACLE_SIMHASH_PAIRS,
+    "doc_chunks": ORACLE_DOC_CHUNKS,
 }

@@ -341,3 +341,49 @@ def compression_ratio(docs: DataFrame) -> DataFrame:
         return texts.map(one)
 
     return docs.select("doc_id", zratio("text").alias("zratio"))
+
+
+def doc_chunks(docs: DataFrame, chunk_size: int = 512) -> DataFrame:
+    """Fixed-size training-sequence chunking: split each document's
+    whitespace tokens into consecutive chunk_size-word windows —
+    (doc_id, chunk_id, n_tokens, chunk_text), the shape a
+    sequence-packing / pretraining-shard writer consumes.
+
+    Scale shape: a single narrow generate+project stage — no shuffle
+    at all (chunk rows stay in their parent doc's partition), so the
+    operator is embarrassingly parallel at any corpus size.  The
+    words array is materialized once per doc in a prior projection
+    (multi-reference keeps CollapseProject from re-running the
+    regexp split per chunk row — the word_ngram_arr lesson), and the
+    explode carries only (doc_id, words, chunk_id) until the slice
+    projects each row down to its own window.
+
+    Empty/whitespace-only docs produce zero chunks (sequence() on a
+    0-word doc would emit a DESCENDING [0,-1] range — guarded).
+    Edges are stripped of ALL whitespace (F.trim strips only 0x20:
+    a '\\n\\t'-only doc survives trim and would chunk to empty
+    tokens, and a leading newline would inject an empty first
+    word)."""
+    from .util import spread
+    docs = spread(docs, "doc_id")
+    text = F.col("text")
+    stripped = F.regexp_replace(text, r"^\s+|\s+$", "")
+    words = F.when(F.length(stripped) == 0,
+                   F.array().cast("array<string>")) \
+             .otherwise(F.split(stripped, r"\s+"))
+    wd = docs.select("doc_id", words.alias("w"))
+    n = F.size("w")
+    idx = F.sequence(
+        F.lit(0), (F.ceil(n / F.lit(float(chunk_size)))).cast("int") - 1)
+    ch = wd.select(
+        "doc_id", "w",
+        F.explode(F.when(n > 0, idx)
+                  .otherwise(F.array().cast("array<int>")))
+         .alias("chunk_id"))
+    sl = F.slice(F.col("w"), F.col("chunk_id") * chunk_size + 1,
+                 chunk_size)
+    return ch.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.size(sl).cast("int").alias("n_tokens"),
+        F.concat_ws(" ", sl).alias("chunk_text"))

@@ -44,7 +44,8 @@ def test_registry_still_frozen_at_70():
 
 @pytest.mark.parametrize("name", ["quality_features",
                                   "dup_ngram_frac",
-                                  "simhash_pairs"])
+                                  "simhash_pairs",
+                                  "doc_chunks"])
 def test_staged_r9_query_matches_oracle(spark, duck, name):
     import decimal
     from packages_sgml_spark.spark.queries_staged_r9 import (
@@ -71,3 +72,27 @@ def test_staged_r9_keys_do_not_collide(spark):
     live = set(E.queries())
     assert not (set(R9_QUERIES) & live)
     assert set(R9_ORACLES) == set(R9_QUERIES)
+
+
+def test_doc_chunks_planted_semantics(spark):
+    """Planted chunk boundaries: exact-multiple docs get no ragged
+    tail, ragged docs do, sub-chunk docs yield one chunk, empty and
+    whitespace-only docs yield zero chunks, and concatenating a
+    doc's chunks reproduces its whitespace-normalized text."""
+    from packages_sgml_spark.spark.textops import doc_chunks
+    docs = spark.createDataFrame(
+        [(1, " ".join("w%d" % i for i in range(8))),   # exact 2 chunks
+         (2, " ".join("w%d" % i for i in range(9))),   # ragged tail of 1
+         (3, "a b"),                                   # single short chunk
+         (4, ""),                                      # empty: no chunks
+         (5, "   \n\t ")],                             # ws-only: no chunks
+        "doc_id long, text string")
+    rows = {(r.doc_id, r.chunk_id): r
+            for r in doc_chunks(docs, chunk_size=4).collect()}
+    keys = sorted(rows)
+    assert keys == [(1, 0), (1, 1), (2, 0), (2, 1), (2, 2), (3, 0)]
+    assert [rows[k].n_tokens for k in keys] == [4, 4, 4, 4, 1, 2]
+    assert rows[(2, 2)].chunk_text == "w8"
+    glued = " ".join(rows[(1, i)].chunk_text for i in (0, 1))
+    assert glued == " ".join("w%d" % i for i in range(8))
+    assert rows[(3, 0)].chunk_text == "a b"
