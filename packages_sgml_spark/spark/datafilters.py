@@ -456,3 +456,33 @@ def dup_ngram_frac(docs: DataFrame, n: int = 8) -> DataFrame:
                         F.greatest(F.coalesce(F.col("n_grams"),
                                               F.lit(0)), F.lit(1)),
                         6).alias("dup_ngram_frac")))
+
+
+def stratified_sample(docs: DataFrame, k: int = 10,
+                      strata_col: str = "source") -> DataFrame:
+    """Deterministic per-stratum quota sampling for data mixing:
+    within each stratum (default: source/host) order docs by
+    md5(doc_id) — a stable pseudo-random permutation both engines
+    compute identically — and keep the first k, emitting
+    (doc_id, source, sample_rank).  Re-running on the same corpus
+    reproduces the same sample bit-for-bit (no rand()).
+
+    Scale shape: one shuffle on the stratum key, then a per-stratum
+    sort for row_number.  Strata are host-sized, so a mega-host sorts
+    in one task; for tiny quotas over pathological hosts, pre-filter
+    with a hash threshold first (keep only md5 < bound chosen so
+    ~4k/host survive) — that Bernoulli pre-cut is stateless and
+    shuffle-free, and it is the documented escape hatch rather than
+    the default because it makes the quota approximate near the
+    boundary."""
+    from pyspark.sql import Window
+    from .util import spread
+    docs = spread(docs, "doc_id")
+    key = F.md5(F.encode(F.col("doc_id").cast("string"), "utf-8"))
+    w = Window.partitionBy(strata_col).orderBy(key.asc(),
+                                               F.col("doc_id").asc())
+    return (docs.select("doc_id", strata_col)
+            .withColumn("sample_rank",
+                        F.row_number().over(w).cast("int"))
+            .filter(F.col("sample_rank") <= k)
+            .select("doc_id", strata_col, "sample_rank"))

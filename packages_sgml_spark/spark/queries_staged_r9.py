@@ -250,11 +250,34 @@ FROM c
 """
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-source quota sample (k=10) — the data-mixing
+    primitive: same corpus in, same sample out, no rand()."""
+    from .datafilters import stratified_sample
+    return stratified_sample(_t(spark, sf_dir, "documents"), k=10)
+
+
+# Same md5-hex permutation on both engines (Spark md5(encode(s,
+# 'utf-8')) == DuckDB md5(VARCHAR), lowercase hex), doc_id
+# tie-break, identical row_number semantics.
+ORACLE_STRATIFIED_SAMPLE = """
+WITH r AS (
+  SELECT doc_id, source,
+         CAST(row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT)
+           AS sample_rank
+  FROM documents)
+SELECT doc_id, source, sample_rank FROM r WHERE sample_rank <= 10
+"""
+
+
 R9_QUERIES = {
     "quality_features": q_quality_features,
     "dup_ngram_frac": q_dup_ngram_frac,
     "simhash_pairs": q_simhash_pairs,
     "doc_chunks": q_doc_chunks,
+    "stratified_sample": q_stratified_sample,
 }
 
 R9_ORACLES = {
@@ -262,4 +285,5 @@ R9_ORACLES = {
     "dup_ngram_frac": ORACLE_DUP_NGRAM_FRAC,
     "simhash_pairs": ORACLE_SIMHASH_PAIRS,
     "doc_chunks": ORACLE_DOC_CHUNKS,
+    "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
 }

@@ -45,7 +45,8 @@ def test_registry_still_frozen_at_70():
 @pytest.mark.parametrize("name", ["quality_features",
                                   "dup_ngram_frac",
                                   "simhash_pairs",
-                                  "doc_chunks"])
+                                  "doc_chunks",
+                                  "stratified_sample"])
 def test_staged_r9_query_matches_oracle(spark, duck, name):
     import decimal
     from packages_sgml_spark.spark.queries_staged_r9 import (
@@ -96,3 +97,28 @@ def test_doc_chunks_planted_semantics(spark):
     glued = " ".join(rows[(1, i)].chunk_text for i in (0, 1))
     assert glued == " ".join("w%d" % i for i in range(8))
     assert rows[(3, 0)].chunk_text == "a b"
+
+
+def test_stratified_sample_planted_semantics(spark):
+    """Quota semantics: each stratum emits min(k, n_docs) rows with
+    ranks exactly 1..min(k, n), and the selection is deterministic
+    across runs (md5 order, no rand())."""
+    from pyspark.sql import functions as F
+
+    from packages_sgml_spark.spark.datafilters import stratified_sample
+    docs = spark.createDataFrame(
+        [(i, "big") for i in range(20)] +
+        [(100 + i, "small") for i in range(3)],
+        "doc_id long, source string").withColumn(
+            "text", F.lit("x"))
+    out1 = sorted(map(tuple, stratified_sample(
+        docs, k=5).collect()))
+    out2 = sorted(map(tuple, stratified_sample(
+        docs, k=5).collect()))
+    assert out1 == out2
+    by_src = {}
+    for doc_id, src_, rk in out1:
+        by_src.setdefault(src_, []).append((rk, doc_id))
+    assert sorted(rk for rk, _ in by_src["big"]) == [1, 2, 3, 4, 5]
+    assert sorted(rk for rk, _ in by_src["small"]) == [1, 2, 3]
+    assert {d for _, d in by_src["small"]} == {100, 101, 102}
