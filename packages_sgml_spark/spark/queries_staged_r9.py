@@ -272,12 +272,67 @@ SELECT doc_id, source, sample_rank FROM r WHERE sample_rank <= 10
 """
 
 
+def q_host_quality(spark, sf_dir):
+    """Host-level quality rollup (textops.host_quality) — the
+    domain-filter signal, aggregated with exact integer sums so the
+    result is partition-order independent."""
+    from .textops import host_quality
+    return host_quality(_t(spark, sf_dir, "documents"))
+
+
+def _host_quality_oracle():
+    """Per-doc CTE mirrors the registered quality oracle's b/s stages
+    (same trim/split/punct/stop-hit formulas — shared _occ fragments,
+    no drift), then integer-sums per source with one terminal
+    division per ratio.  Sums are CAST to BIGINT before fetch:
+    DuckDB sum(int) returns HUGEINT and DECIMAL cells are
+    driver-unsafe."""
+    from .oracles import _occ, _STOPWORDS
+    occ = " + ".join(_occ(" %s " % w) for w in _STOPWORDS)
+    return """
+WITH b AS (
+  SELECT doc_id, source, text, length(text) AS n_chars,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+           AS n_words,
+         length(text) -
+           length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+           AS n_punct,
+         ' ' || lower(text) || ' ' AS padded
+  FROM documents),
+s AS (SELECT source, n_chars, n_words, n_punct, ({occ}) AS stop_hits
+      FROM b),
+g AS (
+  SELECT source,
+         count(*) AS n_docs,
+         CAST(sum(n_words) AS BIGINT) AS sw,
+         CAST(sum(n_chars) AS BIGINT) AS sc,
+         CAST(sum(n_punct) AS BIGINT) AS sp,
+         CAST(sum(stop_hits) AS BIGINT) AS ss,
+         CAST(sum(CASE WHEN n_words < 30 THEN 1 ELSE 0 END)
+              AS BIGINT) AS nshort
+  FROM s GROUP BY source)
+SELECT source,
+  CAST(n_docs AS BIGINT) AS n_docs,
+  sw AS n_words,
+  round(sw / n_docs, 6) AS mean_doc_words,
+  round(sp / greatest(sc, 1), 6) AS punct_ratio,
+  round(ss / greatest(sw, 1), 6) AS stopword_ratio,
+  round(nshort / n_docs, 6) AS short_doc_frac
+FROM g
+""".format(occ=occ)
+
+
+ORACLE_HOST_QUALITY = _host_quality_oracle()
+
+
 R9_QUERIES = {
     "quality_features": q_quality_features,
     "dup_ngram_frac": q_dup_ngram_frac,
     "simhash_pairs": q_simhash_pairs,
     "doc_chunks": q_doc_chunks,
     "stratified_sample": q_stratified_sample,
+    "host_quality": q_host_quality,
 }
 
 R9_ORACLES = {
@@ -286,4 +341,5 @@ R9_ORACLES = {
     "simhash_pairs": ORACLE_SIMHASH_PAIRS,
     "doc_chunks": ORACLE_DOC_CHUNKS,
     "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
+    "host_quality": ORACLE_HOST_QUALITY,
 }

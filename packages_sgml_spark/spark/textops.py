@@ -387,3 +387,56 @@ def doc_chunks(docs: DataFrame, chunk_size: int = 512) -> DataFrame:
         F.col("chunk_id").cast("int").alias("chunk_id"),
         F.size(sl).cast("int").alias("n_tokens"),
         F.concat_ws(" ", sl).alias("chunk_text"))
+
+
+def host_quality(docs: DataFrame, short_words: int = 30) -> DataFrame:
+    """Host-level (per-source) quality rollup — the domain-filter
+    signal a crawl curator thresholds before ever looking at single
+    pages: doc count, total/mean words, corpus-level punctuation and
+    stopword densities, and the fraction of short documents.
+
+    Exactness at scale: every aggregate is an INTEGER sum (chars,
+    words, punct, stop-hits, short-doc count) with ONE division at
+    the end — float partial sums would make the result depend on
+    partition combine order, which the driver's hash-exact oracle
+    compare (and any reproducible-pipeline contract) cannot
+    tolerate.  One hash-shuffle on source with map-side partial
+    aggregation; source cardinality is tiny relative to docs, so the
+    reduce side is trivially sized."""
+    from .util import spread
+    docs = spread(docs, "doc_id")
+    text = F.col("text")
+    n_chars = F.length(text)
+    trimmed = F.trim(text)
+    n_words = F.when(F.length(trimmed) == 0, F.lit(0)) \
+               .otherwise(F.size(F.split(trimmed, r"\s+")))
+    n_punct = n_chars - F.length(
+        F.regexp_replace(text, r"[.,!?;:]", ""))
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    stop_hits = None
+    for w in STOPWORDS:
+        c = _count_occurrences_rx(padded, " %s " % w)
+        stop_hits = c if stop_hits is None else (stop_hits + c)
+    per = docs.select(
+        "source", n_chars.alias("nc"), n_words.alias("nw"),
+        n_punct.alias("np"), stop_hits.alias("sh"))
+    g = per.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("nw").alias("sw"),
+        F.sum("nc").alias("sc"),
+        F.sum("np").alias("sp"),
+        F.sum("sh").alias("ss"),
+        F.sum(F.when(F.col("nw") < short_words, 1).otherwise(0))
+         .alias("nshort"))
+    return g.select(
+        "source",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("sw").cast("bigint").alias("n_words"),
+        F.round(F.col("sw") / F.col("n_docs"), 6)
+         .alias("mean_doc_words"),
+        F.round(F.col("sp") / F.greatest(F.col("sc"), F.lit(1)), 6)
+         .alias("punct_ratio"),
+        F.round(F.col("ss") / F.greatest(F.col("sw"), F.lit(1)), 6)
+         .alias("stopword_ratio"),
+        F.round(F.col("nshort") / F.col("n_docs"), 6)
+         .alias("short_doc_frac"))

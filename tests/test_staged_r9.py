@@ -46,7 +46,8 @@ def test_registry_still_frozen_at_70():
                                   "dup_ngram_frac",
                                   "simhash_pairs",
                                   "doc_chunks",
-                                  "stratified_sample"])
+                                  "stratified_sample",
+                                  "host_quality"])
 def test_staged_r9_query_matches_oracle(spark, duck, name):
     import decimal
     from packages_sgml_spark.spark.queries_staged_r9 import (
@@ -122,3 +123,26 @@ def test_stratified_sample_planted_semantics(spark):
     assert sorted(rk for rk, _ in by_src["big"]) == [1, 2, 3, 4, 5]
     assert sorted(rk for rk, _ in by_src["small"]) == [1, 2, 3]
     assert {d for _, d in by_src["small"]} == {100, 101, 102}
+
+
+def test_host_quality_planted_semantics(spark):
+    """Planted host contrast: a host of short stopword-free docs vs a
+    host of long stopword-rich punctuated ones — the rollup must
+    separate them on every axis, with exact integer-sum ratios."""
+    from packages_sgml_spark.spark.textops import host_quality
+    good = "the cat and the dog sat on a mat in the sun . " * 5
+    docs = spark.createDataFrame(
+        [(1, "bad.example", "zz qq"),
+         (2, "bad.example", "xx yy ww"),
+         (3, "good.example", good.strip()),
+         (4, "good.example", good.strip())],
+        "doc_id long, source string, text string")
+    rows = {r.source: r for r in host_quality(
+        docs, short_words=10).collect()}
+    bad, goodr = rows["bad.example"], rows["good.example"]
+    assert bad.n_docs == 2 and bad.n_words == 5
+    assert bad.short_doc_frac == 1.0 and goodr.short_doc_frac == 0.0
+    assert bad.stopword_ratio == 0.0
+    assert goodr.stopword_ratio > 0.4
+    assert goodr.punct_ratio > 0.0 and bad.punct_ratio == 0.0
+    assert goodr.mean_doc_words == goodr.n_words / 2
