@@ -437,3 +437,41 @@ def dedup_components(pairs: DataFrame, max_iterations=12) -> DataFrame:
             break
     return labels.select(F.col("node").alias("doc_id"),
                          F.col("label").alias("component"))
+
+
+def dedup_keep(docs: DataFrame) -> DataFrame:
+    """Materialized dedup decision for the whole corpus — the row a
+    training-data run actually writes: every doc mapped to its
+    near-dup cluster representative with a keep bit.
+
+    Composes the MinHash-LSH candidate pipeline (banded signatures,
+    star-collapse, bucket cap) with min-label connected components,
+    then joins the component map back onto the doc base:
+      component    = min doc_id reachable (self for singletons)
+      cluster_size = docs in the cluster (1 for singletons)
+      keep         = 1 iff this doc IS the representative — exactly
+                     one keep per cluster, all singletons kept.
+
+    Scale shape: the component map holds only docs that appear in a
+    candidate pair, so the final join is corpus x (dup subset).  The
+    join is left UNHINTED: on lightly-duplicated corpora AQE will
+    broadcast the map from its observed shuffle size, while on
+    heavily-duplicated crawls (30-50% dup rate is normal) the map is
+    a large fraction of the corpus and a forced broadcast() would
+    OOM the executors — a sort-merge/shuffled-hash join on doc_id is
+    the correct plan there, and AQE picks per-run.  cluster_size is
+    one extra tiny-side groupBy on the map, never on the corpus."""
+    pairs = minhash_lsh_pairs(docs)
+    comp = dedup_components(pairs)
+    sizes = comp.groupBy("component").agg(
+        F.count("*").alias("csize"))
+    comp = comp.join(sizes, "component")
+    base = docs.select("doc_id")
+    j = base.join(comp, "doc_id", "left")
+    rep = F.coalesce(F.col("component"), F.col("doc_id"))
+    return j.select(
+        "doc_id",
+        rep.cast("bigint").alias("component"),
+        F.coalesce(F.col("csize"), F.lit(1)).cast("bigint")
+         .alias("cluster_size"),
+        (rep == F.col("doc_id")).cast("int").alias("keep"))

@@ -326,6 +326,38 @@ FROM g
 ORACLE_HOST_QUALITY = _host_quality_oracle()
 
 
+def q_dedup_keep(spark, sf_dir):
+    """Materialized per-doc dedup decision (dedup.dedup_keep):
+    MinHash-LSH candidates -> connected components -> one keep bit
+    per doc, exactly one representative per near-dup cluster."""
+    from .dedup import dedup_keep
+    return dedup_keep(_t(spark, sf_dir, "documents"))
+
+
+def _dedup_keep_oracle():
+    """Wraps the registered dedup_components recursive-CTE oracle as
+    a named subquery (DuckDB allows WITH RECURSIVE inside a CTE
+    body), adds cluster sizes, and left-joins onto the doc base —
+    singletons coalesce to themselves with size 1."""
+    from .oracles import ORACLES
+    return """
+WITH comp AS ({comp}),
+sz AS (SELECT component, count(*) AS csize FROM comp
+       GROUP BY component)
+SELECT d.doc_id,
+  CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS component,
+  CAST(coalesce(s.csize, 1) AS BIGINT) AS cluster_size,
+  CAST(CASE WHEN coalesce(c.component, d.doc_id) = d.doc_id
+       THEN 1 ELSE 0 END AS INT) AS keep
+FROM documents d
+LEFT JOIN comp c ON d.doc_id = c.doc_id
+LEFT JOIN sz s ON c.component = s.component
+""".format(comp=ORACLES["dedup_components"])
+
+
+ORACLE_DEDUP_KEEP = _dedup_keep_oracle()
+
+
 R9_QUERIES = {
     "quality_features": q_quality_features,
     "dup_ngram_frac": q_dup_ngram_frac,
@@ -333,6 +365,7 @@ R9_QUERIES = {
     "doc_chunks": q_doc_chunks,
     "stratified_sample": q_stratified_sample,
     "host_quality": q_host_quality,
+    "dedup_keep": q_dedup_keep,
 }
 
 R9_ORACLES = {
@@ -342,4 +375,5 @@ R9_ORACLES = {
     "doc_chunks": ORACLE_DOC_CHUNKS,
     "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
     "host_quality": ORACLE_HOST_QUALITY,
+    "dedup_keep": ORACLE_DEDUP_KEEP,
 }

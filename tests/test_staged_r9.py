@@ -47,7 +47,8 @@ def test_registry_still_frozen_at_70():
                                   "simhash_pairs",
                                   "doc_chunks",
                                   "stratified_sample",
-                                  "host_quality"])
+                                  "host_quality",
+                                  "dedup_keep"])
 def test_staged_r9_query_matches_oracle(spark, duck, name):
     import decimal
     from packages_sgml_spark.spark.queries_staged_r9 import (
@@ -146,3 +147,29 @@ def test_host_quality_planted_semantics(spark):
     assert goodr.stopword_ratio > 0.4
     assert goodr.punct_ratio > 0.0 and bad.punct_ratio == 0.0
     assert goodr.mean_doc_words == goodr.n_words / 2
+
+
+def test_dedup_keep_planted_semantics(spark):
+    """Planted clusters: two exact-dup groups + distinct singletons.
+    Exactly one keep (the min doc_id) per cluster, singletons keep
+    themselves, cluster_size counts every member, and the kept set
+    plus components partition the corpus."""
+    from packages_sgml_spark.spark.dedup import dedup_keep
+    a = "alpha beta gamma delta epsilon zeta eta theta " * 6
+    b = "one two three four five six seven eight nine ten " * 6
+    docs = spark.createDataFrame(
+        [(1, a), (2, a), (7, a),
+         (3, b), (9, b),
+         (4, "solitary document with completely unique words " * 6),
+         (5, "another standalone text nothing like the others " * 6)],
+        "doc_id long, text string")
+    rows = {r.doc_id: r for r in dedup_keep(docs).collect()}
+    assert len(rows) == 7
+    assert [rows[i].component for i in (1, 2, 7)] == [1, 1, 1]
+    assert [rows[i].cluster_size for i in (1, 2, 7)] == [3, 3, 3]
+    assert [rows[i].keep for i in (1, 2, 7)] == [1, 0, 0]
+    assert [rows[i].component for i in (3, 9)] == [3, 3]
+    assert [rows[i].keep for i in (3, 9)] == [1, 0]
+    for i in (4, 5):
+        assert (rows[i].component, rows[i].cluster_size,
+                rows[i].keep) == (i, 1, 1)
