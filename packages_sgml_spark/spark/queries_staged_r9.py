@@ -1,11 +1,15 @@
 """Round-9 registry candidates, staged while the registry is frozen
 at 70 (the r5 drift-kill rule: keys change only at round START).
 
-One key so far: ``quality_features`` — the r8 fused crawl-job quality
-sidecar (Gopher + C4 flags + lang-id in one projection,
-spark/textops.py).  Its oracle is the SQL composition of the three
-registered formulas over the same line-ified documents, so the gate
-checks the fusion end-to-end, not just the parts.
+Seven keys: ``quality_features`` (the r8 fused crawl-job quality
+sidecar), ``dup_ngram_frac`` (cross-doc duplicated-8-gram fraction),
+``simhash_pairs`` (banded-Hamming near-dup pairs), ``doc_chunks``
+(fixed-size training-sequence chunking), ``stratified_sample``
+(deterministic per-source quota sampling), ``host_quality``
+(domain-filter rollup with exact integer sums), and ``dedup_keep``
+(materialized per-doc keep decision over LSH components).  Each is
+gated NOW with the driver-exact compare at sf0.001 (pytest) and
+sf0.01 (session gate) plus a planted-semantics test.
 
 At round-9 start, registration is the queries_staged.py pattern:
 
@@ -358,6 +362,38 @@ LEFT JOIN sz s ON c.component = s.component
 ORACLE_DEDUP_KEEP = _dedup_keep_oracle()
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Concatenate-and-cut sequence packing at a 128-token budget
+    (textops.pack_sequences) — per-source token streams cut into
+    fixed training sequences, each doc's span recorded."""
+    from .textops import pack_sequences
+    return pack_sequences(_t(spark, sf_dir, "documents"), budget=128)
+
+
+# Identical running-sum window on both engines (ROWS UNBOUNDED
+# PRECEDING .. 1 PRECEDING, doc_id order within source); integer
+# token counts make the cumulative sum exact.
+ORACLE_PACK_SEQUENCES = """
+WITH per AS (
+  SELECT doc_id, source,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+              END AS BIGINT) AS n_tokens
+  FROM documents),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS before
+  FROM per)
+SELECT doc_id, source, n_tokens,
+       CAST(floor(before / 128) AS BIGINT) AS seq_id,
+       CAST(before % 128 AS BIGINT) AS seq_offset
+FROM c
+"""
+
+
 R9_QUERIES = {
     "quality_features": q_quality_features,
     "dup_ngram_frac": q_dup_ngram_frac,
@@ -366,6 +402,7 @@ R9_QUERIES = {
     "stratified_sample": q_stratified_sample,
     "host_quality": q_host_quality,
     "dedup_keep": q_dedup_keep,
+    "pack_sequences": q_pack_sequences,
 }
 
 R9_ORACLES = {
@@ -376,4 +413,5 @@ R9_ORACLES = {
     "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
     "host_quality": ORACLE_HOST_QUALITY,
     "dedup_keep": ORACLE_DEDUP_KEEP,
+    "pack_sequences": ORACLE_PACK_SEQUENCES,
 }

@@ -440,3 +440,37 @@ def host_quality(docs: DataFrame, short_words: int = 30) -> DataFrame:
          .alias("stopword_ratio"),
         F.round(F.col("nshort") / F.col("n_docs"), 6)
          .alias("short_doc_frac"))
+
+
+def pack_sequences(docs: DataFrame, budget: int = 2048) -> DataFrame:
+    """Concatenate-and-cut sequence packing — where each document's
+    tokens land when a pretraining shard writer concatenates a
+    source's docs (doc_id order) into one token stream and cuts it
+    every `budget` tokens:
+
+      seq_id     = which packed sequence the doc STARTS in
+      seq_offset = token offset of the doc inside that sequence
+      (docs may straddle a cut — exactly how real packers split a
+      document across two training sequences; the (seq_id,
+      seq_offset, n_tokens) triple is the span record a loader needs)
+
+    Scale shape: one running-sum window per source — Spark executes
+    ROWS UNBOUNDED PRECEDING frames streaming (no buffering), so the
+    cost is the per-source sort; sources are host-sized partitions,
+    the same skew note as stratified_sample."""
+    from pyspark.sql import Window
+    from .util import spread
+    docs = spread(docs, "doc_id")
+    text = F.col("text")
+    trimmed = F.trim(text)
+    n_tokens = F.when(F.length(trimmed) == 0, F.lit(0)) \
+                .otherwise(F.size(F.split(trimmed, r"\s+")))
+    w = (Window.partitionBy("source").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    per = docs.select("doc_id", "source",
+                      n_tokens.cast("bigint").alias("n_tokens"))
+    before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return per.select(
+        "doc_id", "source", "n_tokens",
+        F.floor(before / budget).cast("bigint").alias("seq_id"),
+        (before % budget).cast("bigint").alias("seq_offset"))

@@ -48,7 +48,8 @@ def test_registry_still_frozen_at_70():
                                   "doc_chunks",
                                   "stratified_sample",
                                   "host_quality",
-                                  "dedup_keep"])
+                                  "dedup_keep",
+                                  "pack_sequences"])
 def test_staged_r9_query_matches_oracle(spark, duck, name):
     import decimal
     from packages_sgml_spark.spark.queries_staged_r9 import (
@@ -173,3 +174,23 @@ def test_dedup_keep_planted_semantics(spark):
     for i in (4, 5):
         assert (rows[i].component, rows[i].cluster_size,
                 rows[i].keep) == (i, 1, 1)
+
+
+def test_pack_sequences_planted_semantics(spark):
+    """Planted stream: 3 docs of 6/6/6 tokens at budget 10 — the
+    second doc straddles the first cut (starts in seq 0 at offset
+    6), the third starts in seq 1 at offset 2; empty docs occupy
+    zero tokens and inherit the running offset."""
+    from packages_sgml_spark.spark.textops import pack_sequences
+    six = "t1 t2 t3 t4 t5 t6"
+    docs = spark.createDataFrame(
+        [(1, "h", six), (2, "h", six), (3, "h", six),
+         (4, "h", ""), (5, "h", six)],
+        "doc_id long, source string, text string")
+    rows = {r.doc_id: (r.n_tokens, r.seq_id, r.seq_offset)
+            for r in pack_sequences(docs, budget=10).collect()}
+    assert rows[1] == (6, 0, 0)
+    assert rows[2] == (6, 0, 6)     # straddles the seq-0/1 cut
+    assert rows[3] == (6, 1, 2)
+    assert rows[4] == (0, 1, 8)     # empty doc: zero-width span
+    assert rows[5] == (6, 1, 8)
