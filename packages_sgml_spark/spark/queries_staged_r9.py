@@ -394,6 +394,41 @@ FROM c
 """
 
 
+def q_vocab_ngrams(spark, sf_dir):
+    """Corpus-level top-50 bigram census (textops.vocab_ngrams) —
+    the BPE merge-candidate sweep / boilerplate-phrase census."""
+    from .textops import vocab_ngrams
+    return vocab_ngrams(_t(spark, sf_dir, "documents"), n=2,
+                        top_k=50)
+
+
+# The top-k CUT is part of the contract: both engines order by
+# (count DESC, gram ASC) so boundary ties resolve identically and
+# the 50-row SETS hash-match.
+ORACLE_VOCAB_NGRAMS = """
+WITH w AS (
+  SELECT doc_id,
+    regexp_split_to_array(
+      regexp_replace(lower(trim(coalesce(text, ''))), '\\s+', ' ',
+                     'g'), ' ') AS words
+  FROM documents),
+g AS (
+  SELECT doc_id,
+    CASE WHEN len(words) >= 2
+      THEN list_transform(range(1, len(words)),
+                          i -> array_to_string(words[i:i+1], ' '))
+      ELSE CAST([] AS VARCHAR[]) END AS grams
+  FROM w),
+u AS (SELECT doc_id, unnest(grams) AS gram FROM g)
+SELECT gram,
+       CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM u GROUP BY gram
+ORDER BY n_occurrences DESC, gram
+LIMIT 50
+"""
+
+
 R9_QUERIES = {
     "quality_features": q_quality_features,
     "dup_ngram_frac": q_dup_ngram_frac,
@@ -403,6 +438,7 @@ R9_QUERIES = {
     "host_quality": q_host_quality,
     "dedup_keep": q_dedup_keep,
     "pack_sequences": q_pack_sequences,
+    "vocab_ngrams": q_vocab_ngrams,
 }
 
 R9_ORACLES = {
@@ -414,4 +450,5 @@ R9_ORACLES = {
     "host_quality": ORACLE_HOST_QUALITY,
     "dedup_keep": ORACLE_DEDUP_KEEP,
     "pack_sequences": ORACLE_PACK_SEQUENCES,
+    "vocab_ngrams": ORACLE_VOCAB_NGRAMS,
 }

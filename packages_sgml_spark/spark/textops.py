@@ -474,3 +474,31 @@ def pack_sequences(docs: DataFrame, budget: int = 2048) -> DataFrame:
         "doc_id", "source", "n_tokens",
         F.floor(before / budget).cast("bigint").alias("seq_id"),
         (before % budget).cast("bigint").alias("seq_offset"))
+
+
+def vocab_ngrams(docs: DataFrame, n: int = 2, top_k: int = 50) -> DataFrame:
+    """Corpus-level top-k word-n-gram counts — the merge-candidate
+    sweep a BPE-ish vocab induction runs each round, and a corpus
+    census (boilerplate phrases, contamination hot spots) on its own:
+    (gram, n_occurrences, n_docs), ordered deterministically by
+    count desc then gram so the top-k CUT is reproducible — ties at
+    the boundary never depend on partition order.
+
+    Scale shape: explode once over the lowercased word stream, one
+    hash-shuffle groupBy (count + distinct-doc count collapse
+    map-side), then a global top-k which Spark executes as
+    TakeOrderedAndProject — per-partition heaps of k, only
+    k x partitions rows ever leave the executors."""
+    from .dedup import norm_words, word_ngram_arr
+    from .util import spread
+    docs = spread(docs, "doc_id")
+    wd = docs.select("doc_id", norm_words(F.col("text")).alias("w"))
+    grams = wd.select("doc_id",
+                      F.explode(word_ngram_arr(F.col("w"), n))
+                       .alias("gram"))
+    counts = grams.groupBy("gram").agg(
+        F.count("*").cast("bigint").alias("n_occurrences"),
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"))
+    return (counts
+            .orderBy(F.col("n_occurrences").desc(), F.col("gram"))
+            .limit(top_k))

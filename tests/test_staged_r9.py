@@ -49,7 +49,8 @@ def test_registry_still_frozen_at_70():
                                   "stratified_sample",
                                   "host_quality",
                                   "dedup_keep",
-                                  "pack_sequences"])
+                                  "pack_sequences",
+                                  "vocab_ngrams"])
 def test_staged_r9_query_matches_oracle(spark, duck, name):
     import decimal
     from packages_sgml_spark.spark.queries_staged_r9 import (
@@ -194,3 +195,25 @@ def test_pack_sequences_planted_semantics(spark):
     assert rows[3] == (6, 1, 2)
     assert rows[4] == (0, 1, 8)     # empty doc: zero-width span
     assert rows[5] == (6, 1, 8)
+
+
+def test_vocab_ngrams_planted_semantics(spark):
+    """Planted counts: a bigram repeated within AND across docs must
+    report raw occurrences and distinct-doc frequency separately,
+    and boundary ties must cut by gram order."""
+    from packages_sgml_spark.spark.textops import vocab_ngrams
+    docs = spark.createDataFrame(
+        [(1, "red fox red fox red fox"),   # "red fox" x3, "fox red" x2
+         (2, "red fox jumps"),
+         (3, "b a b a"),                   # "b a" x2, "a b" x1
+         (4, "zz top")],
+        "doc_id long, text string")
+    rows = [(r.gram, r.n_occurrences, r.n_docs)
+            for r in vocab_ngrams(docs, n=2, top_k=3).collect()]
+    assert rows[0] == ("red fox", 4, 2)
+    # ties at 2 occurrences: "b a" and "fox red" — gram order keeps
+    # "b a" first and cuts "fox red" out of top_k=3
+    assert rows[1] == ("b a", 2, 1)
+    assert rows[2] == ("fox red", 2, 1)
+    rows2 = vocab_ngrams(docs, n=2, top_k=2).collect()
+    assert [r.gram for r in rows2] == ["red fox", "b a"]
