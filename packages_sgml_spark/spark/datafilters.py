@@ -486,3 +486,52 @@ def stratified_sample(docs: DataFrame, k: int = 10,
                         F.row_number().over(w).cast("int"))
             .filter(F.col("sample_rank") <= k)
             .select("doc_id", strata_col, "sample_rank"))
+
+
+def unigram_logprob(docs: DataFrame) -> DataFrame:
+    """Corpus-unigram negative-log-likelihood per doc — the CCNet /
+    perplexity-style fluency filter reduced to its SQL-expressible
+    core: score each doc by the mean -ln p(word) under the corpus's
+    own unigram distribution (high = rare-word soup, low = natural
+    prose).  (doc_id, n_words, mean_nll); 0-word docs score 0.
+
+    Determinism contract: the per-doc sum of ln(count) terms is a
+    FOLD OVER A SORTED ARRAY (sort_array + F.aggregate), not a float
+    SUM aggregate — float addition is not associative, so a plain
+    sum would depend on shuffle-fetch order and could never be
+    hash-exact against the oracle (which folds a list_sort the same
+    way).  mean_nll = (n*ln(total) - fold(ln c)) / n, rounded.
+
+    Scale shape: one explode, one groupBy(word) for frequencies, one
+    scalar total (exact integer sum, broadcast via crossJoin), one
+    word-keyed join back (AQE decides broadcast vs shuffle from the
+    observed vocab size), one groupBy(doc_id) collecting the doc's
+    ln terms — docs are bounded, so the collected arrays are too."""
+    from .util import spread
+    docs = spread(docs, "doc_id")
+    w = norm_words(F.col("text"))
+    words = docs.select(
+        "doc_id", F.filter(w, lambda x: x != "").alias("w"))
+    pos = words.select("doc_id", F.explode("w").alias("word"))
+    freq = pos.groupBy("word").agg(F.count("*").alias("c"))
+    total = freq.agg(F.sum("c").cast("bigint").alias("t"))
+    per = (pos.join(freq, "word")
+           .groupBy("doc_id")
+           .agg(F.count("*").cast("bigint").alias("n_words"),
+                F.sort_array(F.collect_list(
+                    F.log(F.col("c").cast("double")))).alias("lns")))
+    scored = per.crossJoin(total).select(
+        "doc_id", "n_words",
+        (F.col("n_words") * F.log(F.col("t").cast("double")) -
+         F.aggregate("lns", F.lit(0.0),
+                     lambda acc, x: acc + x)).alias("nll"))
+    base = docs.select("doc_id")
+    return (base.join(scored, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce(F.col("n_words"), F.lit(0))
+                 .cast("bigint").alias("n_words"),
+                F.round(F.coalesce(
+                    F.col("nll") /
+                    F.greatest(F.col("n_words"), F.lit(1)),
+                    F.lit(0.0)), 6).alias("mean_nll")))

@@ -429,6 +429,45 @@ LIMIT 50
 """
 
 
+def q_unigram_logprob(spark, sf_dir):
+    """Corpus-unigram NLL per doc (datafilters.unigram_logprob) —
+    the CCNet/perplexity-style fluency filter's SQL-expressible
+    core."""
+    from .datafilters import unigram_logprob
+    return unigram_logprob(_t(spark, sf_dir, "documents"))
+
+
+# Determinism: both engines fold ln(count) terms over a SORTED list
+# (sort_array+F.aggregate vs list_sort+list_reduce, same 0.0 seed
+# via list_prepend) — identical IEEE addition order, so the only
+# cross-engine noise is a possible 1-ulp ln() divergence, absorbed
+# by round(.,6) and pinned by this gate on the fixed corpus.
+ORACLE_UNIGRAM_LOGPROB = """
+WITH w AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(
+      regexp_replace(lower(trim(coalesce(text, ''))), '\\s+', ' ',
+                     'g'), ' '), x -> x <> '') AS words
+  FROM documents),
+u AS (SELECT doc_id, unnest(words) AS word FROM w),
+f AS (SELECT word, count(*) AS c FROM u GROUP BY word),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM f),
+perdoc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+         list_sort(list(ln(CAST(c AS DOUBLE)))) AS lns
+  FROM u JOIN f USING (word) GROUP BY doc_id),
+s AS (
+  SELECT doc_id, n,
+         n * ln(CAST((SELECT t FROM tot) AS DOUBLE)) -
+           list_reduce(list_prepend(0.0, lns), (a, b) -> a + b)
+           AS nll
+  FROM perdoc)
+SELECT d.doc_id, CAST(coalesce(s.n, 0) AS BIGINT) AS n_words,
+  round(coalesce(s.nll / greatest(s.n, 1), 0.0), 6) AS mean_nll
+FROM documents d LEFT JOIN s USING (doc_id)
+"""
+
+
 R9_QUERIES = {
     "quality_features": q_quality_features,
     "dup_ngram_frac": q_dup_ngram_frac,
@@ -439,6 +478,7 @@ R9_QUERIES = {
     "dedup_keep": q_dedup_keep,
     "pack_sequences": q_pack_sequences,
     "vocab_ngrams": q_vocab_ngrams,
+    "unigram_logprob": q_unigram_logprob,
 }
 
 R9_ORACLES = {
@@ -451,4 +491,5 @@ R9_ORACLES = {
     "dedup_keep": ORACLE_DEDUP_KEEP,
     "pack_sequences": ORACLE_PACK_SEQUENCES,
     "vocab_ngrams": ORACLE_VOCAB_NGRAMS,
+    "unigram_logprob": ORACLE_UNIGRAM_LOGPROB,
 }

@@ -50,7 +50,8 @@ def test_registry_still_frozen_at_70():
                                   "host_quality",
                                   "dedup_keep",
                                   "pack_sequences",
-                                  "vocab_ngrams"])
+                                  "vocab_ngrams",
+                                  "unigram_logprob"])
 def test_staged_r9_query_matches_oracle(spark, duck, name):
     import decimal
     from packages_sgml_spark.spark.queries_staged_r9 import (
@@ -217,3 +218,25 @@ def test_vocab_ngrams_planted_semantics(spark):
     assert rows[2] == ("fox red", 2, 1)
     rows2 = vocab_ngrams(docs, n=2, top_k=2).collect()
     assert [r.gram for r in rows2] == ["red fox", "b a"]
+
+
+def test_unigram_logprob_planted_semantics(spark):
+    """Planted distribution: a doc of corpus-common words must score
+    a LOWER mean NLL than a doc of corpus-unique words; a
+    single-repeated-word doc scores exactly ln(total/count); empty
+    docs score 0 with 0 words."""
+    import math
+
+    from packages_sgml_spark.spark.datafilters import unigram_logprob
+    docs = spark.createDataFrame(
+        [(1, "common common common common"),
+         (2, "common common rare1 rare2"),
+         (3, "unique1 unique2 unique3 unique4"),
+         (4, "")],
+        "doc_id long, text string")
+    rows = {r.doc_id: r for r in unigram_logprob(docs).collect()}
+    total = 12  # 6x common + 2 rare + 4 unique
+    assert rows[4].n_words == 0 and rows[4].mean_nll == 0.0
+    assert rows[1].mean_nll == round(math.log(total / 6), 6)
+    assert rows[3].mean_nll == round(math.log(total / 1), 6)
+    assert rows[1].mean_nll < rows[2].mean_nll < rows[3].mean_nll
