@@ -504,9 +504,18 @@ def unigram_logprob(docs: DataFrame) -> DataFrame:
 
     Scale shape: one explode, one groupBy(word) for frequencies, one
     scalar total (exact integer sum, broadcast via crossJoin), one
-    word-keyed join back (AQE decides broadcast vs shuffle from the
-    observed vocab size), one groupBy(doc_id) collecting the doc's
-    ln terms — docs are bounded, so the collected arrays are too."""
+    word-keyed join back, one groupBy(doc_id) collecting the doc's
+    ln terms — docs are bounded, so the collected arrays are too.
+    The word join carries an explicit shuffle_hash hint on the freq
+    side: left unhinted, Catalyst's static size estimate of the
+    exploded positions (garbage for a generate) chose
+    BroadcastHashJoin BuildLeft — broadcasting the CORPUS-sized
+    position stream and probing with the vocab (observed on the
+    200k-doc probe: 25M-row broadcast, 24.8 s).  A broadcast of the
+    freq side instead would be wrong at web scale too (distinct
+    tokens grow into the billions); shuffle-hash builds the
+    per-partition vocab slice and streams the skewed positions, with
+    AQE skew-split as the hot-word guard."""
     from .util import spread
     docs = spread(docs, "doc_id")
     w = norm_words(F.col("text"))
@@ -515,7 +524,7 @@ def unigram_logprob(docs: DataFrame) -> DataFrame:
     pos = words.select("doc_id", F.explode("w").alias("word"))
     freq = pos.groupBy("word").agg(F.count("*").alias("c"))
     total = freq.agg(F.sum("c").cast("bigint").alias("t"))
-    per = (pos.join(freq, "word")
+    per = (pos.join(freq.hint("shuffle_hash"), "word")
            .groupBy("doc_id")
            .agg(F.count("*").cast("bigint").alias("n_words"),
                 F.sort_array(F.collect_list(

@@ -1,0 +1,168 @@
+"""Scale probe for the round-9 staged training-pipeline operators.
+
+Corpus: n_docs synthetic documents with the two pathologies the sf
+gates cannot exhibit — a Zipfian host distribution (60% of docs on
+one host) and a 30% byte-identical boilerplate fraction — plus a
+Zipfian word distribution so vocab/logprob shapes see realistic hot
+keys.  Everything derives deterministically from doc_id.
+
+Per operator: wall-clock + the invariant the small gates prove
+semantically, re-checked at scale:
+  doc_chunks        — chunk count == ceil(words/size) corpus-wide;
+                      glued token count == source token count
+  stratified_sample — every stratum emits min(k, n) rows, hot host
+                      included
+  host_quality      — n_docs sums to corpus, hot host dominates
+  pack_sequences    — per-source final offset+tokens == total tokens
+  vocab_ngrams      — top gram is the planted boilerplate bigram
+  unigram_logprob   — boilerplate docs score strictly below unique
+                      docs on average
+  dedup_keep        — keeps == docs - (dup-cluster members beyond
+                      their representative); the 30% boilerplate
+                      collapses to ONE representative via the LSH
+                      star path (no O(cluster^2) blowup)
+
+Prints one JSON line.  Usage:
+    python tools/scale_staged.py [n_docs] [cpus] [--skip-dedup]
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _mk_docs(spark, n_docs):
+    """Deterministic skewed corpus: (doc_id, source, text)."""
+    from pyspark.sql import functions as F
+    base = spark.range(n_docs).withColumnRenamed("id", "doc_id")
+    d = F.col("doc_id")
+    # Zipfian host: 60% on host0, rest spread over 200 hosts
+    src = F.when(d % 10 < 6, F.lit("host0")).otherwise(
+        F.concat(F.lit("host"), ((d * 2654435761) % 200 + 1)
+                 .cast("string")))
+    # 30% boilerplate (identical body), else unique-ish Zipf words
+    n_words = (d % 180 + 40).cast("int")
+    words = F.transform(
+        F.sequence(F.lit(0), n_words - 1),
+        lambda i: F.concat(
+            F.lit("w"),
+            (F.when((i + d) % 3 == 0,
+                    ((d * 31 + i * 7) % 50))
+              .otherwise((d * 131 + i * 1009) % 20000))
+            .cast("string")))
+    boiler = F.lit(" ".join("bp%d bq%d" % (i % 9, i % 7)
+                            for i in range(60)))
+    text = F.when(d % 10 < 3, boiler) \
+            .otherwise(F.concat_ws(" ", words))
+    return base.select("doc_id", src.alias("source"),
+                       text.alias("text"))
+
+
+def main():
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+    cpus = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    skip_dedup = "--skip-dedup" in sys.argv
+    from pyspark.sql import functions as F
+
+    from packages_sgml_spark.spark.session import get_spark
+    from packages_sgml_spark.spark.datafilters import (
+        stratified_sample, unigram_logprob)
+    from packages_sgml_spark.spark.dedup import dedup_keep
+    from packages_sgml_spark.spark.textops import (
+        doc_chunks, host_quality, pack_sequences, vocab_ngrams)
+
+    spark = get_spark(app="scale-staged", cpus=cpus)
+    docs = _mk_docs(spark, n_docs).localCheckpoint(eager=True)
+    mb = docs.select(F.sum(F.length("text"))).collect()[0][0] / 1e6
+    out = {"n_docs": n_docs, "cpus": cpus, "mb": round(mb, 1)}
+
+    def timed(name, fn):
+        t0 = time.time()
+        r = fn()
+        out[name + "_sec"] = round(time.time() - t0, 2)
+        return r
+
+    # doc_chunks: conservation of tokens + chunk count
+    agg = timed("doc_chunks", lambda: doc_chunks(docs, 512).agg(
+        F.count("*"), F.sum("n_tokens")).collect())[0]
+    want = docs.select(
+        F.sum(F.when(F.length(F.trim("text")) == 0, 0)
+              .otherwise(F.size(F.split(F.trim("text"), r"\s+")))),
+        F.sum(F.ceil(
+            F.when(F.length(F.trim("text")) == 0, 0)
+            .otherwise(F.size(F.split(F.trim("text"), r"\s+")))
+            / 512.0))).collect()[0]
+    assert agg[1] == want[0], (agg, want)
+    assert agg[0] == want[1], (agg, want)
+    out["doc_chunks_rows"] = agg[0]
+
+    # stratified_sample: exact quota per stratum
+    samp = timed("stratified_sample",
+                 lambda: stratified_sample(docs, k=1000)
+                 .groupBy("source").count().collect())
+    hosts = {r["source"]: r["count"] for r in
+             docs.groupBy("source").count().collect()}
+    for r in samp:
+        assert r["count"] == min(1000, hosts[r["source"]]), r
+    assert len(samp) == len(hosts)
+    out["n_strata"] = len(samp)
+
+    # host_quality: doc conservation + hot host dominance
+    hq = timed("host_quality",
+               lambda: host_quality(docs).collect())
+    assert sum(r["n_docs"] for r in hq) == n_docs
+    top = max(hq, key=lambda r: r["n_docs"])
+    assert top["source"] == "host0" and top["n_docs"] >= 0.55 * n_docs
+
+    # pack_sequences: final offset + final tokens == stream length
+    # (timed INCLUDING the verification aggregate — the operator is
+    # lazy, so timing the constructor alone would measure nothing)
+    packed = pack_sequences(docs, budget=2048)
+    last = timed("pack_sequences", lambda: (packed.withColumn(
+        "end", F.col("seq_id") * 2048 + F.col("seq_offset") +
+        F.col("n_tokens"))
+        .groupBy("source")
+        .agg(F.max("end").alias("end"), F.sum("n_tokens").alias("t"))
+        .collect()))
+    for r in last:
+        assert r["end"] == r["t"], r
+
+    # vocab_ngrams: the planted boilerplate bigram dominates
+    vg = timed("vocab_ngrams",
+               lambda: vocab_ngrams(docs, n=2, top_k=20).collect())
+    assert vg[0]["gram"].startswith("bp"), vg[0]
+    assert vg[0]["n_docs"] >= 0.29 * n_docs
+
+    # unigram_logprob: boilerplate scores below unique soup
+    # (same laziness note: the timed closure runs the comparison)
+    lp = unigram_logprob(docs)
+    cmpr = timed("unigram_logprob", lambda: (
+        lp.join(docs.select("doc_id",
+                            (F.col("doc_id") % 10 < 3)
+                            .alias("is_bp")), "doc_id")
+        .groupBy("is_bp").agg(F.avg("mean_nll").alias("m"))
+        .collect()))
+    m = {r["is_bp"]: r["m"] for r in cmpr}
+    assert m[True] < m[False], m
+
+    # dedup_keep: the 30% boilerplate collapses to one representative
+    if not skip_dedup:
+        dk = timed("dedup_keep", lambda: dedup_keep(docs).agg(
+            F.count("*"), F.sum("keep"),
+            F.max("cluster_size")).collect())[0]
+        assert dk[0] == n_docs
+        n_bp = sum(1 for i in range(n_docs) if i % 10 < 3)
+        assert dk[2] >= n_bp, dk            # the mega-cluster formed
+        assert dk[1] <= n_docs - n_bp + 1, dk   # and kept once
+        out["dedup_keep_kept"] = dk[1]
+        out["dedup_max_cluster"] = dk[2]
+
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
