@@ -468,6 +468,45 @@ FROM documents d LEFT JOIN s USING (doc_id)
 """
 
 
+def q_tfidf_top_terms(spark, sf_dir):
+    """Characteristic terms per source (textops.tfidf_top_terms):
+    tf-idf with hosts as the idf documents, top-5 per host."""
+    from .textops import tfidf_top_terms
+    return tfidf_top_terms(_t(spark, sf_dir, "documents"), top_k=5)
+
+
+# No float accumulation anywhere: score is one int*ln(int/int)
+# expression per (source, term) row; the (score DESC, term ASC)
+# row_number makes the per-host cut deterministic on both engines.
+ORACLE_TFIDF_TOP_TERMS = """
+WITH w AS (
+  SELECT doc_id, source,
+    list_filter(regexp_split_to_array(
+      regexp_replace(lower(trim(coalesce(text, ''))), '\\s+', ' ',
+                     'g'), ' '), x -> x <> '') AS words
+  FROM documents),
+pos AS (SELECT source, unnest(words) AS term FROM w),
+tf AS (SELECT source, term, CAST(count(*) AS BIGINT) AS tf
+       FROM pos GROUP BY source, term),
+dfx AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+        FROM tf GROUP BY term),
+ns AS (SELECT CAST(count(DISTINCT source) AS BIGINT) AS n
+       FROM documents),
+s AS (
+  SELECT source, term, tf, df,
+         round(tf * ln(CAST((SELECT n FROM ns) AS DOUBLE) /
+                       CAST(df AS DOUBLE)), 6) AS score
+  FROM tf JOIN dfx USING (term)),
+r AS (
+  SELECT source, term, tf, df, score,
+         CAST(row_number() OVER (
+           PARTITION BY source
+           ORDER BY score DESC, term) AS INT) AS rank
+  FROM s)
+SELECT source, term, tf, df, score, rank FROM r WHERE rank <= 5
+"""
+
+
 R9_QUERIES = {
     "quality_features": q_quality_features,
     "dup_ngram_frac": q_dup_ngram_frac,
@@ -479,6 +518,7 @@ R9_QUERIES = {
     "pack_sequences": q_pack_sequences,
     "vocab_ngrams": q_vocab_ngrams,
     "unigram_logprob": q_unigram_logprob,
+    "tfidf_top_terms": q_tfidf_top_terms,
 }
 
 R9_ORACLES = {
@@ -492,4 +532,5 @@ R9_ORACLES = {
     "pack_sequences": ORACLE_PACK_SEQUENCES,
     "vocab_ngrams": ORACLE_VOCAB_NGRAMS,
     "unigram_logprob": ORACLE_UNIGRAM_LOGPROB,
+    "tfidf_top_terms": ORACLE_TFIDF_TOP_TERMS,
 }

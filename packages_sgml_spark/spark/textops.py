@@ -502,3 +502,48 @@ def vocab_ngrams(docs: DataFrame, n: int = 2, top_k: int = 50) -> DataFrame:
     return (counts
             .orderBy(F.col("n_occurrences").desc(), F.col("gram"))
             .limit(top_k))
+
+
+def tfidf_top_terms(docs: DataFrame, top_k: int = 5) -> DataFrame:
+    """Characteristic terms per source — tf-idf with sources as the
+    "documents" of the idf: tf = occurrences of the word on the
+    host, df = number of hosts using it, score = tf * ln(N/df).
+    (source, term, tf, df, score) for the top_k terms per source,
+    ranked (score DESC, term ASC) so the cut is deterministic.
+
+    Scale shape: explode once; groupBy(source, word) — the SAME
+    aggregate feeds both tf and (grouped again by word, counting
+    rows) df, so the corpus is scanned and shuffled once; df joins
+    back word-keyed (AQE-sized: #distinct words rows, not corpus
+    rows); top-k per source is a host-partitioned window over the
+    (source, word) aggregate — tiny relative to positions.  Scores
+    are a single int*ln(int/int) expression per row: no float
+    accumulation anywhere, so cross-engine exactness rests only on
+    one ln() call, pinned by the gate corpus."""
+    from pyspark.sql import Window
+    from .dedup import norm_words
+    from .util import spread
+    docs = spread(docs, "doc_id")
+    w = norm_words(F.col("text"))
+    pos = (docs.select("source",
+                       F.explode(F.filter(w, lambda x: x != ""))
+                        .alias("term")))
+    tf = pos.groupBy("source", "term").agg(
+        F.count("*").cast("bigint").alias("tf"))
+    df_ = tf.groupBy("term").agg(
+        F.count("*").cast("bigint").alias("df"))
+    n_sources = docs.select("source").agg(
+        F.countDistinct("source").cast("bigint").alias("ns"))
+    scored = (tf.join(df_.hint("shuffle_hash"), "term")
+              .crossJoin(n_sources)
+              .withColumn(
+                  "score",
+                  F.round(F.col("tf") *
+                          F.log(F.col("ns").cast("double") /
+                                F.col("df").cast("double")), 6)))
+    rank = F.row_number().over(
+        Window.partitionBy("source")
+        .orderBy(F.col("score").desc(), F.col("term")))
+    return (scored.withColumn("rank", rank.cast("int"))
+            .filter(F.col("rank") <= top_k)
+            .select("source", "term", "tf", "df", "score", "rank"))

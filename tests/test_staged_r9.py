@@ -51,7 +51,8 @@ def test_registry_still_frozen_at_70():
                                   "dedup_keep",
                                   "pack_sequences",
                                   "vocab_ngrams",
-                                  "unigram_logprob"])
+                                  "unigram_logprob",
+                                  "tfidf_top_terms"])
 def test_staged_r9_query_matches_oracle(spark, duck, name):
     import decimal
     from packages_sgml_spark.spark.queries_staged_r9 import (
@@ -240,3 +241,29 @@ def test_unigram_logprob_planted_semantics(spark):
     assert rows[1].mean_nll == round(math.log(total / 6), 6)
     assert rows[3].mean_nll == round(math.log(total / 1), 6)
     assert rows[1].mean_nll < rows[2].mean_nll < rows[3].mean_nll
+
+
+def test_tfidf_top_terms_planted_semantics(spark):
+    """Planted idf contrast: a term unique to one host must outrank
+    a globally common term there, df counts HOSTS not occurrences,
+    and ubiquitous terms score exactly 0."""
+    import math
+
+    from packages_sgml_spark.spark.textops import tfidf_top_terms
+    docs = spark.createDataFrame(
+        [(1, "h1", "shared shared quux quux quux"),
+         (2, "h1", "shared"),
+         (3, "h2", "shared shared shared zorp"),
+         (4, "h3", "shared")],
+        "doc_id long, source string, text string")
+    rows = [(r.source, r.term, r.tf, r.df, r.score, r.rank)
+            for r in tfidf_top_terms(docs, top_k=2).collect()]
+    by_host = {}
+    for t in rows:
+        by_host.setdefault(t[0], []).append(t[1:])
+    assert by_host["h1"][0] == (
+        "quux", 3, 1, round(3 * math.log(3.0), 6), 1)
+    assert by_host["h1"][1] == ("shared", 3, 3, 0.0, 2)
+    assert by_host["h2"][0] == (
+        "zorp", 1, 1, round(math.log(3.0), 6), 1)
+    assert by_host["h3"] == [("shared", 1, 3, 0.0, 1)]
