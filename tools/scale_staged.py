@@ -164,5 +164,84 @@ def main():
     spark.stop()
 
 
+def scaling():
+    """North-rule evidence for the staged operator surface: the same
+    op chain on the SAME input at two parallelism levels, reporting
+    throughput at both plus scaling efficiency
+    (= throughput ratio / core ratio).  Corpus generation is
+    checkpointed before the clock starts; dedup_keep is excluded
+    (its CC-iteration fixed cost is a latency floor, not a
+    throughput term — measured separately by the main probe).
+
+    Methodology matches bench.py --scaling: local[2] -> local[8]
+    stays within this box's ~16 physical cores so the number
+    reflects code scaling, not the SMT ceiling (a first cut at
+    8 -> 32 measured 0.43 — decomposed, that was one part hot-host
+    window serialization and three parts SMT: raw CPU itself does
+    not scale 4x past the physical cores); levels interleave twice
+    and keep the best of each (co-tenant noise), and the box's raw
+    CPU ceiling is measured alongside for honest accounting."""
+    n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 400_000
+    levels = (2, 8)
+    from pyspark.sql import functions as F
+
+    from packages_sgml_spark.spark.session import get_spark
+    from packages_sgml_spark.spark.datafilters import (
+        stratified_sample, unigram_logprob)
+    from packages_sgml_spark.spark.textops import (
+        doc_chunks, host_quality, pack_sequences, tfidf_top_terms,
+        vocab_ngrams)
+
+    out = {"n_docs": n_docs, "levels": {}}
+    for cpus in levels + levels:
+        spark = get_spark(app="scale-staged-%d" % cpus, cpus=cpus)
+        docs = _mk_docs(spark, n_docs).localCheckpoint(eager=True)
+        mb = docs.select(F.sum(F.length("text"))).collect()[0][0] / 1e6
+        ops = [
+            ("doc_chunks", lambda: doc_chunks(docs, 512)
+             .agg(F.sum("n_tokens")).collect()),
+            ("stratified_sample",
+             lambda: stratified_sample(docs, k=1000).count()),
+            ("host_quality", lambda: host_quality(docs).count()),
+            ("pack_sequences", lambda: pack_sequences(docs, 2048)
+             .agg(F.max("seq_id")).collect()),
+            ("vocab_ngrams", lambda: vocab_ngrams(docs, 2, 50).count()),
+            ("unigram_logprob", lambda: unigram_logprob(docs)
+             .agg(F.sum("mean_nll")).collect()),
+            ("tfidf_top_terms",
+             lambda: tfidf_top_terms(docs, 5).count()),
+        ]
+        per_op, wall = {}, 0.0
+        for name, fn in ops:
+            t0 = time.time()
+            fn()
+            dt = time.time() - t0
+            per_op[name] = round(dt, 2)
+            wall += dt
+        rec = {"wall_sec": round(wall, 2),
+               "mb_per_sec": round(mb / wall, 1),
+               "per_op_sec": per_op}
+        k = str(cpus)
+        if k not in out["levels"] or \
+                rec["mb_per_sec"] > out["levels"][k]["mb_per_sec"]:
+            out["levels"][k] = rec
+        out["mb"] = round(mb, 1)
+        spark.stop()
+    lo, hi = (str(c) for c in levels)
+    thr = (out["levels"][hi]["mb_per_sec"] /
+           out["levels"][lo]["mb_per_sec"])
+    out["core_ratio"] = levels[1] / levels[0]
+    out["scaling_efficiency"] = round(thr / out["core_ratio"], 3)
+    import bench
+    out["cpu_ceiling_efficiency"] = round(
+        bench._cpu_ceiling(*levels), 3)
+    out["efficiency_vs_ceiling"] = round(
+        out["scaling_efficiency"] / out["cpu_ceiling_efficiency"], 3)
+    print(json.dumps(out))
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--scaling":
+        scaling()
+    else:
+        main()
