@@ -544,3 +544,36 @@ def unigram_logprob(docs: DataFrame) -> DataFrame:
                     F.col("nll") /
                     F.greatest(F.col("n_words"), F.lit(1)),
                     F.lit(0.0)), 6).alias("mean_nll")))
+
+
+def corpus_keep(docs: DataFrame) -> DataFrame:
+    """The shipped corpus decision — the whole filter stack a
+    curator actually runs, composed in ONE Spark plan: near-dup
+    dedup (MinHash-LSH + components, dedup_keep), Gopher document
+    rules, C4 page rules, and language ID (quality_features), each
+    surfaced as its own bit plus the final AND:
+
+      (doc_id, keep_dedup, gopher_pass, c4_keep, lang_pred, keep)
+
+    keep = keep_dedup AND gopher_pass AND c4_keep; lang_pred rides
+    along unfiltered (which languages to ship is a mixing decision,
+    not a quality one).
+
+    Scale shape: both legs are per-doc rows keyed by doc_id, so the
+    final join co-partitions on the same key the dedup leg already
+    shuffled on; the quality leg is the fused single-projection
+    quality_features (zero shuffle of its own).  Nothing here adds
+    a pass over the corpus that the component operators didn't
+    already make."""
+    from .dedup import dedup_keep
+    from .textops import quality_features
+    dk = dedup_keep(docs).select(
+        "doc_id", F.col("keep").alias("keep_dedup"))
+    qf = quality_features(docs).select(
+        "doc_id", "gopher_pass", "c4_keep", "lang_pred")
+    j = dk.join(qf, "doc_id")
+    return j.select(
+        "doc_id", "keep_dedup", "gopher_pass", "c4_keep",
+        "lang_pred",
+        ((F.col("keep_dedup") == 1) & (F.col("gopher_pass") == 1) &
+         (F.col("c4_keep") == 1)).cast("int").alias("keep"))

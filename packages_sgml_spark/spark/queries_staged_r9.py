@@ -39,7 +39,10 @@ def _lang_cols_sql():
     return _lang_pieces()
 
 
-def _quality_features_oracle():
+def _quality_features_oracle(src=None):
+    # src: SQL expression for the text column (default: the staged
+    # line-ified shape; corpus_keep reuses this oracle over plain
+    # `text`).
     # COLUMN-NAME TRAP: both borrowed fragments hardcode a source
     # column named `padded`, but they mean DIFFERENT strings — the
     # gopher stop-hits read the \s+-normalized text, the lang marker
@@ -116,7 +119,7 @@ SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
     AS c4_keep,
   {case} AS lang_pred, lang_score
 FROM r
-""".format(src=_LINEDOC_SQL_T,
+""".format(src=src or _LINEDOC_SQL_T,
            stop=_GOPHER_STOP_SQL.replace('padded', 'gpadded'), scores=scores,
            ranks=ranks, case=case, greatest=greatest)
 
@@ -507,6 +510,35 @@ SELECT source, term, tf, df, score, rank FROM r WHERE rank <= 5
 """
 
 
+def q_corpus_keep(spark, sf_dir):
+    """The shipped corpus decision (datafilters.corpus_keep): the
+    whole filter stack — near-dup dedup, Gopher, C4, lang-ID — in
+    ONE plan, each signal a bit plus the final AND."""
+    from .datafilters import corpus_keep
+    return corpus_keep(_t(spark, sf_dir, "documents"))
+
+
+def _corpus_keep_oracle():
+    """Nests the dedup_keep oracle and the quality_features oracle
+    (re-parametrized over plain `text` instead of the staged
+    line-ified shape) as CTEs and joins on doc_id."""
+    return """
+WITH dk AS ({dk}),
+qf AS ({qf})
+SELECT d.doc_id, dk.keep AS keep_dedup, qf.gopher_pass, qf.c4_keep,
+  qf.lang_pred,
+  CAST(CASE WHEN dk.keep = 1 AND qf.gopher_pass = 1
+             AND qf.c4_keep = 1 THEN 1 ELSE 0 END AS INT) AS keep
+FROM documents d
+JOIN dk ON d.doc_id = dk.doc_id
+JOIN qf ON d.doc_id = qf.doc_id
+""".format(dk=ORACLE_DEDUP_KEEP,
+           qf=_quality_features_oracle(src="text"))
+
+
+ORACLE_CORPUS_KEEP = _corpus_keep_oracle()
+
+
 R9_QUERIES = {
     "quality_features": q_quality_features,
     "dup_ngram_frac": q_dup_ngram_frac,
@@ -519,6 +551,7 @@ R9_QUERIES = {
     "vocab_ngrams": q_vocab_ngrams,
     "unigram_logprob": q_unigram_logprob,
     "tfidf_top_terms": q_tfidf_top_terms,
+    "corpus_keep": q_corpus_keep,
 }
 
 R9_ORACLES = {
@@ -533,4 +566,5 @@ R9_ORACLES = {
     "vocab_ngrams": ORACLE_VOCAB_NGRAMS,
     "unigram_logprob": ORACLE_UNIGRAM_LOGPROB,
     "tfidf_top_terms": ORACLE_TFIDF_TOP_TERMS,
+    "corpus_keep": ORACLE_CORPUS_KEEP,
 }

@@ -52,7 +52,8 @@ def test_registry_still_frozen_at_70():
                                   "pack_sequences",
                                   "vocab_ngrams",
                                   "unigram_logprob",
-                                  "tfidf_top_terms"])
+                                  "tfidf_top_terms",
+                                  "corpus_keep"])
 def test_staged_r9_query_matches_oracle(spark, duck, name):
     import decimal
     from packages_sgml_spark.spark.queries_staged_r9 import (
@@ -267,3 +268,26 @@ def test_tfidf_top_terms_planted_semantics(spark):
     assert by_host["h2"][0] == (
         "zorp", 1, 1, round(math.log(3.0), 6), 1)
     assert by_host["h3"] == [("shared", 1, 3, 0.0, 1)]
+
+
+def test_corpus_keep_planted_semantics(spark):
+    """Planted full-stack contrast: a clean English doc passes every
+    gate; its exact duplicate fails ONLY dedup; a word-soup doc
+    fails quality but survives dedup; the final keep is the AND."""
+    from packages_sgml_spark.spark.datafilters import corpus_keep
+    good = "\n".join(
+        ["The quick brown fox jumps over the lazy dog and then "
+         "runs back to the barn with a bone that it found near "
+         "the old oak tree by the river."] * 4)
+    soup = "zq wx kv jn " * 20
+    docs = spark.createDataFrame(
+        [(1, good), (2, good), (3, soup.strip())],
+        "doc_id long, text string")
+    rows = {r.doc_id: r for r in corpus_keep(docs).collect()}
+    assert (rows[1].keep_dedup, rows[1].gopher_pass,
+            rows[1].c4_keep, rows[1].keep) == (1, 1, 1, 1)
+    assert rows[1].lang_pred == "en"
+    assert (rows[2].keep_dedup, rows[2].keep) == (0, 0)
+    assert (rows[2].gopher_pass, rows[2].c4_keep) == (1, 1)
+    assert rows[3].keep_dedup == 1 and rows[3].gopher_pass == 0
+    assert rows[3].keep == 0
