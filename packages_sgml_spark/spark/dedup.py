@@ -460,8 +460,30 @@ def dedup_keep(docs: DataFrame) -> DataFrame:
     a large fraction of the corpus and a forced broadcast() would
     OOM the executors — a sort-merge/shuffled-hash join on doc_id is
     the correct plan there, and AQE picks per-run.  cluster_size is
-    one extra tiny-side groupBy on the map, never on the corpus."""
-    pairs = minhash_lsh_pairs(docs)
+    one extra tiny-side groupBy on the map, never on the corpus.
+
+    NULL-text docs (failed extractions — real crawl shape) form ONE
+    cluster of their own, NEVER mixed with empty-string docs: their
+    shingle evidence is identical-and-absent, so the SQL pipeline
+    star-collapses them on the shared NULL signature while keeping
+    ''-shingle docs a separate cluster.  Spark's minhash instead
+    folds NULL to the same signature as the EMPTY doc, silently
+    merging the two classes (caught by the r8 session-4 review
+    differential; a first fix made NULLs singletons, which the
+    multi-NULL differential then caught diverging the other way).
+    They are filtered out of the minhash input and re-attached as
+    explicit min-doc_id star edges — the same shape the oracle's
+    identical-signature collapse produces, bounded at any NULL
+    count."""
+    nonnull = docs.filter(F.col("text").isNotNull())
+    nulls = docs.filter(F.col("text").isNull()).select("doc_id")
+    null_star = (nulls.crossJoin(
+        nulls.agg(F.min("doc_id").alias("rep")))
+        .filter(F.col("doc_id") != F.col("rep"))
+        .select(F.col("rep").alias("doc_a"),
+                F.col("doc_id").alias("doc_b")))
+    pairs = (minhash_lsh_pairs(nonnull).select("doc_a", "doc_b")
+             .unionByName(null_star))
     comp = dedup_components(pairs)
     sizes = comp.groupBy("component").agg(
         F.count("*").alias("csize"))

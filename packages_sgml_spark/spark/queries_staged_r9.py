@@ -1,13 +1,18 @@
 """Round-9 registry candidates, staged while the registry is frozen
 at 70 (the r5 drift-kill rule: keys change only at round START).
 
-Seven keys: ``quality_features`` (the r8 fused crawl-job quality
-sidecar), ``dup_ngram_frac`` (cross-doc duplicated-8-gram fraction),
-``simhash_pairs`` (banded-Hamming near-dup pairs), ``doc_chunks``
-(fixed-size training-sequence chunking), ``stratified_sample``
-(deterministic per-source quota sampling), ``host_quality``
-(domain-filter rollup with exact integer sums), and ``dedup_keep``
-(materialized per-doc keep decision over LSH components).  Each is
+Twelve keys (registry 70 -> 82 at r9 start): ``quality_features``
+(the r8 fused crawl-job quality sidecar), ``dup_ngram_frac``
+(cross-doc duplicated-8-gram fraction), ``simhash_pairs``
+(banded-Hamming near-dup pairs), ``doc_chunks`` (fixed-size
+training-sequence chunking), ``stratified_sample`` (deterministic
+per-source quota sampling), ``host_quality`` (domain-filter rollup
+with exact integer sums), ``dedup_keep`` (materialized per-doc keep
+decision over LSH components), ``pack_sequences``
+(concatenate-and-cut packing spans), ``vocab_ngrams`` (corpus top-k
+bigram census), ``unigram_logprob`` (CCNet-style corpus-unigram
+NLL), ``tfidf_top_terms`` (characteristic terms per host), and
+``corpus_keep`` (the whole filter stack in one plan).  Each is
 gated NOW with the driver-exact compare at sf0.001 (pytest) and
 sf0.01 (session gate) plus a planted-semantics test.
 

@@ -51,7 +51,13 @@ def _lang_cols(padded):
     quality_features so the two can never drift.  (A token-greedy
     HOF-aggregate rewrite with identical semantics was A/B'd 4.6x
     SLOWER than the scans — HigherOrderFunction lambdas don't
-    codegen; see NOTES-ROUND8.)"""
+    codegen; see NOTES-ROUND8.)
+
+    NULL text -> (NULL, NULL), matching the oracle's CASE-chain SQL
+    semantics: with every score NULL, array_max's struct compare
+    used to fall through the NULL rank to the lang FIELD and return
+    'pt' (max language code) on the Spark side only — a divergence
+    no NULL-free gate corpus can see (r8 session-4 review)."""
     scores = []
     for lang, pats in sorted(LANG_MARKERS.items()):
         score = None
@@ -64,9 +70,10 @@ def _lang_cols(padded):
         F.struct((s["score"] * 100 -
                   F.lit(i)).alias("rank"), s["lang"].alias("lang"))
         for i, s in enumerate(scores)]))
-    return [best["lang"].alias("lang_pred"),
-            F.greatest(*[s["score"] for s in scores])
-             .alias("lang_score")]
+    lang_score = F.greatest(*[s["score"] for s in scores])
+    return [F.when(lang_score.isNotNull(), best["lang"])
+             .alias("lang_pred"),
+            lang_score.alias("lang_score")]
 
 
 def lang_id_stopwords(docs: DataFrame) -> DataFrame:
@@ -78,12 +85,12 @@ def lang_id_stopwords(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", *_lang_cols(padded))
 
 
-def quality_score(docs: DataFrame) -> DataFrame:
-    """Heuristic quality features: length, punctuation density,
-    stopword ratio, mean word length."""
-    from .util import spread
-    docs = spread(docs, "doc_id")
-    text = F.col("text")
+def _quality_base_cols(text):
+    """(n_chars, n_words, n_punct, stop_hits) Columns — the per-doc
+    measures of the registered `quality` oracle's b/s stages, shared
+    by quality_score and host_quality so the per-doc and per-host
+    formulas can never drift (r8 session-4 review: the two carried
+    hand-maintained copies)."""
     n_chars = F.length(text)
     words = F.split(F.trim(text), r"\s+")
     n_words = F.when(F.length(F.trim(text)) == 0, F.lit(0)) \
@@ -96,6 +103,16 @@ def quality_score(docs: DataFrame) -> DataFrame:
         c = _count_occurrences_rx(
             F.concat(F.lit(" "), lower, F.lit(" ")), " %s " % w)
         stop_hits = c if stop_hits is None else (stop_hits + c)
+    return n_chars, n_words, n_punct, stop_hits
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Heuristic quality features: length, punctuation density,
+    stopword ratio, mean word length."""
+    from .util import spread
+    docs = spread(docs, "doc_id")
+    n_chars, n_words, n_punct, stop_hits = _quality_base_cols(
+        F.col("text"))
     return docs.select(
         "doc_id",
         n_chars.alias("n_chars"),
@@ -405,18 +422,8 @@ def host_quality(docs: DataFrame, short_words: int = 30) -> DataFrame:
     reduce side is trivially sized."""
     from .util import spread
     docs = spread(docs, "doc_id")
-    text = F.col("text")
-    n_chars = F.length(text)
-    trimmed = F.trim(text)
-    n_words = F.when(F.length(trimmed) == 0, F.lit(0)) \
-               .otherwise(F.size(F.split(trimmed, r"\s+")))
-    n_punct = n_chars - F.length(
-        F.regexp_replace(text, r"[.,!?;:]", ""))
-    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
-    stop_hits = None
-    for w in STOPWORDS:
-        c = _count_occurrences_rx(padded, " %s " % w)
-        stop_hits = c if stop_hits is None else (stop_hits + c)
+    n_chars, n_words, n_punct, stop_hits = _quality_base_cols(
+        F.col("text"))
     per = docs.select(
         "source", n_chars.alias("nc"), n_words.alias("nw"),
         n_punct.alias("np"), stop_hits.alias("sh"))

@@ -291,3 +291,46 @@ def test_corpus_keep_planted_semantics(spark):
     assert (rows[2].gopher_pass, rows[2].c4_keep) == (1, 1)
     assert rows[3].keep_dedup == 1 and rows[3].gopher_pass == 0
     assert rows[3].keep == 0
+
+
+def test_null_text_cross_engine_differential(spark):
+    """Regression for the two r8 session-4 review catches — a corpus
+    with NULL-text docs (failed extractions, a real crawl shape the
+    NULL-free sf gates cannot see) must hash-match the oracle:
+    (a) lang_pred fell through NULL struct ranks to 'pt' on the
+    Spark side only; (b) Spark's minhash folded NULL text to the
+    empty-doc signature, clustering failed extractions WITH empty
+    pages — the SQL pipeline instead star-collapses NULL docs into
+    a cluster of their own (a first singleton-based fix diverged
+    the other way on multi-NULL corpora, caught right here)."""
+    import duckdb
+
+    from packages_sgml_spark.spark.datafilters import corpus_keep
+    from packages_sgml_spark.spark.queries_staged_r9 import R9_ORACLES
+    h = _harness()
+    rows = [(10, "h1", ""), (11, "h2", None), (12, "h3", "  "),
+            (13, "h1", "ab"), (14, "h2", None),
+            (5, "h3", "a solitary document with unique words " * 8)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, text string")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents(doc_id BIGINT, source VARCHAR, "
+        "text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?,?,?)", rows)
+    df = corpus_keep(docs)
+    cols = df.columns
+    srows = [tuple(r) for r in df.collect()]
+    cur = con.execute(R9_ORACLES["corpus_keep"])
+    ocols = [d[0] for d in cur.description]
+    orows = cur.fetchall()
+    assert len(srows) == len(orows) == 6
+    assert h.table_hash(cols, srows) == h.table_hash(ocols, orows), (
+        sorted(srows), sorted(orows))
+    by_id = {r[0]: r for r in srows}
+    # NULL-text docs: ONE cluster of their own (min doc_id kept),
+    # never merged with the ''/'  ' cluster; lang_pred NULL
+    assert by_id[11][1] == 1 and by_id[14][1] == 0
+    assert by_id[11][4] is None and by_id[14][4] is None
+    # empty-string docs cluster separately: 10 kept, 12 dropped
+    assert by_id[10][1] == 1 and by_id[12][1] == 0

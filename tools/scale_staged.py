@@ -62,8 +62,9 @@ def _mk_docs(spark, n_docs):
 
 
 def main():
-    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
-    cpus = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n_docs = int(args[0]) if len(args) > 0 else 200_000
+    cpus = int(args[1]) if len(args) > 1 else 32
     skip_dedup = "--skip-dedup" in sys.argv
     from pyspark.sql import functions as F
 
@@ -181,7 +182,8 @@ def scaling():
     not scale 4x past the physical cores); levels interleave twice
     and keep the best of each (co-tenant noise), and the box's raw
     CPU ceiling is measured alongside for honest accounting."""
-    n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 400_000
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n_docs = int(args[0]) if args else 400_000
     levels = (2, 8)
     from pyspark.sql import functions as F
 
