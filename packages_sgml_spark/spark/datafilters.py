@@ -577,3 +577,141 @@ def corpus_keep(docs: DataFrame) -> DataFrame:
         "lang_pred",
         ((F.col("keep_dedup") == 1) & (F.col("gopher_pass") == 1) &
          (F.col("c4_keep") == 1)).cast("int").alias("keep"))
+
+
+def dedup_spans(docs: DataFrame, n: int = 8) -> DataFrame:
+    """Exact-substring dedup REMOVAL — the materialized counterpart
+    of dup_ngram_frac (which only measures): every word covered by a
+    word-n-gram that also occurs in at least one OTHER document is
+    cut, and the surviving words are reassembled in document order
+    (the Lee et al. "Deduplicating Training Data" / RefinedWeb
+    exact-substring pass, remove-all-copies variant — the paper
+    notes keeping one copy vs none is a wash, and remove-all needs
+    no global occurrence ordering):
+
+      (doc_id, n_words, n_kept, kept_text)
+
+    over whitespace-normalized lowercase words (norm_words — the
+    dedup family's shared tokenization, so the dup-gram set here is
+    EXACTLY the set dup_ngram_frac counts).  NULL text behaves as
+    empty (documented: this op is a per-doc transformation — unlike
+    dedup_keep no cross-doc evidence is merged, so the NULL/empty
+    distinction has nothing to poison; both emit n_words=0, '').
+
+    Scale shape (all linear, nothing quadratic in doc length):
+    - ONE gram explode with position; grams ride as xxhash64 (8-byte
+      shuffle rows; a collision mis-cutting a span is
+      ~#distinct_grams/2^64, same odds dup_ngram_frac documents);
+    - dup-gram set = the dup_ngram_frac aggregation ((h, doc_id)
+      partial-agg, then rows-per-h >= 2);
+    - position tagging is a left-semi join of positions against the
+      dup set, shuffle_hash-hinted: positions come straight out of a
+      Generate, whose static size estimate is garbage — unhinted,
+      Catalyst broadcasts the POSITION STREAM (the §17/r8 rule);
+    - covered word indexes = each dup start exploded to its n
+      indexes, deduped per (doc_id, j) — x n rows on the DUP subset
+      only, never the corpus;
+    - reassembly = words-with-index LEFT-joined against covered
+      indexes (also shuffle_hash-hinted, both sides are generates)
+      and folded in ONE aggregate — n_words, n_kept and kept_text
+      in the same pass (collect_list skips the covered rows' NULL
+      structs); the per-doc collect is bounded by doc length, the
+      same bound every per-doc collect in this module documents;
+    - the final corpus x per-doc join is merge-hinted: BOTH sides
+      are corpus-sized (per carries kept_text for nearly every doc),
+      and Catalyst's static estimate under the aggregate-over-
+      generate chain is garbage — unhinted it chose to BROADCAST
+      the kept-text side (caught in this op's plan audit; the doc
+      base is a doc_id-only pruned scan, so sort-merge is the plan
+      that survives 100 TB).
+    A per-doc HOF formulation (filter words by any-start-in-window)
+    was rejected at design time: it is O(words x dup_starts) per doc
+    — quadratic on exactly the boilerplate-heavy docs this operator
+    exists to clean."""
+    from .util import spread
+    docs = spread(docs, "doc_id")
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    wcol = F.when(F.length(F.trim(txt)) == 0,
+                  F.array().cast("array<string>")) \
+            .otherwise(norm_words(txt))
+    wd = docs.select("doc_id", wcol.alias("w"))
+    grams = wd.select("doc_id",
+                      word_ngram_arr(F.col("w"), n).alias("g"))
+    pos = (grams.select("doc_id",
+                        F.posexplode("g").alias("p0", "gram"))
+           .select("doc_id", (F.col("p0") + 1).alias("pos"),
+                   F.xxhash64("gram").alias("h")))
+    cnts = pos.groupBy("h", "doc_id").agg(F.count("*").alias("c"))
+    dup_h = (cnts.groupBy("h").agg(F.count("*").alias("nd"))
+             .filter(F.col("nd") >= 2).select("h"))
+    dpos = (pos.join(dup_h.hint("shuffle_hash"), "h", "left_semi")
+            .select("doc_id", "pos"))
+    cov = (dpos.select(
+               "doc_id",
+               F.explode(F.sequence(
+                   F.col("pos"),
+                   F.col("pos") + F.lit(n - 1))).alias("j"))
+           .distinct()
+           .withColumn("cv", F.lit(1)))
+    widx = (wd.select("doc_id",
+                      F.posexplode("w").alias("j0", "word"))
+            .select("doc_id", (F.col("j0") + 1).alias("j"), "word"))
+    tagged = widx.join(cov.hint("shuffle_hash"),
+                       ["doc_id", "j"], "left")
+    keep_struct = F.when(F.col("cv").isNull(),
+                         F.struct("j", "word"))
+    per = tagged.groupBy("doc_id").agg(
+        F.count("*").alias("nw"),
+        F.sum(F.when(F.col("cv").isNull(), 1).otherwise(0))
+         .alias("nk"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(keep_struct)),
+                lambda s: s["word"]), " ").alias("kt"))
+    base = docs.select("doc_id")
+    return (base.join(per.hint("merge"), "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce(F.col("nw"), F.lit(0)).cast("int")
+                     .alias("n_words"),
+                    F.coalesce(F.col("nk"), F.lit(0)).cast("int")
+                     .alias("n_kept"),
+                    F.coalesce(F.col("kt"), F.lit(""))
+                     .alias("kept_text")))
+
+
+def shard_assign(docs: DataFrame, n_shards: int = 8) -> DataFrame:
+    """Deterministic corpus shuffle into training shards — the write
+    layout a training run actually consumes: every doc mapped to a
+    shard and a position inside it,
+
+      (doc_id, shard, shard_pos)
+
+    with shard = md5-bucket of doc_id and shard_pos = rank of the
+    doc's md5 inside its shard.  md5(doc_id) is a stable
+    pseudo-random permutation BOTH engines compute identically (the
+    stratified_sample trick) — re-running reproduces the same
+    shuffle bit-for-bit, no rand() anywhere, and the order is
+    decorrelated from crawl order (the point of shuffling: adjacent
+    crawl docs are near-duplicates and same-host, poison for
+    training batches).
+
+    Scale shape: one shuffle on the shard key, one per-shard sort
+    for row_number.  Shards are corpus_size / n_shards and the count
+    is OURS to choose — at 100 TB you set n_shards so a shard's sort
+    fits a task (the knob is the parameter, not a rewrite); md5
+    bucketing keeps them uniform (no skew by construction, unlike
+    host keys)."""
+    from pyspark.sql import Window
+    from .util import spread
+    docs = spread(docs, "doc_id")
+    key = F.md5(F.encode(F.col("doc_id").cast("string"), "utf-8"))
+    shard = F.pmod(
+        F.conv(F.substring(key, 1, 8), 16, 10).cast("bigint"),
+        F.lit(n_shards)).cast("int")
+    w = Window.partitionBy("shard").orderBy(F.col("key").asc(),
+                                            F.col("doc_id").asc())
+    return (docs.select("doc_id", key.alias("key"),
+                        shard.alias("shard"))
+            .withColumn("shard_pos",
+                        F.row_number().over(w).cast("int"))
+            .select("doc_id", "shard", "shard_pos"))

@@ -1,7 +1,7 @@
 """Round-9 registry candidates, staged while the registry is frozen
 at 70 (the r5 drift-kill rule: keys change only at round START).
 
-Twelve keys (registry 70 -> 82 at r9 start): ``quality_features``
+The keys: ``quality_features``
 (the r8 fused crawl-job quality sidecar), ``dup_ngram_frac``
 (cross-doc duplicated-8-gram fraction), ``simhash_pairs``
 (banded-Hamming near-dup pairs), ``doc_chunks`` (fixed-size
@@ -11,10 +11,14 @@ with exact integer sums), ``dedup_keep`` (materialized per-doc keep
 decision over LSH components), ``pack_sequences``
 (concatenate-and-cut packing spans), ``vocab_ngrams`` (corpus top-k
 bigram census), ``unigram_logprob`` (CCNet-style corpus-unigram
-NLL), ``tfidf_top_terms`` (characteristic terms per host), and
-``corpus_keep`` (the whole filter stack in one plan).  Each is
-gated NOW with the driver-exact compare at sf0.001 (pytest) and
-sf0.01 (session gate) plus a planted-semantics test.
+NLL), ``tfidf_top_terms`` (characteristic terms per host),
+``corpus_keep`` (the whole filter stack in one plan),
+``dedup_spans`` (materialized exact-substring removal),
+``shard_assign`` (deterministic training-shard shuffle), and
+``semdedup_keep`` (embedding-cluster keep decision) — fifteen keys,
+registry 70 -> 85 at r9 start.  Each is gated NOW with the
+driver-exact compare at sf0.001 (pytest) and sf0.01 (session gate)
+plus a planted-semantics test.
 
 At round-9 start, registration is the queries_staged.py pattern:
 
@@ -544,6 +548,141 @@ JOIN qf ON d.doc_id = qf.doc_id
 ORACLE_CORPUS_KEEP = _corpus_keep_oracle()
 
 
+def q_dedup_spans(spark, sf_dir):
+    """Materialized exact-substring removal (datafilters.dedup_spans)
+    — every word covered by a cross-document duplicated 8-gram cut,
+    survivors reassembled in document order."""
+    from .datafilters import dedup_spans
+    return dedup_spans(_t(spark, sf_dir, "documents"))
+
+
+# Spark keys grams by xxhash64 (8-byte shuffle rows); the oracle
+# groups by the gram STRING — value-identical modulo the documented
+# 64-bit collision odds (same note as dup_ngram_frac).  NULL text
+# behaves as empty on both sides (per-doc transformation: no
+# cross-doc evidence to poison, unlike dedup_keep).
+ORACLE_DEDUP_SPANS = """
+WITH w AS (
+  SELECT doc_id,
+    CASE WHEN length(trim(coalesce(text, ''))) = 0
+         THEN CAST([] AS VARCHAR[])
+         ELSE regexp_split_to_array(
+                regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                ' ')
+    END AS words
+  FROM documents),
+gp AS (
+  SELECT doc_id, words,
+         unnest(range(1, greatest(len(words) - 6, 1))) AS pos
+  FROM w),
+g AS (
+  SELECT doc_id, pos,
+         array_to_string(words[pos:pos+7], ' ') AS gram
+  FROM gp),
+dupg AS (
+  SELECT gram FROM (
+    SELECT gram, count(DISTINCT doc_id) AS nd FROM g GROUP BY gram)
+  WHERE nd >= 2),
+cov AS (
+  SELECT DISTINCT g.doc_id, g.pos + r.k AS j
+  FROM g JOIN dupg USING (gram), range(8) r(k)),
+wip AS (
+  SELECT doc_id, words,
+         unnest(range(1, len(words) + 1)) AS j
+  FROM w),
+wi AS (
+  SELECT doc_id, j, words[j] AS word
+  FROM wip),
+kept AS (
+  SELECT wi.doc_id, wi.j, wi.word
+  FROM wi LEFT JOIN cov ON wi.doc_id = cov.doc_id AND wi.j = cov.j
+  WHERE cov.j IS NULL),
+per AS (
+  SELECT doc_id, CAST(count(*) AS INT) AS n_kept,
+         string_agg(word, ' ' ORDER BY j) AS kept_text
+  FROM kept GROUP BY doc_id)
+SELECT d.doc_id,
+  CAST(len(w.words) AS INT) AS n_words,
+  CAST(coalesce(per.n_kept, 0) AS INT) AS n_kept,
+  coalesce(per.kept_text, '') AS kept_text
+FROM documents d
+JOIN w USING (doc_id)
+LEFT JOIN per USING (doc_id)
+"""
+
+
+def q_shard_assign(spark, sf_dir):
+    """Deterministic training-shard shuffle
+    (datafilters.shard_assign): md5-bucketed shard + in-shard rank,
+    bit-reproducible across runs and engines."""
+    from .datafilters import shard_assign
+    return shard_assign(_t(spark, sf_dir, "documents"), n_shards=8)
+
+
+# Same md5-hex permutation trick as stratified_sample; the shard
+# bucket parses the first 8 hex digits (F.conv base 16 on Spark,
+# CAST('0x…') on DuckDB — both yield the same uint32, % 8 of a
+# non-negative value matches pmod).
+ORACLE_SHARD_ASSIGN = """
+WITH k AS (
+  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS key
+  FROM documents),
+s AS (
+  SELECT doc_id, key,
+         CAST(CAST(concat('0x', substr(key, 1, 8)) AS BIGINT) % 8
+              AS INT) AS shard
+  FROM k)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard
+                               ORDER BY key, doc_id) AS INT)
+         AS shard_pos
+FROM s
+"""
+
+
+def q_semdedup_keep(spark, sf_dir):
+    """Embedding-cluster keep decision (similarity.semdedup_keep):
+    LSH-bucketed cosine pairs at the registered embedding_dups
+    threshold -> connected components -> one representative per
+    semantic cluster."""
+    from .queries import F, similarity
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>"))
+    return similarity.semdedup_keep(emb, threshold=0.2, dim=64,
+                                    n_planes=6)
+
+
+def _semdedup_keep_oracle():
+    """Wraps the registered embedding_dups oracle (same threshold /
+    planes) as the pair CTE, then the dedup_keep recursive-reach /
+    size / keep shape over the embeddings base."""
+    from .oracles import ORACLES
+    return """
+WITH RECURSIVE p AS ({dups}),
+edges AS (SELECT vec_a AS src, vec_b AS dst FROM p
+          UNION SELECT vec_b, vec_a FROM p),
+reach(src, node) AS (
+  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.node = e.src),
+comp AS (SELECT src AS vec_id, MIN(node) AS component
+         FROM reach GROUP BY src),
+sz AS (SELECT component, count(*) AS csize FROM comp
+       GROUP BY component)
+SELECT e.vec_id,
+  CAST(coalesce(c.component, e.vec_id) AS BIGINT) AS component,
+  CAST(coalesce(s.csize, 1) AS BIGINT) AS cluster_size,
+  CAST(CASE WHEN coalesce(c.component, e.vec_id) = e.vec_id
+       THEN 1 ELSE 0 END AS INT) AS keep
+FROM embeddings e
+LEFT JOIN comp c ON e.vec_id = c.vec_id
+LEFT JOIN sz s ON c.component = s.component
+""".format(dups=ORACLES["embedding_dups"])
+
+
+ORACLE_SEMDEDUP_KEEP = _semdedup_keep_oracle()
+
+
 R9_QUERIES = {
     "quality_features": q_quality_features,
     "dup_ngram_frac": q_dup_ngram_frac,
@@ -557,6 +696,9 @@ R9_QUERIES = {
     "unigram_logprob": q_unigram_logprob,
     "tfidf_top_terms": q_tfidf_top_terms,
     "corpus_keep": q_corpus_keep,
+    "dedup_spans": q_dedup_spans,
+    "shard_assign": q_shard_assign,
+    "semdedup_keep": q_semdedup_keep,
 }
 
 R9_ORACLES = {
@@ -572,4 +714,7 @@ R9_ORACLES = {
     "unigram_logprob": ORACLE_UNIGRAM_LOGPROB,
     "tfidf_top_terms": ORACLE_TFIDF_TOP_TERMS,
     "corpus_keep": ORACLE_CORPUS_KEEP,
+    "dedup_spans": ORACLE_DEDUP_SPANS,
+    "shard_assign": ORACLE_SHARD_ASSIGN,
+    "semdedup_keep": ORACLE_SEMDEDUP_KEEP,
 }

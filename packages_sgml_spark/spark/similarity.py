@@ -293,3 +293,75 @@ def ivf_knn(emb: DataFrame, query_ids, k=5, n_centroids=16,
     return (scored.withColumn("rank", F.row_number().over(w2))
             .filter(F.col("rank") <= k)
             .select("q_id", "rank", "n_id", "cos"))
+
+
+def semdedup_keep(emb: DataFrame, threshold=0.2, dim=64,
+                  n_planes=6) -> DataFrame:
+    """SemDeDup-style materialized keep decision over EMBEDDING
+    near-dup clusters — the semantic twin of dedup.dedup_keep (which
+    clusters on MinHash text evidence): LSH-bucketed cosine pairs ->
+    min-label connected components -> exactly one representative per
+    cluster,
+
+      (vec_id, component, cluster_size, keep)
+
+    component = min vec_id reachable (self for singletons),
+    keep = 1 iff this row IS the representative.  Abbas et al.'s
+    SemDeDup keeps the point FARTHEST from the cluster centroid; we
+    keep min-id — centroid distance needs a float reduction over the
+    cluster (combine-order dependent, never hash-exact) and the
+    cited paper itself reports the choice of representative barely
+    moves downstream loss, so the deterministic pick is the sound
+    one for a gated pipeline.
+
+    Scale shape: EXACT-duplicate vectors star-collapse FIRST — a
+    mega-group of identical embeddings (failed/default/zero-content
+    vectors, the embedding analog of boilerplate text) would
+    otherwise sit in one LSH bucket and pay O(group^2) cosine pairs;
+    the collapse is one window-min over the vector itself (cos of
+    identical vectors is 1 >= any threshold, so replacing the clique
+    with rep->member star edges preserves connectivity EXACTLY —
+    components, sizes and keeps are unchanged, which is why this op
+    can take the cheap path while the registered embedding_dups,
+    whose output IS the pair set, cannot).  Only representatives
+    enter the bucketed cosine join (sum of bucket^2 on the DISTINCT
+    vectors); NULL-embedding and all-zero rows skip the collapse and
+    stay singletons (cos is NULL-out/0-norm there — on both engines
+    the pair never passes the threshold, so starring them would
+    INVENT edges the oracle does not have; DuckDB folds 0.0/0.0 to
+    NULL, probed while writing this).
+    Then dedup_components' checkpointed min-label propagation; the
+    final join is corpus x (dup subset), left unhinted for the same
+    AQE-decides reason dedup_keep documents (a forced broadcast of a
+    heavy-dup component map would OOM; AQE broadcasts only when the
+    observed shuffle size is small)."""
+    from .dedup import dedup_components
+    nn = emb.filter(F.col("embedding").isNotNull() &
+                    F.exists("embedding", lambda x: x != 0.0))
+    w = Window.partitionBy("embedding")
+    marked = nn.select("vec_id", "embedding",
+                       F.min("vec_id").over(w).alias("rep"))
+    star = (marked.filter(F.col("vec_id") != F.col("rep"))
+            .select(F.col("rep").alias("doc_a"),
+                    F.col("vec_id").alias("doc_b")))
+    reps = (marked.filter(F.col("vec_id") == F.col("rep"))
+            .select("vec_id", "embedding"))
+    pairs = (embedding_near_dups(reps, threshold, use_lsh=True,
+                                 dim=dim, n_planes=n_planes)
+             .select(F.col("vec_a").alias("doc_a"),
+                     F.col("vec_b").alias("doc_b"))
+             .unionByName(star))
+    comp = dedup_components(pairs).withColumnRenamed(
+        "doc_id", "vec_id")
+    sizes = comp.groupBy("component").agg(
+        F.count("*").alias("csize"))
+    comp = comp.join(sizes, "component")
+    base = emb.select("vec_id")
+    j = base.join(comp, "vec_id", "left")
+    rep = F.coalesce(F.col("component"), F.col("vec_id"))
+    return j.select(
+        "vec_id",
+        rep.cast("bigint").alias("component"),
+        F.coalesce(F.col("csize"), F.lit(1)).cast("bigint")
+         .alias("cluster_size"),
+        (rep == F.col("vec_id")).cast("int").alias("keep"))

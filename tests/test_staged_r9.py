@@ -53,7 +53,10 @@ def test_registry_still_frozen_at_70():
                                   "vocab_ngrams",
                                   "unigram_logprob",
                                   "tfidf_top_terms",
-                                  "corpus_keep"])
+                                  "corpus_keep",
+                                  "dedup_spans",
+                                  "shard_assign",
+                                  "semdedup_keep"])
 def test_staged_r9_query_matches_oracle(spark, duck, name):
     import decimal
     from packages_sgml_spark.spark.queries_staged_r9 import (
@@ -334,3 +337,101 @@ def test_null_text_cross_engine_differential(spark):
     assert by_id[11][4] is None and by_id[14][4] is None
     # empty-string docs cluster separately: 10 kept, 12 dropped
     assert by_id[10][1] == 1 and by_id[12][1] == 0
+
+
+def test_dedup_spans_planted_semantics(spark):
+    """Planted removal semantics: a cross-doc duplicated 8-gram cuts
+    its words from EVERY copy; a gram repeated only WITHIN one doc is
+    untouched (cross-doc definition, same dup set as dup_ngram_frac);
+    sub-8-word docs, empty docs, and NULL text pass through; kept
+    words reassemble in document order across a removed gap."""
+    from packages_sgml_spark.spark.datafilters import dedup_spans
+    boiler = "all rights reserved contact us terms of service"  # 8 w
+    docs = spark.createDataFrame(
+        [(1, "intro words here " + boiler + " unique tail one"),
+         (2, boiler + " different ending text"),
+         (3, "short doc no grams"),
+         (4, ""),
+         (5, None),
+         # 8-gram repeated twice inside ONE doc only: not cross-doc
+         (6, "w1 w2 w3 w4 w5 w6 w7 w8 w1 w2 w3 w4 w5 w6 w7 w8")],
+        "doc_id long, text string")
+    rows = {r.doc_id: r for r in dedup_spans(docs).collect()}
+    assert rows[1].n_words == 14 and rows[1].n_kept == 6
+    assert rows[1].kept_text == "intro words here unique tail one"
+    assert rows[2].n_words == 11 and rows[2].n_kept == 3
+    assert rows[2].kept_text == "different ending text"
+    assert rows[3].n_kept == 4
+    assert rows[3].kept_text == "short doc no grams"
+    assert rows[4].n_words == 0 and rows[4].kept_text == ""
+    assert rows[5].n_words == 0 and rows[5].kept_text == ""
+    assert rows[6].n_kept == 16, "within-doc-only dup must survive"
+
+
+def test_shard_assign_planted_semantics(spark):
+    """Shard ranks are contiguous 1..n_shard per shard, every doc is
+    assigned exactly once, shard ids stay in range, and the whole
+    assignment is deterministic across runs (md5 order, no rand())."""
+    from packages_sgml_spark.spark.datafilters import shard_assign
+    docs = spark.createDataFrame(
+        [(i, "t%d" % i) for i in range(60)],
+        "doc_id long, text string")
+    out = shard_assign(docs, n_shards=4)
+    rows = [(r.doc_id, r.shard, r.shard_pos) for r in out.collect()]
+    assert len(rows) == 60
+    assert {r[0] for r in rows} == set(range(60))
+    assert all(0 <= r[1] < 4 for r in rows)
+    by_shard = {}
+    for _, s, p in rows:
+        by_shard.setdefault(s, []).append(p)
+    for s, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), s
+    again = [(r.doc_id, r.shard, r.shard_pos)
+             for r in shard_assign(docs, n_shards=4).collect()]
+    assert sorted(rows) == sorted(again)
+
+
+def test_semdedup_keep_planted_semantics(spark):
+    """Hand-built embeddings: identical vectors cluster via the
+    exact-dup star collapse (min vec_id kept), an orthogonal vector
+    stays a kept singleton, and the two collapse-ineligible shapes —
+    all-zero vectors (cos = 0/0, which DuckDB folds to NULL) and
+    NULL embeddings — stay singletons on BOTH engines (the star
+    collapse must not invent edges the oracle's cosine never
+    passes).  Cross-engine: the full result hash-matches the staged
+    oracle on this adversarial corpus."""
+    import duckdb
+
+    from packages_sgml_spark.spark.queries_staged_r9 import R9_ORACLES
+    from packages_sgml_spark.spark.similarity import semdedup_keep
+    h = _harness()
+    e1 = [1.0] + [0.0] * 63
+    e2 = [0.0, 1.0] + [0.0] * 62
+    zero = [0.0] * 64
+    rows_in = [(1, e1), (2, e1), (7, e2), (8, zero), (9, zero),
+               (10, None), (11, None), (12, e1)]
+    emb = spark.createDataFrame(
+        rows_in, "vec_id long, embedding array<double>")
+    rows = {r.vec_id: r
+            for r in semdedup_keep(emb, threshold=0.2).collect()}
+    assert (rows[1].component, rows[1].cluster_size,
+            rows[1].keep) == (1, 3, 1)
+    assert (rows[2].component, rows[2].keep) == (1, 0)
+    assert (rows[12].component, rows[12].keep) == (1, 0)
+    assert (rows[7].component, rows[7].cluster_size,
+            rows[7].keep) == (7, 1, 1)
+    for v in (8, 9, 10, 11):
+        assert (rows[v].component, rows[v].cluster_size,
+                rows[v].keep) == (v, 1, 1), v
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE embeddings(vec_id BIGINT, embedding DOUBLE[])")
+    con.executemany("INSERT INTO embeddings VALUES (?,?)", rows_in)
+    cur = con.execute(R9_ORACLES["semdedup_keep"])
+    ocols = [d[0] for d in cur.description]
+    orows = cur.fetchall()
+    srows = [tuple(r) for r in
+             semdedup_keep(emb, threshold=0.2).collect()]
+    assert len(srows) == len(orows) == 8
+    assert h.table_hash(["vec_id", "component", "cluster_size",
+                         "keep"], srows) == h.table_hash(ocols, orows)

@@ -21,6 +21,16 @@ semantically, re-checked at scale:
                       their representative); the 30% boilerplate
                       collapses to ONE representative via the LSH
                       star path (no O(cluster^2) blowup)
+  dedup_spans       — boilerplate docs are cut to NOTHING (every
+                      8-gram cross-doc duplicated); n_words
+                      conserves the corpus token count exactly
+  shard_assign      — every doc assigned once, shard sizes uniform
+                      (md5 bucketing: no skew by construction),
+                      ranks contiguous 1..shard_size
+  semdedup_keep     — a 30% identical-embedding mega-group (the
+                      failed-extraction vector shape) collapses via
+                      the exact-dup star path, never O(group^2)
+                      cosine pairs
 
 Prints one JSON line.  Usage:
     python tools/scale_staged.py [n_docs] [cpus] [--skip-dedup]
@@ -70,8 +80,10 @@ def main():
 
     from packages_sgml_spark.spark.session import get_spark
     from packages_sgml_spark.spark.datafilters import (
-        stratified_sample, unigram_logprob)
+        dedup_spans, shard_assign, stratified_sample,
+        unigram_logprob)
     from packages_sgml_spark.spark.dedup import dedup_keep
+    from packages_sgml_spark.spark.similarity import semdedup_keep
     from packages_sgml_spark.spark.textops import (
         doc_chunks, host_quality, pack_sequences, vocab_ngrams)
 
@@ -148,6 +160,68 @@ def main():
         .collect()))
     m = {r["is_bp"]: r["m"] for r in cmpr}
     assert m[True] < m[False], m
+
+    # dedup_spans: boilerplate cut to nothing, token conservation.
+    # NOTE: this corpus's "unique" stream is a sliding-window family
+    # (word(i, d) depends only on (131d + 1009i) % 20000, (d+i) % 3,
+    # (31d + 7i) % 50 — so every doc is a shifted substring of its
+    # mod-60000 twin), which makes EVERY position cross-doc
+    # duplicated: kept_frac 0.0 is the corpus's truth and the probe
+    # exercises the operator's 100%-dup worst case (cov = the whole
+    # corpus), the heaviest tagging load the plan can see.
+    ds = timed("dedup_spans", lambda: dedup_spans(docs)
+               .join(docs.select("doc_id",
+                                 (F.col("doc_id") % 10 < 3)
+                                 .alias("is_bp")), "doc_id")
+               .groupBy("is_bp")
+               .agg(F.sum("n_words").alias("nw"),
+                    F.sum("n_kept").alias("nk"),
+                    F.max("n_kept").alias("mx")).collect())
+    dsm = {r["is_bp"]: r for r in ds}
+    assert dsm[True]["nk"] == 0 and dsm[True]["mx"] == 0, dsm
+    assert dsm[True]["nw"] + dsm[False]["nw"] == want[0], (dsm, want)
+    out["dedup_spans_kept_frac"] = round(
+        dsm[False]["nk"] / dsm[False]["nw"], 4)
+
+    # shard_assign: exactly-once, uniform shards, contiguous ranks
+    sa = timed("shard_assign", lambda: shard_assign(docs, 64)
+               .groupBy("shard")
+               .agg(F.count("*").alias("n"),
+                    F.max("shard_pos").alias("mx")).collect())
+    assert len(sa) == 64
+    assert sum(r["n"] for r in sa) == n_docs
+    assert all(r["mx"] == r["n"] for r in sa)
+    szs = sorted(r["n"] for r in sa)
+    # binomial bound, scale-aware: spread stays within ~8 sigma of
+    # the mean shard size (a fixed ratio would misfire at small n)
+    assert szs[-1] - szs[0] < 8 * (n_docs / 64) ** 0.5, (szs[0],
+                                                         szs[-1])
+    out["shard_skew"] = round(szs[-1] / szs[0], 4)
+
+    # semdedup_keep: identical-embedding mega-group stars, never
+    # O(group^2) cosine (probed on its own vec count: the cosine leg
+    # over random-ish vectors is the documented sum-of-bucket^2)
+    n_vecs = min(n_docs, 20_000)
+    vbase = spark.range(n_vecs).withColumnRenamed("id", "vec_id")
+    v = F.col("vec_id")
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda i: F.when(v % 10 < 3, (i % 7).cast("double"))
+                   .otherwise(((v * 131 + i * 1009) % 997)
+                              .cast("double") - 498.0))
+    emb = vbase.select("vec_id", vec.alias("embedding")) \
+        .localCheckpoint(eager=True)
+    sk = timed("semdedup_keep", lambda: semdedup_keep(
+        emb, threshold=0.95).agg(
+        F.count("*"), F.sum("keep"),
+        F.max("cluster_size")).collect())[0]
+    n_bpv = sum(1 for i in range(n_vecs) if i % 10 < 3)
+    assert sk[0] == n_vecs
+    assert sk[2] >= n_bpv, sk
+    assert sk[1] <= n_vecs - n_bpv + 1, sk
+    out["semdedup_vecs"] = n_vecs
+    out["semdedup_kept"] = sk[1]
+    out["semdedup_max_cluster"] = sk[2]
 
     # dedup_keep: the 30% boilerplate collapses to one representative
     if not skip_dedup:
