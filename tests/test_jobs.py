@@ -251,3 +251,125 @@ def test_extract_text_format_matches_extract_markdown(spark):
         extract(pages, nodes=True, text_format="markdown")
     with pytest.raises(ValueError):
         extract(pages, nodes=False, text_format="tokens")
+
+
+def _curate_args(**kw):
+    import argparse
+    base = dict(run_id="cur-test", id_col="doc_id", text_col="text",
+                strip_spans=False, ngram=8, min_kept_words=5,
+                n_shards=4)
+    base.update(kw)
+    return argparse.Namespace(**base)
+
+
+def _curate_corpus(spark):
+    """Planted curation funnel: an exact-dup pair (dedup removes one),
+    a word-soup doc (quality removes it), and two distinct good docs
+    sharing one 8-word boilerplate sentence (span strip cuts it from
+    BOTH while their unique text survives)."""
+    fox = "\n".join(
+        ["The quick brown fox jumps over the lazy dog and then "
+         "runs back to the barn with a bone that it found near "
+         "the old oak tree by the river."] * 4)
+    boiler = "all rights reserved contact the site owner today"
+    uniq_a = ("The morning market opened early and the vendors "
+              "sold fresh bread with cheese and fruit to the "
+              "people walking past the long wooden stalls.\n"
+              "The harbour was busy at dawn when the boats came "
+              "in and the gulls circled over the nets in the "
+              "cold air.\n"
+              "The fishers counted their catch beside the stone "
+              "pier while the carts rolled up the narrow lane "
+              "toward the square.")
+    uniq_b = ("A quiet library stood at the end of the street "
+              "and the readers came each evening to borrow the "
+              "old books about the sea.\n"
+              "The lamps burned softly over the long tables "
+              "while the keeper stamped each card by hand at "
+              "the desk.\n"
+              "Nobody spoke above a whisper and the clock on "
+              "the wall counted the hours until the doors were "
+              "closed for the night.")
+    return spark.createDataFrame(
+        [(1, fox), (2, fox),
+         (3, ("zq wx kv jn " * 20).strip()),
+         (4, uniq_a + "\n" + boiler),
+         (5, uniq_b + "\n" + boiler)],
+        "doc_id long, text string")
+
+
+def test_curate_job_end_to_end_with_strip(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from jobs.curate_job import run as curate_run
+    docs = _curate_corpus(spark)
+    inp = str(tmp_path / "docs")
+    docs.write.parquet(inp)
+    out = str(tmp_path / "cur")
+    summary = curate_run(spark, _curate_args(
+        input=inp, output=out, strip_spans=True))
+    # funnel: 5 in; doc 2 fails dedup; doc 3 fails quality
+    assert summary["docs_in"] == 5
+    assert summary["pass_dedup"] == 4
+    assert summary["docs_kept"] == 3
+    assert summary["docs_out"] == 3
+    assert summary["tokens_after_strip"] < summary[
+        "tokens_before_strip"]
+    clean = {r.doc_id: r for r in
+             spark.read.parquet(out + "/clean").collect()}
+    assert set(clean) == {1, 4, 5}
+    # the fox doc repeats only WITHIN itself (its dup was removed
+    # BEFORE the span pass — Lee et al. order), so it keeps all text
+    assert clean[1].n_kept == clean[1].n_words
+    # the shared boilerplate sentence (8 words = one cross-doc
+    # duplicated 8-gram) is cut from BOTH survivors
+    for d in (4, 5):
+        assert clean[d].n_kept == clean[d].n_words - 8, clean[d]
+        assert "rights reserved" not in clean[d].text
+        assert clean[d].text.startswith(("the morning", "a quiet"))
+    # shard layout: every clean doc exactly once, ranks contiguous
+    shards = spark.read.parquet(out + "/shards")
+    assert {r.doc_id for r in shards.collect()} == {1, 4, 5}
+    per = shards.groupBy("shard").agg(
+        F.count("*").alias("n"), F.max("shard_pos").alias("mx"))
+    assert all(r.n == r.mx for r in per.collect())
+
+
+def test_curate_job_stage_level_resume(spark, tmp_path):
+    import glob
+    import os
+
+    from jobs.curate_job import run as curate_run
+    docs = _curate_corpus(spark)
+    inp = str(tmp_path / "docs")
+    docs.write.parquet(inp)
+    out = str(tmp_path / "cur")
+    s1 = curate_run(spark, _curate_args(input=inp, output=out))
+    assert s1["resumed_stages"] == []
+    dec_parts = sorted(glob.glob(out + "/decisions/*.parquet"))
+    mtimes = [os.path.getmtime(p) for p in dec_parts]
+
+    # full rerun: every stage skipped, sinks untouched, same funnel
+    s2 = curate_run(spark, _curate_args(input=inp, output=out,
+                                        run_id="cur-test-2"))
+    assert s2["resumed_stages"] == ["clean", "decisions",
+                                    "metrics", "shards"]
+    assert [os.path.getmtime(p) for p in dec_parts] == mtimes
+    for k in ("docs_in", "docs_kept", "docs_out"):
+        assert s2[k] == s1[k]
+
+    # crash simulation: the manifest rows for shards+metrics never
+    # landed -> only those two stages recompute; decisions untouched
+    man = spark.read.parquet(out + "/stages") \
+        .filter("stage IN ('decisions', 'clean')").collect()
+    import shutil
+    shutil.rmtree(out + "/stages")
+    spark.createDataFrame(man).coalesce(1) \
+        .write.parquet(out + "/stages")
+    s3 = curate_run(spark, _curate_args(input=inp, output=out,
+                                        run_id="cur-test-3"))
+    assert s3["resumed_stages"] == ["clean", "decisions"]
+    assert [os.path.getmtime(p) for p in dec_parts] == mtimes
+    assert s3["docs_out"] == s1["docs_out"]
+    shards = spark.read.parquet(out + "/shards")
+    assert shards.count() == s1["docs_out"]
