@@ -73,6 +73,14 @@ def run(spark, args):
         {r["stage"] for r in manifest.select("stage")
          .distinct().collect()}
 
+    def sink_count(path):
+        # an all-filtered corpus leaves a PARTITIONED sink with no
+        # part files at all (partitionBy writes nothing for 0 rows),
+        # which reads as UNABLE_TO_INFER_SCHEMA — that is a valid
+        # empty result, not a missing stage
+        df = _read_or_none(spark, path)
+        return 0 if df is None else df.count()
+
     def commit_stage(stage, rows):
         spark.createDataFrame(
             [(stage, args.run_id, rows)],
@@ -89,8 +97,7 @@ def run(spark, args):
     if "decisions" not in done:
         (corpus_keep(docs)
          .write.mode("overwrite").parquet(out + "/decisions"))
-        commit_stage("decisions",
-                     spark.read.parquet(out + "/decisions").count())
+        commit_stage("decisions", sink_count(out + "/decisions"))
     decisions = spark.read.parquet(out + "/decisions")
 
     # -- clean: kept docs, optional exact-substring removal -------
@@ -116,8 +123,7 @@ def run(spark, args):
                 F.lit(None).cast("int").alias("n_words"),
                 F.lit(None).cast("int").alias("n_kept"))
         clean.write.mode("overwrite").parquet(out + "/clean")
-        commit_stage("clean",
-                     spark.read.parquet(out + "/clean").count())
+        commit_stage("clean", sink_count(out + "/clean"))
     clean = spark.read.parquet(out + "/clean")
 
     # -- shards: deterministic training layout --------------------
@@ -128,8 +134,7 @@ def run(spark, args):
          .sortWithinPartitions("shard", "shard_pos")
          .write.mode("overwrite").partitionBy("shard")
          .parquet(out + "/shards"))
-        commit_stage("shards",
-                     spark.read.parquet(out + "/shards").count())
+        commit_stage("shards", sink_count(out + "/shards"))
 
     # -- metrics: the curation funnel, one row ---------------------
     if "metrics" not in done:

@@ -373,3 +373,27 @@ def test_curate_job_stage_level_resume(spark, tmp_path):
     assert s3["docs_out"] == s1["docs_out"]
     shards = spark.read.parquet(out + "/shards")
     assert shards.count() == s1["docs_out"]
+
+
+def test_curate_job_all_filtered_corpus(spark, tmp_path):
+    """A corpus where every doc fails quality must complete, not
+    crash: an empty PARTITIONED shards sink has no part files at all
+    (partitionBy writes nothing for 0 rows) and reads as
+    UNABLE_TO_INFER_SCHEMA — the job must treat that as a valid
+    empty result, and a rerun must still resume every stage."""
+    from jobs.curate_job import run as curate_run
+    docs = spark.createDataFrame(
+        [(i, "zq wx kv jn " * 20) for i in range(4)],
+        "doc_id long, text string")
+    inp = str(tmp_path / "docs")
+    docs.write.parquet(inp)
+    out = str(tmp_path / "cur")
+    s1 = curate_run(spark, _curate_args(
+        input=inp, output=out, strip_spans=True))
+    assert s1["docs_in"] == 4 and s1["docs_kept"] == 0
+    assert s1["docs_out"] == 0
+    s2 = curate_run(spark, _curate_args(
+        input=inp, output=out, strip_spans=True, run_id="rerun"))
+    assert s2["resumed_stages"] == ["clean", "decisions",
+                                    "metrics", "shards"]
+    assert s2["docs_out"] == 0
