@@ -36,7 +36,6 @@ def run(spark, args):
     """Body, session-injected so tests and notebooks can drive it;
     returns the summary dict that main() prints."""
     from pyspark.sql import functions as F
-    from pyspark.errors import AnalysisException
 
     from packages_sgml_spark.spark.warc import (warc_pages,
                                                 warc_todo_paths,
@@ -51,18 +50,9 @@ def run(spark, args):
     text_path = out + "/text"
 
     def read_or_none(path):
-        try:
-            return spark.read.parquet(path)
-        except AnalysisException as ex:
-            msg = str(ex)
-            # only a genuinely-missing/uncommitted sink means first
-            # run; anything else must surface (silent re-extraction
-            # breaks exactly-once) — same contract as checkpoint.py
-            if ("PATH_NOT_FOUND" not in msg
-                    and "Path does not exist" not in msg
-                    and "UNABLE_TO_INFER_SCHEMA" not in msg):
-                raise
-            return None
+        from packages_sgml_spark.spark.checkpoint import \
+            read_parquet_or_none
+        return read_parquet_or_none(spark, path)
 
     done_archives = read_or_none(archives_path)
     if done_archives is None:

@@ -14,7 +14,10 @@ crawl job's text sink or a documents table) ->
               Gopher AND C4, lang_pred riding along) -> sidecar
   clean:      kept docs, optionally with cross-doc duplicated
               8-gram spans REMOVED (dedup_spans) and a minimum
-              surviving-words floor
+              surviving-words floor; span removal preserves the
+              original token case but reflows whitespace to single
+              spaces (token-level surgery, documented in
+              dedup_spans)
   shards:     deterministic md5-shuffled training shards
               (shard_assign), written partitioned by shard and
               sorted by shard_pos — the layout a training run reads
@@ -46,16 +49,9 @@ import time
 
 
 def _read_or_none(spark, path):
-    from pyspark.errors import AnalysisException
-    try:
-        return spark.read.parquet(path)
-    except AnalysisException as ex:
-        msg = str(ex)
-        if ("PATH_NOT_FOUND" not in msg
-                and "Path does not exist" not in msg
-                and "UNABLE_TO_INFER_SCHEMA" not in msg):
-            raise
-        return None
+    from packages_sgml_spark.spark.checkpoint import \
+        read_parquet_or_none
+    return read_parquet_or_none(spark, path)
 
 
 def run(spark, args):
@@ -68,10 +64,33 @@ def run(spark, args):
 
     out = args.output.rstrip("/")
     stages_path = out + "/stages"
+    # resume is only valid against the SAME job: the manifest rows
+    # carry a parameter fingerprint, and a rerun with different
+    # arguments (or a different input path) into the same output
+    # refuses loudly instead of silently reusing sinks computed
+    # under the old contract (session-5 review catch: --n-shards 64
+    # over an 8-shard sink exited 0 with the 8-shard layout)
+    params = json.dumps(
+        {"input": args.input, "id_col": args.id_col,
+         "text_col": args.text_col,
+         "strip_spans": bool(args.strip_spans), "ngram": args.ngram,
+         "min_kept_words": args.min_kept_words,
+         "n_shards": args.n_shards}, sort_keys=True)
     manifest = _read_or_none(spark, stages_path)
-    done = set() if manifest is None else \
-        {r["stage"] for r in manifest.select("stage")
-         .distinct().collect()}
+    done = set()
+    mrows = []
+    if manifest is not None:
+        mrows = manifest.select("stage", "params", "rows").collect()
+        stale = sorted({r["stage"] for r in mrows
+                        if r["params"] != params})
+        if stale:
+            raise ValueError(
+                "output %s was produced with different parameters "
+                "(stages %s); curation decisions are a global "
+                "function of the corpus and its parameters — use a "
+                "fresh --output (or delete %s to recompute "
+                "everything)" % (out, ", ".join(stale), out))
+        done = {r["stage"] for r in mrows}
 
     def sink_count(path):
         # an all-filtered corpus leaves a PARTITIONED sink with no
@@ -83,13 +102,26 @@ def run(spark, args):
 
     def commit_stage(stage, rows):
         spark.createDataFrame(
-            [(stage, args.run_id, rows)],
-            "stage string, run_id string, rows long") \
+            [(stage, args.run_id, rows, params)],
+            "stage string, run_id string, rows long, "
+            "params string") \
             .coalesce(1).write.mode("append").parquet(stages_path)
 
     docs = (spark.read.parquet(args.input)
             .select(F.col(args.id_col).alias("doc_id"),
                     F.col(args.text_col).alias("text")))
+    if "decisions" in done:
+        # the other half of the stale-resume guard: same path, grown
+        # corpus — decisions are a function of the snapshot they saw
+        want = [r["rows"] for r in mrows
+                if r["stage"] == "decisions"][0]
+        have = docs.count()
+        if have != want:
+            raise ValueError(
+                "input %s has %d docs but the committed decisions "
+                "were computed over %d — the corpus changed under "
+                "the output; use a fresh --output"
+                % (args.input, have, want))
     summary = {"run_id": args.run_id,
                "resumed_stages": sorted(done)}
 
@@ -168,7 +200,9 @@ def main(argv=None):
     ap.add_argument("--text-col", default="text")
     ap.add_argument("--strip-spans", action="store_true",
                     help="also remove cross-doc duplicated 8-gram "
-                         "spans from kept docs (dedup_spans)")
+                         "spans from kept docs (dedup_spans); "
+                         "token-level surgery — case is preserved, "
+                         "whitespace is reflowed to single spaces")
     ap.add_argument("--ngram", type=int, default=8)
     ap.add_argument("--min-kept-words", type=int, default=5,
                     help="drop docs with fewer surviving words "

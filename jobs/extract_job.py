@@ -41,18 +41,11 @@ def main(argv=None):
 
     pages = spark.read.parquet(args.input)
     if args.resume:
-        from pyspark.errors import AnalysisException
-        try:
-            done = spark.read.parquet(args.output + "/text")
+        from packages_sgml_spark.spark.checkpoint import \
+            read_parquet_or_none
+        done = read_parquet_or_none(spark, args.output + "/text")
+        if done is not None:
             pages = resume_filter(pages, done)
-        except AnalysisException as ex_:
-            # only a missing sink means first run; other read errors
-            # must surface (silent re-extraction breaks exactly-once)
-            msg = str(ex_)
-            if ("PATH_NOT_FOUND" not in msg and
-                    "Path does not exist" not in msg and
-                    "UNABLE_TO_INFER_SCHEMA" not in msg):
-                raise
     rep = args.repartition
     if rep != "auto":
         rep = int(rep)

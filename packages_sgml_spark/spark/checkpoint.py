@@ -19,6 +19,32 @@ import time
 from pyspark.sql import DataFrame, functions as F
 
 
+def read_parquet_or_none(spark, path):
+    """Read a sink that may not exist yet; None means "first run".
+
+    Only a genuinely-missing or genuinely-empty sink qualifies —
+    PATH_NOT_FOUND / "Path does not exist" for missing,
+    UNABLE_TO_INFER_SCHEMA for a dir a crashed first attempt created
+    but never committed (only _temporary/, or a 0-row partitioned
+    write which produces no part files at all).  Any other read
+    failure (permissions, corrupt footer, FS hiccup) must surface:
+    treating it as "first run" would silently recompute and break
+    exactly-once/resume.  THE one definition — every job's resume
+    path routes through here (a session-5 review catch: four
+    hand-maintained copies of this three-string match would drift
+    on the next Spark error-class rename)."""
+    from pyspark.errors import AnalysisException
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as ex:
+        msg = str(ex)
+        if ("PATH_NOT_FOUND" not in msg
+                and "Path does not exist" not in msg
+                and "UNABLE_TO_INFER_SCHEMA" not in msg):
+            raise
+        return None
+
+
 def with_lineage(extracted: DataFrame, run_id: str) -> DataFrame:
     """Tag extraction output with run lineage + partition id."""
     return (extracted
@@ -57,23 +83,8 @@ def run_extract_with_checkpoint(pages: DataFrame, out_dir: str,
     spark = pages.sparkSession
     text_path = out_dir + "/text"
     metrics_path = out_dir + "/metrics"
-    from pyspark.errors import AnalysisException
-    try:
-        done = spark.read.parquet(text_path)
-        todo = resume_filter(pages, done)
-    except AnalysisException as ex:
-        # Only a genuinely-missing or genuinely-empty sink means
-        # "first run" — UNABLE_TO_INFER_SCHEMA covers a dir a crashed
-        # first attempt created but never committed (only
-        # _temporary/).  Any other read failure (permissions, corrupt
-        # footer, FS hiccup) must surface: silently re-extracting
-        # would append duplicates and break exactly-once/resume.
-        msg = str(ex)
-        if ("PATH_NOT_FOUND" not in msg
-                and "Path does not exist" not in msg
-                and "UNABLE_TO_INFER_SCHEMA" not in msg):
-            raise
-        todo = pages
+    done = read_parquet_or_none(spark, text_path)
+    todo = pages if done is None else resume_filter(pages, done)
     ex = extract(todo, dialect=dialect, nodes=False)
     tagged = with_lineage(ex, run_id)
     tagged.select("url", "url_hash", "text_extracted", "n_errors",

@@ -591,10 +591,13 @@ def dedup_spans(docs: DataFrame, n: int = 8) -> DataFrame:
 
       (doc_id, n_words, n_kept, kept_text)
 
-    over whitespace-normalized lowercase words (norm_words — the
-    dedup family's shared tokenization, so the dup-gram set here is
-    EXACTLY the set dup_ngram_frac counts).  NULL text behaves as
-    empty (documented: this op is a per-doc transformation — unlike
+    MATCHED over whitespace-normalized lowercase words (norm_words —
+    the dedup family's shared tokenization, so the dup-gram set here
+    is EXACTLY the set dup_ngram_frac counts) while kept_text EMITS
+    the original-case tokens (whitespace is reflowed to single
+    spaces, nothing else is mutated — a case-folded training corpus
+    was the session-5 review catch).  NULL text behaves as empty
+    (documented: this op is a per-doc transformation — unlike
     dedup_keep no cross-doc evidence is merged, so the NULL/empty
     distinction has nothing to poison; both emit n_words=0, '').
 
@@ -631,10 +634,19 @@ def dedup_spans(docs: DataFrame, n: int = 8) -> DataFrame:
     from .util import spread
     docs = spread(docs, "doc_id")
     txt = F.coalesce(F.col("text"), F.lit(""))
-    wcol = F.when(F.length(F.trim(txt)) == 0,
-                  F.array().cast("array<string>")) \
-            .otherwise(norm_words(txt))
-    wd = docs.select("doc_id", wcol.alias("w"))
+    empty = F.length(F.trim(txt)) == 0
+    none_arr = F.array().cast("array<string>")
+    wcol = F.when(empty, none_arr).otherwise(norm_words(txt))
+    # original-case tokens: split(trim, \s+) produces EXACTLY the
+    # same token boundaries as norm_words (which only lowercases and
+    # collapses the same whitespace runs before splitting), so the
+    # two arrays align index-for-index — matching stays
+    # case-insensitive while the emitted text keeps its case
+    # (a session-5 review catch: kept_text used to come back
+    # lowercased, silently case-folding the shipped corpus)
+    ocol = F.when(empty, none_arr) \
+            .otherwise(F.split(F.trim(txt), r"\s+"))
+    wd = docs.select("doc_id", wcol.alias("w"), ocol.alias("ow"))
     grams = wd.select("doc_id",
                       word_ngram_arr(F.col("w"), n).alias("g"))
     pos = (grams.select("doc_id",
@@ -654,7 +666,7 @@ def dedup_spans(docs: DataFrame, n: int = 8) -> DataFrame:
            .distinct()
            .withColumn("cv", F.lit(1)))
     widx = (wd.select("doc_id",
-                      F.posexplode("w").alias("j0", "word"))
+                      F.posexplode("ow").alias("j0", "word"))
             .select("doc_id", (F.col("j0") + 1).alias("j"), "word"))
     tagged = widx.join(cov.hint("shuffle_hash"),
                        ["doc_id", "j"], "left")

@@ -560,7 +560,9 @@ def q_dedup_spans(spark, sf_dir):
 # groups by the gram STRING — value-identical modulo the documented
 # 64-bit collision odds (same note as dup_ngram_frac).  NULL text
 # behaves as empty on both sides (per-doc transformation: no
-# cross-doc evidence to poison, unlike dedup_keep).
+# cross-doc evidence to poison, unlike dedup_keep).  Matching runs
+# on the normalized lowercase words; emission uses the parallel
+# original-case owords array (identical token boundaries).
 ORACLE_DEDUP_SPANS = """
 WITH w AS (
   SELECT doc_id,
@@ -569,7 +571,11 @@ WITH w AS (
          ELSE regexp_split_to_array(
                 regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
                 ' ')
-    END AS words
+    END AS words,
+    CASE WHEN length(trim(coalesce(text, ''))) = 0
+         THEN CAST([] AS VARCHAR[])
+         ELSE regexp_split_to_array(trim(text), '\\s+')
+    END AS owords
   FROM documents),
 gp AS (
   SELECT doc_id, words,
@@ -587,11 +593,11 @@ cov AS (
   SELECT DISTINCT g.doc_id, g.pos + r.k AS j
   FROM g JOIN dupg USING (gram), range(8) r(k)),
 wip AS (
-  SELECT doc_id, words,
-         unnest(range(1, len(words) + 1)) AS j
+  SELECT doc_id, owords,
+         unnest(range(1, len(owords) + 1)) AS j
   FROM w),
 wi AS (
-  SELECT doc_id, j, words[j] AS word
+  SELECT doc_id, j, owords[j] AS word
   FROM wip),
 kept AS (
   SELECT wi.doc_id, wi.j, wi.word

@@ -326,7 +326,8 @@ def test_curate_job_end_to_end_with_strip(spark, tmp_path):
     for d in (4, 5):
         assert clean[d].n_kept == clean[d].n_words - 8, clean[d]
         assert "rights reserved" not in clean[d].text
-        assert clean[d].text.startswith(("the morning", "a quiet"))
+        # original case preserved (only whitespace is reflowed)
+        assert clean[d].text.startswith(("The morning", "A quiet"))
     # shard layout: every clean doc exactly once, ranks contiguous
     shards = spark.read.parquet(out + "/shards")
     assert {r.doc_id for r in shards.collect()} == {1, 4, 5}
@@ -397,3 +398,27 @@ def test_curate_job_all_filtered_corpus(spark, tmp_path):
     assert s2["resumed_stages"] == ["clean", "decisions",
                                     "metrics", "shards"]
     assert s2["docs_out"] == 0
+
+
+def test_curate_job_refuses_stale_resume(spark, tmp_path):
+    """Resume against a manifest written under DIFFERENT parameters
+    (or a changed corpus) must refuse loudly, not silently reuse
+    sinks computed under the old contract."""
+    import pytest as _pytest
+
+    from jobs.curate_job import run as curate_run
+    docs = _curate_corpus(spark)
+    inp = str(tmp_path / "docs")
+    docs.write.parquet(inp)
+    out = str(tmp_path / "cur")
+    curate_run(spark, _curate_args(input=inp, output=out,
+                                   n_shards=8))
+    with _pytest.raises(ValueError, match="different parameters"):
+        curate_run(spark, _curate_args(input=inp, output=out,
+                                       n_shards=64))
+    # same params, grown corpus under the same input path
+    docs.limit(2).withColumn(
+        "doc_id", docs.doc_id + 100).write.mode("append").parquet(inp)
+    with _pytest.raises(ValueError, match="corpus changed"):
+        curate_run(spark, _curate_args(input=inp, output=out,
+                                       n_shards=8))

@@ -344,11 +344,13 @@ def test_dedup_spans_planted_semantics(spark):
     its words from EVERY copy; a gram repeated only WITHIN one doc is
     untouched (cross-doc definition, same dup set as dup_ngram_frac);
     sub-8-word docs, empty docs, and NULL text pass through; kept
-    words reassemble in document order across a removed gap."""
+    words reassemble in document order across a removed gap —
+    PRESERVING their original case (matching is case-insensitive,
+    emission is not; session-5 review catch)."""
     from packages_sgml_spark.spark.datafilters import dedup_spans
     boiler = "all rights reserved contact us terms of service"  # 8 w
     docs = spark.createDataFrame(
-        [(1, "intro words here " + boiler + " unique tail one"),
+        [(1, "Intro words HERE " + boiler + " unique tail one"),
          (2, boiler + " different ending text"),
          (3, "short doc no grams"),
          (4, ""),
@@ -358,7 +360,7 @@ def test_dedup_spans_planted_semantics(spark):
         "doc_id long, text string")
     rows = {r.doc_id: r for r in dedup_spans(docs).collect()}
     assert rows[1].n_words == 14 and rows[1].n_kept == 6
-    assert rows[1].kept_text == "intro words here unique tail one"
+    assert rows[1].kept_text == "Intro words HERE unique tail one"
     assert rows[2].n_words == 11 and rows[2].n_kept == 3
     assert rows[2].kept_text == "different ending text"
     assert rows[3].n_kept == 4

@@ -188,15 +188,18 @@ def main():
                .groupBy("shard")
                .agg(F.count("*").alias("n"),
                     F.max("shard_pos").alias("mx")).collect())
-    assert len(sa) == 64
     assert sum(r["n"] for r in sa) == n_docs
     assert all(r["mx"] == r["n"] for r in sa)
     szs = sorted(r["n"] for r in sa)
-    # binomial bound, scale-aware: spread stays within ~8 sigma of
-    # the mean shard size (a fixed ratio would misfire at small n)
-    assert szs[-1] - szs[0] < 8 * (n_docs / 64) ** 0.5, (szs[0],
-                                                         szs[-1])
-    out["shard_skew"] = round(szs[-1] / szs[0], 4)
+    # spread asserts only when shards are statistically full: at
+    # tiny n_docs some of the 64 md5 buckets are legitimately empty
+    # and a fixed count/ratio misfires (session-5 review catch)
+    if n_docs >= 64 * 100:
+        assert len(sa) == 64
+        # binomial bound, scale-aware: within ~8 sigma of the mean
+        assert szs[-1] - szs[0] < 8 * (n_docs / 64) ** 0.5, (
+            szs[0], szs[-1])
+        out["shard_skew"] = round(szs[-1] / szs[0], 4)
 
     # semdedup_keep: identical-embedding mega-group stars, never
     # O(group^2) cosine (probed on its own vec count: the cosine leg
