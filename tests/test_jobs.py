@@ -422,3 +422,33 @@ def test_curate_job_refuses_stale_resume(spark, tmp_path):
     with _pytest.raises(ValueError, match="corpus changed"):
         curate_run(spark, _curate_args(input=inp, output=out,
                                        n_shards=8))
+
+
+def test_crawl_to_curate_pipeline(spark, tmp_path):
+    """The two jobs compose as documented: crawl_job's text sink is
+    curate_job's input with --id-col url --text-col text_extracted.
+    String doc ids flow through every stage (dedup components,
+    span-strip, md5 sharding all order/hash strings fine)."""
+    import crawl_job
+
+    from jobs.curate_job import run as curate_run
+    land = tmp_path / "warc"
+    land.mkdir()
+    sink = str(tmp_path / "sink")
+    _write_archive(land / "c-00000.warc.gz", DOCS1)
+    crawl_job.run(spark, _args(input=str(land), output=sink,
+                               run_id="r1"))
+    out = str(tmp_path / "cur")
+    summary = curate_run(spark, _curate_args(
+        input=sink + "/text", output=out, id_col="url",
+        text_col="text_extracted", strip_spans=True))
+    # tiny pages fail the quality gates (same as the crawl-job
+    # quality sidecar asserts) — the funnel completes regardless
+    assert summary["docs_in"] == 2
+    assert summary["pass_dedup"] == 2      # distinct texts
+    assert summary["docs_kept"] == 0       # gopher rejects tiny docs
+    dec = {r.doc_id: r for r in
+           spark.read.parquet(out + "/decisions").collect()}
+    assert sorted(dec) == ["https://j.example/1",
+                           "https://j.example/2"]
+    assert all(r.keep_dedup == 1 for r in dec.values())
