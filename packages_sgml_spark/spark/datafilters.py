@@ -611,15 +611,21 @@ def dedup_spans(docs: DataFrame, n: int = 8) -> DataFrame:
       dup set, shuffle_hash-hinted: positions come straight out of a
       Generate, whose static size estimate is garbage — unhinted,
       Catalyst broadcasts the POSITION STREAM (the §17/r8 rule);
-    - covered word indexes = each dup start exploded to its n
-      indexes, deduped per (doc_id, j) — x n rows on the DUP subset
-      only, never the corpus;
-    - reassembly = words-with-index LEFT-joined against covered
-      indexes (also shuffle_hash-hinted, both sides are generates)
-      and folded in ONE aggregate — n_words, n_kept and kept_text
-      in the same pass (collect_list skips the covered rows' NULL
-      structs); the per-doc collect is bounded by doc length, the
-      same bound every per-doc collect in this module documents;
+    - coverage = a RANGE window over dup STARTS: word j is covered
+      iff any dup start lies in [j-n+1, j], so after LEFT-joining
+      the words-with-index stream against the starts (shuffle_hash
+      — both sides are generates), max(start_flag) OVER (PARTITION
+      BY doc ORDER BY j RANGE n-1 PRECEDING) tags every word in one
+      streaming pass.  An explode-each-start-to-its-n-indexes +
+      distinct + join draft was A/B'd at the 100%-dup probe corpus:
+      the xn covered-index expansion (190M rows there) made it
+      1.7x SLOWER (48-53 s vs 29-30 s) with identical values —
+      the window shape ships;
+    - reassembly folds in ONE aggregate — n_words, n_kept and
+      kept_text in the same pass (collect_list skips the covered
+      rows' NULL structs); the per-doc collect is bounded by doc
+      length, the same bound every per-doc collect in this module
+      documents;
     - the final corpus x per-doc join is merge-hinted: BOTH sides
       are corpus-sized (per carries kept_text for nearly every doc),
       and Catalyst's static estimate under the aggregate-over-
@@ -657,19 +663,17 @@ def dedup_spans(docs: DataFrame, n: int = 8) -> DataFrame:
     dup_h = (cnts.groupBy("h").agg(F.count("*").alias("nd"))
              .filter(F.col("nd") >= 2).select("h"))
     dpos = (pos.join(dup_h.hint("shuffle_hash"), "h", "left_semi")
-            .select("doc_id", "pos"))
-    cov = (dpos.select(
-               "doc_id",
-               F.explode(F.sequence(
-                   F.col("pos"),
-                   F.col("pos") + F.lit(n - 1))).alias("j"))
-           .distinct()
-           .withColumn("cv", F.lit(1)))
+            .select("doc_id", F.col("pos").alias("j"),
+                    F.lit(1).alias("s")))
     widx = (wd.select("doc_id",
                       F.posexplode("ow").alias("j0", "word"))
             .select("doc_id", (F.col("j0") + 1).alias("j"), "word"))
-    tagged = widx.join(cov.hint("shuffle_hash"),
+    tagged = widx.join(dpos.hint("shuffle_hash"),
                        ["doc_id", "j"], "left")
+    from pyspark.sql import Window
+    win = (Window.partitionBy("doc_id").orderBy("j")
+           .rangeBetween(-(n - 1), 0))
+    tagged = tagged.withColumn("cv", F.max("s").over(win))
     keep_struct = F.when(F.col("cv").isNull(),
                          F.struct("j", "word"))
     per = tagged.groupBy("doc_id").agg(
