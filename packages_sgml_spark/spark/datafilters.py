@@ -718,8 +718,11 @@ def shard_assign(docs: DataFrame, n_shards: int = 8) -> DataFrame:
     bucketing keeps them uniform (no skew by construction, unlike
     host keys)."""
     from pyspark.sql import Window
-    from .util import spread
-    docs = spread(docs, "doc_id")
+    # no spread(): the per-shard window forces its own exchange on
+    # the shard key, which both redistributes a pathological source
+    # AND is the only shuffle the operator needs — a doc_id spread
+    # in front was a second full-corpus shuffle for nothing (plan
+    # audit, r8 session 5)
     key = F.md5(F.encode(F.col("doc_id").cast("string"), "utf-8"))
     shard = F.pmod(
         F.conv(F.substring(key, 1, 8), 16, 10).cast("bigint"),
