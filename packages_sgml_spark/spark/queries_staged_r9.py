@@ -14,11 +14,12 @@ bigram census), ``unigram_logprob`` (CCNet-style corpus-unigram
 NLL), ``tfidf_top_terms`` (characteristic terms per host),
 ``corpus_keep`` (the whole filter stack in one plan),
 ``dedup_spans`` (materialized exact-substring removal),
-``shard_assign`` (deterministic training-shard shuffle), and
-``semdedup_keep`` (embedding-cluster keep decision) — fifteen keys,
-registry 70 -> 85 at r9 start.  Each is gated NOW with the
-driver-exact compare at sf0.001 (pytest) and sf0.01 (session gate)
-plus a planted-semantics test.
+``shard_assign`` (deterministic training-shard shuffle),
+``semdedup_keep`` (embedding-cluster keep decision), and
+``classifier_score`` (model-based quality scoring, weights as
+input) — sixteen keys, registry 70 -> 86 at r9 start.  Each is
+gated NOW with the driver-exact compare at sf0.001 (pytest) and
+sf0.01 (session gate) plus a planted-semantics test.
 
 At round-9 start, registration is the queries_staged.py pattern:
 
@@ -689,6 +690,67 @@ LEFT JOIN sz s ON c.component = s.component
 ORACLE_SEMDEDUP_KEEP = _semdedup_keep_oracle()
 
 
+def q_classifier_score(spark, sf_dir):
+    """Model-based quality scoring (textops.classifier_score): the
+    fastText-classifier slot with the model as INPUT.  For the gate,
+    weights derive deterministically from the corpus vocabulary —
+    md5-bucketed half of the distinct terms get a uniform [-0.5,0.5]
+    weight, the other half exercises the OOV path."""
+    from .queries import F
+    from .textops import classifier_score
+    docs = _t(spark, sf_dir, "documents")
+    w = F.filter(F.split(F.regexp_replace(
+        F.lower(F.trim(F.coalesce(F.col("text"), F.lit("")))),
+        r"\s+", " "), " "), lambda x: x != "")
+    terms = docs.select(F.explode(w).alias("term")).distinct()
+    h = F.conv(F.substring(
+        F.md5(F.encode(F.col("term"), "utf-8")), 1, 8), 16, 10) \
+        .cast("bigint")
+    weights = (terms.withColumn("h", h)
+               .filter(F.col("h") % 2 == 0)
+               .select("term",
+                       (F.col("h") / F.lit(4294967295.0) -
+                        F.lit(0.5)).alias("weight")))
+    return classifier_score(docs, weights, bias=0.25)
+
+
+# Same md5-hex uint32 parse on both engines (the shard_assign
+# pairing); the weight sum folds over a SORTED list on both sides;
+# sigmoid's exp() is the accepted 1-ulp surface under round(.,6)
+# (the unigram_logprob precedent).
+ORACLE_CLASSIFIER_SCORE = """
+WITH w AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(
+      regexp_replace(lower(trim(coalesce(text, ''))), '\\s+', ' ',
+                     'g'), ' '), x -> x <> '') AS words
+  FROM documents),
+pos AS (SELECT doc_id, unnest(words) AS term FROM w),
+vocab AS (
+  SELECT term,
+         CAST(concat('0x', substr(md5(term), 1, 8)) AS BIGINT) AS h
+  FROM (SELECT DISTINCT term FROM pos)),
+wt AS (SELECT term, h / 4294967295.0 - 0.5 AS weight
+       FROM vocab WHERE h % 2 = 0),
+per AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         CAST(count(weight) AS BIGINT) AS n_hits,
+         list_sort(list_filter(list(weight),
+                               x -> x IS NOT NULL)) AS ws
+  FROM pos LEFT JOIN wt USING (term) GROUP BY doc_id),
+s AS (
+  SELECT doc_id, n_words, n_hits,
+         0.25 + list_reduce(list_prepend(0.0, ws), (a, b) -> a + b)
+              / greatest(n_words, 1) AS z
+  FROM per)
+SELECT d.doc_id,
+  coalesce(s.n_words, 0) AS n_words,
+  coalesce(s.n_hits, 0) AS n_hits,
+  coalesce(round(1.0 / (1.0 + exp(-s.z)), 6),
+           round(1.0 / (1.0 + exp(-0.25)), 6)) AS score
+FROM documents d LEFT JOIN s USING (doc_id)
+"""
+
+
 R9_QUERIES = {
     "quality_features": q_quality_features,
     "dup_ngram_frac": q_dup_ngram_frac,
@@ -705,6 +767,7 @@ R9_QUERIES = {
     "dedup_spans": q_dedup_spans,
     "shard_assign": q_shard_assign,
     "semdedup_keep": q_semdedup_keep,
+    "classifier_score": q_classifier_score,
 }
 
 R9_ORACLES = {
@@ -723,4 +786,5 @@ R9_ORACLES = {
     "dedup_spans": ORACLE_DEDUP_SPANS,
     "shard_assign": ORACLE_SHARD_ASSIGN,
     "semdedup_keep": ORACLE_SEMDEDUP_KEEP,
+    "classifier_score": ORACLE_CLASSIFIER_SCORE,
 }

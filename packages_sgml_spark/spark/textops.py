@@ -554,3 +554,70 @@ def tfidf_top_terms(docs: DataFrame, top_k: int = 5) -> DataFrame:
     return (scored.withColumn("rank", rank.cast("int"))
             .filter(F.col("rank") <= top_k)
             .select("source", "term", "tf", "df", "score", "rank"))
+
+
+def classifier_score(docs: DataFrame, weights: DataFrame,
+                     bias: float = 0.0) -> DataFrame:
+    """Linear text classifier scoring — the model-based quality
+    filter slot of a training pipeline (the fastText-style
+    classifiers of CCNet/RefinedWeb/FineWeb, reduced to the part a
+    query engine owns: the model is INPUT, the scoring pass is the
+    operator).  ``weights`` is a (term, weight) table — a trained
+    model's exported unigram weights — and every doc scores
+
+      z     = bias + sum(weight per word OCCURRENCE, OOV = 0)
+                     / max(n_words, 1)
+      score = round(sigmoid(z), 6)
+
+    Output (doc_id, n_words, n_hits, score); n_hits counts
+    in-vocabulary occurrences so consumers can gate on coverage.
+
+    Determinism contract (the unigram_logprob rules): the weight sum
+    is a FOLD OVER A SORTED ARRAY (float SUM aggregates are
+    shuffle-order dependent and can never hash-match an oracle);
+    sigmoid's exp() is the one cross-engine 1-ulp surface, absorbed
+    by the terminal round(., 6) — same accepted risk as logprob's
+    ln().
+
+    Scale shape: one explode; the word->weight join carries an
+    explicit shuffle_hash hint on the WEIGHTS side (the §17
+    generate-stats rule: unhinted, Catalyst's garbage estimate of
+    the exploded positions can broadcast the corpus-sized position
+    stream; and a web-scale vocab is itself too big to force-
+    broadcast — shuffled-hash streams positions against
+    per-partition vocab slices, AQE skew-splitting hot words); then
+    one per-doc fold, arrays bounded by doc length."""
+    from .util import spread
+    docs = spread(docs, "doc_id")
+    w = F.filter(F.split(F.regexp_replace(
+        F.lower(F.trim(F.coalesce(F.col("text"), F.lit("")))),
+        r"\s+", " "), " "), lambda x: x != "")
+    words = docs.select("doc_id", w.alias("w"))
+    pos = words.select("doc_id", F.explode("w").alias("term"))
+    hits = (pos.join(weights.hint("shuffle_hash"), "term", "left")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("nw"),
+                 F.count("weight").alias("nh"),
+                 F.sort_array(F.collect_list("weight")).alias("ws")))
+    z = (F.lit(bias) +
+         F.aggregate("ws", F.lit(0.0), lambda a, x: a + x) /
+         F.greatest(F.col("nw"), F.lit(1)))
+    scored = hits.select(
+        "doc_id", "nw", "nh",
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+         .alias("score"))
+    base = docs.select("doc_id")
+    # merge hint: scored is one row per doc (corpus cardinality) and
+    # sits under an aggregate-over-generate chain, so the static
+    # estimate is garbage — unhinted, Catalyst broadcast it (the
+    # dedup_spans catch, lighter rows, same 10^12-doc OOM class)
+    return (base.join(scored.hint("merge"), "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce(F.col("nw"), F.lit(0))
+                     .cast("bigint").alias("n_words"),
+                    F.coalesce(F.col("nh"), F.lit(0))
+                     .cast("bigint").alias("n_hits"),
+                    F.coalesce(F.col("score"), F.round(
+                        F.lit(1.0) / (F.lit(1.0) +
+                                      F.exp(F.lit(-bias))), 6))
+                     .alias("score")))

@@ -56,7 +56,8 @@ def test_registry_still_frozen_at_70():
                                   "corpus_keep",
                                   "dedup_spans",
                                   "shard_assign",
-                                  "semdedup_keep"])
+                                  "semdedup_keep",
+                                  "classifier_score"])
 def test_staged_r9_query_matches_oracle(spark, duck, name):
     import decimal
     from packages_sgml_spark.spark.queries_staged_r9 import (
@@ -437,3 +438,53 @@ def test_semdedup_keep_planted_semantics(spark):
     assert len(srows) == len(orows) == 8
     assert h.table_hash(["vec_id", "component", "cluster_size",
                          "keep"], srows) == h.table_hash(ocols, orows)
+
+
+def test_classifier_score_planted_semantics(spark):
+    """Hand-computed linear-classifier scores: weights derive from
+    md5 exactly as the staged query builds them, so a small corpus's
+    scores are computable in Python; OOV-only docs score exactly
+    sigmoid(bias); empty and NULL docs score sigmoid(bias) with
+    n_words=0; and every in-vocab occurrence counts (not distinct
+    terms)."""
+    import hashlib
+    import math
+
+    from pyspark.sql import functions as F
+
+    from packages_sgml_spark.spark.textops import classifier_score
+
+    def h(t):
+        return int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+
+    def wt(t):
+        return h(t) / 4294967295.0 - 0.5
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, ""), (3, None)],
+        "doc_id long, text string")
+    vocab = [t for t in ("alpha", "beta") if h(t) % 2 == 0]
+    oov = [t for t in ("alpha", "beta") if h(t) % 2 == 1]
+    weights = spark.createDataFrame(
+        [(t, wt(t)) for t in vocab], "term string, weight double")
+    rows = {r.doc_id: r for r in
+            classifier_score(docs, weights, bias=0.25).collect()}
+    counts = {"alpha": 2, "beta": 1}
+    ws = sorted(wt(t) for t in vocab for _ in range(counts[t]))
+    acc = 0.0
+    for x in ws:
+        acc += x
+    z = 0.25 + acc / 3
+    assert rows[1].n_words == 3
+    assert rows[1].n_hits == sum(counts[t] for t in vocab)
+    assert rows[1].score == round(1.0 / (1.0 + math.exp(-z)), 6)
+    sb = round(1.0 / (1.0 + math.exp(-0.25)), 6)
+    for d in (2, 3):
+        assert (rows[d].n_words, rows[d].n_hits) == (0, 0)
+        assert rows[d].score == sb
+    # OOV-only doc: full n_words, zero hits, sigmoid(bias)
+    if oov:
+        docs2 = spark.createDataFrame(
+            [(9, " ".join(oov * 2))], "doc_id long, text string")
+        r9 = classifier_score(docs2, weights, bias=0.25).collect()[0]
+        assert (r9.n_hits, r9.score) == (0, sb)
