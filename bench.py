@@ -230,6 +230,26 @@ def _cpu_ceiling(n_lo, n_hi):
     return out[n_hi] / (out[n_lo] * (n_hi // n_lo))
 
 
+def finish_scaling(out, levels):
+    """Shared tail of every north-rule scaling probe (bench_scaling,
+    tools/scale_staged.py, tools/scale_curate.py): derive throughput
+    ratio, scaling efficiency, the simultaneously-measured raw-CPU
+    ceiling, and efficiency-vs-ceiling from a populated
+    out["levels"] = {str(n): {"mb_per_sec": ...}} dict.  ONE
+    definition so a fix to the efficiency math reaches every probe
+    (r8 session-5 review: two hand-maintained copies had already
+    appeared)."""
+    lo, hi = (str(c) for c in levels)
+    thr = (out["levels"][hi]["mb_per_sec"] /
+           out["levels"][lo]["mb_per_sec"])
+    out["core_ratio"] = levels[1] / levels[0]
+    out["scaling_efficiency"] = round(thr / out["core_ratio"], 3)
+    out["cpu_ceiling_efficiency"] = round(_cpu_ceiling(*levels), 3)
+    out["efficiency_vs_ceiling"] = round(
+        out["scaling_efficiency"] / out["cpu_ceiling_efficiency"], 3)
+    return out
+
+
 def bench_scaling(n_lo=None, n_hi=None):
     """Same parse job at local[N] vs local[4N] (sandbox stand-in for
     N vs 4N executors per BASELINE.md).  Default N=4: the box's 32

@@ -696,12 +696,12 @@ def q_classifier_score(spark, sf_dir):
     weights derive deterministically from the corpus vocabulary —
     md5-bucketed half of the distinct terms get a uniform [-0.5,0.5]
     weight, the other half exercises the OOV path."""
+    from .dedup import norm_words
     from .queries import F
     from .textops import classifier_score
     docs = _t(spark, sf_dir, "documents")
-    w = F.filter(F.split(F.regexp_replace(
-        F.lower(F.trim(F.coalesce(F.col("text"), F.lit("")))),
-        r"\s+", " "), " "), lambda x: x != "")
+    w = F.filter(norm_words(F.coalesce(F.col("text"), F.lit(""))),
+                 lambda x: x != "")
     terms = docs.select(F.explode(w).alias("term")).distinct()
     h = F.conv(F.substring(
         F.md5(F.encode(F.col("term"), "utf-8")), 1, 8), 16, 10) \

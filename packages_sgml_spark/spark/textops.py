@@ -571,6 +571,9 @@ def classifier_score(docs: DataFrame, weights: DataFrame,
 
     Output (doc_id, n_words, n_hits, score); n_hits counts
     in-vocabulary occurrences so consumers can gate on coverage.
+    A weights table with a duplicated term resolves to max(weight)
+    per term (deterministic; a join against raw duplicates would
+    multiply occurrence rows and corrupt all three outputs).
 
     Determinism contract (the unigram_logprob rules): the weight sum
     is a FOLD OVER A SORTED ARRAY (float SUM aggregates are
@@ -587,13 +590,21 @@ def classifier_score(docs: DataFrame, weights: DataFrame,
     broadcast — shuffled-hash streams positions against
     per-partition vocab slices, AQE skew-splitting hot words); then
     one per-doc fold, arrays bounded by doc length."""
+    from .dedup import norm_words
     from .util import spread
     docs = spread(docs, "doc_id")
-    w = F.filter(F.split(F.regexp_replace(
-        F.lower(F.trim(F.coalesce(F.col("text"), F.lit("")))),
-        r"\s+", " "), " "), lambda x: x != "")
+    w = F.filter(norm_words(F.coalesce(F.col("text"), F.lit(""))),
+                 lambda x: x != "")
     words = docs.select("doc_id", w.alias("w"))
     pos = words.select("doc_id", F.explode("w").alias("term"))
+    # duplicate-term guard (review catch): the join computes
+    # n_words/n_hits/z AFTER it, so a weights export with a repeated
+    # term would silently multiply occurrence rows and shift every
+    # score in the corpus.  max() resolves duplicates
+    # DETERMINISTICALLY (order-independent, unlike first() or a
+    # float sum) and unique terms pass through untouched.
+    weights = weights.groupBy("term").agg(
+        F.max("weight").alias("weight"))
     hits = (pos.join(weights.hint("shuffle_hash"), "term", "left")
             .groupBy("doc_id")
             .agg(F.count("*").alias("nw"),

@@ -488,3 +488,22 @@ def test_classifier_score_planted_semantics(spark):
             [(9, " ".join(oov * 2))], "doc_id long, text string")
         r9 = classifier_score(docs2, weights, bias=0.25).collect()[0]
         assert (r9.n_hits, r9.score) == (0, sb)
+
+
+def test_classifier_score_duplicate_weights_guard(spark):
+    """A weights export with a repeated term must not multiply
+    occurrence rows (which would inflate n_words/n_hits and shift
+    every score): duplicates resolve deterministically to
+    max(weight) per term."""
+    from packages_sgml_spark.spark.textops import classifier_score
+    docs = spark.createDataFrame(
+        [(1, "alpha alpha beta")], "doc_id long, text string")
+    clean = spark.createDataFrame(
+        [("alpha", 0.3)], "term string, weight double")
+    dup = spark.createDataFrame(
+        [("alpha", 0.1), ("alpha", 0.3), ("alpha", -0.2)],
+        "term string, weight double")
+    want = classifier_score(docs, clean, bias=0.0).collect()[0]
+    got = classifier_score(docs, dup, bias=0.0).collect()[0]
+    assert (want.n_words, want.n_hits) == (3, 2)
+    assert tuple(want) == tuple(got)

@@ -133,6 +133,8 @@ def main():
         "tokens_before": s["tokens_before_strip"],
         "tokens_after": s["tokens_after_strip"]}, default=str))
     spark.stop()
+    import shutil
+    shutil.rmtree(work, ignore_errors=True)
 
 
 
@@ -143,10 +145,16 @@ def scaling():
     physical cores — the scale_staged methodology), reporting
     throughput at both plus scaling efficiency and the box's
     simultaneously-measured raw-CPU ceiling.  Levels interleave
-    twice, best of each kept (co-tenant noise).  The funnel carries
-    the CC-iteration + per-stage-commit fixed cost, so expect the
-    crawl-pipeline profile (efficiency below the parse stage's,
-    amortizing with corpus size) rather than the pure-operator one.
+    twice, best of each kept (co-tenant noise).
+
+    MEASURED RESULT (r8 session 5, recorded in BENCH.md): the
+    efficiency is FLAT across 2.5x corpus growth (0.605 at 41 MB,
+    0.608 at 102 MB) — NOT the amortizing crawl-pipeline profile.
+    The serial fraction here is structural at probe scale:
+    dedup_components' per-iteration localCheckpoint barriers plus
+    four stage-commit write/read/count boundaries; the stage BODIES
+    scale at the per-operator numbers scale_staged measures, and at
+    real corpus sizes they dwarf the barriers.
 
     Usage: python tools/scale_curate.py --scaling [n_docs]
     """
@@ -189,17 +197,10 @@ def scaling():
             out["levels"][k] = rec
         spark.stop()
         shutil.rmtree(sink, ignore_errors=True)
-    lo, hi = (str(c) for c in levels)
-    thr = (out["levels"][hi]["mb_per_sec"] /
-           out["levels"][lo]["mb_per_sec"])
-    out["core_ratio"] = levels[1] / levels[0]
-    out["scaling_efficiency"] = round(thr / out["core_ratio"], 3)
     import bench
-    out["cpu_ceiling_efficiency"] = round(
-        bench._cpu_ceiling(*levels), 3)
-    out["efficiency_vs_ceiling"] = round(
-        out["scaling_efficiency"] / out["cpu_ceiling_efficiency"], 3)
+    bench.finish_scaling(out, levels)
     print(json.dumps(out))
+    shutil.rmtree(work, ignore_errors=True)
 
 
 if __name__ == "__main__":

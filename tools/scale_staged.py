@@ -306,21 +306,13 @@ def scaling():
             out["levels"][k] = rec
         out["mb"] = round(mb, 1)
         spark.stop()
-    lo, hi = (str(c) for c in levels)
-    thr = (out["levels"][hi]["mb_per_sec"] /
-           out["levels"][lo]["mb_per_sec"])
-    out["core_ratio"] = levels[1] / levels[0]
-    out["scaling_efficiency"] = round(thr / out["core_ratio"], 3)
     import bench
-    out["cpu_ceiling_efficiency"] = round(
-        bench._cpu_ceiling(*levels), 3)
-    out["efficiency_vs_ceiling"] = round(
-        out["scaling_efficiency"] / out["cpu_ceiling_efficiency"], 3)
+    bench.finish_scaling(out, levels)
     print(json.dumps(out))
 
 
 if __name__ == "__main__":
-    if len(sys.argv) > 1 and sys.argv[1] == "--scaling":
+    if "--scaling" in sys.argv:
         scaling()
     else:
         main()
