@@ -452,3 +452,37 @@ def test_crawl_to_curate_pipeline(spark, tmp_path):
     assert sorted(dec) == ["https://j.example/1",
                            "https://j.example/2"]
     assert all(r.keep_dedup == 1 for r in dec.values())
+
+
+@pytest.mark.slow
+def test_spark_submit_curate_launch(spark, tmp_path):
+    """The curation job's real launch mode: fresh spark-submit JVM,
+    package shipped ONLY via --py-files, cwd outside the repo."""
+    sys.path.insert(0, REPO)
+    from tools.make_pyfiles_zip import build
+    zip_path = build(str(tmp_path / "packages_sgml_spark.zip"))
+    inp = str(tmp_path / "docs")
+    _curate_corpus(spark).write.parquet(inp)
+    out = str(tmp_path / "cur")
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+    env["PYSPARK_PYTHON"] = sys.executable
+    env["PYSPARK_DRIVER_PYTHON"] = sys.executable
+    proc = subprocess.run(
+        ["spark-submit", "--master", "local[4]",
+         "--conf", "spark.ui.enabled=false",
+         "--conf", "spark.sql.shuffle.partitions=4",
+         "--py-files", zip_path,
+         os.path.join(REPO, "jobs", "curate_job.py"),
+         "--input", inp, "--output", out,
+         "--run-id", "submit-cur", "--strip-spans",
+         "--n-shards", "4"],
+        cwd=str(tmp_path), env=env, capture_output=True, text=True,
+        timeout=600)
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    summary = json.loads(
+        [l for l in proc.stdout.splitlines()
+         if l.startswith("{")][-1])
+    assert summary["docs_in"] == 5 and summary["docs_out"] == 3
+    assert os.path.exists(out + "/stages/_SUCCESS")
+    assert os.path.exists(out + "/decisions/_SUCCESS")

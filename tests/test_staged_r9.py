@@ -507,3 +507,61 @@ def test_classifier_score_duplicate_weights_guard(spark):
     got = classifier_score(docs, dup, bias=0.0).collect()[0]
     assert (want.n_words, want.n_hits) == (3, 2)
     assert tuple(want) == tuple(got)
+
+
+def test_randomized_cross_engine_differential(spark):
+    """Deterministic pseudo-random corpora (seeded, reproducible)
+    through the FULL driver-exact compare for the two newest staged
+    keys — dedup_spans and classifier_score — covering shapes the sf
+    tables and planted tests don't braid together: mixed case,
+    digits/punctuation tokens, cross-doc repeated phrases at random
+    offsets, tab/CRLF whitespace runs, empty/NULL/whitespace-only
+    docs, and single-word docs."""
+    import random
+
+    import duckdb
+
+    from packages_sgml_spark.spark.queries_staged_r9 import (
+        R9_ORACLES, R9_QUERIES)
+    h = _harness()
+    rng = random.Random(0xC0FFEE)
+    vocab = (["the", "And", "data", "X9", "12.5", "web-scale",
+              "loss,", "eta!", "Mixed", "case"] +
+             ["tok%d" % i for i in range(40)])
+    phrases = [" ".join(rng.choice(vocab) for _ in range(9))
+               for _ in range(3)]
+    rows = []
+    for d in range(40):
+        r = rng.random()
+        if r < 0.08:
+            text = rng.choice([None, "", "   \t ", "one"])
+        else:
+            words = [rng.choice(vocab)
+                     for _ in range(rng.randrange(3, 40))]
+            if r < 0.55:
+                at = rng.randrange(0, len(words))
+                words[at:at] = rng.choice(phrases).split()
+            sep = rng.choice([" ", "  ", "\t", "\r\n", "\n"])
+            text = sep.join(words)
+        rows.append((d, "h%d" % (d % 3), text))
+    docs_path = None
+    import tempfile, os as _os
+    with tempfile.TemporaryDirectory() as td:
+        docs_path = _os.path.join(td, "documents.parquet")
+        spark.createDataFrame(
+            rows, "doc_id long, source string, text string") \
+            .coalesce(1).write.parquet(docs_path)
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            "read_parquet('%s/*.parquet')" % docs_path)
+        for name in ("dedup_spans", "classifier_score"):
+            df = R9_QUERIES[name](spark, td)
+            cols = df.columns
+            srows = [tuple(x) for x in df.collect()]
+            cur = con.execute(R9_ORACLES[name])
+            ocols = [x[0] for x in cur.description]
+            orows = cur.fetchall()
+            assert len(srows) == len(orows) == 40, name
+            assert h.table_hash(cols, srows) == \
+                h.table_hash(ocols, orows), name
