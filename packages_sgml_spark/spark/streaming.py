@@ -125,3 +125,20 @@ def stateful_sessionize(event_stream, gap_seconds=600):
                 stateStructType=SESSION_STATE,
                 outputMode="update",
                 timeoutConf=GroupStateTimeout.ProcessingTimeTimeout))
+
+
+def stream_quality(spark, input_dir: str, schema) -> DataFrame:
+    """File-source stream of documents -> the fused curation filter
+    projection (textops.quality_features: Gopher + C4 + lang-id in
+    one stateless pass).  The whole per-doc filter stack is a single
+    narrow projection, so it streams UNCHANGED — no state store, no
+    watermark, exactly-once by the file-sink checkpoint; this is the
+    continuous-ingest half of the curation pipeline (the global
+    decisions — dedup, shards — stay batch by design: they are
+    corpus-snapshot functions, jobs/curate_job.py's argument).
+    Caller attaches .writeStream + checkpointLocation;
+    trigger=availableNow gives batch catch-up semantics."""
+    from .textops import quality_features
+    docs = (spark.readStream.schema(schema)
+            .parquet(input_dir))
+    return quality_features(docs)

@@ -565,3 +565,50 @@ def test_randomized_cross_engine_differential(spark):
             assert len(srows) == len(orows) == 40, name
             assert h.table_hash(cols, srows) == \
                 h.table_hash(ocols, orows), name
+
+
+def test_stream_quality_matches_batch(spark, tmp_path):
+    """The fused quality projection is stateless, so it must stream
+    UNCHANGED: an availableNow file-source stream over the same docs
+    produces row-identical results to the batch operator, and a
+    second file arriving later is picked up exactly once by the
+    checkpoint."""
+    from packages_sgml_spark.spark.streaming import stream_quality
+    from packages_sgml_spark.spark.textops import quality_features
+    docs1 = spark.createDataFrame(
+        [(1, "The quick brown fox jumps over the lazy dog near "
+             "the old oak tree by the river bank today."),
+         (2, ""), (3, None), (4, "zq wx " * 30)],
+        "doc_id long, text string")
+    d = str(tmp_path / "stream_docs")
+    sink = str(tmp_path / "quality_sink")
+    ckpt = str(tmp_path / "ckpt")
+    docs1.coalesce(1).write.parquet(d)
+
+    def run_once():
+        sdf = stream_quality(spark, d, "doc_id long, text string")
+        q = (sdf.writeStream.format("parquet")
+             .option("path", sink)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination(120)
+        return {r.doc_id: tuple(r) for r in
+                spark.read.parquet(sink).collect()}
+
+    got = run_once()
+    want = {r.doc_id: tuple(r) for r in
+            quality_features(spark.read.parquet(d)).collect()}
+    assert got == want and len(got) == 4
+
+    # late-arriving file: same checkpoint -> exactly-once pickup,
+    # earlier rows not reprocessed, the new row present
+    spark.createDataFrame(
+        [(9, "another late document with plain words here")],
+        "doc_id long, text string") \
+        .coalesce(1).write.mode("append").parquet(d)
+    got2 = run_once()
+    assert set(got2) == {1, 2, 3, 4, 9}
+    assert len(spark.read.parquet(sink).collect()) == 5
+    for k, v in got.items():
+        assert got2[k] == v
