@@ -225,8 +225,10 @@ SELECT doc_id,
 FROM u GROUP BY doc_id""",
 
     "knn_cosine": """
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
-           FROM embeddings),
+WITH e AS (SELECT vec_id,
+                  list_transform(CAST(embedding AS DOUBLE[]),
+                                 x -> x) AS emb
+           FROM embeddings WHERE embedding IS NOT NULL),
 q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < 8),
 scored AS (
   SELECT q.q_id, e.vec_id AS n_id,
@@ -429,9 +431,21 @@ _COS = ("round(list_dot_product({a}, {b}) / "
         "(sqrt(list_dot_product({a}, {a})) * "
         "sqrt(list_dot_product({b}, {b}))), 6)")
 
+# Every embedding oracle's e-CTE excludes NULL-embedding rows AND
+# rebuilds the list with an identity list_transform: a NULL vector
+# can never produce a pair (its cosine is NULL on both engines), but
+# DuckDB's vectorized list_inner_product rejects execution blocks
+# whose CHILD validity mask still carries the NULLs a parquet scan
+# materializes for NULL-list rows — and the row filter alone does
+# not clear that mask; the identity transform materializes a fresh
+# child buffer (probed; executemany-backed tables never hit it —
+# found by the r8 session-5 randomized differential).
+# Value-identical on any corpus; robust on crawl-shaped ones.
 ORACLES["embedding_dups"] = """
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
-           FROM embeddings),
+WITH e AS (SELECT vec_id,
+                  list_transform(CAST(embedding AS DOUBLE[]),
+                                 x -> x) AS emb
+           FROM embeddings WHERE embedding IS NOT NULL),
 s AS (SELECT vec_id, emb, %s AS bucket FROM e)
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        %s AS cos
@@ -442,8 +456,10 @@ WHERE %s >= 0.2""" % (_lsh_bucket_expr("emb"),
                       _COS.format(a="a.emb", b="b.emb"))
 
 ORACLES["embedding_dup_recall"] = """
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
-           FROM embeddings),
+WITH e AS (SELECT vec_id,
+                  list_transform(CAST(embedding AS DOUBLE[]),
+                                 x -> x) AS emb
+           FROM embeddings WHERE embedding IS NOT NULL),
 s AS (SELECT vec_id, emb, %(bucket)s AS bucket FROM e),
 exact AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
           FROM e a JOIN e b ON a.vec_id < b.vec_id
@@ -485,8 +501,10 @@ SELECT 'lsh_probed',
 }
 
 ORACLES["knn_lsh"] = """
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
-           FROM embeddings),
+WITH e AS (SELECT vec_id,
+                  list_transform(CAST(embedding AS DOUBLE[]),
+                                 x -> x) AS emb
+           FROM embeddings WHERE embedding IS NOT NULL),
 s AS (SELECT vec_id, emb, %s AS bucket FROM e),
 q AS (SELECT vec_id AS q_id, emb AS q_emb, bucket AS q_bucket
       FROM s WHERE vec_id < 8),
@@ -502,8 +520,10 @@ FROM r WHERE rank <= 5""" % (_lsh_bucket_expr("emb"),
                              _COS.format(a="q.q_emb", b="s.emb"))
 
 ORACLES["knn_ivf"] = """
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
-           FROM embeddings),
+WITH e AS (SELECT vec_id,
+                  list_transform(CAST(embedding AS DOUBLE[]),
+                                 x -> x) AS emb
+           FROM embeddings WHERE embedding IS NOT NULL),
 c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
              emb AS centroid
       FROM e ORDER BY vec_id LIMIT 16),

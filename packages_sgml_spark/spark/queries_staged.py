@@ -183,10 +183,17 @@ _BL_MIN_DOCS = 3
 
 
 def _line_docs(docs):
+    # F.concat, NOT concat_ws: the SQL twin (_LINEDOC_SQL_T) is
+    # `text || ... || lang` and || PROPAGATES NULL — concat_ws
+    # silently skipped a NULL text and fabricated footer-only
+    # content for failed extractions, a cross-engine divergence no
+    # NULL-free gate corpus can see (caught by the r8 session-5
+    # randomized differential; the NULL-text doc then flows NULL
+    # into every downstream op, which all coalesce it as empty).
     return docs.select(
         "doc_id",
-        F.concat_ws("\n", F.col("text"), F.lit("Shared footer."),
-                    F.col("lang")).alias("text"))
+        F.concat(F.col("text"), F.lit("\nShared footer.\n"),
+                 F.col("lang")).alias("text"))
 
 
 def q_boilerplate_lines(spark, sf_dir):

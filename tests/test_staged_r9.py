@@ -511,12 +511,15 @@ def test_classifier_score_duplicate_weights_guard(spark):
 
 def test_randomized_cross_engine_differential(spark):
     """Deterministic pseudo-random corpora (seeded, reproducible)
-    through the FULL driver-exact compare for the two newest staged
-    keys — dedup_spans and classifier_score — covering shapes the sf
-    tables and planted tests don't braid together: mixed case,
-    digits/punctuation tokens, cross-doc repeated phrases at random
-    offsets, tab/CRLF whitespace runs, empty/NULL/whitespace-only
-    docs, and single-word docs."""
+    through the FULL driver-exact compare for EVERY staged key,
+    covering shapes the sf tables and planted tests don't braid
+    together: mixed case, digits/punctuation tokens, cross-doc
+    repeated phrases at random offsets, tab/CRLF whitespace runs,
+    empty/NULL/whitespace-only docs, single-word docs — plus a
+    synthetic embeddings table with exact-duplicate groups, a zero
+    vector and a NULL vector for the embedding-side keys.  The
+    corpus is FIXED by seed, so any failure is deterministic (not
+    flake) and any pass is a permanent regression pin."""
     import random
 
     import duckdb
@@ -543,26 +546,57 @@ def test_randomized_cross_engine_differential(spark):
                 words[at:at] = rng.choice(phrases).split()
             sep = rng.choice([" ", "  ", "\t", "\r\n", "\n"])
             text = sep.join(words)
-        rows.append((d, "h%d" % (d % 3), text))
+        rows.append((d, "h%d" % (d % 3), text,
+                     rng.choice(["en", "de", "fr"])))
     docs_path = None
     import tempfile, os as _os
     with tempfile.TemporaryDirectory() as td:
         docs_path = _os.path.join(td, "documents.parquet")
         spark.createDataFrame(
-            rows, "doc_id long, source string, text string") \
+            rows,
+            "doc_id long, source string, text string, lang string") \
             .coalesce(1).write.parquet(docs_path)
+        e1 = [1.0 + i * 0.25 for i in range(64)]
+        e2 = [((i * 37) % 19) - 9.0 for i in range(64)]
+        vecs = []
+        for v in range(30):
+            if v in (7, 8):
+                emb = None
+            elif v in (9, 10, 11):
+                emb = [0.0] * 64
+            elif v % 3 == 0:
+                emb = e1 if v % 2 == 0 else e2
+            else:
+                emb = [((v * 131 + i * 1009) % 997) - 498.0
+                       for i in range(64)]
+            vecs.append((v, emb))
+        emb_path = _os.path.join(td, "embeddings.parquet")
+        spark.createDataFrame(
+            vecs, "vec_id long, embedding array<double>") \
+            .coalesce(1).write.parquet(emb_path)
         con = duckdb.connect()
         con.execute(
             "CREATE VIEW documents AS SELECT * FROM "
             "read_parquet('%s/*.parquet')" % docs_path)
-        for name in ("dedup_spans", "classifier_score"):
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            "read_parquet('%s/*.parquet')" % emb_path)
+        n_expect = {"dedup_spans": 40, "classifier_score": 40,
+                    "dup_ngram_frac": 40, "dedup_keep": 40,
+                    "corpus_keep": 40, "quality_features": 40,
+                    "shard_assign": 40, "unigram_logprob": 40,
+                    "semdedup_keep": 30}
+        for name in sorted(R9_QUERIES):
             df = R9_QUERIES[name](spark, td)
             cols = df.columns
             srows = [tuple(x) for x in df.collect()]
             cur = con.execute(R9_ORACLES[name])
             ocols = [x[0] for x in cur.description]
             orows = cur.fetchall()
-            assert len(srows) == len(orows) == 40, name
+            assert len(srows) == len(orows), (
+                name, len(srows), len(orows))
+            if name in n_expect:
+                assert len(srows) == n_expect[name], name
             assert h.table_hash(cols, srows) == \
                 h.table_hash(ocols, orows), name
 
