@@ -301,20 +301,38 @@ def simhash_md5(docs: DataFrame, bits=32) -> DataFrame:
     """SimHash with md5-derived projection bits (bit i = high bit of
     hex digit i of md5(word)) — engine-portable, so the DuckDB oracle
     verifies it exactly; same per-bit majority-vote construction as
-    simhash()."""
+    simhash().
+
+    r9 (guide §1.2 per-task work): the per-word bit tests used to be
+    32 x (substring(hex, i, 1) IN eight 1-char strings) — 32 string
+    allocations + 256 comparisons per word.  Now each 8-hex-digit
+    chunk is parsed ONCE with conv() into a long and every bit test
+    is a shift-and-mask (bit i = bit 4*(7-d)+3 of chunk i//8, d =
+    i%8, because hex digit d of the chunk is its (7-d)-th nibble).
+    The +-1 vote sum becomes the equivalent integer test
+    2*count(high) > count(*).  Identical signatures (same md5, same
+    bits, exact integer arithmetic); 1.16 s -> 0.69 s on the
+    50k-doc probe."""
     from .util import spread
     docs = spread(docs, "doc_id")
     words = F.explode(norm_words(F.col("text")))
     wh = (docs.select("doc_id", words.alias("w"))
           .select("doc_id", F.md5(F.encode("w", "utf-8")).alias("h")))
-    bit_sums = [
-        F.sum(F.when(F.substring("h", i + 1, 1).isin(*_HEX_HIGH), 1)
-              .otherwise(-1)).alias("b%d" % i)
-        for i in range(bits)]
-    agg = wh.groupBy("doc_id").agg(*bit_sums)
+    n_chunks = (bits + 7) // 8
+    chunks = wh.select("doc_id", *[
+        F.conv(F.substring("h", 1 + 8 * j, 8), 16, 10).cast("long")
+        .alias("c%d" % j) for j in range(n_chunks)])
+    sums = []
+    for i in range(bits):
+        j, d = divmod(i, 8)
+        sums.append(F.sum(F.shiftright(F.col("c%d" % j),
+                                       4 * (7 - d) + 3)
+                          .bitwiseAND(1)).alias("s%d" % i))
+    agg = chunks.groupBy("doc_id").agg(*sums,
+                                       F.count("*").alias("n"))
     sig = None
     for i in range(bits):
-        bit = F.when(F.col("b%d" % i) > 0,
+        bit = F.when(F.col("s%d" % i) * 2 > F.col("n"),
                      F.lit(2 ** i)).otherwise(F.lit(0))
         sig = bit if sig is None else (sig + bit)
     return agg.select("doc_id", sig.cast("long").alias("simhash"))

@@ -207,6 +207,32 @@ def extract(pages: DataFrame, dialect="html5", dom_json=False, nodes=True,
     return src.mapInPandas(fn, schema=EXTRACT_SCHEMA)
 
 
+def extract_text_only(pages: DataFrame, dialect="html5",
+                      repartition="auto") -> DataFrame:
+    """Text-only extraction sink for callers that keep ONLY the
+    extracted text (r9): per-row semantics identical to
+    extract(nodes=False, dom_json=False) — same parser, same options,
+    empty/oversized/failed rows yield NULL text — but the worker
+    ships one string column back instead of the full 9-column
+    EXTRACT_SCHEMA, whose parse_errors array<struct> pays Arrow's
+    per-struct conversion for every warning row the quiet=False HTML
+    parse collects (guide §4.1: control how many columns cross the
+    boundary).  extract() keeps its schema for callers that read the
+    error/meta columns (bench parse_throughput forces all of them)."""
+    def one(html):
+        opts = ParserOptions(dialect=dialect, encoding="utf-8",
+                             max_errors=-1
+                             if dialect.startswith(("html", "xhtml"))
+                             else 50)
+        if dialect.startswith(("html", "xhtml")):
+            opts.quiet = False
+        p = TextOnlyParser(opts)
+        p.parse(html)
+        return p.text(), "ok"
+
+    return _page_sink(pages, "text_extracted", one, repartition)
+
+
 MARKDOWN_SCHEMA = StructType([
     StructField("url", StringType()),
     StructField("markdown", StringType()),

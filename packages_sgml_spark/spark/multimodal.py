@@ -105,7 +105,11 @@ def image_features(media: DataFrame, fake=True,
                     out["status"].append("decode_error")
             yield pd.DataFrame(out)
 
-    src = media.select("media_id", "kind", "payload")
+    from .util import spread
+    # r9: spread an under-partitioned source so the decode runs on
+    # every core (no-op at crawl scale; row set unchanged)
+    src = spread(media.select("media_id", "kind", "payload"),
+                 "media_id")
     return src.mapInPandas(fn, schema=IMAGE_FEATURES_SCHEMA)
 
 
@@ -227,7 +231,9 @@ def video_frame_sample(media: DataFrame, every_ms=1000,
                     rows["status"].append("ok")
             yield pd.DataFrame(rows)
 
-    return media.select("media_id", "kind", "payload") \
+    from .util import spread
+    return spread(media.select("media_id", "kind", "payload"),
+                  "media_id") \
         .mapInPandas(fn, schema=FRAME_SCHEMA)
 
 
@@ -276,5 +282,7 @@ def audio_features(media: DataFrame, fake=True) -> DataFrame:
                 rows["status"].append("ok")
             yield pd.DataFrame(rows)
 
-    return media.select("media_id", "kind", "payload") \
+    from .util import spread
+    return spread(media.select("media_id", "kind", "payload"),
+                  "media_id") \
         .mapInPandas(fn, schema=AUDIO_SCHEMA)

@@ -152,7 +152,21 @@ def docs_as_pages(docs: DataFrame, links=False) -> DataFrame:
     'Doc <id> ' || text  (SQL-reconstructable for the DuckDB oracle).
 
     '&' and '<' in the source text are entity-escaped so the parse is
-    lossless."""
+    lossless.
+
+    r9 (guide §2.4): the input is spread to full parallelism BEFORE
+    the html concat — the gate/bench documents table is one small
+    parquet file whose 1-2 scan tasks otherwise synthesize every page
+    serially ahead of the extract operators' url-hash exchange
+    (measured: synth was 0.48 s of q_extract_text's 1.0 s on the
+    50k-doc probe, on 2 of 32 cores).  Shuffling the narrow (doc_id,
+    text, lang) rows here costs a fraction of shuffling the built
+    html, and the parse queries now pass repartition=0 so the html
+    bytes are never exchanged at all; a crawl-scale input with >=
+    cores partitions makes the spread a no-op.  Row sets unchanged
+    (partitioning only)."""
+    from .util import spread
+    docs = spread(docs, "doc_id")
     esc = F.replace(F.replace(F.col("text"), F.lit("&"), F.lit("&amp;")),
                     F.lit("<"), F.lit("&lt;"))
     link_block = (

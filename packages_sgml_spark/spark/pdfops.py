@@ -101,4 +101,7 @@ def synthetic_pdfs(spark, docs: DataFrame) -> DataFrame:
 
     schema = StructType([StructField("url", StringType()),
                          StructField("pdf", BinaryType())])
-    return docs.select("doc_id", "text").mapInPandas(fn, schema=schema)
+    from .util import spread
+    # r9: spread so PDF synthesis runs on every core at gate scale
+    return spread(docs.select("doc_id", "text"),
+                  "doc_id").mapInPandas(fn, schema=schema)

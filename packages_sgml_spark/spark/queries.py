@@ -57,10 +57,15 @@ def _t(spark, sf_dir, name):
 # ---------------------------------------------------------------------
 
 def q_extract_text(spark, sf_dir):
+    # r9: text-only sink — the query keeps (doc_id, text_extracted)
+    # only, so the worker ships one string column instead of the full
+    # EXTRACT_SCHEMA (identical per-row parse + NULL semantics; see
+    # extract_text_only)
     ensure_workers(spark)
+    from .extract import extract_text_only
     docs = _t(spark, sf_dir, "documents")
     pages = docs_as_pages(docs)
-    ex = extract(pages, dialect="html5", nodes=False)
+    ex = extract_text_only(pages, dialect="html5", repartition=0)
     return (ex.select(
         F.substring("url", 7, 32).cast("bigint").alias("doc_id"),
         F.col("text_extracted")))
@@ -74,7 +79,8 @@ def q_extract_title(spark, sf_dir):
     from .extract import extract_element_text
     docs = _t(spark, sf_dir, "documents")
     pages = docs_as_pages(docs)
-    ex = extract_element_text(pages, element="title", dialect="html5")
+    ex = extract_element_text(pages, element="title", dialect="html5",
+                              repartition=0)
     return (ex.filter(F.col("status") == "ok")
             .select(F.substring("url", 7, 32).cast("bigint")
                     .alias("doc_id"),
@@ -91,7 +97,8 @@ def q_count_links(spark, sf_dir):
     from .extract import extract_name_count
     docs = _t(spark, sf_dir, "documents")
     pages = docs_as_pages(docs, links=True)
-    links = extract_name_count(pages, name="a", dialect="html5")
+    links = extract_name_count(pages, name="a", dialect="html5",
+                               repartition=0)
     return links.select(
         F.substring("url", 7, 32).cast("bigint").alias("doc_id"),
         F.col("n").alias("n_links"))
@@ -106,7 +113,7 @@ def q_element_histogram(spark, sf_dir):
     from .extract import extract_tag_counts
     docs = _t(spark, sf_dir, "documents")
     pages = docs_as_pages(docs, links=True)
-    return (extract_tag_counts(pages, dialect="html5")
+    return (extract_tag_counts(pages, dialect="html5", repartition=0)
             .groupBy("name").agg(F.sum("n").alias("total"))
             .select("name", F.col("total").cast("bigint").alias("total")))
 
@@ -508,7 +515,8 @@ def q_subtree_text(spark, sf_dir):
     from .extract import extract_nodes_rows
     from .nodes import named_subtree_text
     docs = _t(spark, sf_dir, "documents")
-    nodes = extract_nodes_rows(docs_as_pages(docs), dialect="html5")
+    nodes = extract_nodes_rows(docs_as_pages(docs), dialect="html5",
+                               repartition=0)
     st = named_subtree_text(nodes, "body")
     return st.select(
         F.substring("url", 7, 32).cast("bigint").alias("doc_id"),
@@ -532,7 +540,7 @@ def q_main_content(spark, sf_dir):
     from .extract import extract_main
     docs = _t(spark, sf_dir, "documents")
     pages = docs_as_pages(docs, links=True)
-    ex = extract_main(pages, dialect="html5")
+    ex = extract_main(pages, dialect="html5", repartition=0)
     return ex.select(
         F.substring("url", 7, 32).cast("bigint").alias("doc_id"),
         F.col("text_main"))
@@ -584,7 +592,8 @@ def q_text_spans(spark, sf_dir):
     ensure_workers(spark)
     from .extract import extract_nodes_rows
     docs = _t(spark, sf_dir, "documents")
-    nodes = extract_nodes_rows(docs_as_pages(docs), dialect="html5")
+    nodes = extract_nodes_rows(docs_as_pages(docs), dialect="html5",
+                               repartition=0)
     ps = (nodes.filter((F.col("kind") == "element") &
                        (F.col("name") == "p"))
           .select("url", F.col("node_id").alias("p_id")))
@@ -633,7 +642,10 @@ def q_sitemap_parse(spark, sf_dir):
     take the first <loc> (crawl-frontier extraction pattern)."""
     ensure_workers(spark)
     from .nodes import child_text
-    docs = _t(spark, sf_dir, "documents")
+    from .util import spread
+    # r9: spread BEFORE the xml concat, parse without a second
+    # exchange (same serial-synth fix as docs_as_pages)
+    docs = spread(_t(spark, sf_dir, "documents"), "doc_id")
     entry_xml = F.expr(
         "concat_ws('', transform(sequence(0, cast(doc_id % 4 as int)), "
         "i -> concat('<url><loc>https://ex.org/d/', doc_id, '/', i, "
@@ -645,7 +657,7 @@ def q_sitemap_parse(spark, sf_dir):
         .alias("url"),
         F.encode(xml, "utf-8").alias("html"))
     from .extract import extract_nodes_rows
-    nodes = extract_nodes_rows(pages, dialect="xml")
+    nodes = extract_nodes_rows(pages, dialect="xml", repartition=0)
     locs = (nodes.filter((F.col("kind") == "element") &
                          (F.col("name") == "loc"))
             .select("url", "node_id"))
@@ -738,7 +750,8 @@ def q_serialize_roundtrip(spark, sf_dir):
     from .extract import serialize_pages
     docs = _t(spark, sf_dir, "documents")
     pages = docs_as_pages(docs)
-    ser = serialize_pages(pages, dialect="html5", out_dialect="xml")
+    ser = serialize_pages(pages, dialect="html5", out_dialect="xml",
+                          repartition=0)
     return ser.select(
         F.substring("url", 7, 32).cast("bigint").alias("doc_id"),
         F.col("xml_out"))
@@ -754,7 +767,7 @@ def q_esis_dump(spark, sf_dir):
     from .extract import esis_pages
     docs = _t(spark, sf_dir, "documents")
     pages = docs_as_pages(docs)
-    es = esis_pages(pages, dialect="html5")
+    es = esis_pages(pages, dialect="html5", repartition=0)
     return es.select(
         F.substring("url", 7, 32).cast("bigint").alias("doc_id"),
         F.col("esis"))
@@ -768,7 +781,7 @@ def q_c14n(spark, sf_dir):
     from .extract import c14n_pages
     docs = _t(spark, sf_dir, "documents")
     pages = docs_as_pages(docs)
-    cn = c14n_pages(pages, dialect="xml")
+    cn = c14n_pages(pages, dialect="xml", repartition=0)
     return cn.select(
         F.substring("url", 7, 32).cast("bigint").alias("doc_id"),
         F.col("c14n"))

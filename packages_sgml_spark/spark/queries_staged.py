@@ -34,6 +34,8 @@ from .queries import _t, ensure_workers
 
 
 def docs_as_link_pages(docs):
+    from .util import spread
+    docs = spread(docs, "doc_id")   # r9: parallel synth (see pages.py)
     d = F.col("doc_id")
     k = (d % 5 + 1).cast("int")
     rel_links = F.array_join(F.transform(
@@ -393,6 +395,8 @@ def docs_as_head_pages(docs):
     """Synthesized head-metadata pages: title + description always;
     canonical only when doc_id%2==0, og:title when doc_id%3==0 —
     NULL-field paths exercised.  SQL-reconstructable."""
+    from .util import spread
+    docs = spread(docs, "doc_id")   # r9: parallel synth
     d = F.col("doc_id")
     ds = d.cast("string")
     html_str = F.concat(
@@ -420,7 +424,7 @@ def q_page_meta(spark, sf_dir):
     from .extract import extract_nodes_rows
     from .nodes import page_meta
     pages = docs_as_head_pages(_t(spark, sf_dir, "documents"))
-    return page_meta(extract_nodes_rows(pages))
+    return page_meta(extract_nodes_rows(pages, repartition=0))
 
 
 ORACLE_PAGE_META = """
@@ -441,6 +445,8 @@ def docs_as_atom_pages(docs):
     """Synthesized Atom feeds (default xmlns — the r7 node-tape
     xmlns path): k = doc_id%4+1 entries; a feed-level <title> child
     tests entry scoping (it must NOT leak into any entry row)."""
+    from .util import spread
+    docs = spread(docs, "doc_id")   # r9: parallel synth
     d = F.col("doc_id")
     ds = d.cast("string")
     k = (d % 4 + 1).cast("int")
@@ -475,7 +481,8 @@ def q_feed_entries(spark, sf_dir):
     from .extract import extract_nodes_rows
     from .nodes import feed_entries
     pages = docs_as_atom_pages(_t(spark, sf_dir, "documents"))
-    return feed_entries(extract_nodes_rows(pages, dialect="xmlns"))
+    return feed_entries(extract_nodes_rows(pages, dialect="xmlns",
+                                           repartition=0))
 
 
 ORACLE_FEED_ENTRIES = """
@@ -503,11 +510,13 @@ def q_markdown(spark, sf_dir):
         F.lit(' with <b>bold</b> and <a href="https://x/'), ds,
         F.lit('">L</a>.</p><ul><li>i1</li><li>i2 '), ds,
         F.lit("</li></ul></body></html>"))
-    pages = _t(spark, sf_dir, "documents").select(
+    from .util import spread
+    pages = spread(_t(spark, sf_dir, "documents"),
+                   "doc_id").select(   # r9: parallel synth
         F.concat(F.lit("md://"), ds).alias("url"),
         F.encode(html_str, "utf-8").alias("html"))
-    return extract_markdown(pages).select("url", "markdown",
-                                          "n_errors", "status")
+    return extract_markdown(pages, repartition=0).select(
+        "url", "markdown", "n_errors", "status")
 
 
 ORACLE_MARKDOWN = """
@@ -585,7 +594,7 @@ def q_jsonld(spark, sf_dir):
     pages = _t(spark, sf_dir, "documents").select(
         F.concat(F.lit("ld://"), ds).alias("url"),
         F.encode(html_str, "utf-8").alias("html"))
-    return jsonld(extract_nodes_rows(pages))
+    return jsonld(extract_nodes_rows(pages, repartition=0))
 
 
 ORACLE_JSONLD = """
@@ -627,7 +636,9 @@ def q_fix_text(spark, sf_dir):
                          for i, t in zip(pdf["doc_id"],
                                          pdf["text"])]})
 
-    broken = docs.select("doc_id", "text").mapInPandas(
+    from .util import spread
+    broken = spread(docs.select("doc_id", "text"),
+                    "doc_id").mapInPandas(
         break_enc, schema="doc_id bigint, text string")
     return fix_text(broken)
 
