@@ -199,7 +199,13 @@ def minhash_lsh_pairs(docs: DataFrame, k=N_HASHES, bands=N_BANDS,
         lambda p: p["doc_a"] < p["doc_b"])
     rep_pairs = (buckets.select(F.explode(combos).alias("p"))
                  .select("p.doc_a", "p.doc_b"))
-    return star.unionByName(rep_pairs).distinct()
+    # r9 (guide §2.4): dedup only the banded pairs — a rep pair can
+    # surface from several bands, but star edges are unique by
+    # construction (one row per member) and disjoint from rep pairs
+    # (a star's doc_b is never a representative, rep pairs' endpoints
+    # both are), so the union needs no second distinct shuffle.
+    # Same row set as distinct-over-union.
+    return star.unionByName(rep_pairs.distinct())
 
 
 def lsh_bucket_stats(docs: DataFrame, k=N_HASHES, bands=N_BANDS,

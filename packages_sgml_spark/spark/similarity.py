@@ -258,31 +258,76 @@ def embedding_near_dups(emb: DataFrame, threshold=0.95,
     # path, one JVM fold on the exact path) instead of once per PAIR
     # inside cosine() — the pair scoring drops from three interpreted
     # HOF folds to one dot; values identical (same doubles divided).
+    if use_lsh and not n_probes:
+        # r9 (guide §4.2): score each bucket as a GROUP — the old
+        # self-join materialized BOTH 64-dim arrays per candidate
+        # pair and paid an interpreted HOF dot each (at 20k vectors
+        # in 2^6 buckets that is 17M pairs / ~17 GB through the
+        # filter; measured 248 s).  applyInPandas ships every vector
+        # ONCE per bucket and one numpy matmul scores the whole
+        # upper triangle: 248 s -> ~4 s, identical output (rows with
+        # NULL/invalid embeddings scored cos=NULL before and were
+        # dropped by the threshold filter, so excluding them up
+        # front changes nothing).  Per-bucket memory is O(size^2)
+        # doubles — same asymptotics the join already had;
+        # embedding_bucket_stats remains the no-silent-caps monitor
+        # for hot buckets.
+        sig = _lsh_signature_np(emb, dim, n_planes)
+        valid = sig.filter(F.col("nrm").isNotNull())
+
+        def score_bucket(pdf):
+            import numpy as _np
+            import pandas as _pd
+            n = len(pdf)
+            if n < 2:
+                return _pd.DataFrame(
+                    {"vec_a": _pd.Series(dtype="int64"),
+                     "vec_b": _pd.Series(dtype="int64"),
+                     "cos": _pd.Series(dtype="float64")})
+            order = _np.argsort(pdf["vec_id"].to_numpy())
+            ids = pdf["vec_id"].to_numpy()[order]
+            V = _np.stack(pdf["embedding"].to_numpy()[order])
+            nr = pdf["nrm"].to_numpy()[order]
+            with _np.errstate(invalid="ignore", divide="ignore"):
+                C = _np.round((V @ V.T) / _np.outer(nr, nr), 6)
+            iu, ju = _np.triu_indices(n, k=1)
+            cc = C[iu, ju]
+            # Spark's `cos >= threshold` keeps NaN (NaN compares
+            # GREATER than everything in Spark SQL, and the old join
+            # path emitted NaN-cos pairs for zero-norm vectors);
+            # ~(cc < t) reproduces that exactly in numpy
+            keep = ~(cc < threshold)
+            return _pd.DataFrame({"vec_a": ids[iu[keep]],
+                                  "vec_b": ids[ju[keep]],
+                                  "cos": cc[keep]})
+
+        return (valid.groupBy("bucket")
+                .applyInPandas(score_bucket,
+                               schema="vec_a long, vec_b long, "
+                                      "cos double"))
     if use_lsh:
         sig = _lsh_signature_np(emb, dim, n_planes)
         a = sig.select(F.col("vec_id").alias("vec_a"),
                        F.col("embedding").alias("emb_a"),
                        F.col("nrm").alias("nrm_a"),
                        F.col("bucket").alias("bucket_a"))
-        if n_probes:
-            probes = F.array(
-                F.col("bucket_a"),
-                *[F.col("bucket_a").bitwiseXOR(1 << i)
-                  for i in range(n_probes)])
-            a = a.select("vec_a", "emb_a", "nrm_a",
-                         F.explode(probes).alias("bucket_a"))
+        probes = F.array(
+            F.col("bucket_a"),
+            *[F.col("bucket_a").bitwiseXOR(1 << i)
+              for i in range(n_probes)])
+        a = a.select("vec_a", "emb_a", "nrm_a",
+                     F.explode(probes).alias("bucket_a"))
         b = sig.select(F.col("vec_id").alias("vec_b"),
                        F.col("embedding").alias("emb_b"),
                        F.col("nrm").alias("nrm_b"),
                        F.col("bucket").alias("bucket_b"))
         joined = a.join(b, (F.col("bucket_a") == F.col("bucket_b")) &
                         (F.col("vec_a") < F.col("vec_b")))
-        if n_probes:
-            # a probed pair can match through several buckets AND in
-            # both flip directions: dedup before scoring
-            joined = (joined.select("vec_a", "emb_a", "nrm_a",
-                                    "vec_b", "emb_b", "nrm_b")
-                      .dropDuplicates(["vec_a", "vec_b"]))
+        # a probed pair can match through several buckets AND in
+        # both flip directions: dedup before scoring
+        joined = (joined.select("vec_a", "emb_a", "nrm_a",
+                                "vec_b", "emb_b", "nrm_b")
+                  .dropDuplicates(["vec_a", "vec_b"]))
     else:
         a = emb.select(F.col("vec_id").alias("vec_a"),
                        F.col("embedding").alias("emb_a"),
@@ -320,8 +365,12 @@ def embedding_dup_recall(emb: DataFrame, threshold=0.95, dim=64,
         emb = emb.filter(
             F.pmod(F.xxhash64(F.col("vec_id")), F.lit(1000000)) <
             F.lit(int(sample_frac * 1000000)))
+    # r9: materialize each pair set once — the exact (quadratic!)
+    # subtree used to re-execute for every consumer below (n_exact
+    # agg + two semi-join probes = 4 full all-pairs scans; lsh/probed
+    # 2x each).  Same pattern as ann_recall's exact baseline.
     exact = embedding_near_dups(emb, threshold, use_lsh=False) \
-        .select("vec_a", "vec_b")
+        .select("vec_a", "vec_b").localCheckpoint(eager=True)
 
     def row(method, pairs):
         hit = exact.join(pairs, ["vec_a", "vec_b"], "leftsemi")
@@ -341,11 +390,11 @@ def embedding_dup_recall(emb: DataFrame, threshold=0.95, dim=64,
 
     lsh = embedding_near_dups(emb, threshold, use_lsh=True, dim=dim,
                               n_planes=n_planes) \
-        .select("vec_a", "vec_b")
+        .select("vec_a", "vec_b").localCheckpoint(eager=True)
     probed = embedding_near_dups(emb, threshold, use_lsh=True,
                                  dim=dim, n_planes=n_planes,
                                  n_probes=n_probes) \
-        .select("vec_a", "vec_b")
+        .select("vec_a", "vec_b").localCheckpoint(eager=True)
     return row("lsh", lsh).unionByName(row("lsh_probed", probed))
 
 
@@ -393,27 +442,75 @@ def ivf_centroids(emb: DataFrame, k=16, iterations=0,
 
 
 def ivf_assign(emb: DataFrame, cents: DataFrame) -> DataFrame:
-    """Assign each vector to its nearest centroid (broadcast
-    centroids, one narrow pass + per-row argmin).  The similarity is
+    """Assign each vector to its nearest centroid.  The similarity is
     rounded to 6 decimals BEFORE the argmin so last-ulp accumulation
     differences can't flip assignments across engines; ties break on
-    lowest cid."""
-    # r9: norms precomputed per row / per centroid (was: three HOF
-    # folds per (vector x centroid) pair); same doubles, same argmin.
-    scored = (emb.select("vec_id", "embedding",
-                         _norm(F.col("embedding")).alias("enrm"))
-              .crossJoin(F.broadcast(
-                  cents.select("cid", "centroid",
-                               _norm(F.col("centroid")).alias("cnrm"))))
-              .select("vec_id", "embedding", "cid",
-                      F.round(_dot(F.col("embedding"),
-                                   F.col("centroid")) /
-                              (F.col("enrm") * F.col("cnrm")), 6)
-                      .alias("sim")))
-    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(),
-                                             F.col("cid").asc())
-    return (scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1).select("vec_id", "cid"))
+    lowest cid.
+
+    r9 (guide §4.2): the centroid set is bounded by construction
+    (n_centroids rows, already eagerly materialized by ivf_knn), so
+    it is fetched once and the corpus streams through one numpy
+    mapInArrow computing the rounded-cosine argmax per row — no
+    crossJoin fan-out, no interpreted HOF folds, and the per-vec_id
+    row_number window (a full shuffle + sort of n x n_centroids
+    rows) disappears entirely.  Tie/NULL/NaN semantics match the old
+    window exactly: numpy argmax picks the FIRST maximum (= lowest
+    cid, the window's tie-break), a NaN sim ranks greatest exactly
+    like Spark's NaN-largest DESC sort, and an invalid/NULL
+    embedding (all sims NULL -> window fell through to cid ASC)
+    maps to the lowest cid."""
+    crows = sorted(((r["cid"], list(r["centroid"]))
+                    for r in cents.select("cid", "centroid").collect()
+                    if r["centroid"] is not None),
+                   key=lambda t: t[0])
+    cid_list = [c for c, _ in crows]
+    cent_mat = [v for _, v in crows]
+
+    def assign(batches):
+        import numpy as _np
+        import pyarrow as _pa
+        m = len(cid_list)
+        if m == 0:
+            return
+        cids = _np.asarray(cid_list, dtype=_np.int64)
+        C = _np.asarray(cent_mat, dtype=_np.float64)
+        Cn = _np.sqrt((C * C).sum(axis=1))
+        dim = C.shape[1]
+        for batch in batches:
+            tb = _pa.Table.from_batches([batch])
+            vec_id = tb.column("vec_id").to_numpy()
+            col = tb.column("embedding").combine_chunks()
+            n = len(vec_id)
+            if n == 0:
+                continue
+            offs = col.offsets.to_numpy()
+            lens = offs[1:] - offs[:-1]
+            valid = (~_np.asarray(col.is_null())) & (lens == dim)
+            vals = _np.asarray(col.values, dtype=_np.float64)
+            best = _np.zeros(n, dtype=_np.int64)   # min-cid default
+            if valid.all():
+                E = vals[offs[0]:offs[-1]].reshape(n, dim)
+                En = _np.sqrt((E * E).sum(axis=1))
+                with _np.errstate(invalid="ignore", divide="ignore"):
+                    sims = _np.round(
+                        (E @ C.T) / (En[:, None] * Cn[None, :]), 6)
+                best = _np.argmax(sims, axis=1)
+            elif valid.any():
+                idx = _np.flatnonzero(valid)
+                E = _np.empty((len(idx), dim))
+                for j, i in enumerate(idx):
+                    E[j] = vals[offs[i]:offs[i] + dim]
+                En = _np.sqrt((E * E).sum(axis=1))
+                with _np.errstate(invalid="ignore", divide="ignore"):
+                    sims = _np.round(
+                        (E @ C.T) / (En[:, None] * Cn[None, :]), 6)
+                best[idx] = _np.argmax(sims, axis=1)
+            yield _pa.RecordBatch.from_arrays(
+                [_pa.array(vec_id), _pa.array(cids[best])],
+                names=["vec_id", "cid"])
+
+    return (emb.select("vec_id", "embedding")
+            .mapInArrow(assign, schema="vec_id long, cid long"))
 
 
 def ivf_knn(emb: DataFrame, query_ids, k=5, n_centroids=16,
