@@ -253,8 +253,24 @@ def lsh_bucket_stats(docs: DataFrame, k=N_HASHES, bands=N_BANDS,
 
 def ngram_jaccard(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     """Exact Jaccard over word-shingles for candidate pairs
-    (verification stage after LSH)."""
-    sh = shingles(docs)
+    (verification stage after LSH).
+
+    r9 (guide §3.2): only docs that appear in a candidate pair are
+    shingled — a semi-join against the pair endpoints prefilters the
+    corpus before the explode.  The shingle subtree is consumed three
+    times below (both join sides + the size aggregation), so without
+    the prefilter the FULL corpus exploded three times while the
+    joins kept only candidate docs; result rows are identical because
+    intersections and sizes are only ever read for pair endpoints.
+    3.9 s -> 0.9 s on the 50k-doc probe."""
+    ids = (pairs.select(F.col("doc_a").alias("doc_id"))
+           .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+           .distinct())
+    docs = docs.join(ids, "doc_id", "leftsemi")
+    # materialize the (prefiltered) shingle rows once — they feed
+    # both join sides AND the size aggregation; same lineage-cut
+    # pattern as _sig_with_rep
+    sh = shingles(docs).localCheckpoint(eager=True)
     a = sh.withColumnRenamed("doc_id", "doc_a")
     b = sh.withColumnRenamed("doc_id", "doc_b") \
           .withColumnRenamed("shingle", "shingle_b")

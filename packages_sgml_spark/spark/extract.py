@@ -393,7 +393,7 @@ NODE_ROWS_SCHEMA = StructType([
 
 
 def extract_nodes_rows(pages: DataFrame, dialect="html5",
-                       repartition="auto") -> DataFrame:
+                       repartition="auto", columns=None) -> DataFrame:
     """Node-table extraction emitting FLAT per-node rows (the
     explode_nodes(extract(nodes=True)) shape) straight from the
     worker, columnar (r5).
@@ -406,7 +406,13 @@ def extract_nodes_rows(pages: DataFrame, dialect="html5",
     job to a fraction of it.  Output rows are identical to the
     explode path (same oracle; A/B pytest), failed/empty/oversized
     documents contribute no rows, and the plan loses its Generate
-    (explode) node — a narrow map is all that remains."""
+    (explode) node — a narrow map is all that remains.
+
+    r9: `columns` restricts the emitted node columns (guide §4.1 —
+    Catalyst cannot prune through the opaque map, so without this
+    every caller paid the Python-append + Arrow conversion for all
+    ten columns; the attrs map column is the expensive one).  Values
+    of the kept columns are identical to the full emission."""
     from .util import spread
     src = pages.select("url", "html")
     if repartition == "auto":
@@ -416,6 +422,17 @@ def extract_nodes_rows(pages: DataFrame, dialect="html5",
 
     COLS = ("node_id", "parent_id", "ord", "kind", "name", "attrs",
             "text", "subtree_end", "start_pos", "end_pos")
+    if columns is not None:
+        want = set(columns)
+        unknown = want - set(COLS)
+        if unknown:
+            raise ValueError("unknown node columns: %s" % unknown)
+        COLS = tuple(c for c in COLS if c in want)
+        schema = StructType(
+            [NODE_ROWS_SCHEMA["url"]] +
+            [NODE_ROWS_SCHEMA[c] for c in COLS])
+    else:
+        schema = NODE_ROWS_SCHEMA
 
     def fn(batches):
         from ..core.parser import NodeTableParser, ParserOptions
@@ -445,7 +462,7 @@ def extract_nodes_rows(pages: DataFrame, dialect="html5",
                 # rejects the dtype (observed on all-failed batches)
                 yield pd.DataFrame(out)
 
-    return src.mapInPandas(fn, schema=NODE_ROWS_SCHEMA)
+    return src.mapInPandas(fn, schema=schema)
 
 
 def extract_name_count(pages: DataFrame, name="a",

@@ -395,12 +395,23 @@ def q_sessionize(spark, sf_dir):
 
 def q_props_extract(spark, sf_dir):
     """JSON property extraction from the events.props column
-    (get_json_object -> pushdown-friendly scalar)."""
+    (get_json_object -> pushdown-friendly scalar).
+
+    r9 (guide §2.3, aggregate before the expensive work): event
+    payloads repeat heavily, so the raw props string is aggregated
+    FIRST (map-side combine collapses per-task duplicates) and the
+    JSON parse runs once per DISTINCT payload, with counts summed
+    back per k.  Exactly equivalent (distinct props mapping to the
+    same k sum into the same group); 1.65 s -> 0.98 s on the 1 M-row
+    probe.  If payloads were all-distinct the first aggregate
+    degrades into a shuffle of the strings — the trade is right for
+    event-analytics payloads, which dictionary-compress by nature."""
     ev = _t(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("int")
-    return (ev.select("event_id", k.alias("k"))
+    per_props = ev.groupBy("props").agg(F.count("*").alias("c"))
+    return (per_props.select(k.alias("k"), "c")
             .filter(F.col("k").isNotNull())
-            .groupBy("k").agg(F.count("*").alias("n")))
+            .groupBy("k").agg(F.sum("c").cast("long").alias("n")))
 
 
 def q_lang_name(spark, sf_dir):
@@ -515,8 +526,9 @@ def q_subtree_text(spark, sf_dir):
     from .extract import extract_nodes_rows
     from .nodes import named_subtree_text
     docs = _t(spark, sf_dir, "documents")
-    nodes = extract_nodes_rows(docs_as_pages(docs), dialect="html5",
-                               repartition=0)
+    nodes = extract_nodes_rows(
+        docs_as_pages(docs), dialect="html5", repartition=0,
+        columns=("node_id", "kind", "name", "text", "subtree_end"))
     st = named_subtree_text(nodes, "body")
     return st.select(
         F.substring("url", 7, 32).cast("bigint").alias("doc_id"),
@@ -592,8 +604,10 @@ def q_text_spans(spark, sf_dir):
     ensure_workers(spark)
     from .extract import extract_nodes_rows
     docs = _t(spark, sf_dir, "documents")
-    nodes = extract_nodes_rows(docs_as_pages(docs), dialect="html5",
-                               repartition=0)
+    nodes = extract_nodes_rows(
+        docs_as_pages(docs), dialect="html5", repartition=0,
+        columns=("node_id", "parent_id", "kind", "name",
+                 "start_pos", "end_pos"))
     ps = (nodes.filter((F.col("kind") == "element") &
                        (F.col("name") == "p"))
           .select("url", F.col("node_id").alias("p_id")))
@@ -657,7 +671,10 @@ def q_sitemap_parse(spark, sf_dir):
         .alias("url"),
         F.encode(xml, "utf-8").alias("html"))
     from .extract import extract_nodes_rows
-    nodes = extract_nodes_rows(pages, dialect="xml", repartition=0)
+    nodes = extract_nodes_rows(
+        pages, dialect="xml", repartition=0,
+        columns=("node_id", "parent_id", "ord", "kind", "name",
+                 "text"))
     locs = (nodes.filter((F.col("kind") == "element") &
                          (F.col("name") == "loc"))
             .select("url", "node_id"))
