@@ -37,6 +37,21 @@ def get_spark(app="packages-sgml-spark", cpus=None, shuffle_partitions=None,
         # 64 MB keeps scan-task memory bounded at 100 TB-corpus scale
         # (more, smaller tasks — AQE coalesces downstream stages).
         .config("spark.sql.files.maxPartitionBytes", "64m")
+        # r9: InferFiltersFromGenerate rewrites every explode(expr)
+        # into filter(size(expr)>0 AND isnotnull(expr)) + explode —
+        # and predicate pushdown then substitutes the FULL generator
+        # expression into the filter and sinks it below the exchange,
+        # so an expensive array builder (regexp+split+zip_with shingle
+        # chains) is re-evaluated TWICE PER ROW on the scan tasks.
+        # Measured on the 50k-doc probe: the n-gram explode stage
+        # 25.3 s -> 0.74 s with the rule excluded; dup_ngram_frac
+        # 29.4 s -> 1.8 s.  The rule's only effect is skipping rows
+        # whose array is empty/null — explode(outer=false) emits
+        # nothing for those rows anyway, so row sets are identical
+        # (oracle gate re-verified green at both SFs).
+        .config("spark.sql.optimizer.excludedRules",
+                "org.apache.spark.sql.catalyst.optimizer."
+                "InferFiltersFromGenerate")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory",
                 os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
