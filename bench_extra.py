@@ -71,6 +71,8 @@ def main():
                 f.write(df._jdf.queryExecution().explainString(
                     spark._jvm.org.apache.spark.sql.execution
                     .ExplainMode.fromString("formatted")))
+        if args.repeat <= 0:      # plans-only mode
+            continue
         spark.sparkContext.setJobDescription("bench_extra: " + name)
         spark._jvm.System.gc()
         samples = []

@@ -554,6 +554,11 @@ def q_dedup_spans(spark, sf_dir):
     — every word covered by a cross-document duplicated 8-gram cut,
     survivors reassembled in document order."""
     from .datafilters import dedup_spans
+    import inspect
+    # ORACLE_DEDUP_SPANS hardcodes the n=8 gram width (r8 ADVICE):
+    # pin the Spark side to the same default so a future gate run
+    # with a different n can't silently compare the wrong oracle
+    assert inspect.signature(dedup_spans).parameters["n"].default == 8
     return dedup_spans(_t(spark, sf_dir, "documents"))
 
 
