@@ -203,36 +203,91 @@ def _lsh_signature_np(emb: DataFrame, dim, n_planes=8) -> DataFrame:
 
 def knn_lsh(emb: DataFrame, query_ids, dim, k=5, n_planes=6) -> DataFrame:
     """Approximate top-k: cosine computed only within LSH buckets.
-    Recall depends on n_planes; the bucket join shuffles on uniform
-    hash keys (no skew).  r9: signature + norms come from the numpy
-    pass (_lsh_signature_np) and the within-bucket cosine divides by
-    the precomputed norms — one HOF dot per candidate pair instead of
-    three folds (values identical; the signature stage alone was 0.55
-    of the query's 0.82 s on the 20k probe)."""
-    sig = _lsh_signature_np(emb, dim, n_planes)
-    # the signature is row-wise, so computing the query side on the
-    # pre-filtered len(query_ids) rows is value-identical — and
-    # necessary: a filter cannot push through the opaque mapInArrow,
-    # so deriving q from `sig` would run the whole corpus through
-    # Python a second time just to keep a handful of rows.  The tiny
-    # q side uses the JVM signature + fold norm (no Python worker
-    # round-trip for an 8-row stage); bucket bits are sign decisions
-    # with measured >= 1e10x margin over summation-order error, so
-    # JVM-vs-numpy agree exactly.
-    q = (lsh_signature(
-            emb.filter(F.col("vec_id").isin(list(query_ids))),
-            dim, n_planes)
-         .select(F.col("vec_id").alias("q_id"),
-                 F.col("embedding").alias("q_emb"),
-                 _norm(F.col("embedding")).alias("q_nrm"),
-                 F.col("bucket").cast("long").alias("q_bucket")))
-    scored = (sig.join(F.broadcast(q),
-                       (F.col("bucket") == F.col("q_bucket")) &
-                       (F.col("vec_id") != F.col("q_id")))
-              .select("q_id", F.col("vec_id").alias("n_id"),
-                      F.round(_dot(F.col("q_emb"), F.col("embedding")) /
-                              (F.col("q_nrm") * F.col("nrm")), 6)
-                      .alias("cos")))
+    Recall depends on n_planes.
+
+    r9 (guide §4.2, same shape as knn_bruteforce): the query set is
+    bounded (len(query_ids) rows), so its vectors are fetched once,
+    their buckets/norms computed driver-side, and the corpus streams
+    through ONE numpy mapInArrow that signatures each batch, keeps
+    rows whose bucket matches a query bucket, and scores only those
+    candidates — the broadcast bucket join, the per-pair HOF dot and
+    the signature round-trip of every embedding all disappear.
+    Bucket bits are sign decisions with measured >= 1e10x margin over
+    summation-order error; rows with NULL/wrong-length embeddings
+    keep the old semantics (bucket 0, cos NULL if matched).  1.03 s
+    (r8 shape) -> 0.66 (r9 join shape) -> ~0.4 s on the 20k probe."""
+    qrows = (emb.filter(F.col("vec_id").isin(list(query_ids)))
+             .select("vec_id", "embedding").collect())
+    qrows = sorted((r for r in qrows if r[1] is not None),
+                   key=lambda r: r[0])
+    q_ids = [r[0] for r in qrows]
+    q_mat = [list(r[1]) for r in qrows]
+    planes = hyperplane_values(dim, n_planes)
+
+    def score(batches):
+        import numpy as _np
+        import pyarrow as _pa
+        m = len(q_ids)
+        if m == 0:
+            return
+        qi = _np.asarray(q_ids, dtype=_np.int64)
+        Q = _np.asarray(q_mat, dtype=_np.float64)
+        Qn = _np.sqrt((Q * Q).sum(axis=1))
+        P = _np.asarray(planes, dtype=_np.float64)
+        pw = (1 << _np.arange(P.shape[0], dtype=_np.int64))
+        qb = ((Q @ P.T) >= 0) @ pw
+        for batch in batches:
+            tb = _pa.Table.from_batches([batch])
+            n_id = tb.column("vec_id").to_numpy()
+            col = tb.column("embedding").combine_chunks()
+            n = len(n_id)
+            if n == 0:
+                continue
+            offs = col.offsets.to_numpy()
+            lens = offs[1:] - offs[:-1]
+            valid = (~_np.asarray(col.is_null())) & (lens == dim)
+            vals = _np.asarray(col.values, dtype=_np.float64)
+            if valid.all():
+                E = vals[offs[0]:offs[-1]].reshape(n, dim)
+            else:
+                E = _np.zeros((n, dim))
+                for i in _np.flatnonzero(valid):
+                    E[i] = vals[offs[i]:offs[i] + dim]
+            En = _np.sqrt((E * E).sum(axis=1))
+            bucket = _np.zeros(n, dtype=_np.int64)
+            bucket[valid] = (((E[valid] @ P.T) >= 0) @ pw)
+            out_q, out_n, out_c, out_null = [], [], [], []
+            for j in range(m):
+                hit = (bucket == qb[j]) & (n_id != qi[j])
+                if not hit.any():
+                    continue
+                hv = hit & valid
+                with _np.errstate(invalid="ignore",
+                                  divide="ignore"):
+                    cc = _np.round((E[hv] @ Q[j]) /
+                                   (En[hv] * Qn[j]), 6)
+                out_q.append(_np.full(hv.sum(), qi[j]))
+                out_n.append(n_id[hv])
+                out_c.append(cc)
+                out_null.append(_np.zeros(hv.sum(), dtype=bool))
+                hn = hit & ~valid
+                if hn.any():
+                    out_q.append(_np.full(hn.sum(), qi[j]))
+                    out_n.append(n_id[hn])
+                    out_c.append(_np.full(hn.sum(), _np.nan))
+                    out_null.append(_np.ones(hn.sum(), dtype=bool))
+            if not out_q:
+                continue
+            cc = _np.concatenate(out_c)
+            yield _pa.RecordBatch.from_arrays(
+                [_pa.array(_np.concatenate(out_q)),
+                 _pa.array(_np.concatenate(out_n)),
+                 _pa.array(cc, mask=_np.concatenate(out_null))],
+                names=["q_id", "n_id", "cos"])
+
+    scored = (emb.select("vec_id", "embedding")
+              .mapInArrow(score,
+                          schema="q_id long, n_id long, cos double"))
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(),
                                           F.col("n_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
